@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** F14 — WRatio composite fuzzy similarity (reference: `ranking.py:73-76`
+  * via the rapidfuzz library, `pyproject.toml:15`).
+  *
+  * Re-implemented from the published algorithm: the base similarity is
+  * the normalized Indel (insert/delete-only, i.e. LCS-based) ratio — NOT
+  * Levenshtein — combined with token-sort / token-set and partial
+  * (sliding-window) variants, scaled by length-ratio-dependent weights.
+  * Scores are in [0, 100].
+  *
+  * The reference calls WRatio on pre-normalized strings with no
+  * processor (rapidfuzz ≥3 applies none by default), so no internal
+  * preprocessing is done here either.
+  *
+  * All helpers are pure and driver/executor-safe; [[wratioUdf]] wraps the
+  * scalar for distributed scoring. Strings are short place names, so the
+  * O(n·m) DP is the right tool; the hot path at scale is bounded by the
+  * candidate scan cap upstream, not by this function.
+  */
+object Fuzz {
+
+  /** Length of the longest common subsequence (two-row DP). */
+  private def lcsLen(a: CharSequence, b: CharSequence): Int = {
+    val n = a.length
+    val m = b.length
+    if (n == 0 || m == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ca = a.charAt(i - 1)
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (ca == b.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Normalized Indel similarity × 100: `2·LCS / (|a|+|b|) · 100`.
+    * Both empty → 100 (identical). */
+  def ratio(a: String, b: String): Double = {
+    val n = a.length + b.length
+    if (n == 0) 100.0
+    else 200.0 * lcsLen(a, b) / n
+  }
+
+  /** Best [[ratio]] alignment of the shorter string against windows of
+    * the longer (including clipped windows at both edges). */
+  def partialRatio(a: String, b: String): Double = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
+    var best = 0.0
+    var i = -(s.length - 1)
+    while (i < l.length && best < 100.0) {
+      val from = math.max(0, i)
+      val to = math.min(l.length, i + s.length)
+      val r = ratio(s, l.substring(from, to))
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
+
+  private def words(s: String): Array[String] =
+    s.split(' ').filter(_.nonEmpty)
+
+  private def sortJoin(s: String): String = words(s).sorted.mkString(" ")
+
+  def tokenSortRatio(a: String, b: String): Double =
+    ratio(sortJoin(a), sortJoin(b))
+
+  def tokenSetRatio(a: String, b: String): Double = {
+    val sa = words(a).toSet
+    val sb = words(b).toSet
+    val sect = (sa & sb).toSeq.sorted.mkString(" ")
+    val da = (sa -- sb).toSeq.sorted.mkString(" ")
+    val db = (sb -- sa).toSeq.sorted.mkString(" ")
+    val ab = Seq(sect, da).filter(_.nonEmpty).mkString(" ")
+    val ba = Seq(sect, db).filter(_.nonEmpty).mkString(" ")
+    math.max(ratio(ab, ba), math.max(ratio(sect, ab), ratio(sect, ba)))
+  }
+
+  def tokenRatio(a: String, b: String): Double =
+    math.max(tokenSortRatio(a, b), tokenSetRatio(a, b))
+
+  def partialTokenSortRatio(a: String, b: String): Double =
+    partialRatio(sortJoin(a), sortJoin(b))
+
+  /** Any shared token aligns perfectly inside the intersection-prefixed
+    * join, so a non-empty intersection short-circuits to 100. */
+  def partialTokenSetRatio(a: String, b: String): Double = {
+    val sa = words(a).toSet
+    val sb = words(b).toSet
+    if ((sa & sb).nonEmpty) 100.0
+    else partialRatio(sa.toSeq.sorted.mkString(" "), sb.toSeq.sorted.mkString(" "))
+  }
+
+  def partialTokenRatio(a: String, b: String): Double =
+    math.max(partialTokenSortRatio(a, b), partialTokenSetRatio(a, b))
+
+  /** The WRatio composite. Empty input on either side → 0. */
+  def wratio(a: String, b: String): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+    val lenRatio =
+      math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
+    val base = ratio(a, b)
+    if (lenRatio < 1.5) {
+      math.max(base, 0.95 * tokenRatio(a, b))
+    } else {
+      val partialScale = if (lenRatio < 8.0) 0.9 else 0.6
+      val withPartial = math.max(base, partialScale * partialRatio(a, b))
+      math.max(withPartial, 0.95 * partialScale * partialTokenRatio(a, b))
+    }
+  }
+
+  /** Distributed form for column-wise scoring. */
+  val wratioUdf: UserDefinedFunction =
+    udf((a: String, b: String) => wratio(if (a == null) "" else a, if (b == null) "" else b))
+}

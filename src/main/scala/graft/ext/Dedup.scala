@@ -1,0 +1,133 @@
+package graft.ext
+
+import graft.core.Norm
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and token-set (n-gram) Jaccard.
+  *
+  * All hashing is engine-portable BY CONSTRUCTION: the base token hash is
+  * the first 8 hex digits of md5 (identical in any engine), and the
+  * MinHash family is affine arithmetic over that 32-bit value mod a
+  * >2^32 prime — so the DuckDB oracle can recompute every signature
+  * bit-for-bit. No reliance on Spark's internal murmur3.
+  *
+  * Scale shape: token explode → per-doc aggregate is one shuffle keyed by
+  * doc_id; LSH banding turns the quadratic pair search into equality
+  * joins on (band, bucket) — the standard way to near-dedup 100 TB
+  * without an O(n²) cross join.
+  */
+object Dedup {
+
+  /** 32-bit portable token hash: first 8 hex chars of md5 as a long. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** MinHash modulus: smallest prime above 2^32 — keeps `a*h + b` within
+    * int64 for 32-bit h and 32-bit-ish coefficients. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Deterministic affine coefficients for hash function i. */
+  def minhashA(i: Int): Long = 2 * i + 1L          // odd, coprime-ish
+  def minhashB(i: Int): Long = 40503L * (i + 1) + 9973L
+
+  /** Distinct (id, tok) pairs from a text column: the input relation for
+    * every token-based signature below. */
+  def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+      .distinct()
+
+  /** Word n-gram shingles (n consecutive tokens joined by space) —
+    * the shingling front-end for MinHash near-dup detection. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    // shingle i = tokens[i..i+n); expressions stay codegen'd (no UDF)
+    val shingles = filter(
+      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + lit(1), lit(n)))),
+      s => size(split(s, " ")) === n)
+    df.select(col(idCol).as("id"), explode(shingles).as("tok")).distinct()
+  }
+
+  /** MinHash signature: one min per affine permutation over the doc's
+    * token-hash set. Output: id, m0..m{n-1}. */
+  def minhashSignature(tokens: DataFrame, numHashes: Int): DataFrame = {
+    val h = tokenHash(col("tok"))
+    val mins = (0 until numHashes).map(i =>
+      min((h * minhashA(i) + minhashB(i)) % MinhashPrime).as(s"m$i"))
+    tokens.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
+    * consecutive signature values. Returns (a, b, est_sim) where est_sim
+    * is the fraction of agreeing minhashes — the MinHash estimate of
+    * Jaccard similarity. */
+  def minhashLshPairs(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        (lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))): _*)
+      sig.select(col("id"), lit(b).as("band"), key.as("bucket"))
+    }.reduce(_ union _)
+    val l = bands.as("l")
+    val r = bands.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("a") === col("sa.id"))
+      .join(sig.as("sb"), col("b") === col("sb.id"))
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / numHashes, 6).as("est_sim"))
+  }
+
+  /** SimHash over `bits` low bits of the portable token hash: bit j of
+    * the fingerprint is set iff more token hashes have bit j set than
+    * not. Near-dups differ in few bits (Hamming distance). */
+  def simhash(tokens: DataFrame, bits: Int): DataFrame = {
+    val h = tokenHash(col("tok"))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    val fp = (0 until bits)
+      .map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    tokens.groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** Exact duplicate groups by content fingerprint: keep-lowest-id
+    * policy. One hash-aggregate, no joins. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Token-set Jaccard similarity pairs via an inverted-index join:
+    * pairs sharing ≥1 token, sim = |A∩B| / |A|+|B|-|A∩B|. The `maxDf`
+    * document-frequency cut drops ubiquitous tokens before the join —
+    * at corpus scale this is what keeps the index join subquadratic. */
+  def jaccardPairs(tokens: DataFrame, maxDf: Long): DataFrame = {
+    val filtered = tokens.join(
+      tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("tok"),
+      "tok")
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_toks"))
+    val inter = filtered.as("x")
+      .join(filtered.as("y"), col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("na"), col("a") === col("na.id"))
+      .join(sizes.as("nb"), col("b") === col("nb.id"))
+      .select(col("a"), col("b"),
+        round(col("n_inter").cast("double") /
+          (col("na.n_toks") + col("nb.n_toks") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Cross-engine determinism trick: embeddings are quantized to scaled
+  * integers (`round(x · 2^15)` — exact for float32 inputs since the
+  * product has ≤39 significant bits). Dot products and squared norms are
+  * then INT64 sums — order-independent and bit-identical in any engine —
+  * and only the final `dot / (√na·√nb)` touches floating point, as one
+  * deterministic expression. This kills the usual "float sum order"
+  * oracle flakiness AND is how you'd make a 100 TB ANN job reproducible
+  * across retries.
+  *
+  * Scale path: brute force is the correctness baseline; sign-LSH
+  * bucketing (random-hyperplane) turns top-k into an equality join on
+  * bucket ids, pruning the candidate set before the exact re-rank.
+  */
+object Similarity {
+
+  val Scale = 32768.0 // 2^15 — power of two ⇒ x·Scale is exact for float32
+
+  /** array<float> → array<long> quantized embedding. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** INT64 dot product of two quantized vectors (exact). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine from quantized vectors. */
+  def cosineQ(qa: Column, qb: Column): Column =
+    dotQ(qa, qb).cast("double") /
+      (sqrt(dotQ(qa, qa).cast("double")) * sqrt(dotQ(qb, qb).cast("double")))
+
+  /** Brute-force top-k: broadcast the (small) query set against the
+    * corpus, per-query window rank on rounded cosine with id tiebreak.
+    * The corpus side never shuffles except the final per-query top-k. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), quantize(col("embedding")).as("q_emb")))
+    val c = corpus.select(
+      col("vec_id").as("cand_id"), quantize(col("embedding")).as("c_emb"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic integer hyperplane `p` for sign-LSH (no RNG: derived
+    * from Knuth's multiplicative constant so any engine reproduces it). */
+  def hyperplane(p: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim)(j => ((p.toLong * dim + j) * 2654435761L) % 2000001L - 1000000L)
+
+  /** Sign-LSH bucket id over `numPlanes` hyperplanes. Quantized dots are
+    * exact INT64, so the sign — hence the bucket — is engine-portable. */
+  def lshBucket(qemb: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { p =>
+      val w = hyperplane(p, dim)
+      val dot = aggregate(
+        zip_with(qemb, lit(w), (x, wj) => x * wj), lit(0L), (acc, v) => acc + v)
+      when(dot > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; exact
+    * cosine re-rank inside the bucket. Recall trades against bucket
+    * count (numPlanes); equality join replaces the cross join. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numPlanes: Int, dim: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), quantize(col("embedding")).as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), numPlanes, dim)))
+    val c = corpus.select(
+      col("vec_id").as("cand_id"), quantize(col("embedding")).as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), numPlanes, dim))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication inventory over `documents`. The pairwise queries bound
+  * their input (doc_id windows) so cost stays fixed across scale factors
+  * — the UNBOUNDED scale path is MinHash/LSH banding (dd_minhash_*), not
+  * the quadratic verifiers.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  private val canonSql = TextQueries.canonSql
+
+  /** Distinct (id, tok) CTE in DuckDB — twin of Dedup.docTokens. */
+  private def toksSql(where: String = "") =
+    s"""SELECT DISTINCT doc_id AS id, unnest(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS tok
+        FROM documents $where"""
+
+  /** Portable token hash in DuckDB — twin of Dedup.tokenHash. */
+  private val tokHashSql = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+
+  val ddExact = Q("dd_exact",
+    (s, dir) => Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      .orderBy("keep_id"),
+    Some(s"""SELECT md5($canonSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+             FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  private val NumHashes = 8
+
+  /** DuckDB 3-gram shingles: positional slices over the token list
+    * (generate_series used as a list, not a lateral table function). */
+  private def shinglesSql(n: Int, where: String = "") =
+    s"""SELECT DISTINCT id, tok FROM (
+          SELECT doc_id AS id,
+                 unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+                        i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS tok
+          FROM (SELECT doc_id, list_filter(string_split($canonSql, ' '), x -> x <> '') AS t
+                FROM documents $where)
+        ) WHERE tok IS NOT NULL AND tok <> ''"""
+
+  private def minhashSigSql(src: String): String = {
+    val mins = (0 until NumHashes).map(i =>
+      s"min((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashPrime}) AS m$i")
+      .mkString(", ")
+    s"""SELECT id, $mins FROM (
+          SELECT id, $tokHashSql AS h FROM ($src)
+        ) GROUP BY id"""
+  }
+
+  val ddMinhashSigQ = Q("dd_minhash_sig",
+    (s, dir) => Dedup.minhashSignature(
+      Dedup.docShingles(docs(s, dir), "doc_id", "text", 3), NumHashes)
+      .orderBy("id"),
+    Some(s"""SELECT * FROM (${minhashSigSql(shinglesSql(3))}) ORDER BY id"""))
+
+  /** LSH banding over unigram signatures of a bounded doc window: bands
+    * of 2 rows over 8 hashes; pairs sharing a band bucket, scored by the
+    * agreeing-hash fraction (the MinHash Jaccard estimate). */
+  val ddMinhashPairs = Q("dd_minhash_pairs",
+    (s, dir) => {
+      val sig = Dedup.minhashSignature(
+        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text"),
+        NumHashes)
+      Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2)
+        .orderBy("a", "b")
+    },
+    Some {
+      val sig = minhashSigSql(toksSql("WHERE doc_id < 100"))
+      val bandSelects = (0 until NumHashes / 2).map(b =>
+        s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM sig")
+        .mkString(" UNION ALL ")
+      val agree = (0 until NumHashes)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sig AS ($sig),
+            bands AS ($bandSelects),
+            cand AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+          SELECT a, b, round(($agree)::DOUBLE / $NumHashes, 6) AS est_sim
+          FROM cand
+          JOIN sig sa ON a = sa.id
+          JOIN sig sb ON b = sb.id
+          ORDER BY a, b"""
+    })
+
+  private val SimhashBits = 16
+
+  val ddSimhash = Q("dd_simhash",
+    (s, dir) => Dedup.simhash(
+      Dedup.docTokens(docs(s, dir), "doc_id", "text"), SimhashBits)
+      .orderBy("id"),
+    Some {
+      val votes = (0 until SimhashBits).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+      val fp = (0 until SimhashBits).map(j =>
+        s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH h AS (SELECT id, $tokHashSql AS h FROM (${toksSql()})),
+            votes AS (SELECT id, $votes FROM h GROUP BY id)
+          SELECT id, $fp AS simhash FROM votes ORDER BY id"""
+    })
+
+  /** Inverted-index token-set Jaccard with a document-frequency cut —
+    * the subquadratic trick is the df filter, pinned on both engines. */
+  val ddJaccard = Q("dd_jaccard",
+    (s, dir) => Dedup.jaccardPairs(
+      Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text"),
+      maxDf = 150)
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("a", "b"),
+    Some {
+      val toks = toksSql("WHERE doc_id < 200")
+      s"""WITH toks AS ($toks),
+            keep AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 150),
+            f AS (SELECT id, toks.tok FROM toks JOIN keep ON toks.tok = keep.tok),
+            sizes AS (SELECT id, count(*) AS n_toks FROM f GROUP BY id),
+            inter AS (
+              SELECT x.id AS a, y.id AS b, count(*) AS n_inter
+              FROM f x JOIN f y ON x.tok = y.tok AND x.id < y.id
+              GROUP BY 1, 2)
+          SELECT a, b,
+                 round(n_inter::DOUBLE / (na.n_toks + nb.n_toks - n_inter)::DOUBLE, 6) AS jaccard
+          FROM inter
+          JOIN sizes na ON a = na.id
+          JOIN sizes nb ON b = nb.id
+          WHERE n_inter::DOUBLE / (na.n_toks + nb.n_toks - n_inter)::DOUBLE >= 0.2
+          ORDER BY a, b"""
+    })
+
+  val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash, ddJaccard)
+}

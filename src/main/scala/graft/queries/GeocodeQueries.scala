@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.core.{Geo, Norm}
+import graft.etl.GazetteerBuilder
+import graft.query.{Bbox, ForwardCandidate, ForwardReq, Ranking, Repo, ScoutEngine}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 G-inventory: the geocode-core operators pinned
+  * cross-engine. The gazetteer fixtures are derived DETERMINISTICALLY
+  * from the shared corpus with integer arithmetic (exact in both
+  * engines), so the DuckDB oracle can reproduce them from the same
+  * parquet inputs — no side-channel fixture files.
+  */
+object GeocodeQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** Derived POI coordinates from customer keys (integer→double exact). */
+  private def poiLatLon(df: DataFrame): DataFrame = df
+    .withColumn("lat", lit(-85.0) + (col("c_custkey") * 37 % 17000) / 100.0)
+    .withColumn("lon", lit(-180.0) + (col("c_custkey") * 73 % 36000) / 100.0)
+
+  private val poiLatLonSql =
+    """SELECT c_custkey,
+              (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
+              (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
+       FROM customer"""
+
+  /** Derived admin rows from nation keys. */
+  private def derivedAdmin(df: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    df.select(
+      k.cast("long").as("osm_id"),
+      lower(col("n_name")).as("name_local_norm"),
+      lower(col("n_name")).as("name_en_norm"),
+      (lit(2) + k % 9).as("admin_level"),
+      (lit(-180.0) + (k * 29 % 300)).as("minx"),
+      (lit(-60.0) + (k * 13 % 100)).as("miny"),
+      (lit(-180.0) + (k * 29 % 300) + lit(3.0) + (k * 7 % 40)).as("maxx"),
+      (lit(-60.0) + (k * 13 % 100) + lit(2.0) + (k * 11 % 25)).as("maxy"))
+  }
+
+  private val derivedAdminSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS osm_id,
+              lower(n_name) AS name_local_norm,
+              lower(n_name) AS name_en_norm,
+              2 + n_nationkey % 9 AS admin_level,
+              (-180.0 + (n_nationkey * 29) % 300)::DOUBLE AS minx,
+              (-60.0 + (n_nationkey * 13) % 100)::DOUBLE AS miny,
+              (-180.0 + (n_nationkey * 29) % 300 + 3.0 + (n_nationkey * 7) % 40)::DOUBLE AS maxx,
+              (-60.0 + (n_nationkey * 13) % 100 + 2.0 + (n_nationkey * 11) % 25)::DOUBLE AS maxy
+       FROM nation"""
+
+  /** G1 — F1 `canon` cross-engine regex parity on real text. */
+  val g1 = Q("g1_canon",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), Norm.canon(col("text")).as("canon"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              trim(lower(regexp_replace(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon
+            FROM documents ORDER BY doc_id"""))
+
+  /** G2 — P5 token-containment scan: conjunctive across tokens,
+    * disjunctive across columns (the reference's candidate predicate). */
+  val g2 = Q("g2_token_scan",
+    (s, dir) => t(s, dir, "documents")
+      .filter(Repo.likePredicate(Seq("table", "value"), Seq(col("text"), col("source"))))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source FROM documents
+            WHERE (text LIKE '%table%' OR source LIKE '%table%')
+              AND (text LIKE '%value%' OR source LIKE '%value%')
+            ORDER BY doc_id"""))
+
+  /** G3 — O1/F19/P7: largest-area-first top-1 admin resolution with the
+    * osm_id tiebreak (TakeOrderedAndProject — no full sort). */
+  val g3 = Q("g3_area_top1",
+    (s, dir) => {
+      val area = (col("maxx") - col("minx")) * (col("maxy") - col("miny"))
+      derivedAdmin(t(s, dir, "nation"))
+        .filter(col("admin_level") >= 6 &&
+          Repo.likePredicate(Seq("a"), Seq(col("name_local_norm"), col("name_en_norm"))))
+        .orderBy(area.desc, col("osm_id").asc)
+        .limit(1)
+        .select(col("osm_id"), col("name_local_norm"), col("admin_level"),
+          col("minx"), col("miny"), col("maxx"), col("maxy"), area.as("area"))
+    },
+    Some(s"""WITH admin AS ($derivedAdminSql)
+             SELECT osm_id, name_local_norm, admin_level, minx, miny, maxx, maxy,
+                    (maxx - minx) * (maxy - miny) AS area
+             FROM admin
+             WHERE admin_level >= 6
+               AND (name_local_norm LIKE '%a%' OR name_en_norm LIKE '%a%')
+             ORDER BY area DESC, osm_id ASC LIMIT 1"""))
+
+  /** G4 — P6/J1 phase B: bbox range predicate over derived POIs. At the
+    * physical layer this is the predicate Parquet row-group pruning
+    * bites on when pois are laid out sorted by (lat, lon). */
+  val g4 = Q("g4_bbox_scan",
+    (s, dir) => poiLatLon(t(s, dir, "customer"))
+      .filter(Repo.bboxPredicate(Bbox(-30.0, 10.0, 80.0, 60.0, 35.0, 25.0)))
+      .select("c_custkey", "lat", "lon")
+      .orderBy("c_custkey"),
+    Some(s"""WITH pois AS ($poiLatLonSql)
+             SELECT c_custkey, lat, lon FROM pois
+             WHERE lat BETWEEN 10.0 AND 60.0 AND lon BETWEEN -30.0 AND 80.0
+             ORDER BY c_custkey"""))
+
+  /** G5 — A2: capped additive importance score (flag weights, LEAST cap). */
+  val g5 = Q("g5_importance",
+    (s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"),
+        least(lit(1.0),
+          when(col("p_size") > 40, 0.40).otherwise(0.0) +
+            when(col("p_type") === "PROMO", 0.25).otherwise(0.0) +
+            when(col("p_size") % 3 === 0, 0.20).otherwise(0.0) +
+            when(col("p_size") % 5 === 0, 0.10).otherwise(0.0) +
+            when(col("p_size") % 7 === 0, 0.05).otherwise(0.0)).as("importance"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              least(1.0::DOUBLE,
+                (CASE WHEN p_size > 40 THEN 0.40::DOUBLE ELSE 0.0::DOUBLE END) +
+                (CASE WHEN p_type = 'PROMO' THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) +
+                (CASE WHEN p_size % 3 = 0 THEN 0.20::DOUBLE ELSE 0.0::DOUBLE END) +
+                (CASE WHEN p_size % 5 = 0 THEN 0.10::DOUBLE ELSE 0.0::DOUBLE END) +
+                (CASE WHEN p_size % 7 = 0 THEN 0.05::DOUBLE ELSE 0.0::DOUBLE END)) AS importance
+            FROM part ORDER BY p_partkey"""))
+
+  /** G6 — F8 kind derivation (first-match CASE chain) + F15 ordered
+    * prefix type-boost, via the engine's own Ranking.typeBoost chain. */
+  val g6 = Q("g6_kind_boost",
+    (s, dir) => {
+      val kind = when(col("p_type") === "STANDARD", concat(lit("amenity:"), col("p_name")))
+        .when(col("p_type") === "SMALL", concat(lit("shop:"), col("p_name")))
+        .when(col("p_type") === "PROMO", concat(lit("tourism:"), col("p_name")))
+        .otherwise(lit("unknown"))
+      t(s, dir, "part")
+        .withColumn("kind", kind)
+        .withColumn("boost", Ranking.typeBoost(
+          Seq("tourism:" -> 0.80, "amenity:" -> 0.70, "shop:" -> 0.60), 0.40))
+        .select("p_partkey", "kind", "boost")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, kind,
+              (CASE WHEN kind LIKE 'tourism:%' THEN 0.80::DOUBLE
+                    WHEN kind LIKE 'amenity:%' THEN 0.70::DOUBLE
+                    WHEN kind LIKE 'shop:%' THEN 0.60::DOUBLE
+                    ELSE 0.40::DOUBLE END) AS boost
+            FROM (SELECT p_partkey,
+                    CASE WHEN p_type = 'STANDARD' THEN 'amenity:' || p_name
+                         WHEN p_type = 'SMALL' THEN 'shop:' || p_name
+                         WHEN p_type = 'PROMO' THEN 'tourism:' || p_name
+                         ELSE 'unknown' END AS kind
+                  FROM part)
+            ORDER BY p_partkey"""))
+
+  /** G7 — F13 haversine (pure built-in column math; round(6) absorbs
+    * cross-libm last-ULP differences). */
+  val g7 = Q("g7_haversine",
+    (s, dir) => poiLatLon(t(s, dir, "customer"))
+      .select(col("c_custkey"),
+        round(Geo.haversineKm(col("lat"), col("lon"), lit(3.139), lit(101.6869)), 6)
+          .as("dist_km"))
+      .orderBy("c_custkey"),
+    Some(s"""WITH pois AS ($poiLatLonSql)
+             SELECT c_custkey,
+               round(2 * 6371.0088 * asin(sqrt(
+                 pow(sin(radians(3.139 - lat) / 2), 2) +
+                 cos(radians(lat)) * cos(radians(3.139)) *
+                 pow(sin(radians(101.6869 - lon) / 2), 2))), 6) AS dist_km
+             FROM pois ORDER BY c_custkey"""))
+
+  /** G8 — the full forward-geocode pipeline (F14–F17 + O2) over a
+    * gazetteer built in-query by the real ETL from derived raw rows.
+    * WRatio has no DuckDB equivalent → rows-only check here; WRatio
+    * itself is pinned by ScalaTest golden vectors. */
+  val g8 = Q("g8_forward_geocode",
+    (s, dir) => {
+      val cust = poiLatLon(t(s, dir, "customer")).select("c_custkey", "lat", "lon")
+      val raw = t(s, dir, "part")
+        .join(cust, col("p_partkey") === col("c_custkey"), "inner")
+        .select(
+          col("p_partkey").cast("long").as("id"),
+          col("p_name").as("name"),
+          map_from_arrays(
+            array(lit("amenity"), lit("name"), lit("wikidata")),
+            array(lower(col("p_type")), col("p_name"),
+              when(col("p_size") > 40, lit("Q1")).otherwise(lit(null).cast("string"))))
+            .as("tags"),
+          concat(lit("POINT("), col("lon").cast("string"), lit(" "),
+            col("lat").cast("string"), lit(")")).as("wkt"))
+      val pois = GazetteerBuilder.buildPois(raw)
+      val admin = GazetteerBuilder.buildAdmin(raw) // empty: no boundary tags
+      val engine = new ScoutEngine(s, pois, admin)
+      engine.forwardDF(
+        ForwardReq(Seq(ForwardCandidate("small ring")), limit = 10))
+        .withColumn("score", round(col("score"), 6))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8)
+}

@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine query: a Spark program plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables.
+  * Column names MUST match between the two — the driver's compare sorts
+  * columns by name before hashing values (see the project contract).
+  *
+  * Determinism rules (SURVEY.md §5.2): every oracle query ends in a total
+  * ORDER BY with a unique tiebreaker; floats that cross an
+  * aggregation-order boundary are rounded in the query on BOTH sides.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[Q] =
+    Relational.all ++ GeocodeQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      StreamingQueries.all
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.ext.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity inventory over `embeddings` (64-dim float
+  * vectors). The oracle twins rebuild the quantized-integer cosine in
+  * pure SQL (range join over vector positions), so every similarity —
+  * including the LSH bucket assignment — is bit-identical cross-engine.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
+
+  private val Dim = 64
+
+  /** Quantized components CTE: (vec_id, i, v) with v = round(x·2^15). */
+  private def qvSql(where: String = "") =
+    s"""SELECT vec_id, i, CAST(round(embedding[i] * 32768.0) AS BIGINT) AS v
+        FROM (SELECT vec_id, embedding FROM embeddings $where), range(1, ${Dim + 1}) t(i)"""
+
+  /** Top-20 most-similar embedding pairs in a bounded window — the
+    * embedding-cosine near-dup detector (top-k form: this corpus has no
+    * true near-dups, a fixed threshold would select nothing). */
+  val simPairs = Q("sim_embed_pairs",
+    (s, dir) => {
+      val base = emb(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      base.as("x").join(base.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(Similarity.cosineQ(col("x.q"), col("y.q")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    },
+    Some(s"""WITH qv AS (${qvSql("WHERE vec_id < 300")}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               dots AS (
+                 SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
+                 FROM qv x JOIN qv y ON x.i = y.i AND x.vec_id < y.vec_id
+                 GROUP BY 1, 2)
+             SELECT a, b,
+                    round(dot::DOUBLE / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)), 6) AS cosine
+             FROM dots
+             JOIN norms na ON a = na.vec_id
+             JOIN norms nb ON b = nb.vec_id
+             ORDER BY cosine DESC, a ASC, b ASC LIMIT 20"""))
+
+  /** Brute-force cosine top-10 for 5 query vectors — the ANN correctness
+    * baseline (broadcast queries; corpus never shuffles pre-rank). */
+  val annBrute = Q("ann_brute_topk",
+    (s, dir) => Similarity.bruteForceTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir), k = 10)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH qq AS (${qvSql("WHERE vec_id < 5")}),
+               cc AS (${qvSql()}),
+               qn AS (SELECT vec_id, sum(v * v) AS nn FROM qq GROUP BY 1),
+               cn AS (SELECT vec_id, sum(v * v) AS nn FROM cc GROUP BY 1),
+               dots AS (
+                 SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id, sum(qq.v * cc.v) AS dot
+                 FROM qq JOIN cc ON qq.i = cc.i
+                 WHERE qq.vec_id <> cc.vec_id
+                 GROUP BY 1, 2),
+               scored AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots
+                 JOIN qn ON query_id = qn.vec_id
+                 JOIN cn ON cand_id = cn.vec_id),
+               ranked AS (
+                 SELECT query_id, cand_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM scored)
+             SELECT query_id, rank, cand_id, cosine FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  private val Planes = 8
+
+  /** Sign-LSH bucketed ANN — the scale path: equality join on bucket
+    * replaces the cross join; exact re-rank only inside the bucket. */
+  val annLsh = Q("ann_lsh_topk",
+    (s, dir) => Similarity.lshTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 5, numPlanes = Planes, dim = Dim)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH wv AS (
+               SELECT p, i, ((p * $Dim + (i - 1)) * 2654435761) % 2000001 - 1000000 AS w
+               FROM range(0, $Planes) t1(p), range(1, ${Dim + 1}) t2(i)),
+               qv AS (${qvSql()}),
+               pdots AS (
+                 SELECT vec_id, p, sum(v * w) AS dot
+                 FROM qv JOIN wv USING (i) GROUP BY 1, 2),
+               buckets AS (
+                 SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+                 FROM pdots GROUP BY 1),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               cand AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+                 FROM buckets q JOIN buckets c
+                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5),
+               dots AS (
+                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
+                 FROM cand
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2),
+               scored AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               ranked AS (
+                 SELECT query_id, cand_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM scored)
+             SELECT query_id, rank, cand_id, cosine FROM ranked
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh)
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming inventory. `st_replay_hourly` runs a REAL Structured
+  * Streaming query (parquet file source → watermark → windowed agg →
+  * memory sink, Trigger.AvailableNow) whose drained result is
+  * oracle-checkable against plain SQL — replay has no late data, so the
+  * watermarked stream aggregate equals the batch aggregate.
+  * `st_sessions` pins session-window semantics in batch mode against a
+  * lag/gap reconstruction in DuckDB.
+  */
+object StreamingQueries {
+
+  val stReplayHourly = Q("st_replay_hourly",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val agg = StreamOps.hourlyEventCounts(stream)
+      StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+            ORDER BY window_start, event_type"""))
+
+  /** Session windows (30-minute gap): a session breaks when the gap to
+    * the previous event is >= the timeout; DuckDB reconstructs that with
+    * lag + a running sum of session-break flags. */
+  val stSessions = Q("st_sessions",
+    (s, dir) => StreamOps.userSessions(Tables.table(s, dir, "events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events
+            FROM sessions GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  val all: Seq[Q] = Seq(stReplayHourly, stSessions)
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis inventory over `documents`: token counting, quality
+  * scoring, language ID, fingerprinting. All narrow per-row column
+  * programs — zero shuffles before the final order.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  /** DuckDB twin of Norm.canon over the `text` column. */
+  private[queries] val canonSql =
+    """trim(lower(regexp_replace(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', ' ', 'g'), '\s+', ' ', 'g')))"""
+
+  val taTokens = Q("ta_token_count",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+               len(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS n_subwords
+             FROM documents ORDER BY doc_id"""))
+
+  val taQuality = Q("ta_quality",
+    (s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text"))
+      docs(s, dir)
+        .select((col("doc_id") +: cols.map { case (n, c) => c.as(n) }): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+               length(coalesce(text, '')) AS n_chars,
+               len(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS n_tokens,
+               round((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', '', 'g')))::DOUBLE
+                     / greatest(length(coalesce(text, '')), 1)::DOUBLE, 6) AS punct_ratio,
+               round(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))::DOUBLE
+                     / greatest(len(list_filter(string_split($canonSql, ' '), x -> x <> '')), 1)::DOUBLE, 6) AS avg_word_len
+             FROM documents ORDER BY doc_id"""))
+
+  val taLangId = Q("ta_lang_id",
+    (s, dir) => {
+      val scoreCols = TextAnalysis.langMarkers.map { case (lang, ms) =>
+        TextAnalysis.markerHits(col("text"), ms).as(s"s_$lang")
+      }
+      docs(s, dir)
+        .select((Seq(col("doc_id")) ++ scoreCols ++
+          Seq(TextAnalysis.langGuess(col("text")).as("lang_guess"), col("lang"))): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split($canonSql, ' '), x -> x IN ($inList))) AS s_$lang"
+      }.mkString(",\n               ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val guessCase = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (
+            SELECT doc_id, lang,
+               $scores
+            FROM documents),
+          b AS (SELECT *, $best AS best FROM scored)
+          SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+                 $guessCase AS lang_guess, lang
+          FROM b ORDER BY doc_id"""
+    })
+
+  val taFingerprint = Q("ta_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, md5($canonSql) AS fp FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taFingerprint)
+}

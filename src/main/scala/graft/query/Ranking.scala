@@ -1,0 +1,82 @@
+package graft.query
+
+import graft.core.{Fuzz, Geo, Norm, Settings}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scoring pipeline (reference: `ranking.py:31-114`), re-expressed as ONE
+  * declarative DataFrame program instead of a Python row loop: the score
+  * is a column expression, ranking is `orderBy(...).limit(k)` which
+  * Catalyst executes as `TakeOrderedAndProject` — per-partition top-k,
+  * only k rows ever reach the driver. That is what makes the same code
+  * correct on 10k candidate rows and on a 1000-executor scan.
+  *
+  * Only the WRatio similarity crosses a UDF boundary (F14 has no
+  * built-in equivalent); every other term — type boost, importance,
+  * haversine proximity decay — is built-in column arithmetic inside
+  * whole-stage codegen.
+  */
+object Ranking {
+
+  /** A1 — best similarity over (query texts × {local, en} targets),
+    * `ranking.py:66-77`: per-candidate-text max of the two name targets,
+    * `greatest` across texts. NULL/empty targets score 0. */
+  def bestSim(candTexts: Seq[String]): Column = {
+    val qs = candTexts.map(Norm.norm).filter(_.nonEmpty)
+    if (qs.isEmpty) lit(0.0)
+    else {
+      val sims = qs.flatMap { q =>
+        Seq(
+          when(col("name_local_norm").isNotNull && col("name_local_norm") =!= "",
+            Fuzz.wratioUdf(lit(q), col("name_local_norm"))).otherwise(0.0),
+          when(col("name_en_norm").isNotNull && col("name_en_norm") =!= "",
+            Fuzz.wratioUdf(lit(q), col("name_en_norm"))).otherwise(0.0))
+      }
+      (if (sims.size == 1) sims.head else greatest(sims: _*)) / 100.0
+    }
+  }
+
+  /** F15 — ordered prefix-match type boost as a when-chain
+    * (`ranking.py:34-38`; insertion order is semantic). */
+  def typeBoost(settings: Settings): Column =
+    typeBoost(settings.typeBoost, settings.typeBoostDefault)
+
+  def typeBoost(boosts: Seq[(String, Double)], default: Double): Column =
+    boosts.foldRight(lit(default): Column) { case ((prefix, v), acc) =>
+      when(col("kind").startsWith(prefix), lit(v)).otherwise(acc)
+    }
+
+  /** F16 — linear proximity decay `max(0, 1 - min(d/km, 1))`
+    * (`ranking.py:85-93`), guarded on coordinate presence. */
+  def proximity(bbox: Bbox, proximityKm: Double): Column = {
+    val d = Geo.haversineKm(col("lat"), col("lon"),
+      lit(bbox.centerLat), lit(bbox.centerLon))
+    when(col("lat").isNotNull && col("lon").isNotNull,
+      greatest(lit(0.0), lit(1.0) - least(d / lit(proximityKm), lit(1.0))))
+      .otherwise(lit(0.0))
+  }
+
+  /** F17 — weighted score; the proximity term only exists when an area
+    * bbox resolved (`ranking.py:79-93`). */
+  def score(candTexts: Seq[String], bbox: Option[Bbox],
+            settings: Settings): Column = {
+    val base =
+      lit(settings.wSimilarity) * bestSim(candTexts) +
+        lit(settings.wType) * typeBoost(settings) +
+        lit(settings.wImportance) * coalesce(col("importance"), lit(0.0))
+    bbox.fold(base)(b => base + lit(settings.wProximity) * proximity(b, settings.proximityKm))
+  }
+
+  /** O2 + F18 — score, rank, top-k. Tiebreak on osm_id ascending (the
+    * reference's tie order is engine-dependent; ours is total,
+    * SURVEY.md §7.4). */
+  def rank(candidates: DataFrame, candTexts: Seq[String], bbox: Option[Bbox],
+           settings: Settings, limit: Int): DataFrame =
+    candidates
+      .withColumn("score", score(candTexts, bbox, settings))
+      .withColumn("name", coalesce(col("name_local"), col("name_en"), lit("")))
+      .select("name", "lat", "lon", "country", "state", "city",
+              "osm_id", "kind", "score")
+      .orderBy(col("score").desc, col("osm_id").asc)
+      .limit(limit)
+}

@@ -1,0 +1,93 @@
+package graft.query
+
+import graft.core.{Norm, Settings}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Forward-geocode request (reference: `app.py:14-23`). */
+case class ForwardCandidate(text: String)
+case class ForwardReq(
+    candidates: Seq[ForwardCandidate],
+    country: Option[String] = None,
+    cityHint: Option[String] = None,
+    limit: Int = 5)
+
+/** A ranked hit (reference: `app.py:25-35`). */
+case class Hit(
+    name: String,
+    lat: Double,
+    lon: Double,
+    country: Option[String],
+    state: Option[String],
+    city: Option[String],
+    osmId: Long,
+    kind: String,
+    score: Double)
+
+/** End-to-end forward geocoder (reference: `app.py:86-114`).
+  *
+  * One long-lived engine over cached gazetteer DataFrames replaces the
+  * reference's per-request read-only connections (`app.py:44-56`) —
+  * Spark's session model (SURVEY.md §3.3). The pipeline per request:
+  * tokenize (driver) → bbox resolve (tiny top-1 action) → candidate
+  * filter + score + top-k (one distributed job).
+  */
+class ScoutEngine(
+    val spark: SparkSession,
+    pois: DataFrame,
+    admin: DataFrame,
+    settings: Settings = Settings()) {
+
+  // The reference serves from `gaz.poi_view`, a 17-column projection
+  // contract over the physical table (003_views.sql) — column pruning
+  // keeps the scan narrow regardless of what the physical file carries.
+  private val poiView: DataFrame = pois.select(
+    "osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
+    "amenity", "shop", "tourism", "leisure", "office",
+    "city", "state", "country", "lat", "lon", "kind", "importance")
+
+  private val adminCached: DataFrame = admin.cache()
+
+  /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */
+  def forwardDF(req: ForwardReq, limitScan: Int = 10000): DataFrame = {
+    val texts = req.candidates.map(_.text)
+    val nameTokens = Norm.dedupTokens(texts.map(Norm.tokenize))
+    if (nameTokens.isEmpty) {
+      // empty token list → empty hits (app.py:96-97)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Ranking.rank(poiView.limit(0), Seq("x"), None, settings, 1).schema)
+    }
+    val bbox = Repo.resolveAreaBbox(adminCached, req.cityHint, req.country)
+    val candidates = Repo.fetchCandidates(poiView, nameTokens, bbox, limitScan)
+    Ranking.rank(candidates, texts, bbox, settings, req.limit)
+  }
+
+  /** Materialized hits, the reference's response shape. */
+  def forward(req: ForwardReq, limitScan: Int = 10000): Seq[Hit] =
+    forwardDF(req, limitScan).collect().toIndexedSeq.map { r =>
+      Hit(
+        name = r.getString(0),
+        lat = r.getDouble(1),
+        lon = r.getDouble(2),
+        country = Option(r.getString(3)),
+        state = Option(r.getString(4)),
+        city = Option(r.getString(5)),
+        osmId = r.getLong(6),
+        kind = r.getString(7),
+        score = r.getDouble(8))
+    }
+
+  /** `GET /healthz` analogue (`app.py:116-118`). */
+  def healthy: Boolean = spark.range(1).count() == 1
+}
+
+object ScoutEngine {
+  /** Load a gazetteer previously written by
+    * [[graft.etl.GazetteerBuilder.write]]. */
+  def fromPath(spark: SparkSession, path: String,
+               settings: Settings = Settings()): ScoutEngine =
+    new ScoutEngine(spark,
+      spark.read.parquet(s"$path/pois"),
+      spark.read.parquet(s"$path/admin"),
+      settings)
+}
