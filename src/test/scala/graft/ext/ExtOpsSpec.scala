@@ -1,0 +1,137 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different text about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical canon text") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined, "docs 0 and 3 must share a fingerprint group")
+    assert(dupGroup.get.getLong(1) == 0L, "keep-lowest-id policy")
+    assert(groups.length == 3)
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups agree more") {
+    val sig = Dedup.minhashSignature(Dedup.docTokens(docs, "doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(0L) == sig(3L), "exact dups -> equal signatures")
+    val agree01 = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02, s"near-dup agreement $agree01 must beat unrelated $agree02")
+  }
+
+  test("minhash LSH pairs surface the near-dup with high estimated similarity") {
+    val sig = Dedup.minhashSignature(Dedup.docTokens(docs, "doc_id", "text"), 8)
+    val pairs = Dedup.minhashLshPairs(sig, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 1.0)
+    assert(pairs.contains((0L, 1L)), "near-dup must collide in at least one band")
+  }
+
+  test("simhash: exact dups equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(Dedup.docTokens(docs, "doc_id", "text"), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= hamming(sh(0L), sh(2L)))
+  }
+
+  test("jaccard pairs: near-dup scores high, unrelated scores low") {
+    val pairs = Dedup.jaccardPairs(Dedup.docTokens(docs, "doc_id", "text"), maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.7)
+    assert(!pairs.contains((0L, 2L)) || pairs((0L, 2L)) < 0.2)
+  }
+
+  test("shingles: 3-grams are order-sensitive where unigrams are not") {
+    val d = Seq((0L, "a b c d"), (1L, "d c b a")).toDF("doc_id", "text")
+    val uni = Dedup.docTokens(d, "doc_id", "text")
+    val tri = Dedup.docShingles(d, "doc_id", "text", 3)
+    val uniSets = uni.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(uniSets(0L) == uniSets(1L), "unigram sets identical")
+    val triSets = tri.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(triSets(0L).intersect(triSets(1L)).isEmpty, "3-gram sets disjoint")
+    assert(triSets(0L) == Set("a b c", "b c d"))
+  }
+
+  test("quantized cosine: self-similarity 1, orthogonal 0, antiparallel -1") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val m = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        Similarity.cosineQ(col("a.q"), col("b.q")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m((0L, 0L)) - 1.0) < 1e-12)
+    assert(m((0L, 1L)) == 0.0)
+    assert(math.abs(m((0L, 2L)) + 1.0) < 1e-12)
+    assert(math.abs(m((0L, 3L)) - 1.0) < 1e-12, "scale-invariant")
+  }
+
+  test("ANN: LSH top-k results are a subset of brute-force candidates with same scores") {
+    val emb = Tables_embeddings()
+    val brute = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, 50)
+      .select("query_id", "cand_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(
+      emb.filter(col("vec_id") < 3), emb, 5, numPlanes = 8, dim = 64)
+      .select("query_id", "cand_id", "cosine").collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(2), s"score mismatch at $key"))
+    }
+  }
+
+  private def Tables_embeddings() =
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  test("multimodal: histogram features L1-normalize; plumbing preserves rows") {
+    val media = Multimodal.fromDocuments(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.keySet == Set(1L, 2L))
+    assert(feats(1L).getLong(1) == 11L)
+    val hist = feats(1L).getSeq[Double](2)
+    assert(math.abs(hist.sum - 1.0) < 1e-12, "L1 normalized")
+    assert(feats(2L).getSeq[Double](2).sum == 0.0, "empty payload -> zero histogram")
+  }
+
+  test("text analysis: token/subword counts, quality, langid mechanism") {
+    val df = Seq((1L, "The quick-fox, jumps! Over 2 dogs.")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("nt"),
+      TextAnalysis.subwordCount(col("text")).as("ns"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langGuess(col("text")).as("lang")).collect()(0)
+    assert(r.getInt(0) == 7) // the quick fox jumps over 2 dogs
+    assert(r.getInt(1) == 7)
+    assert(r.getString(2).length == 32)
+    assert(r.getString(3) == "en") // contains 'the'
+  }
+
+  test("approx_count_distinct stays within its error bound (bounds-only check)") {
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.core.Settings
+import graft.etl.GazetteerBuilder
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class ScoutEngineSpec extends SparkSpec {
+
+  private lazy val engine: ScoutEngine = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    def poi(id: Long, name: String, kv: (String, String), lat: Double, lon: Double) =
+      Row(id, name, Map(kv), s"POINT($lon $lat)")
+    val rows = Seq(
+      poi(1L, "Monograph Dining", "amenity" -> "restaurant", 3.139, 101.6869),
+      poi(2L, "Monogram Cafe", "amenity" -> "cafe", 3.15, 101.71),
+      poi(3L, "Dining Museum", "tourism" -> "museum", 1.30, 103.85),
+      poi(4L, "Far Dining", "amenity" -> "restaurant", 48.85, 2.35), // Paris: outside MY bbox
+      Row(100L, "Malaysia", Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"),
+      Row(101L, "Kuala Lumpur", Map("boundary" -> "administrative", "admin_level" -> "6"),
+        "POLYGON((101.58 3.03, 101.76 3.03, 101.76 3.25, 101.58 3.25, 101.58 3.03))"))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    new ScoutEngine(spark,
+      GazetteerBuilder.buildPois(raw), GazetteerBuilder.buildAdmin(raw), Settings())
+  }
+
+  test("forward: exact name match ranks first") {
+    val hits = engine.forward(ForwardReq(Seq(ForwardCandidate("Monograph Dining")), limit = 3))
+    assert(hits.nonEmpty)
+    assert(hits.head.name == "Monograph Dining" && hits.head.osmId == 1L)
+    assert(hits.head.score > hits.last.score || hits.size == 1)
+  }
+
+  test("forward: country bbox excludes out-of-area candidates") {
+    val hits = engine.forward(ForwardReq(Seq(ForwardCandidate("dining")),
+      country = Some("malaysia"), limit = 5))
+    assert(hits.nonEmpty)
+    assert(!hits.exists(_.osmId == 4L), "Paris POI must be outside the Malaysia bbox")
+  }
+
+  test("forward: city hint adds proximity (KL beats equally-named remote)") {
+    val hits = engine.forward(ForwardReq(Seq(ForwardCandidate("dining")),
+      cityHint = Some("kuala lumpur"), limit = 5))
+    assert(hits.nonEmpty && hits.head.osmId == 1L)
+  }
+
+  test("forward: unknown area hint falls through (no bbox, still answers)") {
+    val hits = engine.forward(ForwardReq(Seq(ForwardCandidate("dining")),
+      cityHint = Some("atlantis"), limit = 5))
+    assert(hits.nonEmpty)
+  }
+
+  test("forward: empty/punctuation query -> no hits (reference early return)") {
+    assert(engine.forward(ForwardReq(Seq(ForwardCandidate(" !! ")))).isEmpty)
+    assert(engine.forward(ForwardReq(Seq(ForwardCandidate("")))).isEmpty)
+  }
+
+  test("forward: scan cap bounds candidates without breaking top-k") {
+    val hits = engine.forward(
+      ForwardReq(Seq(ForwardCandidate("dining")), limit = 2), limitScan = 1)
+    assert(hits.size <= 2)
+  }
+
+  test("multi-candidate: tokens are conjunctive ACROSS texts (reference semantics)") {
+    // tokens of all candidate texts are flattened+deduped then ANDed —
+    // disjoint candidate texts therefore match nothing (app.py:88-95 + repo.py:5-13)
+    val disjoint = engine.forward(ForwardReq(
+      Seq(ForwardCandidate("zzz"), ForwardCandidate("monograph")), limit = 3))
+    assert(disjoint.isEmpty)
+    val overlapping = engine.forward(ForwardReq(
+      Seq(ForwardCandidate("monograph dining"), ForwardCandidate("monograph")), limit = 3))
+    assert(overlapping.nonEmpty && overlapping.head.osmId == 1L)
+  }
+
+  test("healthz") { assert(engine.healthy) }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+// top-level so Spark can derive an Encoder (inner classes can't)
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming hourly counts equal the batch aggregate on replay") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(ts(5), "click", 1.0, 1), Ev(ts(10), "click", 2.0, 1),
+      Ev(ts(20), "view", 3.0, 2),
+      Ev(Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0, 1))
+    mem.addData(events: _*)
+    val out = StreamOps.replayToTable(spark,
+      StreamOps.hourlyEventCounts(mem.toDF()), "spec_hourly", "complete")
+      .select(date_format(col("window.start"), "HH:mm").as("h"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("10:00", "click")) == (2L, 3.0))
+    assert(out(("10:00", "view")) == (1L, 3.0))
+    assert(out(("11:00", "click")) == (1L, 4.0))
+  }
+
+  test("session windows split on the 30-minute gap") {
+    val df = Seq(
+      Ev(ts(0), "a", 1.0, 1), Ev(ts(10), "a", 1.0, 1), // session 1 (gap 10m)
+      Ev(ts(45), "a", 1.0, 1),                         // session 2 (gap 35m)
+      Ev(ts(0), "a", 1.0, 2)                           // other user
+    ).toDF()
+    val sessions = StreamOps.userSessions(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sessions((1L, "2024-01-01 10:00:00")) == 2L)
+    assert(sessions((1L, "2024-01-01 10:45:00")) == 1L)
+    assert(sessions((2L, "2024-01-01 10:00:00")) == 1L)
+  }
+
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts(1), "x", 1.0, 1), Ev(ts(1), "x", 1.0, 1), // dup (same ts+type)
+      Ev(ts(2), "x", 1.0, 1))
+    val out = StreamOps.replayToTable(spark,
+      StreamOps.dedupStream(mem.toDF(), "event_type"), "spec_dedup", "append")
+    assert(out.count() == 2)
+  }
+
+  test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData("monograph dining", "zzz")
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen += batch.count() // stands in for per-batch geocode scoring
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.sum == 2L)
+  }
+}
