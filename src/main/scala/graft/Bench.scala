@@ -1,24 +1,57 @@
 package graft
+
+import graft.queries.Registry
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every declared query at the
+  * SF directory in `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * `value` is the wall-clock total over the full declared inventory;
+  * `headline_total` isolates the SURVEY §2.9 core (g1–g8, r1–r10) that
+  * BASELINE.md's 2× bound is defined on. A JIT/codegen warmup runs
+  * before timing so per-query numbers measure the queries, not JVM
+  * warmup — mirroring how the DuckDB baseline is measured from an
+  * already-open database.
+  */
 object Bench {
+
+  private val Headline = Set(
+    "g1_canon", "g2_token_scan", "g3_area_top1", "g4_bbox_scan",
+    "g5_importance", "g6_kind_boost", "g7_haversine", "g8_forward_geocode",
+    "r1_filter_project", "r2_join", "r3_semi_join", "r3_anti_join",
+    "r4_agg", "r5_rollup", "r6_window_topk", "r7_set_ops",
+    "r8_distinct_agg", "r9_time_window", "r10_scalars")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: scheduler, codegen, parquet reader, UDF serialization.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    Registry.all.find(_.name == "g5_importance")
+      .foreach(q => q.run(spark, sfDir).count())
+
+    val results = Registry.all.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.run(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val headline = results.filter(r => Headline(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,22 +32,43 @@ object Dedup {
   def minhashA(i: Int): Long = 2 * i + 1L          // odd, coprime-ish
   def minhashB(i: Int): Long = 40503L * (i + 1) + 9973L
 
-  /** Distinct (id, tok) pairs from a text column: the input relation for
-    * every token-based signature below. */
-  def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
-      .distinct()
+  /** (id, tok) pairs from a text column: the input relation for every
+    * token-based signature below. `distinct = false` skips the dedup
+    * shuffle — correct for order/multiplicity-insensitive consumers
+    * (MinHash: min over a multiset equals min over its set).
+    *
+    * Typed flatMap rather than explode-over-array-expression: Catalyst's
+    * project collapsing inlines the canon regex chain into per-element
+    * lambda positions (measured 7× slowdown — the expression tree held 8
+    * copies of regexp_replace); per-row imperative tokenization with the
+    * column-parity-tested [[Norm.canonStr]] is narrow, shuffle-free and
+    * evaluates the regex exactly once per document. */
+  def docTokens(df: DataFrame, idCol: String, textCol: String,
+                distinct: Boolean = true): DataFrame = {
+    val t = flatMapTokens(df, idCol, textCol)(toks => toks.iterator)
+    if (distinct) t.distinct() else t
+  }
 
   /** Word n-gram shingles (n consecutive tokens joined by space) —
     * the shingling front-end for MinHash near-dup detection. */
-  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokensCol(col(textCol))
-    // shingle i = tokens[i..i+n); expressions stay codegen'd (no UDF)
-    val shingles = filter(
-      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + lit(1), lit(n)))),
-      s => size(split(s, " ")) === n)
-    df.select(col(idCol).as("id"), explode(shingles).as("tok")).distinct()
+  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  distinct: Boolean = true): DataFrame = {
+    val t = flatMapTokens(df, idCol, textCol)(toks =>
+      toks.sliding(n).filter(_.length == n).map(_.mkString(" ")))
+    if (distinct) t.distinct() else t
+  }
+
+  private def flatMapTokens(df: DataFrame, idCol: String, textCol: String)(
+      f: Array[String] => Iterator[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Norm.canonStr(text).split(' ').filter(_.nonEmpty)
+        f(toks).map(tok => (id, tok))
+      }
+      .toDF("id", "tok")
   }
 
   /** MinHash signature: one min per affine permutation over the doc's

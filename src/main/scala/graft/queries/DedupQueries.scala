@@ -52,8 +52,11 @@ object DedupQueries {
   }
 
   val ddMinhashSigQ = Q("dd_minhash_sig",
+    // distinct = false: min over the shingle multiset equals min over the
+    // set, so the dedup shuffle is pure waste (partial-agg min shrinks
+    // the map side to 8 longs per doc before the only shuffle)
     (s, dir) => Dedup.minhashSignature(
-      Dedup.docShingles(docs(s, dir), "doc_id", "text", 3), NumHashes)
+      Dedup.docShingles(docs(s, dir), "doc_id", "text", 3, distinct = false), NumHashes)
       .orderBy("id"),
     Some(s"""SELECT * FROM (${minhashSigSql(shinglesSql(3))}) ORDER BY id"""))
 
@@ -63,7 +66,8 @@ object DedupQueries {
   val ddMinhashPairs = Q("dd_minhash_pairs",
     (s, dir) => {
       val sig = Dedup.minhashSignature(
-        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text"),
+        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
+          distinct = false),
         NumHashes)
       Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2)
         .orderBy("a", "b")

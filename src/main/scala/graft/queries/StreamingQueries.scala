@@ -18,12 +18,20 @@ object StreamingQueries {
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-      val agg = StreamOps.hourlyEventCounts(stream)
-      StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
+      // one state store per shuffle partition: 8 is plenty for this
+      // aggregate's group count and cuts micro-batch setup overhead
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val replayed =
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+          val agg = StreamOps.hourlyEventCounts(stream)
+          StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      replayed
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
