@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Character-trigram inverted index over the gazetteer's normalized name
+  * columns — the physical design that keeps the reference's
+  * `LIKE '%token%'` candidate scan (P5) off a full table scan at scale.
+  *
+  * The reference's B-tree indexes are useless for leading-wildcard LIKE
+  * (SURVEY.md §1.3); the classic fix is a trigram index: `col CONTAINS t`
+  * implies every trigram of `t` occurs in `col`, so intersecting posting
+  * lists yields a candidate superset, and the exact predicate re-verifies
+  * on that reduced set. False negatives are impossible by construction;
+  * false positives are filtered by the verify step — result equality
+  * with the scan path is asserted in the spec.
+  *
+  * Scale shape: the index is (gram, col, osm_id) — build is one
+  * explode + distinct; a query is k posting-list lookups (equality
+  * predicates → Parquet min/max pruning when sorted by gram) + a
+  * semi-join, instead of a substring match over every name in 100 TB.
+  */
+object TrigramIndex {
+
+  val N = 3
+
+  def grams(s: String): Seq[String] =
+    if (s == null || s.length < N) Seq.empty
+    else s.sliding(N).toIndexedSeq
+
+  /** Build the posting table from `pois` (works for `admin` too): one row
+    * per (gram, source column, osm_id). */
+  def build(pois: DataFrame): DataFrame = {
+    val spark = pois.sparkSession
+    import spark.implicits._
+    pois.select(col("osm_id"), col("name_local_norm"), col("name_en_norm"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, local, en) =>
+        grams(local).map(g => (g, 0, id)) ++ grams(en).map(g => (g, 1, id))
+      }
+      .toDF("gram", "col_id", "osm_id")
+      .distinct()
+  }
+
+  /** Sorted-by-gram layout so per-gram equality probes prune row groups. */
+  def write(pois: DataFrame, outPath: String, partitions: Int = 8): Unit =
+    build(pois)
+      .repartitionByRange(partitions, col("gram"))
+      .sortWithinPartitions("gram", "col_id", "osm_id")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** ids of rows where SOME name column contains every gram of EVERY
+    * token — the candidate superset for the P5 predicate. Tokens shorter
+    * than the gram size can't be indexed; None → caller falls back to
+    * the scan path. */
+  def candidateIds(index: DataFrame, tokens: Seq[String]): Option[DataFrame] = {
+    val indexable = tokens.filter(_.length >= N)
+    if (indexable.isEmpty || indexable.size != tokens.size) return None
+    val perToken = indexable.map { t =>
+      val gs = grams(t)
+      index
+        .filter(col("gram").isInCollection(gs))
+        .groupBy(col("osm_id"), col("col_id"))
+        .agg(countDistinct(col("gram")).as("hit"))
+        .filter(col("hit") === gs.distinct.size)
+        .select("osm_id")
+        .distinct()
+    }
+    Some(perToken.reduce((a, b) => a.join(b, "osm_id")))
+  }
+
+  /** Index-accelerated candidate fetch: prefilter by posting-list
+    * intersection, then re-verify the exact predicate on the survivors.
+    * Results are identical to `Repo.fetchCandidates` up to the
+    * engine-order-dependent cap (P8). */
+  def fetchCandidates(poiView: DataFrame, index: DataFrame,
+                      nameTokens: Seq[String], bboxPred: Option[Column],
+                      limitScan: Int = 10000): Option[DataFrame] =
+    candidateIds(index, nameTokens).map { ids =>
+      val verify = graft.query.Repo.likePredicate(
+        nameTokens, Seq(col("name_local_norm"), col("name_en_norm")))
+      val base = poiView.join(ids, Seq("osm_id"), "left_semi").filter(verify)
+      bboxPred.fold(base)(base.filter).limit(limitScan)
+    }
+}

@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.core.{Fuzz, Geo, Norm, Settings}
+import graft.core.{Geo, Norm, Settings}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -28,9 +28,9 @@ object Ranking {
       val sims = qs.flatMap { q =>
         Seq(
           when(col("name_local_norm").isNotNull && col("name_local_norm") =!= "",
-            Fuzz.wratioUdf(lit(q), col("name_local_norm"))).otherwise(0.0),
+            graft.functions.wratio(lit(q), col("name_local_norm"))).otherwise(0.0),
           when(col("name_en_norm").isNotNull && col("name_en_norm") =!= "",
-            Fuzz.wratioUdf(lit(q), col("name_en_norm"))).otherwise(0.0))
+            graft.functions.wratio(lit(q), col("name_en_norm"))).otherwise(0.0))
       }
       (if (sims.size == 1) sims.head else greatest(sims: _*)) / 100.0
     }

@@ -1,0 +1,60 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.query.Repo
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TrigramIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val pois: DataFrame = Seq(
+    (1L, "monograph dining", "monograph dining"),
+    (2L, "monogram cafe", ""),
+    (3L, "dining hall museum", "dining hall"),
+    (4L, "pasar seni", "central market"),
+    (5L, "grand monorail dining station", "")
+  ).toDF("osm_id", "name_local_norm", "name_en_norm")
+
+  private lazy val index = TrigramIndex.build(pois)
+
+  private def scanIds(tokens: Seq[String]): Set[Long] =
+    pois.filter(Repo.likePredicate(tokens,
+        Seq(col("name_local_norm"), col("name_en_norm"))))
+      .select("osm_id").as[Long].collect().toSet
+
+  private def indexIds(tokens: Seq[String]): Option[Set[Long]] =
+    TrigramIndex.fetchCandidates(pois, index, tokens, None)
+      .map(_.select("osm_id").as[Long].collect().toSet)
+
+  test("index path returns exactly the scan-path results") {
+    for (tokens <- Seq(
+        Seq("dining"), Seq("mono"), Seq("mono", "dining"),
+        Seq("market"), Seq("zzz"), Seq("ing", "hall"))) {
+      assert(indexIds(tokens).contains(scanIds(tokens)), s"tokens=$tokens")
+    }
+  }
+
+  test("substring (not whole-token) semantics are preserved") {
+    // 'mono' is not a token anywhere, but is a substring of three names
+    assert(indexIds(Seq("mono")).get == Set(1L, 2L, 5L))
+    // grams spanning token boundaries ('h d' in 'monograph dining')
+    assert(indexIds(Seq("ph din")).get == Set(1L))
+  }
+
+  test("short tokens fall back to the scan path (None)") {
+    assert(TrigramIndex.fetchCandidates(pois, index, Seq("ab"), None).isEmpty)
+    assert(TrigramIndex.fetchCandidates(pois, index, Seq("abc", "x"), None).isEmpty)
+  }
+
+  test("OR-across-columns semantics: match via the en name only") {
+    assert(indexIds(Seq("central")).get == Set(4L))
+  }
+
+  test("gram extraction") {
+    assert(TrigramIndex.grams("abcd") == Seq("abc", "bcd"))
+    assert(TrigramIndex.grams("ab").isEmpty)
+    assert(TrigramIndex.grams(null).isEmpty)
+  }
+}

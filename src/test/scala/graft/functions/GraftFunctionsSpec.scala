@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Fuzz
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("wratio native expression matches the scalar implementation") {
+    val pairs = Seq(
+      ("abc", "abc"), ("bc", "abcd"), ("dining", "monograph dining"),
+      ("this is a test", "this is a test!"), ("", "x"), ("a-b", "a b"))
+    val fromExpr = pairs.toDF("a", "b")
+      .select(wratio(col("a"), col("b"))).as[Double].collect()
+    pairs.map { case (a, b) => Fuzz.wratio(a, b) }.zip(fromExpr).foreach {
+      case (scalar, expr) => assert(scalar == expr)
+    }
+  }
+
+  test("wratio handles nulls (null-safe binary expression)") {
+    val r = Seq((Option.empty[String], Option("x")))
+      .toDF("a", "b").select(wratio(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("SQL registration via SparkSessionExtensions") {
+    assert(spark.sql("SELECT wratio('abc', 'abc')").as[Double].head() == 100.0)
+    assert(spark.sql("SELECT canon('  Jalan-Jalan  CAFE! ')").as[String].head()
+      == "jalan jalan cafe")
+    val d = spark.sql(
+      "SELECT haversine_km(3.1390, 101.6869, 1.3521, 103.8198)").as[Double].head()
+    assert(math.abs(d - 309.2526717524923) < 1e-9)
+  }
+
+  test("wratio participates in codegen (no UDF node in plan)") {
+    val plan = Seq(("a", "b")).toDF("a", "b")
+      .select(wratio(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into plan:\n$plan")
+  }
+
+  test("type check rejects non-strings") {
+    intercept[Exception] {
+      spark.sql("SELECT wratio(1, 2)").collect()
+    }
+  }
+}
