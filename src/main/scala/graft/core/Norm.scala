@@ -55,6 +55,17 @@ object Norm {
       .mkString(" ")
   }
 
+  /** Column twin of [[norm]] for distributed query-text normalization
+    * (used by the batch/streaming geocode join, where query text is a
+    * column rather than a driver-side request string). Parity with the
+    * scalar form is spec-tested. */
+  def normCol(s: Column): Column = {
+    val punct = """!"$%&'()*+,./:;<=>?@[\]^_`{|}~""" + "#@"
+    trim(regexp_replace(
+      translate(lower(coalesce(s, lit(""))), punct, " " * punct.length),
+      "\\s+", " "))
+  }
+
   /** F3 — tokens of a name (`ranking.py:15-16`). */
   def tokenize(s: String): Seq[String] =
     norm(s).split(' ').filter(_.nonEmpty).toIndexedSeq

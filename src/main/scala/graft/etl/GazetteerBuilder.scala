@@ -176,5 +176,8 @@ object GazetteerBuilder {
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/admin")
     buildMeta(spark, source, outPath).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/meta")
+    // trigram name index: the physical design that keeps the LIKE
+    // candidate scan subquadratic at scale (see TrigramIndex)
+    TrigramIndex.write(spark.read.parquet(s"$outPath/pois"), s"$outPath/name_index")
   }
 }

@@ -69,6 +69,45 @@ object Similarity {
       when(dot > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest centroid's posting list; a query probes only
+    * its `nprobe` nearest lists and re-ranks exactly inside them.
+    *
+    * Centroids here are seeded deterministically (lowest `nCentroids`
+    * vec_ids) rather than k-means-trained — the IVF *mechanics* (coarse
+    * assign → posting-list equality join → exact re-rank, recall traded
+    * via nprobe) are identical; swapping in trained centroids changes
+    * only the centroid table. Assignment is one broadcast join; no
+    * cross join ever touches the full corpus pairwise. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int, nprobe: Int): DataFrame = {
+    val cent = broadcast(corpus
+      .orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cent_emb")))
+
+    def assign(df: DataFrame, idCol: String, embAlias: String, lists: Int): DataFrame =
+      df.select(col("vec_id").as(idCol), quantize(col("embedding")).as(embAlias))
+        .crossJoin(cent)
+        .select(col(idCol), col(embAlias), col("cid"),
+          cosineQ(col(embAlias), col("cent_emb")).as("csim"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("crank") <= lists)
+        .drop("csim", "crank")
+
+    val corpusLists = assign(corpus, "cand_id", "c_emb", 1) // each vector in ONE list
+    val queryProbes = assign(queries, "query_id", "q_emb", nprobe)
+
+    queryProbes.join(corpusLists, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; exact
     * cosine re-rank inside the bucket. Recall trades against bucket
     * count (numPlanes); equality join replaces the cross join. */

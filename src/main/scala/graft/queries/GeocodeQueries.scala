@@ -199,5 +199,31 @@ object GeocodeQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8)
+  /** G9 — the distributed fuzzy geocode JOIN (bulk form of the forward
+    * pipeline, `query/GeocodeJoin`): a whole column of place names
+    * scored in one declarative program. WRatio → rows-only check. */
+  val g9 = Q("g9_geocode_join",
+    (s, dir) => {
+      import s.implicits._
+      val cust = poiLatLon(t(s, dir, "customer")).select("c_custkey", "lat", "lon")
+      val raw = t(s, dir, "part")
+        .join(cust, col("p_partkey") === col("c_custkey"), "inner")
+        .select(
+          col("p_partkey").cast("long").as("id"),
+          col("p_name").as("name"),
+          map_from_arrays(
+            array(lit("amenity"), lit("name")),
+            array(lower(col("p_type")), col("p_name"))).as("tags"),
+          concat(lit("POINT("), col("lon").cast("string"), lit(" "),
+            col("lat").cast("string"), lit(")")).as("wkt"))
+      val pois = GazetteerBuilder.buildPois(raw)
+      val queries = Seq((1L, "small ring"), (2L, "red widget"), (3L, "blue bolt"))
+        .toDF("qid", "text")
+      graft.query.GeocodeJoin.topK(queries, pois, k = 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9)
 }

@@ -18,7 +18,7 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.all ++ GeocodeQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamingQueries.all
+    Relational.all ++ Relational2.all ++ GeocodeQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all ++ StreamingQueries.all
 }

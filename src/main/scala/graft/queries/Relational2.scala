@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational battery: grouping sets, correlated subqueries,
+  * exact percentiles, pivot-style conditional aggregation, and date
+  * arithmetic — rounding out the §2.9 capability surface. SQL-first
+  * where the DataFrame API lacks the construct (grouping sets,
+  * correlated scalar subqueries), which also exercises `spark.sql`
+  * as a product entry point.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private def withView(s: SparkSession, dir: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** R11 — explicit GROUPING SETS (beyond rollup/cube). */
+  val r11 = Q("r11_grouping_sets",
+    (s, dir) => withView(s, dir, "lineitem")(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** R12 — correlated scalar subquery per outer row. */
+  val r12 = Q("r12_correlated_subquery",
+    (s, dir) => withView(s, dir, "customer", "orders")(
+      """SELECT c_custkey,
+                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+                (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+                 WHERE o_custkey = c_custkey) AS spend
+         FROM customer
+         WHERE c_custkey < 500
+         ORDER BY c_custkey"""),
+    Some("""SELECT c_custkey,
+                   (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+                   (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders
+                    WHERE o_custkey = c_custkey) AS spend
+            FROM customer
+            WHERE c_custkey < 500
+            ORDER BY c_custkey"""))
+
+  /** R13 — exact percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both linear-interpolate at (n-1)·p; quantities are
+    * integral doubles so the interpolated values are exact). */
+  val r13 = Q("r13_percentile",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("price_p25"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.25), 2) AS price_p25
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** R14 — pivot as portable conditional aggregation. */
+  val r14 = Q("r14_pivot_status",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_filled"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_partial"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** R15 — date/time arithmetic battery over event timestamps. */
+  val r15 = Q("r15_date_arith",
+    (s, dir) => t(s, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(col("ts") + expr("INTERVAL 7 DAYS"), "yyyy-MM-dd HH:mm:ss").as("plus7d"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        date_format(last_day(col("ts")), "yyyy-MM-dd").as("month_end"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS plus7d,
+                   date_diff('day', DATE '2024-01-01', ts::DATE) AS days_since,
+                   month(ts) AS m,
+                   day(ts) AS d,
+                   hour(ts) AS h,
+                   strftime(last_day(ts::DATE), '%Y-%m-%d') AS month_end
+            FROM events ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15)
+}

@@ -122,5 +122,64 @@ object SimilarityQueries {
              SELECT query_id, rank, cand_id, cosine FROM ranked
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh)
+  private val NCent = 8
+  private val NProbe = 2
+
+  /** IVF ANN: coarse-quantizer posting lists + nprobe probing — the
+    * second scale path beside sign-LSH. Centroid assignment uses the
+    * bit-exact quantized cosine, so DuckDB reproduces the exact lists. */
+  val annIvf = Q("ann_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 5, nCentroids = NCent, nprobe = NProbe)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH qv AS (${qvSql()}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               cent AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $NCent),
+               cdots AS (
+                 SELECT a.vec_id, c.cid, sum(a.v * b.v) AS dot
+                 FROM qv a
+                 JOIN cent c ON true
+                 JOIN qv b ON b.vec_id = c.cid AND b.i = a.i
+                 GROUP BY 1, 2),
+               csim AS (
+                 SELECT cdots.vec_id AS vec_id, cdots.cid AS cid,
+                        dot::DOUBLE / (sqrt(n1.nn::DOUBLE) * sqrt(n2.nn::DOUBLE)) AS sim
+                 FROM cdots
+                 JOIN norms n1 ON cdots.vec_id = n1.vec_id
+                 JOIN norms n2 ON cdots.cid = n2.vec_id),
+               ranked_assign AS (
+                 SELECT vec_id, cid, sim,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid ASC) AS crank
+                 FROM csim),
+               corpus_lists AS (SELECT vec_id AS cand_id, cid FROM ranked_assign WHERE crank = 1),
+               query_probes AS (SELECT vec_id AS query_id, cid FROM ranked_assign
+                                WHERE crank <= $NProbe AND vec_id < 5),
+               cand AS (
+                 SELECT query_id, cand_id
+                 FROM query_probes JOIN corpus_lists USING (cid)
+                 WHERE query_id <> cand_id),
+               dots AS (
+                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
+                 FROM cand
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2),
+               scored AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               ranked AS (
+                 SELECT query_id, cand_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM scored)
+             SELECT query_id, rank, cand_id, cosine FROM ranked
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf)
 }

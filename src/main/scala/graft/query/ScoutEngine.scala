@@ -35,7 +35,8 @@ class ScoutEngine(
     val spark: SparkSession,
     pois: DataFrame,
     admin: DataFrame,
-    settings: Settings = Settings()) {
+    settings: Settings = Settings(),
+    nameIndex: Option[DataFrame] = None) {
 
   // The reference serves from `gaz.poi_view`, a 17-column projection
   // contract over the physical table (003_views.sql) — column pruning
@@ -58,7 +59,13 @@ class ScoutEngine(
         Ranking.rank(poiView.limit(0), Seq("x"), None, settings, 1).schema)
     }
     val bbox = Repo.resolveAreaBbox(adminCached, req.cityHint, req.country)
-    val candidates = Repo.fetchCandidates(poiView, nameTokens, bbox, limitScan)
+    // trigram-index path when one is attached and every token is
+    // indexable; identical results (TrigramIndexSpec) — falls back to
+    // the scan path otherwise
+    val candidates = nameIndex
+      .flatMap(ix => graft.etl.TrigramIndex.fetchCandidates(
+        poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan))
+      .getOrElse(Repo.fetchCandidates(poiView, nameTokens, bbox, limitScan))
     Ranking.rank(candidates, texts, bbox, settings, req.limit)
   }
 
@@ -83,11 +90,16 @@ class ScoutEngine(
 
 object ScoutEngine {
   /** Load a gazetteer previously written by
-    * [[graft.etl.GazetteerBuilder.write]]. */
+    * [[graft.etl.GazetteerBuilder.write]]; attaches the trigram name
+    * index when present at `path/name_index`. */
   def fromPath(spark: SparkSession, path: String,
-               settings: Settings = Settings()): ScoutEngine =
+               settings: Settings = Settings()): ScoutEngine = {
+    val indexPath = new java.io.File(s"$path/name_index")
     new ScoutEngine(spark,
       spark.read.parquet(s"$path/pois"),
       spark.read.parquet(s"$path/admin"),
-      settings)
+      settings,
+      nameIndex =
+        if (indexPath.exists()) Some(spark.read.parquet(indexPath.getPath)) else None)
+  }
 }

@@ -37,6 +37,21 @@ object StreamOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates(fingerprintCol, "ts")
 
+  /** Micro-batch geocode stream (reference §2.8 extension target): each
+    * batch of (`qid`, `text`) rows runs through the distributed
+    * [[graft.query.GeocodeJoin]] — the full scoring pipeline per
+    * micro-batch via `foreachBatch`, results delivered to `sink`. */
+  def geocodeStream(queryStream: DataFrame, poiView: DataFrame,
+                    settings: graft.core.Settings, k: Int)(
+      sink: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchId, graft.query.GeocodeJoin.topK(batch, poiView, settings, k))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Replay a bounded source through a streaming query into a memory
     * sink and return the materialized result. `Trigger.AvailableNow`
     * drains everything then stops — deterministic, oracle-checkable. */

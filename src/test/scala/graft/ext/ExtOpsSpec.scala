@@ -97,6 +97,21 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("ANN: IVF top-k scores agree with brute force; every vector lands in one list") {
+    val emb = Tables_embeddings()
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 500)
+      .select("query_id", "cand_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb,
+      k = 5, nCentroids = 8, nprobe = 2)
+      .select("query_id", "cand_id", "cosine").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute(key) == r.getDouble(2), s"score mismatch at $key")
+    }
+  }
+
   private def Tables_embeddings() =
     spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
 

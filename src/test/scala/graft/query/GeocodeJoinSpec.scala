@@ -1,0 +1,46 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.core.{Norm, Settings}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class GeocodeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val pois = Seq(
+    (1L, "Monograph Dining", null, "monograph dining", "", "amenity:restaurant", 0.6, 3.139, 101.6869),
+    (2L, "Monogram Cafe", null, "monogram cafe", "", "amenity:cafe", 0.2, 3.15, 101.71),
+    (3L, "Red Widget Store", null, "red widget store", "", "shop:store", 0.1, 1.30, 103.85),
+    (4L, "Widget Outlet", "The Widget", "widget outlet", "the widget", "shop:outlet", 0.1, 1.31, 103.86)
+  ).toDF("osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
+    "kind", "importance", "lat", "lon")
+
+  test("bulk geocode join ranks per query like the request path") {
+    val queries = Seq((10L, "monograph dining"), (20L, "widget")).toDF("qid", "text")
+    val hits = GeocodeJoin.topK(queries, pois, Settings(), k = 3).collect()
+      .groupBy(_.getLong(0))
+    assert(hits(10L).head.getLong(6) == 1L) // top hit for monograph dining
+    val widgetIds = hits(20L).map(_.getLong(6)).toSet
+    assert(widgetIds == Set(3L, 4L)) // both widget names, ranked
+    // ranks are 1..n within each query
+    assert(hits(20L).map(_.getInt(2)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("empty/no-match queries produce no rows, others unaffected") {
+    val queries = Seq((1L, "zzz qqq"), (2L, "  !! "), (3L, "cafe")).toDF("qid", "text")
+    val hits = GeocodeJoin.topK(queries, pois, Settings(), k = 3).collect()
+    assert(hits.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("normCol matches the scalar norm (distributed query normalization)") {
+    val samples = Seq("Jalan-Jalan Cafe!", "a#b@c", "  MixED   spacing ", "it's") ++
+      Gen.listOfN(100, Gen.asciiPrintableStr).pureApply(Gen.Parameters.default, Seed(11L))
+    val colForm = samples.toDF("s").select(Norm.normCol(col("s"))).as[String].collect()
+    samples.zip(colForm).foreach { case (in, c) =>
+      assert(Norm.norm(in) == c, s"for input ${in.map(_.toInt)}")
+    }
+  }
+}

@@ -57,6 +57,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("streaming geocode: micro-batches run the distributed scoring join") {
+    implicit val sc = spark.sqlContext
+    val pois = Seq(
+      (1L, "Monograph Dining", null, "monograph dining", "",
+        "amenity:restaurant", 0.6, 3.139, 101.6869))
+      .toDF("osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
+        "kind", "importance", "lat", "lon")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "monograph"), (2L, "no such place zzz"))
+    val results = scala.collection.mutable.Map[Long, Array[(Long, Long)]]()
+    val q = StreamOps.geocodeStream(
+      mem.toDF().toDF("qid", "text"), pois, graft.core.Settings(), k = 3) {
+      (batchId, hits) =>
+        results(batchId) = hits.select("qid", "osm_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    q.awaitTermination()
+    val all = results.values.flatten.toSet
+    assert(all == Set((1L, 1L)), s"got $all") // query 1 matched poi 1; query 2 nothing
+  }
+
   test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
