@@ -28,68 +28,81 @@ case class GeomSummary(
 object Geo {
 
   private val Num = "[-+]?[0-9]*\\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+  private val PairRe = s"($Num)\\s+($Num)".r
 
-  /** Parse `POINT(x y)`, `POLYGON((x y, ...))`, `MULTIPOLYGON(...)`,
-    * `LINESTRING(x y, ...)`. Returns None on null/unparseable. */
+  private def coords(s: String): Array[(Double, Double)] =
+    PairRe.findAllMatchIn(s)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toArray
+
+  /** Signed shoelace area (×2) and centroid numerators of one ring. */
+  private def ringMoments(ring: Array[(Double, Double)]): (Double, Double, Double) = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      val (x0, y0) = ring(i); val (x1, y1) = ring(i + 1)
+      val cross = x0 * y1 - x1 * y0
+      a += cross; cx += (x0 + x1) * cross; cy += (y0 + y1) * cross
+      i += 1
+    }
+    (a, cx, cy)
+  }
+
+  /** Innermost parenthesized groups = rings, in document order. The WKT
+    * sign convention does the hole bookkeeping for us: outer rings are
+    * counter-clockwise (positive shoelace area), holes clockwise
+    * (negative), so summing signed moments over ALL rings of a
+    * (MULTI)POLYGON yields the hole-subtracted area centroid. */
+  private def rings(s: String): Seq[Array[(Double, Double)]] =
+    "\\(([^()]+)\\)".r.findAllMatchIn(s).map(m => coords(m.group(1))).toSeq
+
+  /** Parse `POINT(x y)`, `POLYGON((ring)(hole)...)`,
+    * `MULTIPOLYGON(((...)),((...)))`, `LINESTRING(x y, ...)`.
+    * Centroid semantics follow ST_Centroid: area centroid with holes
+    * subtracted; degenerate (zero-area) polygons fall back to the
+    * vertex mean. Returns None on null/unparseable input. */
   def parseWkt(wkt: String): Option[GeomSummary] = {
     if (wkt == null) return None
     val s = wkt.trim
     val u = s.toUpperCase
     if (u.startsWith("POINT")) {
-      val nums = s"($Num)\\s+($Num)".r.findFirstMatchIn(s)
-      nums.map { m =>
+      PairRe.findFirstMatchIn(s).map { m =>
         val x = m.group(1).toDouble; val y = m.group(2).toDouble
         GeomSummary("POINT", y, x, x, y, x, y)
       }
-    } else if (u.startsWith("POLYGON") || u.startsWith("MULTIPOLYGON") ||
-               u.startsWith("LINESTRING")) {
-      // First ring only for the centroid of POLYGON (holes are not used by
-      // the reference's data); envelope covers all coordinates.
-      val pairRe = s"($Num)\\s+($Num)".r
-      val all = pairRe.findAllMatchIn(s).map(m =>
-        (m.group(1).toDouble, m.group(2).toDouble)).toArray
-      if (all.isEmpty) None
-      else {
-        val minx = all.map(_._1).min; val maxx = all.map(_._1).max
-        val miny = all.map(_._2).min; val maxy = all.map(_._2).max
-        val tpe =
-          if (u.startsWith("MULTIPOLYGON")) "MULTIPOLYGON"
-          else if (u.startsWith("POLYGON")) "POLYGON"
-          else "LINESTRING"
-        val (cx, cy) =
-          if (tpe == "LINESTRING") {
-            // length-weighted midpoint centroid
-            var lx = 0.0; var ly = 0.0; var len = 0.0
-            var i = 1
-            while (i < all.length) {
-              val (x0, y0) = all(i - 1); val (x1, y1) = all(i)
-              val d = math.hypot(x1 - x0, y1 - y0)
-              lx += d * (x0 + x1) / 2; ly += d * (y0 + y1) / 2; len += d
-              i += 1
-            }
-            if (len == 0) (all(0)._1, all(0)._2) else (lx / len, ly / len)
-          } else {
-            // area centroid over the first ring (shoelace); degenerate
-            // rings fall back to the vertex mean
-            val ringEnd = {
-              val closeAt = all.indexWhere(p => p == all(0), 1)
-              if (closeAt > 0) closeAt + 1 else all.length
-            }
-            var a = 0.0; var cx0 = 0.0; var cy0 = 0.0
-            var i = 0
-            while (i < ringEnd - 1) {
-              val (x0, y0) = all(i); val (x1, y1) = all(i + 1)
-              val cross = x0 * y1 - x1 * y0
-              a += cross; cx0 += (x0 + x1) * cross; cy0 += (y0 + y1) * cross
-              i += 1
-            }
-            if (math.abs(a) < 1e-12) {
-              val ring = all.take(math.max(1, ringEnd - 1))
-              (ring.map(_._1).sum / ring.length, ring.map(_._2).sum / ring.length)
-            } else (cx0 / (3 * a), cy0 / (3 * a))
-          }
-        Some(GeomSummary(tpe, cy, cx, minx, miny, maxx, maxy))
+    } else if (u.startsWith("MULTIPOLYGON") || u.startsWith("POLYGON")) {
+      val rs = rings(s).filter(_.nonEmpty)
+      if (rs.isEmpty || rs.forall(_.isEmpty)) return None
+      val all = rs.flatten
+      val minx = all.map(_._1).min; val maxx = all.map(_._1).max
+      val miny = all.map(_._2).min; val maxy = all.map(_._2).max
+      var a = 0.0; var cx = 0.0; var cy = 0.0
+      rs.foreach { r =>
+        val (ra, rcx, rcy) = ringMoments(r)
+        a += ra; cx += rcx; cy += rcy
       }
+      val (gx, gy) =
+        if (math.abs(a) < 1e-12)
+          (all.map(_._1).sum / all.length, all.map(_._2).sum / all.length)
+        else (cx / (3 * a), cy / (3 * a))
+      val tpe = if (u.startsWith("MULTIPOLYGON")) "MULTIPOLYGON" else "POLYGON"
+      Some(GeomSummary(tpe, gy, gx, minx, miny, maxx, maxy))
+    } else if (u.startsWith("LINESTRING")) {
+      val all = coords(s)
+      if (all.isEmpty) return None
+      val minx = all.map(_._1).min; val maxx = all.map(_._1).max
+      val miny = all.map(_._2).min; val maxy = all.map(_._2).max
+      // length-weighted midpoint centroid
+      var lx = 0.0; var ly = 0.0; var len = 0.0
+      var i = 1
+      while (i < all.length) {
+        val (x0, y0) = all(i - 1); val (x1, y1) = all(i)
+        val d = math.hypot(x1 - x0, y1 - y0)
+        lx += d * (x0 + x1) / 2; ly += d * (y0 + y1) / 2; len += d
+        i += 1
+      }
+      val (gx, gy) =
+        if (len == 0) (all(0)._1, all(0)._2) else (lx / len, ly / len)
+      Some(GeomSummary("LINESTRING", gy, gx, minx, miny, maxx, maxy))
     } else None
   }
 

@@ -29,6 +29,28 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(g.lat - 5.0 / 6) < 1e-9)
   }
 
+  test("WKT polygon with hole: centroid subtracts the hole") {
+    // 4x4 square (CCW) with centered 2x2 hole (CW): symmetric -> centroid stays (2,2)
+    val sym = Geo.parseWkt(
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))").get
+    assert(math.abs(sym.lon - 2.0) < 1e-9 && math.abs(sym.lat - 2.0) < 1e-9)
+    // off-center hole pushes the centroid away from it
+    val off = Geo.parseWkt(
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (2.5 1.5, 2.5 2.5, 3.5 2.5, 3.5 1.5, 2.5 1.5))").get
+    assert(off.lon < 2.0, s"centroid should shift left of 2, got ${off.lon}")
+  }
+
+  test("WKT multipolygon: area-weighted centroid across parts, full envelope") {
+    // unit square at origin (area 1) + 2x2 square at (10,0) (area 4)
+    val g = Geo.parseWkt(
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 12 0, 12 2, 10 2, 10 0)))").get
+    assert(g.geomType == "MULTIPOLYGON")
+    assert((g.minx, g.miny, g.maxx, g.maxy) == (0.0, 0.0, 12.0, 2.0))
+    // centroid = (0.5*1 + 11*4)/5 = 8.9 ; (0.5*1 + 1*4)/5 = 0.9
+    assert(math.abs(g.lon - 8.9) < 1e-9)
+    assert(math.abs(g.lat - 0.9) < 1e-9)
+  }
+
   test("WKT negative and scientific-notation coordinates") {
     val g = Geo.parseWkt("POINT(-1.5e2 -3.25)").get
     assert(g.lon == -150.0 && g.lat == -3.25)
