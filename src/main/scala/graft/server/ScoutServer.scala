@@ -1,0 +1,94 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.query.{ForwardCandidate, ForwardReq, Hit, ScoutEngine}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** HTTP serving layer (reference: `app.py`) on the JDK's built-in
+  * HttpServer — zero dependencies:
+  *
+  *   - `POST /v1/geocode/forward` with the reference's request shape
+  *     (`{candidates:[{text}], country?, city_hint?, limit?}` →
+  *     `{hits:[{name,lat,lon,country,state,city,osm_id,kind,score}]}`,
+  *     `app.py:14-38`)
+  *   - `GET /healthz` → `{"ok": true}` (`app.py:116-118`)
+  *   - `Server-Timing: app;dur=<ms>` + `X-Process-Time` response headers
+  *     (`app.py:58-65`)
+  *
+  * One engine (one SparkSession, cached gazetteer) serves all requests —
+  * the Spark replacement for the reference's per-request read-only
+  * connections (SURVEY.md §3.3).
+  */
+class ScoutServer(engine: ScoutEngine, port: Int = 8000) {
+
+  import Json._
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(null) // engine serializes on the SparkSession anyway
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      startedNs: Long): Unit = {
+    val ms = (System.nanoTime() - startedNs) / 1e6
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Server-Timing", f"app;dur=$ms%.1f")
+    ex.getResponseHeaders.set("X-Process-Time", f"$ms%.1f")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def parseReq(body: String): ForwardReq = {
+    val o = Json.parse(body).asObj
+    ForwardReq(
+      candidates = o("candidates").asArr
+        .map(c => ForwardCandidate(c.asObj("text").asStr)),
+      country = o.get("country").collect { case Str(s) => s },
+      cityHint = o.get("city_hint").collect { case Str(s) => s },
+      limit = o.get("limit").collect { case Num(d) => d.toInt }.getOrElse(5))
+  }
+
+  private def hitJson(h: Hit): Value = Obj(Map(
+    "name" -> Str(h.name),
+    "lat" -> Num(h.lat),
+    "lon" -> Num(h.lon),
+    "country" -> h.country.map(Str).getOrElse(Null),
+    "state" -> h.state.map(Str).getOrElse(Null),
+    "city" -> h.city.map(Str).getOrElse(Null),
+    "osm_id" -> Num(h.osmId.toDouble),
+    "kind" -> Str(h.kind),
+    "score" -> Num(h.score)))
+
+  server.createContext("/healthz", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
+      respond(ex, 200, """{"ok": true}""", t0)
+    }
+  })
+
+  server.createContext("/v1/geocode/forward", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"detail": "Method Not Allowed"}""", t0)
+        return
+      }
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val req = parseReq(body)
+        val hits = engine.forward(req)
+        respond(ex, 200, write(Obj(Map("hits" -> Arr(hits.map(hitJson))))), t0)
+      } catch {
+        case e: Exception =>
+          respond(ex, 422, write(Obj(Map("detail" -> Str(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))), t0)
+      }
+    }
+  })
+
+  def start(): ScoutServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

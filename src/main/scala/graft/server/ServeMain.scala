@@ -1,0 +1,30 @@
+package graft.server
+
+import graft.core.Settings
+import graft.query.ScoutEngine
+import org.apache.spark.sql.SparkSession
+
+/** Serve a built gazetteer over HTTP:
+  * `sbt "runMain graft.server.ServeMain <gazetteerPath> [port] [config.toml]"`
+  * (build one first with [[graft.etl.GazetteerBuilder.write]] — e.g. the
+  * Demo writes /tmp/graft-demo-gaz).
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val path = args(0)
+    val port = if (args.length > 1) args(1).toInt else 8000
+    val settings = if (args.length > 2) Settings.load(args(2)) else Settings()
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = ScoutEngine.fromPath(spark, path, settings)
+    val server = new ScoutServer(engine, port).start()
+    println(s"graft serving on :${server.boundPort} (POST /v1/geocode/forward, GET /healthz)")
+    Thread.currentThread().join()
+  }
+}

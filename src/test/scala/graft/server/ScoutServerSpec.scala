@@ -1,0 +1,83 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.core.Settings
+import graft.etl.GazetteerBuilder
+import graft.query.ScoutEngine
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+class ScoutServerSpec extends SparkSpec {
+
+  private lazy val server: ScoutServer = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val rows = Seq(
+      Row(1L, "Monograph Dining", Map("amenity" -> "restaurant"), "POINT(101.6869 3.139)"),
+      Row(100L, "Malaysia", Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val engine = new ScoutEngine(spark,
+      GazetteerBuilder.buildPois(raw), GazetteerBuilder.buildAdmin(raw), Settings())
+    new ScoutServer(engine, port = 0).start() // ephemeral port
+  }
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def http(method: String, path: String, body: String = null): (Int, String, Map[String, String]) = {
+    val conn = URI.create(s"http://127.0.0.1:${server.boundPort}$path")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    val headers = Seq("Server-Timing", "X-Process-Time")
+      .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+    (code, text, headers)
+  }
+
+  test("healthz") {
+    val (code, body, _) = http("GET", "/healthz")
+    assert(code == 200 && body == """{"ok": true}""")
+  }
+
+  test("forward geocode over HTTP (README worked example shape)") {
+    val (code, body, headers) = http("POST", "/v1/geocode/forward",
+      """{"candidates":[{"text":"Monograph Dining"}],"country":"malaysia","limit":3}""")
+    assert(code == 200, body)
+    val hits = Json.parse(body).asObj("hits").asArr
+    assert(hits.nonEmpty)
+    val top = hits.head.asObj
+    assert(top("name").asStr == "Monograph Dining")
+    assert(top("osm_id").asNum == 1.0)
+    assert(top("score").asNum > 0.5)
+    assert(headers.contains("Server-Timing"), "timing instrumentation header")
+  }
+
+  test("malformed body -> 422 with detail (not a crash)") {
+    val (code, body, _) = http("POST", "/v1/geocode/forward", """{"nope": []}""")
+    assert(code == 422 && body.contains("detail"))
+  }
+
+  test("wrong method -> 405") {
+    val (code, _, _) = http("GET", "/v1/geocode/forward")
+    assert(code == 405)
+  }
+
+  test("json codec round-trips escapes") {
+    val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
+    val round = Json.parse(Json.write(v))
+    assert(round == v)
+    assert(v.asObj("a").asStr == "line\nbreak \"q\" é")
+    assert(v.asObj("n").asArr.map(_.asNum) == Seq(1.0, 2.5, -300.0))
+  }
+}
