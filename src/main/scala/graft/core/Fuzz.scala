@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions.udf
   */
 object Fuzz {
 
-  /** Length of the longest common subsequence (two-row DP). */
-  private def lcsLen(a: CharSequence, b: CharSequence): Int = {
+  /** Length of the longest common subsequence (two-row DP) — the
+    * reference implementation and the fallback for strings over 64
+    * chars. */
+  private[core] def lcsLenDP(a: CharSequence, b: CharSequence): Int = {
     val n = a.length
     val m = b.length
     if (n == 0 || m == 0) return 0
@@ -46,6 +48,44 @@ object Fuzz {
     prev(m)
   }
 
+  /** Allison–Dix bit-parallel LCS length for |a| ≤ 64: one machine word
+    * per row, O(|a| + |b|) word operations instead of O(|a|·|b|) cells —
+    * the word-level trick rapidfuzz itself relies on. Equivalence with
+    * the DP is property-tested. */
+  private[core] def lcsLenBitParallel(a: CharSequence, b: CharSequence): Int = {
+    val m = a.length
+    // match masks: bit i set in pm(c) iff a(i) == c
+    val ascii = new Array[Long](128)
+    var other: Map[Char, Long] = null
+    var i = 0
+    while (i < m) {
+      val c = a.charAt(i)
+      if (c < 128) ascii(c) |= 1L << i
+      else {
+        if (other == null) other = Map.empty
+        other = other.updated(c, other.getOrElse(c, 0L) | (1L << i))
+      }
+      i += 1
+    }
+    var row = 0L
+    var j = 0
+    val n = b.length
+    while (j < n) {
+      val c = b.charAt(j)
+      val pm = if (c < 128) ascii(c) else if (other != null) other.getOrElse(c, 0L) else 0L
+      val x = row | pm
+      row = x & ~(x - ((row << 1) | 1L)) // modular arithmetic is the point
+      j += 1
+    }
+    java.lang.Long.bitCount(row)
+  }
+
+  private def lcsLen(a: CharSequence, b: CharSequence): Int =
+    if (a.length == 0 || b.length == 0) 0
+    else if (a.length <= 64) lcsLenBitParallel(a, b)
+    else if (b.length <= 64) lcsLenBitParallel(b, a)
+    else lcsLenDP(a, b)
+
   /** Normalized Indel similarity × 100: `2·LCS / (|a|+|b|) · 100`.
     * Both empty → 100 (identical). */
   def ratio(a: String, b: String): Double = {
@@ -55,10 +95,51 @@ object Fuzz {
   }
 
   /** Best [[ratio]] alignment of the shorter string against windows of
-    * the longer (including clipped windows at both edges). */
+    * the longer (including clipped windows at both edges).
+    *
+    * The shorter string's match masks are window-invariant, so they are
+    * built ONCE and each window is just the O(window) bit-vector
+    * recurrence — no per-window substring or mask allocation. Falls back
+    * to the DP form for needles over 64 chars. */
   def partialRatio(a: String, b: String): Double = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
+    val m = s.length
+    if (m > 64) return partialRatioDP(s, l)
+    val ascii = new Array[Long](128)
+    var other: Map[Char, Long] = null
+    var k = 0
+    while (k < m) {
+      val c = s.charAt(k)
+      if (c < 128) ascii(c) |= 1L << k
+      else {
+        if (other == null) other = Map.empty
+        other = other.updated(c, other.getOrElse(c, 0L) | (1L << k))
+      }
+      k += 1
+    }
+    var best = 0.0
+    var i = -(m - 1)
+    while (i < l.length && best < 100.0) {
+      val from = math.max(0, i)
+      val to = math.min(l.length, i + m)
+      var row = 0L
+      var j = from
+      while (j < to) {
+        val c = l.charAt(j)
+        val pm = if (c < 128) ascii(c) else if (other != null) other.getOrElse(c, 0L) else 0L
+        val x = row | pm
+        row = x & ~(x - ((row << 1) | 1L))
+        j += 1
+      }
+      val r = 200.0 * java.lang.Long.bitCount(row) / (m + (to - from))
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
+
+  private def partialRatioDP(s: String, l: String): Double = {
     var best = 0.0
     var i = -(s.length - 1)
     while (i < l.length && best < 100.0) {

@@ -49,6 +49,23 @@ class FuzzSpec extends AnyFunSuite {
     assert(approx(Fuzz.wratio("dining", "monograph dining"), 90.0))
   }
 
+  test("property: bit-parallel LCS equals the DP on random strings") {
+    val gen = Gen.listOfN(400, Gen.zip(
+      Gen.chooseNum(0, 64).flatMap(n => Gen.stringOfN(n, Gen.oneOf("abcdeé 123".toSeq))),
+      Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, Gen.oneOf("abcdeé 123".toSeq)))))
+      .pureApply(Gen.Parameters.default, Seed(99L))
+    gen.foreach { case (a, b) =>
+      if (a.length <= 64)
+        assert(Fuzz.lcsLenBitParallel(a, b) == Fuzz.lcsLenDP(a, b),
+          s"mismatch on ('$a','$b')")
+    }
+    // exact 64-char boundary (sign-bit territory for the word arithmetic)
+    val a64 = "ab" * 32
+    val b64 = "ba" * 32
+    assert(Fuzz.lcsLenBitParallel(a64, b64) == Fuzz.lcsLenDP(a64, b64))
+    assert(Fuzz.lcsLenBitParallel(a64, a64) == 64)
+  }
+
   test("property: bounds, symmetry, identity") {
     val gen = Gen.listOfN(200, Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr))
       .pureApply(Gen.Parameters.default, Seed(7L))
