@@ -64,6 +64,46 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** STUB resize: re-bin a feature histogram to a coarser resolution —
+    * the stand-in for "resize image to target dims" (a real codec call
+    * replaces the body; the batch shape stays identical). */
+  def resizeFeatures(features: Array[Double], targetBins: Int): Array[Double] = {
+    if (features == null || features.isEmpty) return new Array[Double](targetBins)
+    val out = new Array[Double](targetBins)
+    var i = 0
+    while (i < features.length) {
+      out(i * targetBins / features.length) += features(i)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling: every `stride`-th byte window of the payload —
+    * the stand-in for "sample every Nth video frame". Emits
+    * (media_id, frame_no, frame_bytes) with the real explode shape a
+    * frame pipeline has; a codec swaps byte windows for decoded frames. */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val content = r.getAs[Array[Byte]](1)
+        if (content == null) Iterator.empty
+        else Iterator.range(0, math.max(1, (content.length + stride - 1) / stride))
+          .map { f =>
+            val from = f * stride
+            val until = math.min(content.length, from + frameSize)
+            Row(id, f, java.util.Arrays.copyOfRange(content, from, math.max(from, until)))
+          }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Wrap a text corpus as a media table (payload = utf8 bytes) — the
     * fixture generator for this environment, which has no binary corpus. */
   def fromDocuments(docs: DataFrame): DataFrame =

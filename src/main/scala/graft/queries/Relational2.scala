@@ -102,5 +102,19 @@ object Relational2 {
                    strftime(last_day(ts::DATE), '%Y-%m-%d') AS month_end
             FROM events ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15)
+  /** R16 — salted-join result equality: the skew-mitigation operator
+    * (ext/Skew) must produce exactly the plain join's rows; the oracle
+    * IS the plain join. */
+  val r16 = Q("r16_salted_join",
+    (s, dir) => graft.ext.Skew.saltedJoin(
+        t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey"),
+        t(s, dir, "supplier").withColumnRenamed("s_suppkey", "suppkey"),
+        "suppkey", 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, s_name
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16)
 }

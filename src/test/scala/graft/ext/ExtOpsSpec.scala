@@ -127,6 +127,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(feats(2L).getSeq[Double](2).sum == 0.0, "empty payload -> zero histogram")
   }
 
+  test("multimodal: resize re-bins preserving mass; frame sampling covers the payload") {
+    val f = Array(0.1, 0.2, 0.3, 0.4, 0.0, 0.0, 0.0, 0.0)
+    val r = Multimodal.resizeFeatures(f, 4)
+    assert(r.length == 4 && math.abs(r.sum - f.sum) < 1e-12)
+    assert(r(0) == 0.1 + 0.2 && r(1) == 0.3 + 0.4)
+    assert(Multimodal.resizeFeatures(null, 4).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+
+    val media = Multimodal.fromDocuments(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text")) // 10 bytes
+    val frames = Multimodal.sampleFrames(media, frameSize = 3, stride = 4).collect()
+      .map(r => r.getInt(1) -> new String(r.getAs[Array[Byte]](2))).toMap
+    assert(frames == Map(0 -> "abc", 1 -> "efg", 2 -> "ij"))
+  }
+
   test("text analysis: token/subword counts, quality, langid mechanism") {
     val df = Seq((1L, "The quick-fox, jumps! Over 2 dogs.")).toDF("doc_id", "text")
     val r = df.select(
