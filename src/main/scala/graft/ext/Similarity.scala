@@ -69,21 +69,60 @@ object Similarity {
       when(dot > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Deterministic k-means training for IVF centroids: Lloyd iterations
+    * where the update step is an INT64 element-wise sum of quantized
+    * vectors (order-independent, so reproducible across partitionings)
+    * divided by the count and re-quantized. Assignment uses the
+    * bit-exact quantized cosine. Seeds are the lowest `nCentroids` ids.
+    * Returns (cid, cent_emb quantized). */
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int,
+                        iterations: Int): DataFrame = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("q_emb"))
+    var cent = q.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("q_emb").as("cent_emb"))
+    var it = 0
+    while (it < iterations) {
+      val assigned = q.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("q_emb"), col("cid"),
+          cosineQ(col("q_emb"), col("cent_emb")).as("csim"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("crank") === 1)
+        .select("cid", "q_emb")
+      // update step: per-position INT64 sums (exact, order-free) → mean →
+      // re-quantize; reassembled in position order so the result is a
+      // deterministic function of the assignment alone
+      val sums = assigned
+        .select(col("cid"), posexplode(col("q_emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum("v").as("s"))
+      val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      cent = sums.join(counts, "cid")
+        .withColumn("m", round(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cent_emb"))
+      it += 1
+    }
+    cent
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     * vector to its nearest centroid's posting list; a query probes only
     * its `nprobe` nearest lists and re-ranks exactly inside them.
     *
-    * Centroids here are seeded deterministically (lowest `nCentroids`
-    * vec_ids) rather than k-means-trained — the IVF *mechanics* (coarse
-    * assign → posting-list equality join → exact re-rank, recall traded
-    * via nprobe) are identical; swapping in trained centroids changes
-    * only the centroid table. Assignment is one broadcast join; no
-    * cross join ever touches the full corpus pairwise. */
+    * Centroids default to deterministic seeds (lowest `nCentroids`
+    * vec_ids); pass `centroids` from [[trainIvfCentroids]] for trained
+    * lists — the IVF *mechanics* (coarse assign → posting-list equality
+    * join → exact re-rank, recall traded via nprobe) are identical.
+    * Assignment is one broadcast join; no cross join ever touches the
+    * full corpus pairwise. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int, nprobe: Int): DataFrame = {
-    val cent = broadcast(corpus
+              nCentroids: Int, nprobe: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = broadcast(centroids.getOrElse(corpus
       .orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cent_emb")))
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cent_emb"))))
 
     def assign(df: DataFrame, idCol: String, embAlias: String, lists: Int): DataFrame =
       df.select(col("vec_id").as(idCol), quantize(col("embedding")).as(embAlias))

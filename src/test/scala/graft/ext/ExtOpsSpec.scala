@@ -112,6 +112,21 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("ANN: trained IVF centroids are deterministic and usable") {
+    val emb = Tables_embeddings()
+    val c1 = Similarity.trainIvfCentroids(emb, nCentroids = 4, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c2 = Similarity.trainIvfCentroids(emb, nCentroids = 4, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c1 == c2, "k-means training must be run-to-run deterministic")
+    assert(c1.values.forall(_.length == 64))
+    val trained = Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb,
+      k = 5, nCentroids = 4, nprobe = 2,
+      centroids = Some(Similarity.trainIvfCentroids(emb, 4, 2)))
+      .collect()
+    assert(trained.nonEmpty)
+  }
+
   private def Tables_embeddings() =
     spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
 
