@@ -38,10 +38,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeAll(): Seq[(String, Double)] = Registry.all.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
       catch { case e: Throwable =>
+        failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9
@@ -58,7 +60,9 @@ object Bench {
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val headline = results.filter(r => Headline(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must be visible in the JSON, not silently deflate it
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

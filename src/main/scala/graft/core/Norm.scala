@@ -23,6 +23,14 @@ object Norm {
     *
     * Java `\p{Alnum}` and DuckDB/RE2 `[[:alnum:]]` are both ASCII-only,
     * so the two engines agree on non-ASCII input (both strip it).
+    *
+    * Documented deviation: the reference macro omits DuckDB's `'g'`
+    * flag, so it literally replaces only the FIRST punctuation char /
+    * whitespace run — almost certainly an upstream bug (the macro's
+    * evident intent, and what its index/normalization design assumes,
+    * is global replacement). This engine pins the intended GLOBAL
+    * semantics, as declared in SURVEY.md §2.6 F1 and enforced
+    * cross-engine by the `g1_canon` oracle (which carries the `'g'`).
     */
   def canon(s: Column): Column =
     trim(
@@ -31,10 +39,14 @@ object Norm {
           regexp_replace(coalesce(s, lit("")), "[^\\p{Alnum}\\s]", " "),
           "\\s+", " ")))
 
-  /** [[canon]] over a driver-side string (same semantics, no Spark). */
+  /** [[canon]] over a driver-side string (same semantics, no Spark).
+    * Locale.ROOT: Spark's `lower()` is locale-independent; the default
+    * JVM locale would diverge under tr/az (dotless-ı) and break token
+    * matching against column-normalized values. */
   def canonStr(s: String): String = {
     val x = if (s == null) "" else s
-    x.replaceAll("[^\\p{Alnum}\\s]", " ").replaceAll("\\s+", " ").toLowerCase.trim
+    x.replaceAll("[^\\p{Alnum}\\s]", " ").replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT).trim
   }
 
   /** Punctuation mapped to space by F2 `norm` (`ranking.py:5-12`).
@@ -48,7 +60,7 @@ object Norm {
     * punctuation (minus hyphen) to space, collapse whitespace. */
   def norm(s: String): String = {
     val x = if (s == null) "" else s
-    x.toLowerCase
+    x.toLowerCase(java.util.Locale.ROOT)
       .map(c => if (Punct(c) || Character.isWhitespace(c)) ' ' else c)
       .split(' ')
       .filter(_.nonEmpty)

@@ -72,6 +72,10 @@ object GazetteerBuilder {
         nameEn(tags).as("name_en"),
         tags.as("tags"),
         Geo.geomSummaryUdf(col("wkt")).as("g"))
+      // unparseable geometry → drop, like buildAdmin; a null lat/lon row
+      // would poison serving (the reference's build fails loudly on bad
+      // geometry instead — ST_GeomFromText errors)
+      .filter(col("g").isNotNull)
 
     // kind: first-match CASE chain, category priority order is semantic
     // (001_pois.sql:32-39)

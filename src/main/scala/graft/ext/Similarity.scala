@@ -102,6 +102,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cent_emb"))
+        // cut lineage per Lloyd iteration: without this the plan nests
+        // crossJoin+window+explode per iteration and re-evaluates twice
+        // (assigned feeds both sums and counts)
+        .localCheckpoint(true)
       it += 1
     }
     cent

@@ -27,7 +27,7 @@ object StreamingQueries {
           val stream = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(dir)
-            .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           val agg = StreamOps.hourlyEventCounts(stream)
           StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

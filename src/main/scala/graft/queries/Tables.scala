@@ -24,7 +24,9 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, NOT `/`: double division loses sub-microsecond
+    // precision at 2024-era nano magnitudes (~1.7e18, double ulp 256ns)
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

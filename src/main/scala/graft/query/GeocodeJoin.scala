@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.core.{Norm, Settings}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,11 +38,15 @@ object GeocodeJoin {
     val tokenPred = forall(col("toks"), t =>
       col("name_local_norm").contains(t) || col("name_en_norm").contains(t))
 
+    // same raw-name fallback as Ranking.simTarget (ranking.py:69-70)
+    def target(normCol: Column, rawCol: Column): Column =
+      when(normCol.isNotNull && normCol =!= "", normCol)
+        .otherwise(Norm.normCol(rawCol))
+    val tLocal = target(col("name_local_norm"), col("name_local"))
+    val tEn = target(col("name_en_norm"), col("name_en"))
     val sim = greatest(
-      when(col("name_local_norm") =!= "",
-        graft.functions.wratio(col("qnorm"), col("name_local_norm"))).otherwise(0.0),
-      when(col("name_en_norm").isNotNull && col("name_en_norm") =!= "",
-        graft.functions.wratio(col("qnorm"), col("name_en_norm"))).otherwise(0.0)) / 100.0
+      when(tLocal =!= "", graft.functions.wratio(col("qnorm"), tLocal)).otherwise(0.0),
+      when(tEn =!= "", graft.functions.wratio(col("qnorm"), tEn)).otherwise(0.0)) / 100.0
 
     val score =
       lit(settings.wSimilarity) * sim +

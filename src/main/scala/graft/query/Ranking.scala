@@ -18,20 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** The similarity target for one name: the precomputed canon'd norm
+    * when non-empty, else the F2-normalized RAW name (`ranking.py:69-70`:
+    * `local_norm or norm(name_local or "")`) — the fallback matters for
+    * names whose canon form is empty (fully non-ASCII names: canon
+    * strips non-ASCII, norm keeps it). */
+  private def simTarget(normCol: Column, rawCol: Column): Column =
+    when(normCol.isNotNull && normCol =!= "", normCol)
+      .otherwise(Norm.normCol(rawCol))
+
   /** A1 — best similarity over (query texts × {local, en} targets),
     * `ranking.py:66-77`: per-candidate-text max of the two name targets,
-    * `greatest` across texts. NULL/empty targets score 0. */
+    * `greatest` across texts. Empty targets score 0. */
   def bestSim(candTexts: Seq[String]): Column = {
     val qs = candTexts.map(Norm.norm).filter(_.nonEmpty)
     if (qs.isEmpty) lit(0.0)
     else {
-      val sims = qs.flatMap { q =>
-        Seq(
-          when(col("name_local_norm").isNotNull && col("name_local_norm") =!= "",
-            graft.functions.wratio(lit(q), col("name_local_norm"))).otherwise(0.0),
-          when(col("name_en_norm").isNotNull && col("name_en_norm") =!= "",
-            graft.functions.wratio(lit(q), col("name_en_norm"))).otherwise(0.0))
-      }
+      val targets = Seq(
+        simTarget(col("name_local_norm"), col("name_local")),
+        simTarget(col("name_en_norm"), col("name_en")))
+      val sims = for (q <- qs; t <- targets) yield
+        when(t =!= "", graft.functions.wratio(lit(q), t)).otherwise(0.0)
       (if (sims.size == 1) sims.head else greatest(sims: _*)) / 100.0
     }
   }

@@ -55,7 +55,7 @@ object Repo {
   /** Whitespace-lowercase tokenization used only for area hints
     * (`repo.py:20-23` `_norm_tokens` — simpler than F2 by design). */
   def hintTokens(s: Option[String]): Seq[String] =
-    s.toSeq.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    s.toSeq.flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+")).filter(_.nonEmpty)
 
   /** J1 phase A — city hint first (admin_level >= 6), else country
     * (admin_level = 2) (`repo.py:16-45`, P7). */

@@ -41,10 +41,14 @@ class ScoutEngine(
   // The reference serves from `gaz.poi_view`, a 17-column projection
   // contract over the physical table (003_views.sql) — column pruning
   // keeps the scan narrow regardless of what the physical file carries.
+  // Serving requires coordinates: rows without them can never be a
+  // usable hit and would crash result materialization.
   private val poiView: DataFrame = pois.select(
-    "osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
-    "amenity", "shop", "tourism", "leisure", "office",
-    "city", "state", "country", "lat", "lon", "kind", "importance")
+      "osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
+      "amenity", "shop", "tourism", "leisure", "office",
+      "city", "state", "country", "lat", "lon", "kind", "importance")
+    .filter(org.apache.spark.sql.functions.col("lat").isNotNull &&
+      org.apache.spark.sql.functions.col("lon").isNotNull)
 
   private val adminCached: DataFrame = admin.cache()
 
@@ -94,12 +98,15 @@ object ScoutEngine {
     * index when present at `path/name_index`. */
   def fromPath(spark: SparkSession, path: String,
                settings: Settings = Settings()): ScoutEngine = {
-    val indexPath = new java.io.File(s"$path/name_index")
+    // Hadoop FS probe, not java.io.File — the gazetteer may live on
+    // hdfs:///s3a:// where a local-file check is silently always false
+    val indexPath = new org.apache.hadoop.fs.Path(s"$path/name_index")
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     new ScoutEngine(spark,
       spark.read.parquet(s"$path/pois"),
       spark.read.parquet(s"$path/admin"),
       settings,
       nameIndex =
-        if (indexPath.exists()) Some(spark.read.parquet(indexPath.getPath)) else None)
+        if (fs.exists(indexPath)) Some(spark.read.parquet(indexPath.toString)) else None)
   }
 }

@@ -31,11 +31,13 @@ object StreamOps {
         col("n_events"))
 
   /** Streaming exact dedup on a fingerprint column within the watermark
-    * horizon — `dropDuplicates` keeps state per key; the watermark bounds
-    * that state, which is what makes it viable on an unbounded stream. */
+    * horizon: equal fingerprints at DIFFERENT timestamps dedup too
+    * (`dropDuplicatesWithinWatermark`, not `dropDuplicates(fp, ts)`);
+    * the watermark bounds the per-key state, which is what makes this
+    * viable on an unbounded stream. */
   def dedupStream(events: DataFrame, fingerprintCol: String): DataFrame =
     events.withWatermark("ts", "1 hour")
-      .dropDuplicates(fingerprintCol, "ts")
+      .dropDuplicatesWithinWatermark(fingerprintCol)
 
   /** Micro-batch geocode stream (reference §2.8 extension target): each
     * batch of (`qid`, `text`) rows runs through the distributed

@@ -37,6 +37,15 @@ class GazetteerBuilderSpec extends SparkSpec {
     assert(pois(1L).getDouble(13) == 2.0 && pois(1L).getDouble(14) == 1.0) // lat/lon
   }
 
+  test("pois: unparseable geometry rows are dropped (never null coords in serving)") {
+    val raw = df(Seq(
+      Row(1L, "Good", Map("amenity" -> "a"), "POINT(1 2)"),
+      Row(2L, "BadGeom", Map("amenity" -> "a"), "GEOMETRYCOLLECTION(POINT(1 2))"),
+      Row(3L, "NullGeom", Map("amenity" -> "a"), null)))
+    val ids = GazetteerBuilder.buildPois(raw).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
   test("pois: missing id column synthesizes unique ids; missing name -> tags only") {
     val schema = StructType(Seq(
       StructField("tags", MapType(StringType, StringType)),

@@ -79,4 +79,16 @@ class ScoutEngineSpec extends SparkSpec {
   }
 
   test("healthz") { assert(engine.healthy) }
+
+  test("bestSim falls back to the F2-normed RAW name when canon is empty (ranking.py:69-70)") {
+    import org.apache.spark.sql.functions._
+    val sqlCtx = spark
+    import sqlCtx.implicits._
+    // canon strips non-ASCII and lone hyphens -> empty norm; the raw-name
+    // fallback must still score via norm (which keeps them)
+    val row = Seq(("咖啡-bar", "", null: String, null: String))
+      .toDF("name_local", "name_local_norm", "name_en", "name_en_norm")
+    val sim = row.select(Ranking.bestSim(Seq("咖啡-bar")).as("s")).as[Double].head()
+    assert(sim == 1.0, s"fallback target should match exactly, got $sim")
+  }
 }

@@ -50,11 +50,14 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
     mem.addData(
-      Ev(ts(1), "x", 1.0, 1), Ev(ts(1), "x", 1.0, 1), // dup (same ts+type)
-      Ev(ts(2), "x", 1.0, 1))
+      Ev(ts(1), "x", 1.0, 1), Ev(ts(1), "x", 1.0, 1), // dup (same ts)
+      Ev(ts(2), "x", 1.0, 1),                         // dup (DIFFERENT ts)
+      Ev(ts(3), "y", 1.0, 1))                         // distinct fingerprint
     val out = StreamOps.replayToTable(spark,
       StreamOps.dedupStream(mem.toDF(), "event_type"), "spec_dedup", "append")
-    assert(out.count() == 2)
+    // dropDuplicatesWithinWatermark: one row per fingerprint inside the horizon
+    assert(out.select("event_type").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("x", "y"))
   }
 
   test("streaming geocode: micro-batches run the distributed scoring join") {
