@@ -25,8 +25,12 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(coalesce(text, lit(""))), "[^a-z0-9]+"), t => t =!= ""))
 
-  /** Quality metrics: character count, whitespace count, punctuation
-    * count and ratio, mean word length. */
+  /** Stopword list for quality scoring (top function words of the
+    * corpus domain; swap for a real list per deployment). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality metrics: character count, token count, punctuation ratio,
+    * mean word length, stopword ratio. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val nChars = length(coalesce(text, lit("")))
     val noWs = regexp_replace(coalesce(text, lit("")), "\\s+", "")
@@ -39,8 +43,34 @@ object TextAnalysis {
         (nChars - length(noPunct)).cast("double") /
           greatest(nChars, lit(1)).cast("double"), 6),
       "avg_word_len" -> round(
-        length(noWs).cast("double") / greatest(nTok, lit(1)).cast("double"), 6))
+        length(noWs).cast("double") / greatest(nTok, lit(1)).cast("double"), 6),
+      "stopword_ratio" -> round(
+        markerHits(text, Stopwords).cast("double") /
+          greatest(nTok, lit(1)).cast("double"), 6))
   }
+
+  /** Count of non-overlapping occurrences of a literal substring —
+    * `(len(s) - len(replace(s, sub, ''))) / len(sub)`, the classic
+    * engine-portable trick. */
+  def substrCount(text: Column, literal: String): Column =
+    (length(coalesce(text, lit(""))) -
+      length(replace(coalesce(text, lit("")), lit(literal), lit("")))) / literal.length
+
+  /** Character-trigram language profiles (the n-gram half of language
+    * ID; [[langMarkers]] is the word half). Profiles are tiny and
+    * deterministic; a real deployment trains them per language. */
+  val langTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "val", "fas"),
+    "de" -> Seq("der", "sch", "tab"),
+    "es" -> Seq("row", "sca", "que"),
+    "fr" -> Seq("col", "mer", "eur"),
+    "zh" -> Seq("has", "str", "bat"))
+
+  /** Per-language char-trigram occurrence scores. */
+  def trigramScores(text: Column): Seq[(String, Column)] =
+    langTrigramProfiles.map { case (lang, tris) =>
+      s"t_$lang" -> tris.map(t => substrCount(text, t)).reduce(_ + _).cast("long")
+    }
 
   /** Ordered language marker lists. On real corpora these would be the
     * top character n-grams / stopwords per language; the mechanism

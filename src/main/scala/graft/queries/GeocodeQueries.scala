@@ -225,5 +225,28 @@ object GeocodeQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9)
+  /** G10 — the trigram-index candidate path pinned END-TO-END against
+    * the plain LIKE scan in DuckDB: the oracle is the scan-path SQL, the
+    * Spark side routes through posting-list intersection + verify
+    * (`etl/TrigramIndex`). Identical output is the index's whole
+    * correctness contract. */
+  val g10 = Q("g10_indexed_scan",
+    (s, dir) => {
+      val pseudo = t(s, dir, "documents").select(
+        col("doc_id").as("osm_id"),
+        Norm.canon(col("text")).as("name_local_norm"),
+        lit("").as("name_en_norm"))
+      val ix = graft.etl.TrigramIndex.build(pseudo)
+      graft.etl.TrigramIndex
+        .fetchCandidates(pseudo, ix, Seq("table", "value"), None, limitScan = 10000000)
+        .get
+        .select(col("osm_id").as("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id FROM (
+               SELECT doc_id, ${TextQueries.canonSql} AS canon FROM documents)
+             WHERE canon LIKE '%table%' AND canon LIKE '%value%'
+             ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
 }

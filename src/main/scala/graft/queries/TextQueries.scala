@@ -34,14 +34,40 @@ object TextQueries {
         .select((col("doc_id") +: cols.map { case (n, c) => c.as(n) }): _*)
         .orderBy("doc_id")
     },
-    Some(s"""SELECT doc_id,
+    Some {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
                length(coalesce(text, '')) AS n_chars,
                len(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS n_tokens,
                round((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', '', 'g')))::DOUBLE
                      / greatest(length(coalesce(text, '')), 1)::DOUBLE, 6) AS punct_ratio,
                round(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))::DOUBLE
-                     / greatest(len(list_filter(string_split($canonSql, ' '), x -> x <> '')), 1)::DOUBLE, 6) AS avg_word_len
-             FROM documents ORDER BY doc_id"""))
+                     / greatest(len(list_filter(string_split($canonSql, ' '), x -> x <> '')), 1)::DOUBLE, 6) AS avg_word_len,
+               round(len(list_filter(string_split($canonSql, ' '), x -> x IN ($stopList)))::DOUBLE
+                     / greatest(len(list_filter(string_split($canonSql, ' '), x -> x <> '')), 1)::DOUBLE, 6) AS stopword_ratio
+             FROM documents ORDER BY doc_id"""
+    })
+
+  /** Char-trigram language scoring — the n-gram half of language ID
+    * (replace-based substring counting, portable to any engine). */
+  val taLangTrigram = Q("ta_lang_trigram",
+    (s, dir) => {
+      val scores = TextAnalysis.trigramScores(col("text"))
+      docs(s, dir)
+        .select((col("doc_id") +: scores.map { case (n, c) => c.as(n) }): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val cols = TextAnalysis.langTrigramProfiles.map { case (lang, tris) =>
+        val sum = tris.map(t =>
+          s"(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '$t', ''))) / ${t.length}")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS t_$lang"
+      }.mkString(",\n               ")
+      s"""SELECT doc_id,
+               $cols
+             FROM documents ORDER BY doc_id"""
+    })
 
   val taLangId = Q("ta_lang_id",
     (s, dir) => {
@@ -78,5 +104,5 @@ object TextQueries {
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id, md5($canonSql) AS fp FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taFingerprint)
+  val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taLangTrigram, taFingerprint)
 }
