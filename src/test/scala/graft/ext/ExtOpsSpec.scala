@@ -169,6 +169,15 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getString(3) == "en") // contains 'the'
   }
 
+  test("approx_percentile tracks exact percentile (the at-scale path for r13)") {
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).collect()(0)
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+
   test("approx_count_distinct stays within its error bound (bounds-only check)") {
     val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
     val row = li.agg(
