@@ -128,18 +128,27 @@ object Similarity {
       .orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cent_emb"))))
 
-    def assign(df: DataFrame, idCol: String, embAlias: String, lists: Int): DataFrame =
+    def scored(df: DataFrame, idCol: String, embAlias: String): DataFrame =
       df.select(col("vec_id").as(idCol), quantize(col("embedding")).as(embAlias))
         .crossJoin(cent)
         .select(col(idCol), col(embAlias), col("cid"),
           cosineQ(col(embAlias), col("cent_emb")).as("csim"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)))
-        .filter(col("crank") <= lists)
-        .drop("csim", "crank")
 
-    val corpusLists = assign(corpus, "cand_id", "c_emb", 1) // each vector in ONE list
-    val queryProbes = assign(queries, "query_id", "q_emb", nprobe)
+    // corpus → single nearest list: max_by over (csim, -cid) is the same
+    // deterministic argmax as a rank-1 window but partial-aggregatable —
+    // no full-corpus sort shuffle (the corpus is the big side at scale)
+    val corpusLists = scored(corpus, "cand_id", "c_emb")
+      .groupBy("cand_id")
+      .agg(
+        max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        max_by(col("c_emb"), struct(col("csim"), -col("cid"))).as("c_emb"))
+
+    // queries → nprobe nearest lists (tiny side: window rank is fine)
+    val queryProbes = scored(queries, "query_id", "q_emb")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crank") <= nprobe)
+      .drop("csim", "crank")
 
     queryProbes.join(corpusLists, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
