@@ -73,20 +73,18 @@ class ScoutEngine(
     Ranking.rank(candidates, texts, bbox, settings, req.limit)
   }
 
+  /** Typed result surface: the ranked hits as a `Dataset[Hit]` with a
+    * case-class Encoder — composable with further typed transforms. */
+  def forwardDS(req: ForwardReq, limitScan: Int = 10000): org.apache.spark.sql.Dataset[Hit] = {
+    import spark.implicits._
+    forwardDF(req, limitScan)
+      .withColumnRenamed("osm_id", "osmId")
+      .as[Hit]
+  }
+
   /** Materialized hits, the reference's response shape. */
   def forward(req: ForwardReq, limitScan: Int = 10000): Seq[Hit] =
-    forwardDF(req, limitScan).collect().toIndexedSeq.map { r =>
-      Hit(
-        name = r.getString(0),
-        lat = r.getDouble(1),
-        lon = r.getDouble(2),
-        country = Option(r.getString(3)),
-        state = Option(r.getString(4)),
-        city = Option(r.getString(5)),
-        osmId = r.getLong(6),
-        kind = r.getString(7),
-        score = r.getDouble(8))
-    }
+    forwardDS(req, limitScan).collect().toIndexedSeq
 
   /** `GET /healthz` analogue (`app.py:116-118`). */
   def healthy: Boolean = spark.range(1).count() == 1

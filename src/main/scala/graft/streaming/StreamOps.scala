@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.8 extension targets):
   * watermarked tumbling windows, session windows, streaming dedup, and
@@ -38,6 +38,50 @@ object StreamOps {
   def dedupStream(events: DataFrame, fingerprintCol: String): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(fingerprintCol)
+
+  /** Per-key novelty counter state for [[noveltyStream]]. */
+  case class KeyStats(firstSeenMs: Long, n: Long)
+  case class Novelty(key: String, isNew: Boolean, nSeen: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: emits, for every
+    * incoming (key, eventTimeMs) record, whether the key is novel and
+    * how often it has been seen; state expires `ttlMs` of EVENT time
+    * after the key's last record (EventTimeTimeout + watermark — a
+    * processing-time timeout would keep an availableNow replay spinning
+    * empty micro-batches forever waiting for wall-clock timeouts).
+    * This is the arbitrary-state primitive the built-in window/dedup
+    * operators can't express — e.g. "tag the first occurrence of each
+    * document fingerprint in a 100 TB/day stream, forget keys after a
+    * TTL so state stays bounded." */
+  def noveltyStream(keyed: Dataset[(String, Long)],
+                    ttlMs: Long = 3600000L): Dataset[Novelty] = {
+    import keyed.sparkSession.implicits._
+    // the watermark column must survive into the grouped relation
+    val watermarked = keyed.toDF("key", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", s"$ttlMs milliseconds")
+      .as[(String, Long, java.sql.Timestamp)]
+    watermarked.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyStats, Novelty](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[KeyStats]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.map(r => r._2).toSeq.sorted
+            val prior = state.getOption
+            val out = batch.zipWithIndex.map { case (_, i) =>
+              val seen = prior.map(_.n).getOrElse(0L) + i + 1
+              Novelty(key, prior.isEmpty && i == 0, seen)
+            }
+            val first = prior.map(_.firstSeenMs).getOrElse(batch.head)
+            state.update(KeyStats(first, prior.map(_.n).getOrElse(0L) + batch.size))
+            state.setTimeoutTimestamp(batch.last + ttlMs)
+            out.iterator
+          }
+      }
+  }
 
   /** Micro-batch geocode stream (reference §2.8 extension target): each
     * batch of (`qid`, `text`) rows runs through the distributed

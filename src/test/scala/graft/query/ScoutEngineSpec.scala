@@ -80,6 +80,13 @@ class ScoutEngineSpec extends SparkSpec {
 
   test("healthz") { assert(engine.healthy) }
 
+  test("forwardDS: typed Dataset[Hit] surface composes with typed transforms") {
+    val ds = engine.forwardDS(ForwardReq(Seq(ForwardCandidate("dining")), limit = 5))
+    val names = ds.filter(_.score > 0.0).map(_.name)(
+      org.apache.spark.sql.Encoders.STRING).collect()
+    assert(names.contains("Monograph Dining"))
+  }
+
   test("bestSim falls back to the F2-normed RAW name when canon is empty (ranking.py:69-70)") {
     import org.apache.spark.sql.functions._
     val sqlCtx = spark

@@ -81,6 +81,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(all == Set((1L, 1L)), s"got $all") // query 1 matched poi 1; query 2 nothing
   }
 
+  test("flatMapGroupsWithState: novelty tagging with bounded per-key state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(("a", 100L), ("b", 200L), ("a", 300L), ("a", 400L))
+    val out = StreamOps.replayToTable(spark,
+      StreamOps.noveltyStream(mem.toDS()).toDF(), "spec_novelty", "append")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    // 'a' first occurrence is new, later ones counted; 'b' new once
+    assert(out.toSet == Set(("a", true, 1L), ("b", true, 1L),
+      ("a", false, 2L), ("a", false, 3L)))
+  }
+
   test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
