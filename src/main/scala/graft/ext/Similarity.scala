@@ -141,7 +141,10 @@ object Similarity {
       .groupBy("cand_id")
       .agg(
         max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        max_by(col("c_emb"), struct(col("csim"), -col("cid"))).as("c_emb"))
+        // c_emb is group-constant (the row's own embedding replicated
+        // across centroids) — any_value is deterministic here and skips
+        // a second ordering-struct evaluation
+        any_value(col("c_emb")).as("c_emb"))
 
     // queries → nprobe nearest lists (tiny side: window rank is fine)
     val queryProbes = scored(queries, "query_id", "q_emb")

@@ -39,8 +39,10 @@ object StreamOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
-  /** Per-key novelty counter state for [[noveltyStream]]. */
-  case class KeyStats(firstSeenMs: Long, n: Long)
+  /** Per-key novelty counter state for [[noveltyStream]]: the max event
+    * time ever seen (late rows must never move the TTL backwards) and
+    * the occurrence count. */
+  case class KeyStats(lastSeenMs: Long, n: Long)
   case class Novelty(key: String, isNew: Boolean, nSeen: Long)
 
   /** Custom keyed state via `flatMapGroupsWithState`: emits, for every
@@ -69,15 +71,21 @@ object StreamOps {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.map(r => r._2).toSeq.sorted
+            // single O(n) pass: only max event time and count matter
+            var maxTs = Long.MinValue
+            var count = 0L
+            rows.foreach { r => if (r._2 > maxTs) maxTs = r._2; count += 1 }
             val prior = state.getOption
-            val out = batch.zipWithIndex.map { case (_, i) =>
-              val seen = prior.map(_.n).getOrElse(0L) + i + 1
-              Novelty(key, prior.isEmpty && i == 0, seen)
-            }
-            val first = prior.map(_.firstSeenMs).getOrElse(batch.head)
-            state.update(KeyStats(first, prior.map(_.n).getOrElse(0L) + batch.size))
-            state.setTimeoutTimestamp(batch.last + ttlMs)
+            val before = prior.map(_.n).getOrElse(0L)
+            val out = (1L to count).map(i =>
+              Novelty(key, prior.isEmpty && i == 1, before + i))
+            val lastSeen = math.max(prior.map(_.lastSeenMs).getOrElse(Long.MinValue), maxTs)
+            state.update(KeyStats(lastSeen, before + count))
+            // clamp: Spark rejects timeouts at or below the CURRENT
+            // eviction watermark (a late-but-accepted row could otherwise
+            // compute one in the past and kill the whole query)
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -93,6 +93,28 @@ class StreamOpsSpec extends SparkSpec {
       ("a", false, 2L), ("a", false, 3L)))
   }
 
+  test("flatMapGroupsWithState: state expires after the event-time TTL and the key is novel again") {
+    implicit val sc = spark.sqlContext
+    val hour = 3600000L
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamOps.noveltyStream(mem.toDS(), ttlMs = hour).toDF()
+      .writeStream.format("memory").queryName("spec_novelty_ttl")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L // strictly above the initial watermark (0)
+      mem.addData(("a", base))
+      q.processAllAvailable() // batch 1: a is new; timeout at base+1h
+      mem.addData(("w", base + 5 * hour))
+      q.processAllAvailable() // batch 2: watermark advances past a's timeout
+      mem.addData(("a", base + 6 * hour))
+      q.processAllAvailable() // batch 3: a's state expired -> novel again
+      val out = spark.table("spec_novelty_ttl").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
+      assert(out.count { case (k, n, c) => k == "a" && n && c == 1L } == 2,
+        s"'a' must be novel twice (before and after TTL expiry), got $out")
+    } finally q.stop()
+  }
+
   test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
