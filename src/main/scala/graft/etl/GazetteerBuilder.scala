@@ -165,9 +165,17 @@ object GazetteerBuilder {
 
   /** Persist the gazetteer with a layout that scales: `pois` sorted by
     * (lat, lon) so bbox BETWEEN predicates hit Parquet min/max pruning;
-    * `admin` is small and stays broadcast-sized. */
+    * `admin` is small and stays broadcast-sized.
+    *
+    * `overwrite = false` reproduces the reference's idempotent-build
+    * gate (`build_gazetteer.py:151-156`): an existing artifact short-
+    * circuits the build. Returns true iff a build ran. */
   def write(spark: SparkSession, raw: DataFrame, outPath: String,
-            source: String = "raw_osm", bucketTarget: Int = 0): Unit = {
+            source: String = "raw_osm", bucketTarget: Int = 0,
+            overwrite: Boolean = true): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!overwrite && fs.exists(metaPath)) return false
     val pois = buildPois(raw)
     val poisPartitions =
       if (bucketTarget > 0) bucketTarget
@@ -183,5 +191,6 @@ object GazetteerBuilder {
     // trigram name index: the physical design that keeps the LIKE
     // candidate scan subquadratic at scale (see TrigramIndex)
     TrigramIndex.write(spark.read.parquet(s"$outPath/pois"), s"$outPath/name_index")
+    true
   }
 }

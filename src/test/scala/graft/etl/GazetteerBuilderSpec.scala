@@ -85,15 +85,18 @@ class GazetteerBuilderSpec extends SparkSpec {
     assert(c.getDouble(14) == 1.0 && c.getDouble(15) == 2.0) // center lat/lon
   }
 
-  test("write/read round trip preserves schema and rows") {
+  test("write/read round trip preserves schema and rows; overwrite gate skips rebuilds") {
     val raw = df(Seq(
       Row(1L, "A", Map("amenity" -> "cafe"), "POINT(1 2)"),
       Row(2L, "B", Map("boundary" -> "administrative", "admin_level" -> "2"), "POINT(3 4)")))
     val out = java.nio.file.Files.createTempDirectory("gaz-test").toString
-    GazetteerBuilder.write(spark, raw, out, source = "spec")
+    assert(GazetteerBuilder.write(spark, raw, out, source = "spec"))
     assert(spark.read.parquet(s"$out/pois").count() == 1)
     assert(spark.read.parquet(s"$out/admin").count() == 1)
     val meta = spark.read.parquet(s"$out/meta").collect()
     assert(meta.map(_.getString(0)).contains("source"))
+    // existing artifact + overwrite=false -> build skipped (S5)
+    assert(!GazetteerBuilder.write(spark, raw, out, source = "spec", overwrite = false))
+    assert(GazetteerBuilder.write(spark, raw, out, source = "spec"))
   }
 }
