@@ -171,10 +171,48 @@ object GeocodeQueries {
                  pow(sin(radians(101.6869 - lon) / 2), 2))), 6) AS dist_km
              FROM pois ORDER BY c_custkey"""))
 
+  /** The DuckDB twin of the derived gazetteer both g8 and g9 build
+    * through the real ETL (`GazetteerBuilder.buildPois`): tags carry
+    * amenity(=lower(p_type)) and name, so kind is the amenity arm of the
+    * F8 CASE chain and importance is the F7 flag sum with only the
+    * amenity (and, for g8, wikidata) terms live. The POINT wkt
+    * round-trips lat/lon exactly (shortest-repr double → parse), so the
+    * oracle computes them directly. Term order mirrors the Scala
+    * expression tree — double arithmetic is bit-identical, not close. */
+  private def gazPoisSql(withWikidata: Boolean): String = {
+    val wikidataTerm =
+      if (withWikidata) "(CASE WHEN p_size > 40 THEN 0.40::DOUBLE ELSE 0.0::DOUBLE END)"
+      else "0.0::DOUBLE"
+    s"""SELECT CAST(p_partkey AS BIGINT) AS osm_id,
+              p_name AS name_local,
+              ${WRatioSql.canonOf("p_name")} AS name_local_norm,
+              '' AS name_en_norm,
+              'amenity:' || lower(p_type) AS kind,
+              least(1.0::DOUBLE,
+                    $wikidataTerm + 0.0::DOUBLE + 0.20::DOUBLE + 0.0::DOUBLE + 0.0::DOUBLE)
+                AS importance,
+              (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
+              (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
+       FROM part JOIN customer ON p_partkey = c_custkey"""
+  }
+
+  /** F17 score with no proximity term (neither g8 nor g9 resolves an
+    * area bbox), `Settings()` defaults, over `wr_final.wr`. */
+  private val scoreSql =
+    """0.60::DOUBLE * (greatest(w.wr, 0.0) / 100.0) +
+       0.25::DOUBLE * (CASE WHEN kind LIKE 'tourism:%' THEN 0.80::DOUBLE
+                            WHEN kind LIKE 'amenity:%' THEN 0.70::DOUBLE
+                            WHEN kind LIKE 'shop:%' THEN 0.60::DOUBLE
+                            ELSE 0.40::DOUBLE END) +
+       0.15::DOUBLE * importance"""
+
   /** G8 — the full forward-geocode pipeline (F14–F17 + O2) over a
     * gazetteer built in-query by the real ETL from derived raw rows.
-    * WRatio has no DuckDB equivalent → rows-only check here; WRatio
-    * itself is pinned by ScalaTest golden vectors. */
+    * The oracle re-implements the WHOLE path — ETL projection, token
+    * candidate filter, WRatio ([[WRatioSql]]), weighted score, top-k —
+    * so the flagship query is rows+schema+hash checked cross-engine.
+    * Ranking compares UNROUNDED scores on both sides (round(6) is
+    * applied after the top-k, exactly as the Spark side does). */
   val g8 = Q("g8_forward_geocode",
     (s, dir) => {
       val cust = poiLatLon(t(s, dir, "customer")).select("c_custkey", "lat", "lon")
@@ -197,11 +235,33 @@ object GeocodeQueries {
         ForwardReq(Seq(ForwardCandidate("small ring")), limit = 10))
         .withColumn("score", round(col("score"), 6))
     },
-    None)
+    Some(s"""WITH RECURSIVE
+             pois AS (${gazPoisSql(withWikidata = true)}),
+             cands AS (
+               SELECT * FROM pois
+               WHERE (name_local_norm LIKE '%small%' OR name_en_norm LIKE '%small%')
+                 AND (name_local_norm LIKE '%ring%' OR name_en_norm LIKE '%ring%')),
+             wrpairs AS (
+               SELECT osm_id AS pid, 'small ring' AS a, name_local_norm AS b FROM cands),
+             ${WRatioSql.ctes("wrpairs").trim},
+             scored AS (
+               SELECT c.name_local AS name, c.lat, c.lon,
+                      CAST(NULL AS VARCHAR) AS country,
+                      CAST(NULL AS VARCHAR) AS state,
+                      CAST(NULL AS VARCHAR) AS city,
+                      c.osm_id, c.kind,
+                      ${scoreSql.trim} AS score0
+               FROM cands c JOIN wr_final w ON w.pid = c.osm_id),
+             top AS (SELECT * FROM scored ORDER BY score0 DESC, osm_id ASC LIMIT 10)
+             SELECT name, lat, lon, country, state, city, osm_id, kind,
+                    round(score0, 6) AS score
+             FROM top ORDER BY score0 DESC, osm_id ASC"""))
 
   /** G9 — the distributed fuzzy geocode JOIN (bulk form of the forward
     * pipeline, `query/GeocodeJoin`): a whole column of place names
-    * scored in one declarative program. WRatio → rows-only check. */
+    * scored in one declarative program. Oracle: same [[WRatioSql]]
+    * machinery with composite (qid, osm_id) pair ids and a per-qid
+    * window top-k. */
   val g9 = Q("g9_geocode_join",
     (s, dir) => {
       import s.implicits._
@@ -223,7 +283,38 @@ object GeocodeQueries {
         .withColumn("score", round(col("score"), 6))
         .orderBy("qid", "rank")
     },
-    None)
+    Some(s"""WITH RECURSIVE
+             pois AS (${gazPoisSql(withWikidata = false)}),
+             queries(qid, text) AS (VALUES
+               (CAST(1 AS BIGINT), 'small ring'),
+               (CAST(2 AS BIGINT), 'red widget'),
+               (CAST(3 AS BIGINT), 'blue bolt')),
+             qtok AS (
+               SELECT qid, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM queries),
+             joined AS (
+               SELECT q.qid, q.text, p.*
+               FROM pois p, qtok q
+               WHERE len(list_filter(q.toks, t ->
+                       contains(p.name_local_norm, t) OR contains(p.name_en_norm, t)))
+                     = len(q.toks)),
+             wrpairs AS (
+               SELECT qid * 1000000000 + osm_id AS pid, text AS a, name_local_norm AS b
+               FROM joined),
+             ${WRatioSql.ctes("wrpairs").trim},
+             scored AS (
+               SELECT j.qid, j.text, j.name_local AS name, j.lat, j.lon,
+                      j.osm_id, j.kind,
+                      ${scoreSql.trim} AS score0
+               FROM joined j JOIN wr_final w ON w.pid = j.qid * 1000000000 + j.osm_id),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY score0 DESC, osm_id ASC) AS rank
+               FROM scored)
+             SELECT qid, text, rank, name, lat, lon, osm_id, kind,
+                    round(score0, 6) AS score
+             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
 
   /** G10 — the trigram-index candidate path pinned END-TO-END against
     * the plain LIKE scan in DuckDB: the oracle is the scan-path SQL, the
