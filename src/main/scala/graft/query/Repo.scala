@@ -33,23 +33,20 @@ object Repo {
       col("lon").between(bbox.minx, bbox.maxx)
 
   /** O1/F19 — largest-area-first top-1 admin row for a token filter +
-    * level predicate (`repo.py:16-45`). Deterministic tiebreak on osm_id
+    * level predicate (`repo.py:16-45`), as an UNCOLLECTED 1-row plan so
+    * both hint levels can ride one job. Deterministic tiebreak on osm_id
     * (a documented tightening over the reference's engine-order tie,
     * SURVEY.md §7.4). */
-  private def topArea(admin: DataFrame, tokens: Seq[String],
-                      levelPred: Column): Option[Bbox] = {
-    if (tokens.isEmpty) return None
+  private def topAreaPlan(admin: DataFrame, tokens: Seq[String],
+                          levelPred: Column, prio: Int): DataFrame = {
     val pred = likePredicate(tokens, Seq(col("name_local_norm"), col("name_en_norm")))
     val area = (col("maxx") - col("minx")) * (col("maxy") - col("miny"))
     admin
       .filter(pred && levelPred)
       .orderBy(area.desc, col("osm_id").asc)
       .limit(1)
-      .select("minx", "miny", "maxx", "maxy", "center_lat", "center_lon")
-      .collect()
-      .headOption
-      .map(r => Bbox(r.getDouble(0), r.getDouble(1), r.getDouble(2),
-                     r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .select(lit(prio).as("prio"), col("minx"), col("miny"),
+        col("maxx"), col("maxy"), col("center_lat"), col("center_lon"))
   }
 
   /** Whitespace-lowercase tokenization used only for area hints
@@ -58,11 +55,28 @@ object Repo {
     s.toSeq.flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+")).filter(_.nonEmpty)
 
   /** J1 phase A — city hint first (admin_level >= 6), else country
-    * (admin_level = 2) (`repo.py:16-45`, P7). */
+    * (admin_level = 2) (`repo.py:16-45`, P7).
+    *
+    * Both levels resolve in ONE Spark action: each side is a
+    * TakeOrderedAndProject over the (small, cached) admin table, their
+    * 0/1-row results union, and the priority column re-creates the
+    * reference's sequential city-then-country fallback — previously a
+    * missing city hit cost a second driver round-trip. */
   def resolveAreaBbox(admin: DataFrame, cityHint: Option[String],
                       country: Option[String]): Option[Bbox] = {
-    val byCity = topArea(admin, hintTokens(cityHint), col("admin_level") >= 6)
-    byCity.orElse(topArea(admin, hintTokens(country), col("admin_level") === 2))
+    val sides = Seq(
+      (hintTokens(cityHint), col("admin_level") >= 6, 1),
+      (hintTokens(country), col("admin_level") === 2, 2))
+      .collect { case (toks, pred, prio) if toks.nonEmpty =>
+        topAreaPlan(admin, toks, pred, prio) }
+    if (sides.isEmpty) return None
+    sides.reduce(_ unionByName _)
+      .orderBy(col("prio").asc)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(r => Bbox(r.getDouble(1), r.getDouble(2), r.getDouble(3),
+                     r.getDouble(4), r.getDouble(5), r.getDouble(6)))
   }
 
   /** J1 phase B + P8 — candidate fetch (`repo.py:48-71`): token LIKE
