@@ -82,12 +82,17 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("q_emb").as("cent_emb"))
     var it = 0
     while (it < iterations) {
+      // nearest-centroid assignment via the same partial-aggregatable
+      // max_by argmax as the serving path (ivfTopK corpusLists) — a
+      // rank-1 window here was a full corpus×centroid sort shuffle PER
+      // Lloyd iteration; max_by combines map-side
       val assigned = q.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("q_emb"), col("cid"),
           cosineQ(col("q_emb"), col("cent_emb")).as("csim"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)))
-        .filter(col("crank") === 1)
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          any_value(col("q_emb")).as("q_emb"))
         .select("cid", "q_emb")
       // update step: per-position INT64 sums (exact, order-free) → mean →
       // re-quantize; reassembled in position order so the result is a

@@ -29,6 +29,10 @@ object Fixtures {
 
   private val cache = new ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
 
+  /** computeIfAbsent mapping functions must not touch the same map —
+    * nested lookups throw "Recursive update" (bin-collision-dependent,
+    * so it surfaces flakily). Dependencies between fixtures are resolved
+    * BEFORE entering a memo (see [[gazEngine]]). */
   private def memo[T <: AnyRef](s: SparkSession, dir: String, what: String)(mk: => T): T =
     cache.computeIfAbsent((s, dir, what), _ => mk).asInstanceOf[T]
 
@@ -67,11 +71,13 @@ object Fixtures {
     }
 
   /** Long-lived forward-geocode engine over the memoized gazetteer. */
-  def gazEngine(s: SparkSession, dir: String): ScoutEngine =
+  def gazEngine(s: SparkSession, dir: String): ScoutEngine = {
+    val pois = gazPois(s, dir, withWikidata = true) // outside the memo: see above
     memo(s, dir, "engine") {
-      new ScoutEngine(s, gazPois(s, dir, withWikidata = true),
+      new ScoutEngine(s, pois,
         GazetteerBuilder.buildAdmin(derivedRaw(s, dir, withWikidata = true)))
     }
+  }
 
   /** g10's pseudo-gazetteer over documents plus its trigram index —
     * probing a prebuilt index is the production shape; building it per

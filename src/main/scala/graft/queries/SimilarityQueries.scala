@@ -181,5 +181,97 @@ object SimilarityQueries {
              SELECT query_id, rank, cand_id, cosine FROM ranked
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf)
+  /** One unrolled Lloyd iteration `cent{k-1}` → `cent{k}` over quantized
+    * components (cid, i, cv): bit-exact quantized-cosine assignment with
+    * the (sim DESC, cid ASC) argmax tiebreak, then the per-position
+    * INT64-sum → rounded-mean update — the exact twin of
+    * `Similarity.trainIvfCentroids`'s loop body. */
+  private def lloydIterSql(k: Int): String = {
+    val p = s"cent${k - 1}"
+    s"""cn$k AS (SELECT cid, sum(cv * cv) AS nn FROM $p GROUP BY 1),
+        cd$k AS (SELECT a.vec_id, c.cid, sum(a.v * c.cv) AS dot
+                 FROM qv a JOIN $p c ON a.i = c.i GROUP BY 1, 2),
+        cs$k AS (SELECT cd$k.vec_id AS vec_id, cd$k.cid AS cid,
+                        dot::DOUBLE / (sqrt(n1.nn::DOUBLE) * sqrt(cn$k.nn::DOUBLE)) AS sim
+                 FROM cd$k
+                 JOIN norms n1 ON cd$k.vec_id = n1.vec_id
+                 JOIN cn$k ON cd$k.cid = cn$k.cid),
+        as$k AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cid ASC) AS rk FROM cs$k) WHERE rk = 1),
+        ct$k AS (SELECT cid, count(*) AS n FROM as$k GROUP BY 1),
+        cent$k AS (SELECT a1.cid, a.i,
+                          CAST(round(sum(a.v)::DOUBLE / ct$k.n) AS BIGINT) AS cv
+                   FROM as$k a1
+                   JOIN qv a ON a.vec_id = a1.vec_id
+                   JOIN ct$k ON a1.cid = ct$k.cid
+                   GROUP BY a1.cid, a.i, ct$k.n)"""
+  }
+
+  private val TrainIters = 2
+
+  /** IVF with TRAINED centroids: 2 deterministic Lloyd iterations from
+    * the lowest-id seeds, then the same posting-list serve path — pins
+    * the training loop (assignment argmax + integer-mean update) that
+    * the seeded `ann_ivf_topk` never exercises. */
+  val annIvfTrained = Q("ann_ivf_trained_topk",
+    (s, dir) => {
+      val trained = Similarity.trainIvfCentroids(
+        emb(s, dir), nCentroids = NCent, iterations = TrainIters)
+      Similarity.ivfTopK(
+        emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+        k = 5, nCentroids = NCent, nprobe = NProbe, centroids = Some(trained))
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH qv AS (${qvSql()}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               cent0 AS (
+                 SELECT vec_id AS cid, i, v AS cv FROM qv
+                 WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $NCent)),
+               ${(1 to TrainIters).map(lloydIterSql).mkString(",\n")},
+               centf AS (SELECT * FROM cent$TrainIters),
+               cnf AS (SELECT cid, sum(cv * cv) AS nn FROM centf GROUP BY 1),
+               cdots AS (
+                 SELECT a.vec_id, c.cid, sum(a.v * c.cv) AS dot
+                 FROM qv a JOIN centf c ON a.i = c.i GROUP BY 1, 2),
+               csim AS (
+                 SELECT cdots.vec_id AS vec_id, cdots.cid AS cid,
+                        dot::DOUBLE / (sqrt(n1.nn::DOUBLE) * sqrt(cnf.nn::DOUBLE)) AS sim
+                 FROM cdots
+                 JOIN norms n1 ON cdots.vec_id = n1.vec_id
+                 JOIN cnf ON cdots.cid = cnf.cid),
+               ranked_assign AS (
+                 SELECT vec_id, cid, sim,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid ASC) AS crank
+                 FROM csim),
+               corpus_lists AS (SELECT vec_id AS cand_id, cid FROM ranked_assign WHERE crank = 1),
+               query_probes AS (SELECT vec_id AS query_id, cid FROM ranked_assign
+                                WHERE crank <= $NProbe AND vec_id < 5),
+               cand AS (
+                 SELECT query_id, cand_id
+                 FROM query_probes JOIN corpus_lists USING (cid)
+                 WHERE query_id <> cand_id),
+               dots AS (
+                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
+                 FROM cand
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2),
+               scored AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               ranked AS (
+                 SELECT query_id, cand_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM scored)
+             SELECT query_id, rank, cand_id, cosine FROM ranked
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained)
 }
