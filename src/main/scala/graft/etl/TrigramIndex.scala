@@ -69,6 +69,45 @@ object TrigramIndex {
     Some(perToken.reduce((a, b) => a.join(b, "osm_id")))
   }
 
+  /** Bulk form of [[candidateIds]] for COLUMN-VALUED tokens: `qtoks` is
+    * (qid, tok) — one row per distinct query token — and the result is
+    * the (qid, osm_id) candidate superset where some name column holds
+    * every gram of EVERY token of the query.
+    *
+    * Everything is an equality join: token→gram explode, gram-equality
+    * posting probe, (tok, osm_id, col_id) gram-count check, then a
+    * per-(qid, osm_id) token-count check. Nothing broadcasts the query
+    * side — this is what lets a 100M-name geocode join run as ordinary
+    * shuffles where the single-request path would have to broadcast.
+    * Callers must route tokens shorter than the gram size elsewhere
+    * (they match no posting). */
+  def candidateIdsBulk(index: DataFrame, qtoks: DataFrame): DataFrame = {
+    val toks = qtoks.select("tok").distinct()
+    // grams of each distinct token, column-side (no UDF): sliding
+    // substrings via sequence+transform, exploded to (tok, gram)
+    val tokGrams = toks
+      .select(col("tok"), explode(expr(
+        s"transform(sequence(1, length(tok) - ${N - 1}), i -> substring(tok, i, $N))"))
+        .as("gram"))
+    val nGrams = tokGrams.distinct().groupBy("tok")
+      .agg(countDistinct(col("gram")).as("ng"))
+    val tokCands = tokGrams.distinct()
+      .join(index, Seq("gram"))
+      .groupBy(col("tok"), col("osm_id"), col("col_id"))
+      .agg(countDistinct(col("gram")).as("hit"))
+      .join(nGrams, Seq("tok"))
+      .filter(col("hit") === col("ng"))
+      .select("tok", "osm_id")
+      .distinct()
+    val nToks = qtoks.groupBy("qid").agg(countDistinct(col("tok")).as("nt"))
+    qtoks.join(tokCands, Seq("tok"))
+      .groupBy(col("qid"), col("osm_id"))
+      .agg(countDistinct(col("tok")).as("thit"))
+      .join(nToks, Seq("qid"))
+      .filter(col("thit") === col("nt"))
+      .select("qid", "osm_id")
+  }
+
   /** Index-accelerated candidate fetch: prefilter by posting-list
     * intersection, then re-verify the exact predicate on the survivors.
     * Results are identical to `Repo.fetchCandidates` up to the

@@ -79,6 +79,13 @@ object Fixtures {
     }
   }
 
+  /** Trigram index over the (no-wikidata) gazetteer for the bulk
+    * indexed geocode join (g11). */
+  def gazIndex(s: SparkSession, dir: String): DataFrame = {
+    val pois = gazPois(s, dir, withWikidata = false) // outside the memo
+    memo(s, dir, "gazIndex") { TrigramIndex.build(pois).persist() }
+  }
+
   /** g10's pseudo-gazetteer over documents plus its trigram index —
     * probing a prebuilt index is the production shape; building it per
     * query was bench fat. */

@@ -243,11 +243,47 @@ object GeocodeQueries {
                     round(score0, 6) AS score
              FROM top ORDER BY score0 DESC, osm_id ASC"""))
 
+  /** Shared oracle for the bulk geocode-join queries (g9, g11): token
+    * containment join, [[WRatioSql]] scoring with composite
+    * (qid, osm_id) pair ids, per-qid window top-k. The oracle is the
+    * SCAN-path semantics — for g11 the Spark side routes through the
+    * trigram posting lists, so identical output doubles as the bulk
+    * index's correctness contract (the g10 pattern, join form). */
+  private def bulkGeocodeOracle(queriesCte: String, k: Int,
+                                withWikidata: Boolean): String =
+    s"""WITH RECURSIVE
+        pois AS (${gazPoisSql(withWikidata)}),
+        queries AS ($queriesCte),
+        qtok AS (
+          SELECT qid, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM queries),
+        joined AS (
+          SELECT q.qid, q.text, p.*
+          FROM pois p, qtok q
+          WHERE len(list_filter(q.toks, t ->
+                  contains(p.name_local_norm, t) OR contains(p.name_en_norm, t)))
+                = len(q.toks)),
+        wrpairs AS (
+          SELECT qid * 1000000000 + osm_id AS pid, text AS a, name_local_norm AS b
+          FROM joined),
+        ${WRatioSql.ctes("wrpairs").trim},
+        scored AS (
+          SELECT j.qid, j.text, j.name_local AS name, j.lat, j.lon,
+                 j.osm_id, j.kind,
+                 ${scoreSql.trim} AS score0
+          FROM joined j JOIN wr_final w ON w.pid = j.qid * 1000000000 + j.osm_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY score0 DESC, osm_id ASC) AS rank
+          FROM scored)
+        SELECT qid, text, rank, name, lat, lon, osm_id, kind,
+               round(score0, 6) AS score
+        FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
   /** G9 — the distributed fuzzy geocode JOIN (bulk form of the forward
     * pipeline, `query/GeocodeJoin`): a whole column of place names
-    * scored in one declarative program. Oracle: same [[WRatioSql]]
-    * machinery with composite (qid, osm_id) pair ids and a per-qid
-    * window top-k. */
+    * scored in one declarative program. */
   val g9 = Q("g9_geocode_join",
     (s, dir) => {
       import s.implicits._
@@ -258,38 +294,34 @@ object GeocodeQueries {
         .withColumn("score", round(col("score"), 6))
         .orderBy("qid", "rank")
     },
-    Some(s"""WITH RECURSIVE
-             pois AS (${gazPoisSql(withWikidata = false)}),
-             queries(qid, text) AS (VALUES
-               (CAST(1 AS BIGINT), 'small ring'),
-               (CAST(2 AS BIGINT), 'red widget'),
-               (CAST(3 AS BIGINT), 'blue bolt')),
-             qtok AS (
-               SELECT qid, text,
-                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
-               FROM queries),
-             joined AS (
-               SELECT q.qid, q.text, p.*
-               FROM pois p, qtok q
-               WHERE len(list_filter(q.toks, t ->
-                       contains(p.name_local_norm, t) OR contains(p.name_en_norm, t)))
-                     = len(q.toks)),
-             wrpairs AS (
-               SELECT qid * 1000000000 + osm_id AS pid, text AS a, name_local_norm AS b
-               FROM joined),
-             ${WRatioSql.ctes("wrpairs").trim},
-             scored AS (
-               SELECT j.qid, j.text, j.name_local AS name, j.lat, j.lon,
-                      j.osm_id, j.kind,
-                      ${scoreSql.trim} AS score0
-               FROM joined j JOIN wr_final w ON w.pid = j.qid * 1000000000 + j.osm_id),
-             ranked AS (
-               SELECT *, row_number() OVER (PARTITION BY qid
-                           ORDER BY score0 DESC, osm_id ASC) AS rank
-               FROM scored)
-             SELECT qid, text, rank, name, lat, lon, osm_id, kind,
-                    round(score0, 6) AS score
-             FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+    Some(bulkGeocodeOracle(
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'small ring'),
+           (CAST(2 AS BIGINT), 'red widget'),
+           (CAST(3 AS BIGINT), 'blue bolt')) AS v(qid, text)""",
+      k = 5, withWikidata = false)))
+
+  /** G11 — the bulk geocode join AT SCALE SHAPE: a whole table of query
+    * names (154 at sf0.01) routed through the trigram posting lists
+    * (`GeocodeJoin.topKIndexed` — token explode → gram-equality probe →
+    * count checks → verify), never broadcasting the query side. The
+    * oracle is the plain containment-scan semantics, so the hash match
+    * certifies the index path end-to-end at join scale. */
+  val g11 = Q("g11_bulk_geocode_index",
+    (s, dir) => {
+      val pois = Fixtures.gazPois(s, dir, withWikidata = false)
+      val ix = Fixtures.gazIndex(s, dir)
+      val queries = t(s, dir, "part")
+        .filter(col("p_partkey") % 13 === 0)
+        .select(col("p_partkey").cast("long").as("qid"), col("p_name").as("text"))
+      graft.query.GeocodeJoin.topKIndexed(queries, pois, ix, k = 3)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("qid", "rank")
+    },
+    Some(bulkGeocodeOracle(
+      """SELECT CAST(p_partkey AS BIGINT) AS qid, p_name AS text
+         FROM part WHERE p_partkey % 13 = 0""",
+      k = 3, withWikidata = false)))
 
   /** G10 — the trigram-index candidate path pinned END-TO-END against
     * the plain LIKE scan in DuckDB: the oracle is the scan-path SQL, the
@@ -310,5 +342,5 @@ object GeocodeQueries {
              WHERE canon LIKE '%table%' AND canon LIKE '%value%'
              ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
 }

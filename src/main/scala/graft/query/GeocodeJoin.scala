@@ -24,20 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object GeocodeJoin {
 
-  /** `queries` must carry (`qid`, `text`). Returns per-qid top-k hits
-    * with the same scoring surface as [[Ranking.rank]] minus proximity
-    * (no per-query area hint in the bulk form). */
-  def topK(queries: DataFrame, poiView: DataFrame,
-           settings: Settings = Settings(), k: Int = 5): DataFrame = {
-    val q = queries.select(
+  /** Normalized query side: (qid, text, qnorm, toks), empty-token rows
+    * dropped (`app.py:96-97`'s empty-request short-circuit, join form). */
+  private def prepQueries(queries: DataFrame): DataFrame =
+    queries.select(
         col("qid"), col("text"),
         Norm.normCol(col("text")).as("qnorm"))
       .withColumn("toks", filter(split(col("qnorm"), " "), t => t =!= ""))
       .filter(size(col("toks")) > 0)
 
-    val tokenPred = forall(col("toks"), t =>
-      col("name_local_norm").contains(t) || col("name_en_norm").contains(t))
+  /** P5 with column-valued tokens (`forall` over the query's token
+    * array). */
+  private val tokenPred: Column = forall(col("toks"), t =>
+    col("name_local_norm").contains(t) || col("name_en_norm").contains(t))
 
+  /** Score + per-qid window top-k over joined (poiView × query)
+    * survivor rows — shared by the broadcast and the indexed path so
+    * both produce identical hits by construction. */
+  private def rankTopK(cands: DataFrame, settings: Settings, k: Int): DataFrame = {
     // same raw-name fallback as Ranking.simTarget (ranking.py:69-70)
     def target(normCol: Column, rawCol: Column): Column =
       when(normCol.isNotNull && normCol =!= "", normCol)
@@ -53,7 +57,7 @@ object GeocodeJoin {
         lit(settings.wType) * Ranking.typeBoost(settings) +
         lit(settings.wImportance) * coalesce(col("importance"), lit(0.0))
 
-    poiView.join(broadcast(q), tokenPred)
+    cands
       .withColumn("score", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid")
@@ -62,5 +66,38 @@ object GeocodeJoin {
       .select(col("qid"), col("text"), col("rank"),
         coalesce(col("name_local"), col("name_en"), lit("")).as("name"),
         col("lat"), col("lon"), col("osm_id"), col("kind"), col("score"))
+  }
+
+  /** `queries` must carry (`qid`, `text`). Returns per-qid top-k hits
+    * with the same scoring surface as [[Ranking.rank]] minus proximity
+    * (no per-query area hint in the bulk form). Micro-batch shape: the
+    * query side broadcasts. For query sides too big to broadcast use
+    * [[topKIndexed]]. */
+  def topK(queries: DataFrame, poiView: DataFrame,
+           settings: Settings = Settings(), k: Int = 5): DataFrame =
+    rankTopK(poiView.join(broadcast(prepQueries(queries)), tokenPred), settings, k)
+
+  /** Large-query-side form: candidate pairs come from the trigram name
+    * index (`TrigramIndex.candidateIdsBulk` — token explode → posting
+    * equality join → count checks), the exact predicate re-verifies the
+    * superset, and scoring/ranking is shared with [[topK]]. Queries
+    * containing a token shorter than the gram size can't use posting
+    * lists; they fall back to the broadcast nested-loop join (a small
+    * residue in real corpora). Result equality with [[topK]] is
+    * spec-pinned; no step broadcasts or sorts the full query side. */
+  def topKIndexed(queries: DataFrame, poiView: DataFrame, index: DataFrame,
+                  settings: Settings = Settings(), k: Int = 5): DataFrame = {
+    val q = prepQueries(queries)
+    val indexable = forall(col("toks"),
+      t => length(t) >= graft.etl.TrigramIndex.N)
+    val qIdx = q.filter(indexable)
+    val qRest = q.filter(!indexable)
+    val qtoks = qIdx.select(col("qid"), explode(col("toks")).as("tok")).distinct()
+    val pairs = graft.etl.TrigramIndex.candidateIdsBulk(index, qtoks)
+    val idxCands = poiView.join(pairs, Seq("osm_id"))
+      .join(qIdx, Seq("qid"))
+      .filter(tokenPred)
+    val restCands = poiView.join(broadcast(qRest), tokenPred)
+    rankTopK(idxCands.unionByName(restCands), settings, k)
   }
 }

@@ -35,6 +35,23 @@ class GeocodeJoinSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("topKIndexed equals topK, including the short-token fallback path") {
+    val ix = graft.etl.TrigramIndex.build(pois)
+    val queries = Seq(
+      (10L, "monograph dining"),   // all tokens indexable
+      (20L, "widget"),             // single indexable token, 2 candidates
+      (30L, "kl cafe"),            // 'kl' < gram size -> broadcast fallback
+      (40L, "zzz qqq"),            // no match on either path
+      (50L, "the widget")          // matches via name_en_norm column
+    ).toDF("qid", "text")
+    val a = GeocodeJoin.topK(queries, pois, Settings(), k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val b = GeocodeJoin.topKIndexed(queries, pois, ix, Settings(), k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.exists(_.getLong(0) == 50L))
+  }
+
   test("normCol matches the scalar norm (distributed query normalization)") {
     val samples = Seq("Jalan-Jalan Cafe!", "a#b@c", "  MixED   spacing ", "it's") ++
       Gen.listOfN(100, Gen.asciiPrintableStr).pureApply(Gen.Parameters.default, Seed(11L))
