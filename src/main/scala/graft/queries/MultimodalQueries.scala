@@ -29,9 +29,12 @@ object MultimodalQueries {
                    md5(text) AS content_md5
             FROM documents ORDER BY media_id"""))
 
-  /** Partition-wise feature extraction (stubbed decode): real batch
-    * plumbing, rows-only driver check; the histogram invariants are
-    * pinned by ScalaTest. */
+  /** Partition-wise feature extraction: real batch plumbing, and the
+    * stub decode (16-bin high-nibble byte histogram, L1-normalized) is
+    * itself SQL-expressible — the oracle expands the payload to hex,
+    * counts the odd-position hex digits (= high nibbles), and rebuilds
+    * the same bins, so even the stub path is hash-checked. f_sum sums
+    * bins in index order exactly like the Spark-side left fold. */
   val mmFeatures = Q("mm_features",
     (s, dir) => {
       val f = Multimodal.extractFeatures(media(s, dir))
@@ -42,7 +45,32 @@ object MultimodalQueries {
         round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 6).as("f_sum"))
         .orderBy("media_id")
     },
-    None)
+    Some {
+      val digits = "0123456789ABCDEF"
+      val pivots = digits.zipWithIndex.map { case (d, k) =>
+        s"coalesce(max(CASE WHEN hn = '$d' THEN c END), 0) AS c$k" }
+        .mkString(",\n                        ")
+      val binSum = (0 until 16).map(k => s"h.c$k::DOUBLE / h.n").mkString(" + ")
+      s"""WITH b AS (
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n,
+                   upper(hex(encode(text))) AS h
+            FROM documents),
+          nib AS (
+            SELECT media_id, n, substr(h, 2 * i - 1, 1) AS hn
+            FROM (SELECT media_id, n, h, unnest(generate_series(1, n)) AS i FROM b)),
+          counts AS (SELECT media_id, any_value(n) AS n, hn, count(*) AS c
+                     FROM nib GROUP BY media_id, hn),
+          hist AS (SELECT media_id, any_value(n) AS n,
+                        $pivots
+                   FROM counts GROUP BY media_id)
+          SELECT b.media_id, b.n::BIGINT AS n_bytes,
+                 CASE WHEN b.n = 0 THEN 0.0 ELSE round(h.c2::DOUBLE / h.n, 6) END AS f2,
+                 CASE WHEN b.n = 0 THEN 0.0 ELSE round(h.c6::DOUBLE / h.n, 6) END AS f6,
+                 CASE WHEN b.n = 0 THEN 0.0 ELSE round(0.0 + $binSum, 6) END AS f_sum
+          FROM b LEFT JOIN hist h ON b.media_id = h.media_id
+          ORDER BY b.media_id"""
+    })
 
   val all: Seq[Q] = Seq(mmMeta, mmFeatures)
 }
