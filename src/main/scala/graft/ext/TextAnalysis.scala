@@ -57,14 +57,18 @@ object TextAnalysis {
       length(replace(coalesce(text, lit("")), lit(literal), lit("")))) / literal.length
 
   /** Character-trigram language profiles (the n-gram half of language
-    * ID; [[langMarkers]] is the word half). Profiles are tiny and
-    * deterministic; a real deployment trains them per language. */
+    * ID; [[langMarkers]] is the word half): high-frequency character
+    * trigrams of each language, as published in classic n-gram
+    * language-ID work (Cavnar–Trenkle-style profiles over common
+    * corpora such as the UDHR translations). ASCII-only so the counts
+    * are identical before/after canon. A production deployment trains
+    * longer profiles the same way; the operator shape is unchanged. */
   val langTrigramProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "val", "fas"),
-    "de" -> Seq("der", "sch", "tab"),
-    "es" -> Seq("row", "sca", "que"),
-    "fr" -> Seq("col", "mer", "eur"),
-    "zh" -> Seq("has", "str", "bat"))
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "de" -> Seq("sch", "ein", "ich", "der", "und"),
+    "es" -> Seq("que", "ado", "ent", "los", "est"),
+    "fr" -> Seq("les", "ent", "que", "ion", "eur"),
+    "it" -> Seq("che", "ent", "del", "lla", "zio"))
 
   /** Per-language char-trigram occurrence scores. */
   def trigramScores(text: Column): Seq[(String, Column)] =
@@ -72,31 +76,47 @@ object TextAnalysis {
       s"t_$lang" -> tris.map(t => substrCount(text, t)).reduce(_ + _).cast("long")
     }
 
-  /** Ordered language marker lists. On real corpora these would be the
-    * top character n-grams / stopwords per language; the mechanism
-    * (count marker hits per language, argmax with a fixed tie order) is
-    * the operator being pinned. */
+  /** Ordered language marker lists: the top function words (stopwords)
+    * of five Latin-script languages — the standard word-level
+    * language-ID signal, drawn from published frequency lists (the same
+    * words every UDHR/Leipzig-corpora ranking puts first). Ambiguous
+    * short words shared across Romance languages are genuinely ambiguous
+    * in the wild; the deterministic first-listed tie order resolves
+    * them. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "value", "fast"),
-    "de" -> Seq("der", "und", "table", "slow"),
-    "es" -> Seq("el", "la", "row", "scan"),
-    "fr" -> Seq("le", "et", "column", "merge"),
-    "zh" -> Seq("zh", "hash", "stream", "batch"))
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "for", "it", "as"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "en", "por", "con", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "pour", "une", "que"),
+    "it" -> Seq("il", "di", "che", "per", "con", "del", "una", "sono", "non", "alla"))
+
+  /** Count of marker tokens (with multiplicity) in a precomputed token
+    * array — lets one tokenization feed every language's score. */
+  def markerHitsTok(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
 
   /** Count of marker tokens (with multiplicity) present in the text. */
   def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(split(Norm.canon(text), " "),
-      t => markers.map(m => t === m).reduce(_ || _)))
+    markerHitsTok(tokensCol(text), markers)
+
+  /** Per-language marker scores over one shared token array. */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) => lang -> markerHitsTok(toks, ms) }
 
   /** Language guess = argmax over marker-hit scores, first-listed wins
     * ties (greatest-chain keeps the comparison deterministic). */
-  def langGuess(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+  def langGuessTok(toks: Column): Column = {
+    val scores = langScores(toks)
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** [[langGuessTok]] with tokenization inline. Callers scoring MANY
+    * languages should project [[tokensCol]] once and use the Tok forms
+    * (one canon+split in the plan instead of one per language). */
+  def langGuess(text: Column): Column = langGuessTok(tokensCol(text))
 
   /** Document fingerprint: stable content hash of the canonical text —
     * the exact-dedup key. */

@@ -71,12 +71,14 @@ object TextQueries {
 
   val taLangId = Q("ta_lang_id",
     (s, dir) => {
-      val scoreCols = TextAnalysis.langMarkers.map { case (lang, ms) =>
-        TextAnalysis.markerHits(col("text"), ms).as(s"s_$lang")
+      // one tokenization feeds all 5 score columns AND the guess
+      val scoreCols = TextAnalysis.langScores(col("toks")).map {
+        case (lang, c) => c.as(s"s_$lang")
       }
       docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokensCol(col("text")))
         .select((Seq(col("doc_id")) ++ scoreCols ++
-          Seq(TextAnalysis.langGuess(col("text")).as("lang_guess"), col("lang"))): _*)
+          Seq(TextAnalysis.langGuessTok(col("toks")).as("lang_guess"), col("lang"))): _*)
         .orderBy("doc_id")
     },
     Some {

@@ -169,6 +169,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getString(3) == "en") // contains 'the'
   }
 
+  test("language ID identifies real multilingual sentences with the real profiles") {
+    // genuine sentences, one per profiled language — the profiles are
+    // published-frequency function words, not corpus-fit markers, so
+    // this is the capability check, not just the mechanism check
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it is happy to be in the sun", "en"),
+      (2L, "der hund und die katze sind nicht mit dem kind zu hause", "de"),
+      (3L, "el perro come en la casa de mi amigo por que los gatos duermen", "es"),
+      (4L, "le chien est dans la maison et les chats dorment pour une heure", "fr"),
+      (5L, "il cane che dorme nella casa per una notte con del pane", "it"),
+      (6L, "xyzzy plugh quux", "und"))
+    val df = samples.toDF("id", "text", "expected")
+      .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+    val got = df.select(col("id"), TextAnalysis.langGuessTok(col("toks")).as("g"),
+        col("expected")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"sample ${r.getLong(0)}: guessed ${r.getString(1)}"))
+    // trigram half: German sentence scores its 'sch/ein/ich/der/und'
+    // profile above the English one
+    val tri = Seq((1L, "ich bin ein schneller schoener mensch und der wind ist schoen"))
+      .toDF("id", "text")
+      .select(TextAnalysis.trigramScores(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(tri.getLong(1) > tri.getLong(0)) // t_de > t_en
+  }
+
   test("approx_percentile tracks exact percentile (the at-scale path for r13)") {
     val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
     val row = li.agg(
