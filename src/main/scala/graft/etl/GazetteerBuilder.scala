@@ -149,18 +149,25 @@ object GazetteerBuilder {
         col("g.lat").as("center_lat"), col("g.lon").as("center_lon"))
   }
 
-  /** Build metadata — the reference's `gaz_meta` six-row provenance table
-    * (`build_gazetteer.py:75-110`); overwrite replaces its DELETE+INSERT
-    * transaction. */
-  def buildMeta(spark: SparkSession, source: String, outPath: String): DataFrame = {
+  /** Build metadata — the reference's `gaz_meta` six-row provenance
+    * table (`build_gazetteer.py:75-110`: `duckdb_version`, `pbf`,
+    * `quackosm_args`, `schema_version`, `built_at`, `artifact_path`, all
+    * as (key, value) ROWS). Key-for-key analogue: `engine_version` ↔
+    * `duckdb_version`, `source` ↔ `pbf`, `ingest_args` ↔
+    * `quackosm_args`; `built_at` is a row like the reference's
+    * `CAST(CURRENT_TIMESTAMP AS TEXT)`, not a column. Overwrite replaces
+    * its DELETE+INSERT transaction. */
+  def buildMeta(spark: SparkSession, source: String, outPath: String,
+                ingestArgs: String = ""): DataFrame = {
     import spark.implicits._
     Seq(
       "engine_version" -> spark.version,
       "source" -> source,
+      "ingest_args" -> ingestArgs,
       "schema_version" -> "1",
+      "built_at" -> java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).toString,
       "artifact_path" -> outPath
     ).toDF("key", "value")
-      .withColumn("built_at", current_timestamp().cast("string"))
   }
 
   /** Persist the gazetteer with a layout that scales: `pois` sorted by

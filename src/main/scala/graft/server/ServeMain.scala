@@ -5,15 +5,18 @@ import graft.query.ScoutEngine
 import org.apache.spark.sql.SparkSession
 
 /** Serve a built gazetteer over HTTP:
-  * `sbt "runMain graft.server.ServeMain <gazetteerPath> [port] [config.toml]"`
+  * `sbt "runMain graft.server.ServeMain [gazetteerPath] [port] [config.toml]"`
   * (build one first with [[graft.etl.GazetteerBuilder.write]] — e.g. the
-  * Demo writes /tmp/graft-demo-gaz).
+  * Demo writes /tmp/graft-demo-gaz). With no path argument the artifact
+  * location comes from settings (`[data] db_path` / `GAZETTEER_DB_PATH`),
+  * like the reference's `Settings.db_path` (`settings.py:7,36-38`).
   */
 object ServeMain {
   def main(args: Array[String]): Unit = {
-    val path = args(0)
+    val settings =
+      if (args.length > 2) Settings.load(args(2)) else Settings.load("config.toml")
+    val path = if (args.nonEmpty) args(0) else settings.dbPath
     val port = if (args.length > 1) args(1).toInt else 8000
-    val settings = if (args.length > 2) Settings.load(args(2)) else Settings()
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-serve")

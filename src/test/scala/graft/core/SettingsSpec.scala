@@ -45,4 +45,32 @@ class SettingsSpec extends AnyFunSuite {
     assert(s.typeBoostDefault == 0.1)
     assert(Settings.load("/nonexistent/config.toml") == Settings())
   }
+
+  test("serving/build settings: [data]/[build] sections with env override (settings.py:6-21)") {
+    val toml =
+      """[data]
+        |db_path = "artifacts/gaz"
+        |pbf_url = "https://example.org/planet.pbf"
+        |[build]
+        |overwrite = true
+        |""".stripMargin
+    val f = Files.createTempFile("graft-settings", ".toml")
+    Files.writeString(f, toml)
+    val fromFile = Settings.load(f.toString, env = Map.empty)
+    assert(fromFile.dbPath == "artifacts/gaz")
+    assert(fromFile.pbfUrl == "https://example.org/planet.pbf")
+    assert(fromFile.buildOverwrite)
+    // env wins over file, reference bool coercion for OVERWRITE
+    val over = Settings.load(f.toString, env = Map(
+      "GAZETTEER_DB_PATH" -> "/mnt/gaz", "PBF_URL" -> "s3://b/x.pbf",
+      "OVERWRITE" -> "off"))
+    assert(over.dbPath == "/mnt/gaz" && over.pbfUrl == "s3://b/x.pbf")
+    assert(!over.buildOverwrite)
+    // missing file: env still applies; defaults otherwise
+    val envOnly = Settings.load("/nonexistent/c.toml", env = Map("OVERWRITE" -> "Yes"))
+    assert(envOnly.buildOverwrite && envOnly.dbPath == "data/gazetteer")
+    assert(Settings.coerceBool(Some("1"), default = false))
+    assert(!Settings.coerceBool(Some("nope"), default = true))
+    assert(Settings.coerceBool(None, default = true))
+  }
 }

@@ -94,7 +94,15 @@ class GazetteerBuilderSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/pois").count() == 1)
     assert(spark.read.parquet(s"$out/admin").count() == 1)
     val meta = spark.read.parquet(s"$out/meta").collect()
-    assert(meta.map(_.getString(0)).contains("source"))
+    // S6: the reference's six provenance keys as (key, value) ROWS
+    // (build_gazetteer.py:91-99), key-for-key analogues
+    assert(meta.map(_.getString(0)).toSet == Set(
+      "engine_version", "source", "ingest_args", "schema_version",
+      "built_at", "artifact_path"))
+    assert(meta.map(_.schema.fieldNames.toSeq).forall(_ == Seq("key", "value")))
+    val kv = meta.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv("source") == "spec" && kv("artifact_path") == out)
+    assert(kv("built_at").nonEmpty && kv("engine_version") == spark.version)
     // existing artifact + overwrite=false -> build skipped (S5)
     assert(!GazetteerBuilder.write(spark, raw, out, source = "spec", overwrite = false))
     assert(GazetteerBuilder.write(spark, raw, out, source = "spec"))

@@ -33,6 +33,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(("11:00", "click")) == (1L, 4.0))
   }
 
+  test("stateful streaming runs on the RocksDB state store (off-heap state at scale)") {
+    // 100 TB/day of novelty/window state cannot live on the JVM heap;
+    // RocksDB is the provider a production deployment sets. Same query,
+    // same results — only the state backend changes.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      mem.addData(
+        Ev(ts(5), "click", 1.0, 1), Ev(ts(10), "click", 2.0, 1),
+        Ev(ts(20), "view", 3.0, 2))
+      val out = StreamOps.replayToTable(spark,
+        StreamOps.hourlyEventCounts(mem.toDF()), "spec_hourly_rocks", "complete")
+        .select(col("event_type"), col("n_events")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("click" -> 2L, "view" -> 1L))
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("session windows split on the 30-minute gap") {
     val df = Seq(
       Ev(ts(0), "a", 1.0, 1), Ev(ts(10), "a", 1.0, 1), // session 1 (gap 10m)
