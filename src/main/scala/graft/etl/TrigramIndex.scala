@@ -69,10 +69,10 @@ object TrigramIndex {
     Some(perToken.reduce((a, b) => a.join(b, "osm_id")))
   }
 
-  /** Bulk form of [[candidateIds]] for COLUMN-VALUED tokens: `qtoks` is
-    * (qid, tok) — one row per distinct query token — and the result is
-    * the (qid, osm_id) candidate superset where some name column holds
-    * every gram of EVERY token of the query.
+  /** Bulk form of [[candidateIds]] for COLUMN-VALUED tokens: `queryToks`
+    * is (qid, toks array) and the result is the (qid, osm_id) candidate
+    * superset where some name column holds every gram of EVERY token of
+    * the query.
     *
     * Everything is an equality join: token→gram explode, gram-equality
     * posting probe, (tok, osm_id, col_id) gram-count check, then a
@@ -81,29 +81,41 @@ object TrigramIndex {
     * shuffles where the single-request path would have to broadcast.
     * Callers must route tokens shorter than the gram size elsewhere
     * (they match no posting). */
-  def candidateIdsBulk(index: DataFrame, qtoks: DataFrame): DataFrame = {
-    val toks = qtoks.select("tok").distinct()
+  def candidateIdsBulk(index: DataFrame, queryToks: DataFrame): DataFrame = {
+    // every expected-count rides ALONG its exploded rows (size before
+    // explode) instead of being re-aggregated from a second read of the
+    // same subtree: a separate nGrams/nToks aggregate + join re-executes
+    // the whole upstream plan per use (Spark reuses exchanges, not
+    // arbitrary subplans) — measured 4-8x slower on the g11 shape. With
+    // inputs distinct-by-construction, count(1) == countDistinct, and
+    // avoiding countDistinct also avoids its Expand doubling.
+    val qt = queryToks
+      .select(col("qid"), array_distinct(col("toks")).as("dtoks"))
+      .select(col("qid"), size(col("dtoks")).as("nt"), explode(col("dtoks")).as("tok"))
+    val toks = qt.select("tok").distinct()
     // grams of each distinct token, column-side (no UDF): sliding
-    // substrings via sequence+transform, exploded to (tok, gram)
+    // substrings via sequence+transform
     val tokGrams = toks
-      .select(col("tok"), explode(expr(
-        s"transform(sequence(1, length(tok) - ${N - 1}), i -> substring(tok, i, $N))"))
-        .as("gram"))
-    val nGrams = tokGrams.distinct().groupBy("tok")
-      .agg(countDistinct(col("gram")).as("ng"))
-    val tokCands = tokGrams.distinct()
+      .select(col("tok"), expr(
+        s"array_distinct(transform(sequence(1, length(tok) - ${N - 1}), i -> substring(tok, i, $N)))")
+        .as("grams"))
+      .select(col("tok"), size(col("grams")).as("ng"), explode(col("grams")).as("gram"))
+    val tokCands = tokGrams
       .join(index, Seq("gram"))
       .groupBy(col("tok"), col("osm_id"), col("col_id"))
-      .agg(countDistinct(col("gram")).as("hit"))
-      .join(nGrams, Seq("tok"))
+      .agg(count(lit(1)).as("hit"), max(col("ng")).as("ng"))
       .filter(col("hit") === col("ng"))
       .select("tok", "osm_id")
       .distinct()
-    val nToks = qtoks.groupBy("qid").agg(countDistinct(col("tok")).as("nt"))
-    qtoks.join(tokCands, Seq("tok"))
+    // explicit-width repartition (exempt from AQE coalescing): when the
+    // query side is small enough to broadcast, tokCands is the PROBE
+    // side of the fan-out join, and its byte size wildly understates the
+    // join's output and aggregation CPU — without this the whole
+    // fan-out+count stage can collapse to 1-2 partitions
+    val w = tokCands.sparkSession.sessionState.conf.numShufflePartitions
+    qt.join(tokCands.repartition(w, col("osm_id")), Seq("tok"))
       .groupBy(col("qid"), col("osm_id"))
-      .agg(countDistinct(col("tok")).as("thit"))
-      .join(nToks, Seq("qid"))
+      .agg(count(lit(1)).as("thit"), max(col("nt")).as("nt"))
       .filter(col("thit") === col("nt"))
       .select("qid", "osm_id")
   }

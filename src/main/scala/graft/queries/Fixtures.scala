@@ -64,10 +64,20 @@ object Fixtures {
           col("lat").cast("string"), lit(")")).as("wkt"))
   }
 
+  /** A cached DataFrame keeps the partitioning of its FIRST
+    * materialization: a one-file parquet scan (or an AQE-coalesced
+    * shuffle) caches as 1-2 partitions and every later probe of the
+    * cache runs near-serial. Real deployments get width from
+    * `GazetteerBuilder.write`'s repartitionByRange; the in-memory
+    * fixtures pin it explicitly the same way. */
+  private def width(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
+
   /** Built POI table (the ETL output a served gazetteer persists). */
   def gazPois(s: SparkSession, dir: String, withWikidata: Boolean): DataFrame =
     memo(s, dir, s"pois:$withWikidata") {
-      GazetteerBuilder.buildPois(derivedRaw(s, dir, withWikidata)).persist()
+      GazetteerBuilder.buildPois(derivedRaw(s, dir, withWikidata))
+        .repartition(width(s), col("osm_id")).persist()
     }
 
   /** Long-lived forward-geocode engine over the memoized gazetteer. */
@@ -83,7 +93,9 @@ object Fixtures {
     * indexed geocode join (g11). */
   def gazIndex(s: SparkSession, dir: String): DataFrame = {
     val pois = gazPois(s, dir, withWikidata = false) // outside the memo
-    memo(s, dir, "gazIndex") { TrigramIndex.build(pois).persist() }
+    memo(s, dir, "gazIndex") {
+      TrigramIndex.build(pois).repartition(width(s), col("gram")).persist()
+    }
   }
 
   /** g10's pseudo-gazetteer over documents plus its trigram index —
@@ -94,8 +106,9 @@ object Fixtures {
       val pseudo = Tables.table(s, dir, "documents").select(
         col("doc_id").as("osm_id"),
         Norm.canon(col("text")).as("name_local_norm"),
-        lit("").as("name_en_norm")).persist()
-      val ix = TrigramIndex.build(pseudo).persist()
+        lit("").as("name_en_norm"))
+        .repartition(width(s), col("osm_id")).persist()
+      val ix = TrigramIndex.build(pseudo).repartition(width(s), col("gram")).persist()
       (pseudo, ix)
     }
 }

@@ -57,7 +57,14 @@ object GeocodeJoin {
         lit(settings.wType) * Ranking.typeBoost(settings) +
         lit(settings.wImportance) * coalesce(col("importance"), lit(0.0))
 
-    cands
+    // EXPLICIT-width repartition by the window key: the WRatio projection
+    // is CPU-bound, and AQE's byte-based coalescing would shrink the
+    // survivor shuffle to 1-3 partitions (survivor rows are small) and
+    // serialize the scoring — measured 3x on g11. A user-numbered
+    // repartition is exempt from coalescing, and the window reuses the
+    // hash(qid) distribution, so this adds no extra shuffle.
+    val width = cands.sparkSession.sessionState.conf.numShufflePartitions
+    cands.repartition(width, col("qid"))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid")
@@ -92,8 +99,8 @@ object GeocodeJoin {
       t => length(t) >= graft.etl.TrigramIndex.N)
     val qIdx = q.filter(indexable)
     val qRest = q.filter(!indexable)
-    val qtoks = qIdx.select(col("qid"), explode(col("toks")).as("tok")).distinct()
-    val pairs = graft.etl.TrigramIndex.candidateIdsBulk(index, qtoks)
+    val pairs = graft.etl.TrigramIndex.candidateIdsBulk(
+      index, qIdx.select("qid", "toks"))
     val idxCands = poiView.join(pairs, Seq("osm_id"))
       .join(qIdx, Seq("qid"))
       .filter(tokenPred)
