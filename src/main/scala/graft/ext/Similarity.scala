@@ -96,20 +96,20 @@ object Similarity {
         .select("cid", "q_emb")
       // update step: per-position INT64 sums (exact, order-free) → mean →
       // re-quantize; reassembled in position order so the result is a
-      // deterministic function of the assignment alone
-      val sums = assigned
+      // deterministic function of the assignment alone. Every member
+      // contributes exactly one row per position, so the (cid, pos)
+      // group size IS the member count — one read of `assigned`, no
+      // separate counts aggregate + join
+      cent = assigned
         .select(col("cid"), posexplode(col("q_emb")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(sum("v").as("s"))
-      val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
-      cent = sums.join(counts, "cid")
+        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
         .withColumn("m", round(col("s").cast("double") / col("n")).cast("long"))
         .groupBy("cid")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cent_emb"))
         // cut lineage per Lloyd iteration: without this the plan nests
-        // crossJoin+window+explode per iteration and re-evaluates twice
-        // (assigned feeds both sums and counts)
+        // crossJoin+argmax+explode per iteration
         .localCheckpoint(true)
       it += 1
     }
