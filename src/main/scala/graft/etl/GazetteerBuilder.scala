@@ -179,7 +179,7 @@ object GazetteerBuilder {
     * circuits the build. Returns true iff a build ran. */
   def write(spark: SparkSession, raw: DataFrame, outPath: String,
             source: String = "raw_osm", bucketTarget: Int = 0,
-            overwrite: Boolean = true): Boolean = {
+            overwrite: Boolean = true, ingestArgs: String = ""): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$outPath/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!overwrite && fs.exists(metaPath)) return false
@@ -193,7 +193,7 @@ object GazetteerBuilder {
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/pois")
     buildAdmin(raw).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/admin")
-    buildMeta(spark, source, outPath).coalesce(1)
+    buildMeta(spark, source, outPath, ingestArgs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/meta")
     // trigram name index: the physical design that keeps the LIKE
     // candidate scan subquadratic at scale (see TrigramIndex)

@@ -79,8 +79,12 @@ object TrigramIndex {
     * per-(qid, osm_id) token-count check. Nothing broadcasts the query
     * side — this is what lets a 100M-name geocode join run as ordinary
     * shuffles where the single-request path would have to broadcast.
-    * Callers must route tokens shorter than the gram size elsewhere
-    * (they match no posting). */
+    *
+    * Tokens shorter than the gram size have no postings and are
+    * EXCLUDED from the conjunction (the result stays a superset — the
+    * caller's exact re-verify restores them); a query with NO indexable
+    * token gets no row at all, so callers must route those to the scan
+    * path (`topKIndexed` routes any short-token query there). */
   def candidateIdsBulk(index: DataFrame, queryToks: DataFrame): DataFrame = {
     // every expected-count rides ALONG its exploded rows (size before
     // explode) instead of being re-aggregated from a second read of the
@@ -90,7 +94,12 @@ object TrigramIndex {
     // inputs distinct-by-construction, count(1) == countDistinct, and
     // avoiding countDistinct also avoids its Expand doubling.
     val qt = queryToks
-      .select(col("qid"), array_distinct(col("toks")).as("dtoks"))
+      .select(col("qid"),
+        // sub-N tokens would explode into descending-sequence garbage
+        // grams (Spark's sequence(1, len-2) steps DOWN for len < 3) and
+        // silently zero the whole query; dropping them keeps the
+        // superset contract instead
+        array_distinct(filter(col("toks"), t => length(t) >= N)).as("dtoks"))
       .select(col("qid"), size(col("dtoks")).as("nt"), explode(col("dtoks")).as("tok"))
     val toks = qt.select("tok").distinct()
     // grams of each distinct token, column-side (no UDF): sliding

@@ -36,6 +36,22 @@ object Fixtures {
   private def memo[T <: AnyRef](s: SparkSession, dir: String, what: String)(mk: => T): T =
     cache.computeIfAbsent((s, dir, what), _ => mk).asInstanceOf[T]
 
+  /** Drop (and unpersist) every fixture memoized for `s`. The memo holds
+    * strong references to persisted DataFrames, so a long-lived JVM that
+    * cycles SparkSessions must clear the old session's entries or they
+    * (and their cached blocks' metadata) are never collected. */
+  def clear(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
+      cache.remove(k) match {
+        case df: DataFrame => df.unpersist()
+        case e: ScoutEngine => () // its pois is also memoized directly
+        case (a: DataFrame, b: DataFrame) => a.unpersist(); b.unpersist()
+        case _ => ()
+      }
+    }
+  }
+
   /** Derived POI coordinates from customer keys (integer→double exact). */
   def poiLatLon(df: DataFrame): DataFrame = df
     .withColumn("lat", lit(-85.0) + (col("c_custkey") * 37 % 17000) / 100.0)

@@ -55,9 +55,8 @@ object GeocodeQueries {
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), Norm.canon(col("text")).as("canon"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-              trim(lower(regexp_replace(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon
-            FROM documents ORDER BY doc_id"""))
+    Some(s"""SELECT doc_id, ${WRatioSql.canonOf("text")} AS canon
+             FROM documents ORDER BY doc_id"""))
 
   /** G2 — P5 token-containment scan: conjunctive across tokens,
     * disjunctive across columns (the reference's candidate predicate). */
@@ -210,7 +209,11 @@ object GeocodeQueries {
     * candidate filter, WRatio ([[WRatioSql]]), weighted score, top-k —
     * so the flagship query is rows+schema+hash checked cross-engine.
     * Ranking compares UNROUNDED scores on both sides (round(6) is
-    * applied after the top-k, exactly as the Spark side does). */
+    * applied after the top-k, exactly as the Spark side does). The
+    * oracle does NOT mirror the P8 scan cap (`limitScan = 10000`,
+    * engine-order-dependent by design, SURVEY §5): it is valid while
+    * the candidate count stays under the cap — ~350 rows at sf0.1,
+    * ~3.5k at sf1. */
   val g8 = Q("g8_forward_geocode",
     (s, dir) => {
       // memoized long-lived engine: the bench measures the REQUEST
@@ -243,29 +246,33 @@ object GeocodeQueries {
                     round(score0, 6) AS score
              FROM top ORDER BY score0 DESC, osm_id ASC"""))
 
-  /** Shared oracle for the bulk geocode-join queries (g9, g11): token
-    * containment join, [[WRatioSql]] scoring with composite
-    * (qid, osm_id) pair ids, per-qid window top-k. The oracle is the
-    * SCAN-path semantics — for g11 the Spark side routes through the
-    * trigram posting lists, so identical output doubles as the bulk
-    * index's correctness contract (the g10 pattern, join form). */
+  /** Shared oracle for the bulk geocode-join queries (g9, g11): query
+    * text normalized with the F2 twin ([[WRatioSql.normOf]] — NOT the
+    * raw text, mirroring `GeocodeJoin.prepQueries` including its
+    * empty-token drop), token containment join, [[WRatioSql]] scoring
+    * with composite (qid, osm_id) pair ids, per-qid window top-k. The
+    * oracle is the SCAN-path semantics — for g11 the Spark side routes
+    * through the trigram posting lists, so identical output doubles as
+    * the bulk index's correctness contract (the g10 pattern, join
+    * form). */
   private def bulkGeocodeOracle(queriesCte: String, k: Int,
                                 withWikidata: Boolean): String =
     s"""WITH RECURSIVE
         pois AS (${gazPoisSql(withWikidata)}),
         queries AS ($queriesCte),
         qtok AS (
-          SELECT qid, text,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
-          FROM queries),
+          SELECT qid, text, qnorm,
+                 list_filter(string_split(qnorm, ' '), x -> x <> '') AS toks
+          FROM (SELECT qid, text, ${WRatioSql.normOf("text")} AS qnorm FROM queries)),
         joined AS (
-          SELECT q.qid, q.text, p.*
+          SELECT q.qid, q.text, q.qnorm, p.*
           FROM pois p, qtok q
-          WHERE len(list_filter(q.toks, t ->
+          WHERE len(q.toks) > 0
+            AND len(list_filter(q.toks, t ->
                   contains(p.name_local_norm, t) OR contains(p.name_en_norm, t)))
                 = len(q.toks)),
         wrpairs AS (
-          SELECT qid * 1000000000 + osm_id AS pid, text AS a, name_local_norm AS b
+          SELECT qid * 1000000000 + osm_id AS pid, qnorm AS a, name_local_norm AS b
           FROM joined),
         ${WRatioSql.ctes("wrpairs").trim},
         scored AS (

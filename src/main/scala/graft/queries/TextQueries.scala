@@ -12,9 +12,10 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
-  /** DuckDB twin of Norm.canon over the `text` column. */
-  private[queries] val canonSql =
-    """trim(lower(regexp_replace(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', ' ', 'g'), '\s+', ' ', 'g')))"""
+  /** DuckDB twin of Norm.canon over the `text` column (single source:
+    * [[WRatioSql.canonOf]] — three copies of this regex chain once
+    * existed and would drift independently). */
+  private[queries] val canonSql = WRatioSql.canonOf("text")
 
   val taTokens = Q("ta_token_count",
     (s, dir) => docs(s, dir)

@@ -33,6 +33,17 @@ object WRatioSql {
   def canonOf(expr: String): String =
     s"""trim(lower(regexp_replace(regexp_replace(coalesce($expr, ''), '[^[:alnum:][:space:]]', ' ', 'g'), '\\s+', ' ', 'g')))"""
 
+  /** `Norm.normCol` (F2 — query-text normalization: lowercase, punct
+    * minus hyphen → space, collapse runs) over an arbitrary SQL
+    * expression. The translate target is all-spaces, then runs collapse;
+    * the doubled '' is SQL escaping for the single quote in the
+    * punctuation set. */
+  def normOf(expr: String): String = {
+    val punct = """!"$%&''()*+,./:;<=>?@[\]^_`{|}~#"""
+    val spaces = " " * (punct.length - 1) // '' counts as ONE char
+    s"""trim(regexp_replace(translate(lower(coalesce($expr, '')), '$punct', '$spaces'), '\\s+', ' ', 'g'))"""
+  }
+
   /** CTE chain mapping `pairsRel(pid, a, b)` → `wr_final(pid, wr)`.
     * Must be spliced into a `WITH RECURSIVE` list. `a`/`b` must be
     * non-null; callers exclude empty-target pairs (the engine scores

@@ -57,14 +57,7 @@ object GeocodeJoin {
         lit(settings.wType) * Ranking.typeBoost(settings) +
         lit(settings.wImportance) * coalesce(col("importance"), lit(0.0))
 
-    // EXPLICIT-width repartition by the window key: the WRatio projection
-    // is CPU-bound, and AQE's byte-based coalescing would shrink the
-    // survivor shuffle to 1-3 partitions (survivor rows are small) and
-    // serialize the scoring — measured 3x on g11. A user-numbered
-    // repartition is exempt from coalescing, and the window reuses the
-    // hash(qid) distribution, so this adds no extra shuffle.
-    val width = cands.sparkSession.sessionState.conf.numShufflePartitions
-    cands.repartition(width, col("qid"))
+    cands
       .withColumn("score", score)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid")
@@ -105,6 +98,15 @@ object GeocodeJoin {
       .join(qIdx, Seq("qid"))
       .filter(tokenPred)
     val restCands = poiView.join(broadcast(qRest), tokenPred)
-    rankTopK(idxCands.unionByName(restCands), settings, k)
+    // EXPLICIT-width repartition by the window key, on the BULK path
+    // only (topK's micro-batches would just gain empty-task latency):
+    // the WRatio projection is CPU-bound, and AQE's byte-based
+    // coalescing would shrink the survivor shuffle to 1-3 partitions
+    // and serialize the scoring — measured 3x on g11. A user-numbered
+    // repartition is exempt from coalescing, and rankTopK's window
+    // reuses the hash(qid) distribution, so no extra shuffle.
+    val width = queries.sparkSession.sessionState.conf.numShufflePartitions
+    rankTopK(idxCands.unionByName(restCands).repartition(width, col("qid")),
+      settings, k)
   }
 }

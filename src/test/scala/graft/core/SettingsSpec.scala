@@ -37,13 +37,16 @@ class SettingsSpec extends AnyFunSuite {
         |""".stripMargin
     val f = Files.createTempFile("graft-settings", ".toml")
     Files.writeString(f, toml)
-    val s = Settings.load(f.toString)
+    // env injected empty: the 1-arg load reads the REAL process env
+    // (reference parity), which would make these assertions depend on
+    // whatever GAZETTEER_DB_PATH/PBF_URL/OVERWRITE the runner exports
+    val s = Settings.load(f.toString, env = Map.empty)
     assert(s.wSimilarity == 0.5)
     assert(s.wType == 0.25) // untouched default
     assert(s.proximityKm == 10.0)
     assert(s.typeBoost == Seq("leisure:" -> 0.9, "shop:" -> 0.2))
     assert(s.typeBoostDefault == 0.1)
-    assert(Settings.load("/nonexistent/config.toml") == Settings())
+    assert(Settings.load("/nonexistent/config.toml", env = Map.empty) == Settings())
   }
 
   test("serving/build settings: [data]/[build] sections with env override (settings.py:6-21)") {

@@ -107,4 +107,21 @@ class GazetteerBuilderSpec extends SparkSpec {
     assert(!GazetteerBuilder.write(spark, raw, out, source = "spec", overwrite = false))
     assert(GazetteerBuilder.write(spark, raw, out, source = "spec"))
   }
+
+  test("BuildMain wires settings: db_path target, overwrite gate, pbf_url provenance") {
+    val raw = df(Seq(Row(1L, "A", Map("amenity" -> "cafe"), "POINT(1 2)")))
+    val rawPath = java.nio.file.Files.createTempDirectory("gaz-raw").toString
+    raw.write.mode("overwrite").parquet(rawPath)
+    val out = java.nio.file.Files.createTempDirectory("gaz-built").toString + "/gaz"
+    val s = graft.core.Settings(dbPath = out, pbfUrl = "https://example.org/x.pbf")
+    // first build runs; second is gated by buildOverwrite=false (the
+    // reference's idempotent skip); OVERWRITE-style true rebuilds
+    assert(BuildMain.run(spark, rawPath, s, cliArgs = Seq("spec-run")))
+    assert(!BuildMain.run(spark, rawPath, s))
+    assert(BuildMain.run(spark, rawPath, s.copy(buildOverwrite = true)))
+    val kv = spark.read.parquet(s"$out/meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv("source") == "https://example.org/x.pbf")
+    assert(kv("artifact_path") == out)
+  }
 }

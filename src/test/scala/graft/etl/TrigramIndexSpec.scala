@@ -52,6 +52,24 @@ class TrigramIndexSpec extends SparkSpec {
     assert(indexIds(Seq("central")).get == Set(4L))
   }
 
+  test("candidateIdsBulk: superset per query; short tokens excluded, not query-killing") {
+    val queries = Seq(
+      (1L, Seq("dining")),                 // plain
+      (2L, Seq("mono", "dining")),         // conjunction
+      (3L, Seq("kl", "dining")),           // 'kl' < gram size -> excluded from the
+                                           // conjunction, result stays a SUPERSET
+      (4L, Seq("zzz"))                     // no match
+    ).toDF("qid", "toks")
+    val got = TrigramIndex.candidateIdsBulk(index, queries)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == scanIds(Seq("dining")))
+    assert(got(2L) == scanIds(Seq("mono", "dining")))
+    // superset of the exact conjunction (verify step re-filters)
+    assert(scanIds(Seq("kl", "dining")).subsetOf(got.getOrElse(3L, Set.empty)))
+    assert(got(3L) == scanIds(Seq("dining")))
+    assert(!got.contains(4L))
+  }
+
   test("gram extraction") {
     assert(TrigramIndex.grams("abcd") == Seq("abc", "bcd"))
     assert(TrigramIndex.grams("ab").isEmpty)
