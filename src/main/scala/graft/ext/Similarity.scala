@@ -27,9 +27,11 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** INT64 dot product of two quantized vectors (exact). */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** INT64 dot product of two quantized vectors (exact). Native codegen
+    * expression — the HOF form (`aggregate(zip_with(_*_))`) evaluates
+    * its lambdas interpreted per row and allocates the product array
+    * (see `functions/DotQExpression`). */
+  def dotQ(a: Column, b: Column): Column = graft.functions.dotq(a, b)
 
   /** Deterministic cosine from quantized vectors. */
   def cosineQ(qa: Column, qb: Column): Column =
@@ -63,9 +65,7 @@ object Similarity {
     * exact INT64, so the sign — hence the bucket — is engine-portable. */
   def lshBucket(qemb: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { p =>
-      val w = hyperplane(p, dim)
-      val dot = aggregate(
-        zip_with(qemb, lit(w), (x, wj) => x * wj), lit(0L), (acc, v) => acc + v)
+      val dot = dotQ(qemb, lit(hyperplane(p, dim)))
       when(dot > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 

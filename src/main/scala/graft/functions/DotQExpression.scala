@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Scalar core shared by interpreted eval and generated code (object
+  * methods compile to static forwarders, so codegen calls it directly). */
+object DotQ {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}
+
+/** INT64 dot product of two quantized `array<long>` vectors as a native
+  * codegen expression — the hot primitive under every similarity/ANN
+  * cosine ([[graft.ext.Similarity]]).
+  *
+  * The higher-order-function form (`aggregate(zip_with(_*_))`) builds an
+  * intermediate product array and evaluates the lambdas INTERPRETED per
+  * row — measured ~2x slower on the 45k-pair cosine shape even before
+  * allocation pressure; this expression is one tight primitive loop
+  * inside whole-stage codegen. Semantics match the HOF form on dense
+  * equal-length arrays (quantized embeddings are dense by construction);
+  * a length mismatch dots the common prefix.
+  */
+case class DotQExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dotq requires (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dotq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotQ.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotQ.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQExpression =
+    copy(left = newLeft, right = newRight)
+}

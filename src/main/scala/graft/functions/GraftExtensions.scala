@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
   * use (`spark.sql.extensions=graft.functions.GraftExtensions`):
   *
   *   - `wratio(q, t)` — native fuzzy-similarity expression (codegen)
+  *   - `dotq(a, b)` — INT64 quantized-vector dot product (codegen)
   *   - `canon(s)` — gazetteer name normalization (F1), expanded into the
   *     same built-in expression tree as [[graft.core.Norm.canon]] — the
   *     Spark analogue of the reference's DuckDB macro (`000_init.sql:5-11`)
@@ -49,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wratio"),
       info("wratio", "wratio(q, t) - rapidfuzz-style WRatio similarity in [0,100]"),
       (children: Seq[Expression]) => WRatioExpression(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("dotq"),
+      info("dotq", "dotq(a, b) - INT64 dot product of quantized array<bigint> vectors"),
+      (children: Seq[Expression]) => DotQExpression(children(0), children(1))))
 
     ext.injectFunction((
       FunctionIdentifier("canon"),

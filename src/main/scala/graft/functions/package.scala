@@ -10,4 +10,10 @@ package object functions {
   def wratio(q: Column, target: Column): Column =
     GraftBridge.column(WRatioExpression(
       GraftBridge.expression(q), GraftBridge.expression(target)))
+
+  /** INT64 dot product of quantized vectors as a codegen'd native
+    * expression (the similarity/ANN hot primitive). */
+  def dotq(a: Column, b: Column): Column =
+    GraftBridge.column(DotQExpression(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

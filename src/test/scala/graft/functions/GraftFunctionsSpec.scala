@@ -46,4 +46,23 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.sql("SELECT wratio(1, 2)").collect()
     }
   }
+
+  test("dotq native expression matches the HOF form and registers in SQL") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, -5L, 6L)),
+      (Array(32768L, -32768L), Array(32768L, 32768L)),
+      (Array.empty[Long], Array.empty[Long]))
+      .toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)).as[Long].collect().toSeq
+    val native = df.select(dotq(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(native == hof && native == Seq(12L, 0L, 0L))
+    assert(spark.sql("SELECT dotq(array(1L, 2L), array(3L, 4L))").as[Long].head() == 11L)
+    // null input -> null (null-safe binary expression)
+    val r = Seq((Option.empty[Array[Long]], Option(Array(1L))))
+      .toDF("a", "b").select(dotq(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+    intercept[Exception] { spark.sql("SELECT dotq('x', 'y')").collect() }
+  }
 }
