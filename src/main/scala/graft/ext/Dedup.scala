@@ -129,6 +129,67 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise similarity hits into dedup CLUSTERS (keep one doc
+    * per component). Deterministic min-label propagation: every node's
+    * label converges to the smallest id in its component, a unique
+    * fixpoint independent of iteration/partition order (which is what
+    * lets a SQL transitive-closure oracle check it bit-for-bit).
+    *
+    * Scale shape: each round is one equality join (edges × labels) + a
+    * min-aggregate — all hash-partitionable by node id; rounds needed =
+    * component diameter (near-dup clusters are shallow; `maxIters`
+    * bounds pathological chains). `localCheckpoint` cuts the per-round
+    * lineage, and the convergence check is a count, not a collect.
+    * GraphX-style large-star/small-star halves the round count at
+    * extreme diameters; plain propagation is the right tool for the
+    * shallow components LSH emits. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp2") < col("comp")).isEmpty
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      it += 1
+    }
+    labels
+  }
+
+  /** Train/test decontamination: which held-out (test) documents share
+    * word n-grams with which training documents — the standard check
+    * before an evaluation set is trusted. Returns
+    * (test_id, train_id, n_shared) over DISTINCT shingles.
+    *
+    * The join key is the 32-bit portable shingle hash, not the shingle
+    * string — at corpus scale that divides the shuffled bytes by the
+    * shingle length (a false-positive collision needs matching 32-bit
+    * hashes, ~n_shingles²/2³² expected spurious pairs; raise to the md5
+    * prefix width if that ever matters). Ubiquitous shingles should be
+    * df-cut upstream for real corpora (see [[jaccardPairs]]); n-grams
+    * of n ≥ 4 are rare enough that the fan-out stays linear. */
+  def contaminationPairs(df: DataFrame, idCol: String, textCol: String,
+                         testPred: Column, n: Int): DataFrame = {
+    val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
+    val sh = docShingles(df, idCol, textCol, n)
+      .join(flags, "id")
+      .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
+    sh.filter(col("is_test")).select(col("id").as("test_id"), col("h"))
+      .join(sh.filter(!col("is_test")).select(col("id").as("train_id"), col("h")), "h")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Token-set Jaccard similarity pairs via an inverted-index join:
     * pairs sharing ≥1 token, sim = |A∩B| / |A|+|B|-|A∩B|. The `maxDf`
     * document-frequency cut drops ubiquitous tokens before the join —

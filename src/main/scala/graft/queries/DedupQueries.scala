@@ -136,5 +136,63 @@ object DedupQueries {
           ORDER BY a, b"""
     })
 
-  val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash, ddJaccard)
+  /** Dedup CLUSTERS from the LSH pair graph: connected components with
+    * min-id labels (the keep-one-per-cluster step every near-dedup
+    * pipeline ends with). The oracle computes the same fixpoint as a
+    * recursive transitive closure — label propagation's unique
+    * fixpoint is exactly min(reachable id). */
+  val ddComponents = Q("dd_components",
+    (s, dir) => {
+      val win = docs(s, dir).filter(col("doc_id") < 100)
+      val sig = Dedup.minhashSignature(
+        Dedup.docTokens(win, "doc_id", "text", distinct = false), NumHashes)
+      val edges = Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2)
+      Dedup.connectedComponents(
+        win.select(col("doc_id").cast("long").as("id")), edges)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sig = minhashSigSql(toksSql("WHERE doc_id < 100"))
+      val bandSelects = (0 until NumHashes / 2).map(b =>
+        s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE sig AS ($sig),
+            bands AS ($bandSelects),
+            pairs AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+            nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+            edges AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT src AS doc_id, min(dst) AS component
+          FROM reach GROUP BY src ORDER BY doc_id"""
+    })
+
+  /** Train/test decontamination: held-out docs (stable id-based split)
+    * sharing 4-gram shingles with training docs, joined on the portable
+    * shingle hash on BOTH engines (so hash collisions, if any, agree). */
+  val ddContamination = Q("dd_contamination",
+    (s, dir) => Dedup.contaminationPairs(
+      docs(s, dir), "doc_id", "text", testPred = col("doc_id") % 20 === 0, n = 4)
+      .orderBy("test_id", "train_id"),
+    Some {
+      val shingleHash = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+      s"""WITH sh AS (
+            SELECT id, $shingleHash AS h FROM (${shinglesSql(4)})),
+          test AS (SELECT id AS test_id, h FROM sh WHERE id % 20 = 0),
+          train AS (SELECT id AS train_id, h FROM sh WHERE id % 20 <> 0)
+          SELECT test_id, train_id, count(*) AS n_shared
+          FROM test JOIN train USING (h)
+          GROUP BY test_id, train_id
+          ORDER BY test_id, train_id"""
+    })
+
+  val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
+    ddJaccard, ddComponents, ddContamination)
 }

@@ -169,6 +169,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getString(3) == "en") // contains 'the'
   }
 
+  test("connected components: min-label clusters, chains, isolated nodes") {
+    val nodes = (1L to 8L).toDF("id")
+    // component {1,2,3,4} via a chain (needs >1 propagation round),
+    // component {6,7}, isolated {5, 8}
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (6L, 7L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("contamination pairs: shared n-grams between split halves only") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),   // test (id%2==0)
+      (2L, "one two three four"),               // test, no overlap
+      (1L, "x alpha beta gamma delta y"),       // train: shares 2 4-grams with doc 0
+      (3L, "alpha beta gamma delta epsilon")    // train: shares 2 4-grams with doc 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(docs, "doc_id", "text",
+        testPred = col("doc_id") % 2 === 0, n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 1L), (0L, 3L, 2L)))
+  }
+
   test("language ID identifies real multilingual sentences with the real profiles") {
     // genuine sentences, one per profiled language — the profiles are
     // published-frequency function words, not corpus-fit markers, so
