@@ -146,9 +146,14 @@ object Dedup {
     * shallow components LSH emits. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 25): DataFrame = {
+    // materialized ONCE: the edge list is read twice per round (the
+    // propagation join + the convergence check), and without the
+    // checkpoint every action re-executes the whole upstream pair
+    // generation (e.g. the LSH pipeline) per round
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
     var it = 0
     var converged = false
