@@ -5,8 +5,13 @@ Builds the same SQL text that graft.queries.WRatioSql generates (keep the
 two in sync — the Scala side is the one the driver runs), executes it
 over the committed golden pairs, and compares against tools/wratio_ref.py.
 
-Usage: python3 tools/wratio_sql_proto.py
+Usage: python3 tools/wratio_sql_proto.py [N]
+
+With N, additionally sweeps N seeded-random pairs (token phrases and
+dense char-soup) through both implementations — the fuzz half of the
+parity pin (the committed goldens are the fixed half).
 """
+import random
 import sys
 from pathlib import Path
 
@@ -133,9 +138,26 @@ wr_final AS (
 )"""
 
 
+def rand_pairs(n):
+    rng = random.Random(424242)
+    toks = ["small", "ring", "grand", "hotel", "st", "kl", "a", "bb", "plaza",
+            "x", "north", "1", "22", "anzac", "q"]
+    out = []
+    while len(out) < n:
+        out.append((" ".join(rng.choice(toks) for _ in range(rng.randint(1, 7))),
+                    " ".join(rng.choice(toks) for _ in range(rng.randint(1, 7)))))
+        ca = "".join(rng.choice("abc x") for _ in range(rng.randint(1, 40))).strip()
+        cb = "".join(rng.choice("abc x") for _ in range(rng.randint(1, 40))).strip()
+        if ca and cb:
+            out.append((" ".join(ca.split()), " ".join(cb.split())))
+    return out[:n]
+
+
 def main() -> int:
     golden = Path(__file__).parent.parent / "src/test/resources/wratio_golden.tsv"
     rows = [ln.split("\t") for ln in golden.read_text().splitlines()[1:]]
+    if len(sys.argv) > 1:
+        rows += [[a, b] for a, b in rand_pairs(int(sys.argv[1]))]
     con = duckdb.connect()
     con.execute("CREATE TABLE pairs(pid BIGINT, a VARCHAR, b VARCHAR)")
     exp = {}
