@@ -171,6 +171,16 @@ object Dedup {
     labels
   }
 
+  /** Deterministic split assignment (train/test/val routing): a stable
+    * engine-portable hash of (salt, id) modulo 100 against the train
+    * percentage. Stable across runs, partitionings, and engines — the
+    * property a reproducible corpus split actually needs (a `rand()`
+    * split changes membership on every retry). Different salts give
+    * independent splits of the same corpus. */
+  def splitAssign(id: Column, trainPct: Int, salt: String = "split"): Column =
+    when(pmod(tokenHash(concat(lit(salt + ":"), id.cast("string"))), lit(100)) < trainPct,
+      "train").otherwise("test")
+
   /** Train/test decontamination: which held-out (test) documents share
     * word n-grams with which training documents — the standard check
     * before an evaluation set is trusted. Returns

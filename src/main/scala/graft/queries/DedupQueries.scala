@@ -193,6 +193,19 @@ object DedupQueries {
           ORDER BY test_id, train_id"""
     })
 
+  /** Reproducible 90/10 split assignment over the whole corpus — the
+    * salted-hash routing every decontamination/eval pipeline starts
+    * from (stable under retries and repartitioning, unlike rand()). */
+  val ddSplit = Q("dd_split",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        Dedup.splitAssign(col("doc_id"), trainPct = 90).as("split"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 90
+                   THEN 'train' ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
-    ddJaccard, ddComponents, ddContamination)
+    ddJaccard, ddComponents, ddContamination, ddSplit)
 }

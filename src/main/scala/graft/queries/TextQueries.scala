@@ -107,5 +107,26 @@ object TextQueries {
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id, md5($canonSql) AS fp FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taLangTrigram, taFingerprint)
+  /** Corpus curation report: per corpus-language — document count, total
+    * tokens, exact-dup groups (distinct fingerprints vs docs = the dup
+    * rate), and source diversity. The summary table a dataset card is
+    * built from; one grouped aggregate, partial-agg friendly. */
+  val taCorpusReport = Q("ta_corpus_report",
+    (s, dir) => docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang"),
+    Some(s"""SELECT lang,
+               count(*) AS n_docs,
+               sum(len(list_filter(string_split($canonSql, ' '), x -> x <> ''))) AS total_tokens,
+               count(DISTINCT md5($canonSql)) AS n_distinct,
+               count(DISTINCT source) AS n_sources
+             FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taLangTrigram,
+    taFingerprint, taCorpusReport)
 }
