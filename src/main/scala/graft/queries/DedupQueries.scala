@@ -20,8 +20,12 @@ object DedupQueries {
     s"""SELECT DISTINCT doc_id AS id, unnest(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS tok
         FROM documents $where"""
 
-  /** Portable token hash in DuckDB — twin of Dedup.tokenHash. */
-  private val tokHashSql = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+  /** Portable 32-bit hash in DuckDB — twin of Dedup.tokenHash over an
+    * arbitrary expression. */
+  private def portableHash(expr: String) =
+    s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+
+  private val tokHashSql = portableHash("tok")
 
   val ddExact = Q("dd_exact",
     (s, dir) => Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -60,6 +64,20 @@ object DedupQueries {
       .orderBy("id"),
     Some(s"""SELECT * FROM (${minhashSigSql(shinglesSql(3))}) ORDER BY id"""))
 
+  /** LSH band/bucket candidate pairs as CTEs over an in-scope `sig` —
+    * shared by the dd_minhash_pairs and dd_components oracles (the
+    * clustering oracle builds its edge list from the same pair SQL). */
+  private def lshCandSql: String = {
+    val bandSelects = (0 until NumHashes / 2).map(b =>
+      s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM sig")
+      .mkString(" UNION ALL ")
+    s"""bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
+  }
+
   /** LSH banding over unigram signatures of a bounded doc window: bands
     * of 2 rows over 8 hashes; pairs sharing a band bucket, scored by the
     * agreeing-hash fraction (the MinHash Jaccard estimate). */
@@ -73,19 +91,11 @@ object DedupQueries {
         .orderBy("a", "b")
     },
     Some {
-      val sig = minhashSigSql(toksSql("WHERE doc_id < 100"))
-      val bandSelects = (0 until NumHashes / 2).map(b =>
-        s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM sig")
-        .mkString(" UNION ALL ")
       val agree = (0 until NumHashes)
         .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH sig AS ($sig),
-            bands AS ($bandSelects),
-            cand AS (
-              SELECT DISTINCT l.id AS a, r.id AS b
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+      s"""WITH sig AS (${minhashSigSql(toksSql("WHERE doc_id < 100"))}),
+            $lshCandSql
           SELECT a, b, round(($agree)::DOUBLE / $NumHashes, 6) AS est_sim
           FROM cand
           JOIN sig sa ON a = sa.id
@@ -152,27 +162,18 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     },
-    Some {
-      val sig = minhashSigSql(toksSql("WHERE doc_id < 100"))
-      val bandSelects = (0 until NumHashes / 2).map(b =>
-        s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH RECURSIVE sig AS ($sig),
-            bands AS ($bandSelects),
-            pairs AS (
-              SELECT DISTINCT l.id AS a, r.id AS b
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    Some(
+      s"""WITH RECURSIVE sig AS (${minhashSigSql(toksSql("WHERE doc_id < 100"))}),
+            $lshCandSql,
             nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
-            edges AS (SELECT a AS src, b AS dst FROM pairs
-                      UNION SELECT b, a FROM pairs),
+            edges AS (SELECT a AS src, b AS dst FROM cand
+                      UNION SELECT b, a FROM cand),
             reach(src, dst) AS (
               SELECT id, id FROM nodes
               UNION
               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
           SELECT src AS doc_id, min(dst) AS component
-          FROM reach GROUP BY src ORDER BY doc_id"""
-    })
+          FROM reach GROUP BY src ORDER BY doc_id"""))
 
   /** Train/test decontamination: held-out docs (stable id-based split)
     * sharing 4-gram shingles with training docs, joined on the portable
@@ -182,9 +183,8 @@ object DedupQueries {
       docs(s, dir), "doc_id", "text", testPred = col("doc_id") % 20 === 0, n = 4)
       .orderBy("test_id", "train_id"),
     Some {
-      val shingleHash = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
       s"""WITH sh AS (
-            SELECT id, $shingleHash AS h FROM (${shinglesSql(4)})),
+            SELECT id, $tokHashSql AS h FROM (${shinglesSql(4)})),
           test AS (SELECT id AS test_id, h FROM sh WHERE id % 20 = 0),
           train AS (SELECT id AS train_id, h FROM sh WHERE id % 20 <> 0)
           SELECT test_id, train_id, count(*) AS n_shared
@@ -201,8 +201,8 @@ object DedupQueries {
       .select(col("doc_id"),
         Dedup.splitAssign(col("doc_id"), trainPct = 90).as("split"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-              CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 90
+    Some(s"""SELECT doc_id,
+              CASE WHEN ${portableHash("'split:' || doc_id")} % 100 < 90
                    THEN 'train' ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
