@@ -116,5 +116,64 @@ object Relational2 {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             ORDER BY l_orderkey, l_linenumber"""))
 
-  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16)
+  /** R17 — AS-OF join (each view event annotated with the user's latest
+    * click at-or-before it): Spark has no asof operator, so this pins
+    * the union+running-window composition (`ext/TimeJoins`) against
+    * DuckDB's NATIVE `ASOF LEFT JOIN` — two genuinely different
+    * implementations of the same semantics. The right side is
+    * pre-aggregated to one row per (user, ts) — the determinism
+    * contract both engines need. */
+  val r17 = Q("r17_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ext.TimeJoins.asofBackward(views, clicks, "user_id", "ts",
+          payload = Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("value"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          col("r_click_value").as("click_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'view'),
+                 r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+                       WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.value,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, r.click_value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id"""))
+
+  /** R18 — interval (range) join: purchases falling inside the 30-minute
+    * window after any signup, WITHOUT an equality key — the pure range
+    * case a naive range-predicate join executes as a nested loop. The
+    * Spark side routes through the bucketized equality join
+    * (`TimeJoins.intervalJoin`); the oracle is the plain inequality
+    * join, so the hash match proves bucket+re-verify ≡ the range
+    * predicate. */
+  val r18 = Q("r18_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("s_ts"),
+          expr("ts + INTERVAL 30 MINUTES").as("s_end"))
+      graft.ext.TimeJoins.intervalJoin(
+          purchases, "p_ts", signups, "s_ts", "s_end", widthSec = 1800)
+        .select("purchase_id", "signup_id")
+        .orderBy("purchase_id", "signup_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+            FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+              ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 30 MINUTE
+            ORDER BY purchase_id, signup_id"""))
+
+  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18)
 }

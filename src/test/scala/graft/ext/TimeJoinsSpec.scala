@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TimeJoinsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $s")
+
+  test("asofBackward: inclusive boundary, latest-prior match, no-match nulls, key isolation") {
+    val left = Seq(
+      (1L, 1L, ts("09:58:00"), 10.0), // before any right row -> nulls
+      (2L, 1L, ts("10:00:00"), 20.0), // equal ts -> inclusive match
+      (3L, 1L, ts("10:04:00"), 30.0), // between right rows -> 10:00
+      (4L, 1L, ts("10:06:00"), 40.0), // after last -> 10:05
+      (5L, 2L, ts("10:04:00"), 50.0)  // other key: only key-2 rights apply
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (1L, ts("09:59:00"), 1.0),
+      (1L, ts("10:00:00"), 2.0),
+      (1L, ts("10:05:00"), 3.0),
+      (2L, ts("10:01:00"), 9.0)
+    ).toDF("user_id", "ts", "v")
+    val got = TimeJoins.asofBackward(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "r_ts", "r_v").collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((None, None)))
+    assert(got(2L) == ((Some(ts("10:00:00")), Some(2.0))))
+    assert(got(3L) == ((Some(ts("10:00:00")), Some(2.0))))
+    assert(got(4L) == ((Some(ts("10:05:00")), Some(3.0))))
+    assert(got(5L) == ((Some(ts("10:01:00")), Some(9.0))))
+  }
+
+  test("intervalJoin: half-open containment across bucket boundaries, no duplicates") {
+    val points = Seq(
+      (1L, ts("10:00:00")), // == start: included
+      (2L, ts("10:29:59")), // inside
+      (3L, ts("10:30:00")), // == end: excluded (half-open)
+      (4L, ts("11:15:00")), // inside the second, longer interval
+      (5L, ts("09:00:00"))  // outside everything
+    ).toDF("pid", "p_ts")
+    val ivals = Seq(
+      (10L, ts("10:00:00"), ts("10:30:00")),
+      (20L, ts("10:20:00"), ts("12:00:00")) // spans several 30-min buckets
+    ).toDF("iid", "s_ts", "e_ts")
+    val got = TimeJoins.intervalJoin(points, "p_ts", ivals, "s_ts", "e_ts", 1800)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)))
+    assert(got.size == got.toSet.size) // each true match found exactly once
+  }
+}
