@@ -127,6 +127,99 @@ object TextQueries {
                count(DISTINCT source) AS n_sources
              FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Per-language heavy hitters: top-5 tokens by frequency with a total
+    * tiebreak — the vocabulary/boilerplate inspection every corpus
+    * audit runs. Shape: explode → (lang, tok) count → per-lang window
+    * top-k; the group-by absorbs the token fan-out before the (tiny)
+    * ranked shuffle. */
+  val taTopTokens = Q("ta_top_tokens",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("lang"), explode(filter(
+          split(graft.core.Norm.canon(col("text")), " "), t => t =!= "")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    },
+    Some(s"""WITH toks AS (
+               SELECT lang, unnest(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS tok
+               FROM documents),
+             counted AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+             ranked AS (
+               SELECT lang, tok, n, row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, tok ASC) AS rank
+               FROM counted)
+             SELECT lang, tok, n, rank FROM ranked WHERE rank <= 5
+             ORDER BY lang, rank"""))
+
+  /** Deterministic stratified sample: 10 documents per language chosen
+    * by smallest salted hash — the reproducible subsample every eval/
+    * inspection pipeline needs (same membership on every run, engine,
+    * and partitioning, unlike rand()-based sampling). */
+  val taSampleStratified = Q("ta_sample_stratified",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"), h.as("hash"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hash").asc, col("doc_id").asc)))
+        .filter(col("rank") <= 10)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH h AS (
+              SELECT lang, doc_id,
+                     ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT AS hash
+              FROM documents),
+            ranked AS (
+              SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+                       ORDER BY hash ASC, doc_id ASC) AS rank
+              FROM h)
+            SELECT lang, doc_id FROM ranked WHERE rank <= 10
+            ORDER BY lang, doc_id"""))
+
+  /** Quality gating by corpus statistics: keep documents under the 90th
+    * punctuation percentile and over the 10th token-count percentile.
+    * The thresholds are two scalars — a broadcast against the corpus
+    * scan at any scale, not a join; exact percentiles cross-check
+    * Spark's `percentile` against DuckDB's `quantile_cont` on the
+    * IDENTICALLY-rounded metric (the r13 parity pattern, applied as a
+    * filter). */
+  val taQualityFilter = Q("ta_quality_filter",
+    (s, dir) => {
+      val m = docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityColumns(col("text"))
+          .find(_._1 == "punct_ratio").get._2.as("punct_ratio"))
+      val cuts = m.agg(
+        expr("percentile(punct_ratio, 0.9)").as("p90_punct"),
+        expr("percentile(n_tokens, 0.1)").as("p10_tokens"))
+      m.crossJoin(broadcast(cuts))
+        .filter(col("punct_ratio") <= col("p90_punct") &&
+          col("n_tokens") >= col("p10_tokens"))
+        .select("doc_id", "n_tokens", "punct_ratio")
+        .orderBy("doc_id")
+    },
+    Some {
+      val punct = s"""round((length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^[:alnum:][:space:]]', '', 'g')))::DOUBLE
+                     / greatest(length(coalesce(text, '')), 1)::DOUBLE, 6)"""
+      val ntok = s"len(list_filter(string_split($canonSql, ' '), x -> x <> ''))"
+      s"""WITH m AS (SELECT doc_id, $ntok AS n_tokens, $punct AS punct_ratio FROM documents),
+            cuts AS (SELECT quantile_cont(punct_ratio, 0.9) AS p90_punct,
+                            quantile_cont(n_tokens, 0.1) AS p10_tokens FROM m)
+          SELECT doc_id, n_tokens, punct_ratio
+          FROM m, cuts
+          WHERE punct_ratio <= p90_punct AND n_tokens >= p10_tokens
+          ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taLangTrigram,
-    taFingerprint, taCorpusReport)
+    taFingerprint, taCorpusReport, taTopTokens, taSampleStratified,
+    taQualityFilter)
 }
