@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,19 +49,23 @@ object Multimodal {
 
   /** Batched feature extraction: one pass per partition, rows streamed —
     * the Scala analogue of `mapInPandas` batch plumbing. No shuffle; a
-    * real codec would amortize model/codec init per partition here. */
+    * real codec would amortize model/codec init per partition here.
+    * Typed `Dataset.mapPartitions` (not `.rdd`): rows stay in Tungsten
+    * binary form with encoder-generated (de)serialization, and the plan
+    * stays a single DeserializeToObject→MapPartitions→SerializeFromObject
+    * pipeline instead of an RDD boundary Catalyst can't see through. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
-      // per-partition init happens once (codec / model handle goes here)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val content = r.getAs[Array[Byte]](1)
-        Row(id, if (content == null) 0L else content.length.toLong,
-          fakeDecode(content))
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens once (codec / model handle goes here)
+        rows.map { case (id, content) =>
+          (id, if (content == null) 0L else content.length.toLong,
+            fakeDecode(content))
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF("media_id", "n_bytes", "features")
   }
 
   /** STUB resize: re-bin a feature histogram to a coarser resolution —
@@ -84,24 +88,20 @@ object Multimodal {
     * frame pipeline has; a codec swaps byte windows for decoded frames. */
   def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_no", IntegerType, nullable = false),
-      StructField("frame", BinaryType)))
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val id = r.getLong(0)
-        val content = r.getAs[Array[Byte]](1)
-        if (content == null) Iterator.empty
-        else Iterator.range(0, math.max(1, (content.length + stride - 1) / stride))
-          .map { f =>
-            val from = f * stride
-            val until = math.min(content.length, from + frameSize)
-            Row(id, f, java.util.Arrays.copyOfRange(content, from, math.max(from, until)))
-          }
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, content) =>
+          if (content == null) Iterator.empty
+          else Iterator.range(0, math.max(1, (content.length + stride - 1) / stride))
+            .map { f =>
+              val from = f * stride
+              val until = math.min(content.length, from + frameSize)
+              (id, f, java.util.Arrays.copyOfRange(content, from, math.max(from, until)))
+            }
+        }
       }
-    }
-    spark.createDataFrame(rdd, schema)
+      .toDF("media_id", "frame_no", "frame")
   }
 
   /** Wrap a text corpus as a media table (payload = utf8 bytes) — the
