@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Executable scale guards: the plan-shape claims SCALE.md makes about
+  * the scale-critical operators, asserted on the PHYSICAL plan so a
+  * refactor that silently reintroduces a cartesian/nested-loop shape
+  * (the classic way a "works on the fixture" change dies at 100 TB)
+  * fails here instead of in production.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoProductJoin(plan: String, what: String): Unit = {
+    assert(!plan.contains("CartesianProduct"), s"$what plan has a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"$what plan has a nested-loop join")
+  }
+
+  test("bulk trigram candidate generation never degenerates to a product join") {
+    val pois = Seq((1L, "monograph dining", ""), (2L, "dining hall", ""))
+      .toDF("osm_id", "name_local_norm", "name_en_norm")
+    val ix = graft.etl.TrigramIndex.build(pois)
+    val queries = Seq((1L, Seq("dining")), (2L, Seq("mono", "dining")))
+      .toDF("qid", "toks")
+    val plan = physical(graft.etl.TrigramIndex.candidateIdsBulk(ix, queries))
+    assertNoProductJoin(plan, "candidateIdsBulk")
+  }
+
+  test("interval join is an equality join on buckets, not a range nested-loop") {
+    val points = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("pid", "p_ts")
+    val ivals = Seq((1L, Timestamp.valueOf("2024-01-01 09:00:00"),
+      Timestamp.valueOf("2024-01-01 11:00:00"))).toDF("iid", "s_ts", "e_ts")
+    val plan = physical(TimeJoins.intervalJoin(points, "p_ts", ivals, "s_ts", "e_ts", 1800))
+    assertNoProductJoin(plan, "intervalJoin")
+    // the naive formulation, for contrast, IS a nested loop — the thing
+    // the bucketing exists to avoid
+    val naive = physical(points.join(ivals,
+      col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts")))
+    assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"))
+  }
+
+  test("as-of join is a window scan: one shuffle by key, no join node at all") {
+    val left = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 2.0))
+      .toDF("user_id", "ts", "v")
+    val plan = physical(TimeJoins.asofBackward(left, right, "user_id", "ts", Seq("v")))
+    assert(!plan.contains("Join"), s"asofBackward should be join-free:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("LSH/banding pair search joins on bucket equality, never all-pairs") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(
+      Dedup.docTokens(docs, "doc_id", "text", distinct = false), 8)
+    val plan = physical(Dedup.minhashLshPairs(sig, 8, rowsPerBand = 2))
+    assertNoProductJoin(plan, "minhashLshPairs")
+  }
+}
