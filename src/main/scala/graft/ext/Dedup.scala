@@ -168,6 +168,11 @@ object Dedup {
       labels = next.select(col("id"), col("comp2").as("comp"))
       it += 1
     }
+    // silent non-convergence would report one real cluster as several —
+    // and the keep-one dedup policy downstream would then KEEP duplicates
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — a component " +
+        s"has diameter > $maxIters; raise maxIters (cost is one join per round)")
     labels
   }
 
@@ -196,9 +201,13 @@ object Dedup {
   def contaminationPairs(df: DataFrame, idCol: String, textCol: String,
                          testPred: Column, n: Int): DataFrame = {
     val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
+    // materialized once: the self-join below reads `sh` twice, and the
+    // shingle generation + distinct shuffle is the dominant cost — the
+    // same reason connectedComponents checkpoints its edge list
     val sh = docShingles(df, idCol, textCol, n)
       .join(flags, "id")
       .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
+      .localCheckpoint(true)
     sh.filter(col("is_test")).select(col("id").as("test_id"), col("h"))
       .join(sh.filter(!col("is_test")).select(col("id").as("train_id"), col("h")), "h")
       .groupBy("test_id", "train_id")

@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` content plus a
   * typed metadata struct, with decode / feature-extraction as
@@ -18,19 +17,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata carried alongside the opaque payload. */
-  val mediaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("content", BinaryType),
-    StructField("meta", StructType(Seq(
-      StructField("format", StringType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType))))))
-
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType),
-    StructField("features", ArrayType(DoubleType))))
+  // The media/feature schemas are defined by the constructors below
+  // ([[fromDocuments]], [[extractFeatures]]) — encoder-derived, no
+  // separate StructType contract to drift out of sync.
 
   /** STUB decode: a 16-bin byte histogram, L1-normalized. Deterministic
     * stand-in for "decode image → resize → embed". A real implementation

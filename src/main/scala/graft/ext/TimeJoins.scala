@@ -36,19 +36,29 @@ object TimeJoins {
     * salting/AQE levers as any single-key window. */
   def asofBackward(left: DataFrame, right: DataFrame, key: String, ts: String,
                    payload: Seq[String]): DataFrame = {
-    val r2 = right.select(
-      (Seq(col(key), col(ts), col(ts).as("r_ts")) ++
-        payload.map(p => col(p).as(s"r_$p"))): _*)
+    // the matched row travels as ONE struct: carrying each r_* column
+    // through its own last(ignoreNulls) would mix rows whenever a
+    // matched right row holds a NULL payload value (its NULL would be
+    // "filled" from an OLDER right row — a chimera no engine's as-of
+    // join produces). The struct is non-null exactly for right rows, so
+    // one last(ignoreNulls) picks one whole row or nothing. NULL-ts
+    // right rows are dropped up front: a range comparison never matches
+    // them, but ASC ordering would sort them first and leak their
+    // payload into every no-match row.
+    val r2 = right.filter(col(ts).isNotNull).select(
+      col(key), col(ts),
+      struct((col(ts).as("r_ts") +: payload.map(p => col(p).as(s"r_$p"))): _*)
+        .as("__match"))
       .withColumn("__side", lit(0))
     val l2 = left.withColumn("__side", lit(1))
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("r_ts" +: payload.map(p => s"r_$p"))
-      .foldLeft(l2.unionByName(r2, allowMissingColumns = true)) {
-        case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    carried.filter(col("__side") === 1).drop("__side")
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((left.columns.map(col) :+ col("__match.r_ts").as("r_ts")) ++
+        payload.map(p => col(s"__match.r_$p").as(s"r_$p")): _*)
   }
 
   /** Bucketized interval (range) join: every `points` row paired with
@@ -71,8 +81,13 @@ object TimeJoins {
                    widthSec: Long): DataFrame = {
     val w = widthSec * 1000000L // bucket arithmetic in unix micros
     val p = points.withColumn("__b", expr(s"unix_micros($pTs) div $w"))
-    // end is exclusive: the last covered bucket is the one holding end-1µs
+    // end is exclusive: the last covered bucket is the one holding end-1µs.
+    // Empty/inverted intervals are dropped BEFORE the explode — they can
+    // match nothing, and Spark's sequence(a, b) with b < a generates a
+    // DESCENDING range, so one malformed row would otherwise fan out
+    // into millions of spurious buckets instead of zero
     val i = intervals
+      .filter(col(endTs) > col(startTs))
       .withColumn("__b", explode(expr(
         s"sequence(unix_micros($startTs) div $w, (unix_micros($endTs) - 1) div $w)")))
     p.join(i, Seq("__b"))

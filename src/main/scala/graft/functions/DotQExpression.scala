@@ -9,11 +9,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Scalar core shared by interpreted eval and generated code (object
   * methods compile to static forwarders, so codegen calls it directly). */
 object DotQ {
-  def dot(a: ArrayData, b: ArrayData): Long = {
+  /** NULL if any participating element is NULL — matching the
+    * `aggregate(zip_with(_*_))` form this expression replaces (a NULL
+    * product poisons the HOF fold to NULL; reading the slot raw would
+    * silently treat it as garbage/0 instead). One boxed return per ROW,
+    * not per element — negligible next to the loop. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     acc
   }
 }
@@ -47,11 +56,18 @@ case class DotQExpression(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dotq"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotQ.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotQ.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotQ.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotq")
+      s"""java.lang.Long $r = graft.functions.DotQ.dotOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotQExpression =

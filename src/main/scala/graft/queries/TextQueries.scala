@@ -136,8 +136,7 @@ object TextQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       docs(s, dir)
-        .select(col("lang"), explode(filter(
-          split(graft.core.Norm.canon(col("text")), " "), t => t =!= "")).as("tok"))
+        .select(col("lang"), explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)))
@@ -162,8 +161,8 @@ object TextQueries {
   val taSampleStratified = Q("ta_sample_stratified",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val h = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long")
+      val h = graft.ext.Dedup.tokenHash(
+        concat(lit("sample:"), col("doc_id").cast("string")))
       docs(s, dir)
         .select(col("lang"), col("doc_id"), h.as("hash"))
         .withColumn("rank", row_number().over(

@@ -35,6 +35,32 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got(5L) == ((Some(ts("10:01:00")), Some(9.0))))
   }
 
+  test("asofBackward: NULL payload on the matched row stays NULL; NULL-ts rights never match") {
+    val left = Seq((1L, 1L, ts("10:30:00"), 0.0), (2L, 2L, ts("10:30:00"), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (1L, Some(ts("09:00:00")), Some(5.0)),
+      (1L, Some(ts("10:00:00")), None),     // matched row carries NULL v
+      (2L, None, Some(7.0))                 // NULL ts: range-unmatchable
+    ).toDF("user_id", "ts", "v")
+    val got = TimeJoins.asofBackward(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "r_ts", "r_v").collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // the 10:00 row matches WHOLE — its NULL payload must not be
+    // backfilled from the older 09:00 row (the per-column-carry chimera)
+    assert(got(1L) == ((Some(ts("10:00:00")), None)))
+    // a NULL-ts right row is no match, not a wildcard match
+    assert(got(2L) == ((None, None)))
+  }
+
+  test("intervalJoin: inverted interval yields zero rows, not a bucket explosion") {
+    val points = Seq((1L, ts("10:00:00"))).toDF("pid", "p_ts")
+    val bad = Seq((9L, ts("10:00:00"), Timestamp.valueOf("1970-01-01 00:00:00")))
+      .toDF("iid", "s_ts", "e_ts") // end before start: sequence would descend
+    assert(TimeJoins.intervalJoin(points, "p_ts", bad, "s_ts", "e_ts", 60).isEmpty)
+  }
+
   test("intervalJoin: half-open containment across bucket boundaries, no duplicates") {
     val points = Seq(
       (1L, ts("10:00:00")), // == start: included

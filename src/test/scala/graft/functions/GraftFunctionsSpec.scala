@@ -63,6 +63,10 @@ class GraftFunctionsSpec extends SparkSpec {
     val r = Seq((Option.empty[Array[Long]], Option(Array(1L))))
       .toDF("a", "b").select(dotq(col("a"), col("b"))).collect()
     assert(r(0).isNullAt(0))
+    // null ELEMENT -> null, matching the HOF fold it replaces (a raw
+    // slot read would silently treat the null as 0)
+    assert(spark.sql("SELECT dotq(array(1L, NULL), array(3L, 4L)) IS NULL")
+      .as[Boolean].head())
     intercept[Exception] { spark.sql("SELECT dotq('x', 'y')").collect() }
   }
 }
