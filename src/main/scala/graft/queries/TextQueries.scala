@@ -122,7 +122,7 @@ object TextQueries {
       .orderBy("lang"),
     Some(s"""SELECT lang,
                count(*) AS n_docs,
-               sum(len(list_filter(string_split($canonSql, ' '), x -> x <> ''))) AS total_tokens,
+               CAST(sum(len(list_filter(string_split($canonSql, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
                count(DISTINCT md5($canonSql)) AS n_distinct,
                count(DISTINCT source) AS n_sources
              FROM documents GROUP BY lang ORDER BY lang"""))
