@@ -61,6 +61,52 @@ class TimeJoinsSpec extends SparkSpec {
     assert(TimeJoins.intervalJoin(points, "p_ts", bad, "s_ts", "e_ts", 60).isEmpty)
   }
 
+  test("property: asofBackward equals the naive range-join argmax on random data") {
+    val rng = new scala.util.Random(20260812L)
+    // random events over few keys with ts collisions across sides,
+    // NULL payloads, and keys that exist on only one side
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rng.nextInt(8) + 1).toLong, ts(f"${rng.nextInt(12) + 8}%02d:${rng.nextInt(60)}%02d:00"), rng.nextDouble()))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = (1 to 200).map { i =>
+      (((i % 10) + 1).toLong, ts(f"${rng.nextInt(12) + 8}%02d:${rng.nextInt(60)}%02d:00"),
+        if (rng.nextInt(5) == 0) None else Some(rng.nextDouble()))
+    }.toDF("user_id", "ts", "v")
+      // determinism contract: unique per (key, ts)
+      .groupBy("user_id", "ts").agg(first("v").as("v"))
+    val got = TimeJoins.asofBackward(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "r_ts", "r_v").orderBy("event_id").collect().toSeq
+    // naive oracle: range join + per-left-row argmax on right ts —
+    // quadratic, but unambiguous
+    val naive = left.as("l")
+      .join(right.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.ts") >= col("r.ts"), "left")
+      .groupBy(col("l.event_id").as("event_id"))
+      .agg(max(col("r.ts")).as("r_ts"),
+        max_by(col("r.v"), col("r.ts")).as("r_v"))
+      .orderBy("event_id").collect().toSeq
+    assert(got.map(_.toString) == naive.map(_.toString))
+  }
+
+  test("property: intervalJoin equals the naive range join on random intervals") {
+    val rng = new scala.util.Random(77L)
+    val points = (1 to 400).map(i =>
+      (i.toLong, ts(f"${rng.nextInt(12) + 8}%02d:${rng.nextInt(60)}%02d:${rng.nextInt(60)}%02d")))
+      .toDF("pid", "p_ts")
+    val ivals = (1 to 120).map { i =>
+      val start = ts(f"${rng.nextInt(12) + 8}%02d:${rng.nextInt(60)}%02d:00")
+      val lenSec = rng.nextInt(7200) - 600 // some inverted/empty on purpose
+      (i.toLong, start, new Timestamp(start.getTime + lenSec * 1000L))
+    }.toDF("iid", "s_ts", "e_ts")
+    val got = TimeJoins.intervalJoin(points, "p_ts", ivals, "s_ts", "e_ts", 900)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    val naive = points.join(ivals,
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted)
+    assert(got.size == got.toSet.size)
+  }
+
   test("intervalJoin: half-open containment across bucket boundaries, no duplicates") {
     val points = Seq(
       (1L, ts("10:00:00")), // == start: included
