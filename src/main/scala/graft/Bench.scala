@@ -49,12 +49,19 @@ object Bench {
       q.name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Two passes: the first pays one-time Janino codegen compilation per
-    // distinct plan shape (a fixed cost that amortizes to zero on any
-    // long-lived cluster); the second measures steady-state execution.
-    // Both totals are reported.
+    // First pass pays one-time Janino codegen compilation per distinct
+    // plan shape (a fixed cost that amortizes to zero on any long-lived
+    // cluster); then three steady-state passes, reported per query as
+    // the MEDIAN — one GC pause / OS-scheduler hiccup can no longer move
+    // the acceptance number (the round-2 driver run measured the dd
+    // family 3-5x over builder steady state on byte-identical code).
     val cold = timeAll()
-    val results = timeAll()
+    val runs = Seq(timeAll(), timeAll(), timeAll())
+    val results = runs.head.indices.map { i =>
+      val name = runs.head(i)._1
+      val vs = runs.map(_(i)._2).sorted
+      name -> vs(1)
+    }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -84,7 +84,14 @@ object Dedup {
     * consecutive signature values. Returns (a, b, est_sim) where est_sim
     * is the fraction of agreeing minhashes — the MinHash estimate of
     * Jaccard similarity. */
-  def minhashLshPairs(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def minhashLshPairs(sigIn: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // materialized ONCE: the plan reads the signature relation 6 times
+    // (one per band branch + both sides of the score join); without the
+    // checkpoint the whole tokenize→min aggregate re-runs per read unless
+    // AQE exchange reuse happens to fire, and AQE re-planning can break
+    // that reuse (the round-2 driver bench measured 5.2s vs 0.75s on the
+    // same code depending on whether reuse kicked in)
+    val sig = sigIn.localCheckpoint(true)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val key = concat_ws("_",

@@ -129,18 +129,22 @@ object TextQueries {
 
   /** Per-language heavy hitters: top-5 tokens by frequency with a total
     * tiebreak — the vocabulary/boilerplate inspection every corpus
-    * audit runs. Shape: explode → (lang, tok) count → per-lang window
-    * top-k; the group-by absorbs the token fan-out before the (tiny)
-    * ranked shuffle. */
+    * audit runs. Shape: explode → (lang, tok) count → two-phase top-k
+    * ([[graft.ext.TopK]]): the group-by absorbs the token fan-out, then
+    * per-partition prune → tiny merge ranks without ever sorting a
+    * language's whole vocabulary in one task (the round-2 window
+    * formulation did exactly that). */
   val taTopTokens = Q("ta_top_tokens",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      docs(s, dir)
+      val counted = docs(s, dir)
         .select(col("lang"), explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)))
-        .filter(col("rank") <= 5)
+      // (-n, tok) ascending == (n desc, tok asc); (lang, tok) is unique so
+      // the struct is a total order
+      graft.ext.TopK.perGroupTopK(counted, Seq("lang"),
+          struct((-col("n")).as("negn"), col("tok"), col("n")), 5)
+        .select(col("lang"), col("col.tok").as("tok"), col("col.n").as("n"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy("lang", "rank")
     },
     Some(s"""WITH toks AS (
@@ -160,15 +164,15 @@ object TextQueries {
     * and partitioning, unlike rand()-based sampling). */
   val taSampleStratified = Q("ta_sample_stratified",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val h = graft.ext.Dedup.tokenHash(
         concat(lit("sample:"), col("doc_id").cast("string")))
-      docs(s, dir)
-        .select(col("lang"), col("doc_id"), h.as("hash"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("lang").orderBy(col("hash").asc, col("doc_id").asc)))
-        .filter(col("rank") <= 10)
-        .select("lang", "doc_id")
+      val hashed = docs(s, dir).select(col("lang"), col("doc_id"), h.as("hash"))
+      // two-phase top-k by smallest salted hash — no per-language
+      // full-corpus sort (see [[graft.ext.TopK]]); doc_id makes the
+      // struct a total order under hash collisions
+      graft.ext.TopK.perGroupTopK(hashed, Seq("lang"),
+          struct(col("hash"), col("doc_id")), 10)
+        .select(col("lang"), col("col.doc_id").as("doc_id"))
         .orderBy("lang", "doc_id")
     },
     Some("""WITH h AS (
@@ -191,11 +195,20 @@ object TextQueries {
     * filter). */
   val taQualityFilter = Q("ta_quality_filter",
     (s, dir) => {
-      val m = docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.qualityColumns(col("text"))
-          .find(_._1 == "punct_ratio").get._2.as("punct_ratio"))
+      // The metric relation feeds BOTH the percentile aggregate and the
+      // filter scan: materialize it once (the canon/tokenize regexes are
+      // the dominant cost and ran twice per document before). The
+      // explicit-width repartition first parallelizes that regex work
+      // across the cluster — a small parquet scan arrives as one input
+      // split — and is what the checkpoint then stores.
+      val m = docs(s, dir)
+        .repartition(32, col("doc_id"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityColumns(col("text"))
+            .find(_._1 == "punct_ratio").get._2.as("punct_ratio"))
+        .localCheckpoint(true)
       val cuts = m.agg(
         expr("percentile(punct_ratio, 0.9)").as("p90_punct"),
         expr("percentile(n_tokens, 0.1)").as("p10_tokens"))

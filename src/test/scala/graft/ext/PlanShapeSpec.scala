@@ -56,6 +56,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("per-group top-k is two bounded aggregates — no window, no per-group global sort") {
+    val rows = (1 to 200).map(i => (s"g${i % 3}", (i * 37 % 101).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val top = TopK.perGroupTopK(rows.repartition(8), Seq("g"),
+      struct(col("v"), col("id")), 5)
+    val plan = physical(top)
+    assert(!plan.contains("Window"),
+      s"two-phase top-k reintroduced a per-group window sort:\n$plan")
+    // and the queries built on it keep that shape
+    for (q <- Seq(graft.queries.TextQueries.taTopTokens,
+                  graft.queries.TextQueries.taSampleStratified)) {
+      val p = physical(q.run(spark, "/root/testdata/sf0.001"))
+      assert(!p.contains("Window"), s"${q.name} plan has a window sort:\n$p")
+    }
+  }
+
   test("LSH/banding pair search joins on bucket equality, never all-pairs") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
       .toDF("doc_id", "text")
