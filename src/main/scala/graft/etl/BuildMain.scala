@@ -30,6 +30,11 @@ object BuildMain {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.etl.BuildMain <rawParquetPath> [outPath] [config.toml]")
+      sys.exit(2)
+    }
     val settings =
       if (args.length > 2) Settings.load(args(2)) else Settings.load("config.toml")
     val spark = SparkSession.builder()

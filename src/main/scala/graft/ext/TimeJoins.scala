@@ -45,7 +45,15 @@ object TimeJoins {
     // right rows are dropped up front: a range comparison never matches
     // them, but ASC ordering would sort them first and leak their
     // payload into every no-match row.
-    val r2 = right.filter(col(ts).isNotNull).select(
+    val reserved = Seq("__side", "__match", "r_ts") ++ payload.map(p => s"r_$p")
+    val clash = left.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"asofBackward reserves column name(s) ${clash.mkString(", ")} on the left input")
+    // NULL-key right rows are dropped like NULL-ts ones: an equality
+    // predicate `l.key = r.key` (and DuckDB's ASOF JOIN, the r17 oracle)
+    // never matches NULL keys, but Window.partitionBy groups NULLs
+    // together and would hand a NULL-key left row a NULL-key "match"
+    val r2 = right.filter(col(ts).isNotNull && col(key).isNotNull).select(
       col(key), col(ts),
       struct((col(ts).as("r_ts") +: payload.map(p => col(p).as(s"r_$p"))): _*)
         .as("__match"))

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Scalar core shared by interpreted eval and generated code (object
   * methods compile to static forwarders, so codegen calls it directly). */
 object DotQ {
-  /** NULL if any participating element is NULL — matching the
-    * `aggregate(zip_with(_*_))` form this expression replaces (a NULL
-    * product poisons the HOF fold to NULL; reading the slot raw would
-    * silently treat it as garbage/0 instead). One boxed return per ROW,
-    * not per element — negligible next to the loop. */
+  /** NULL if the lengths differ or any participating element is NULL —
+    * matching the `aggregate(zip_with(_*_))` form this expression
+    * replaces (zip_with null-pads the shorter array and a NULL product
+    * poisons the HOF fold to NULL; a common-prefix dot would silently
+    * MASK a dimension mismatch for a general-purpose SQL function).
+    * One boxed return per ROW, not per element — negligible next to the
+    * loop. */
   def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -35,9 +38,9 @@ object DotQ {
   * intermediate product array and evaluates the lambdas INTERPRETED per
   * row — measured ~2x slower on the 45k-pair cosine shape even before
   * allocation pressure; this expression is one tight primitive loop
-  * inside whole-stage codegen. Semantics match the HOF form on dense
-  * equal-length arrays (quantized embeddings are dense by construction);
-  * a length mismatch dots the common prefix.
+  * inside whole-stage codegen. Semantics match the HOF form exactly:
+  * NULL on a length mismatch (zip_with null-pads) and NULL if any
+  * participating element is NULL.
   */
 case class DotQExpression(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -53,7 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       FunctionIdentifier("dotq"),
-      info("dotq", "dotq(a, b) - INT64 dot product of quantized array<bigint> vectors"),
+      info("dotq", "dotq(a, b) - INT64 dot product of quantized array<bigint> vectors; " +
+        "NULL on length mismatch or any NULL element"),
       (children: Seq[Expression]) => DotQExpression(children(0), children(1))))
 
     ext.injectFunction((

@@ -45,7 +45,7 @@ object Fixtures {
     cache.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
       cache.remove(k) match {
         case df: DataFrame => df.unpersist()
-        case e: ScoutEngine => () // its pois is also memoized directly
+        case e: ScoutEngine => e.close() // its pois is also memoized directly
         case (a: DataFrame, b: DataFrame) => a.unpersist(); b.unpersist()
         case _ => ()
       }

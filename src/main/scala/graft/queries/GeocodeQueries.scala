@@ -272,7 +272,13 @@ object GeocodeQueries {
                   contains(p.name_local_norm, t) OR contains(p.name_en_norm, t)))
                 = len(q.toks)),
         wrpairs AS (
-          SELECT qid * 1000000000 + osm_id AS pid, qnorm AS a, name_local_norm AS b
+          -- composite pair id: valid only while osm_id < 1e9 (fixture ids
+          -- are ≤ p_partkey scale); a silent collision would corrupt the
+          -- WRatio join, so overflow fails the oracle run loudly instead
+          SELECT qid * 1000000000 +
+                 CASE WHEN osm_id < 1000000000 AND osm_id >= 0 THEN osm_id
+                      ELSE error('osm_id out of [0, 1e9) pair-id bound') END AS pid,
+                 qnorm AS a, name_local_norm AS b
           FROM joined),
         ${WRatioSql.ctes("wrpairs").trim},
         scored AS (

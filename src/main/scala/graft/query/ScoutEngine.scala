@@ -88,6 +88,12 @@ class ScoutEngine(
 
   /** `GET /healthz` analogue (`app.py:116-118`). */
   def healthy: Boolean = spark.range(1).count() == 1
+
+  /** Release the cached blocks this engine owns (the admin cache) — the
+    * engine is long-lived, so a host that cycles engines/sessions must
+    * call this or the blocks outlive their owner. `pois`/`nameIndex`
+    * were handed in by the caller and stay the caller's to unpersist. */
+  def close(): Unit = adminCached.unpersist()
 }
 
 object ScoutEngine {

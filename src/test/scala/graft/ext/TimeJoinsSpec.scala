@@ -54,6 +54,35 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got(2L) == ((None, None)))
   }
 
+  test("asofBackward: NULL-key rows never match each other (equality-join semantics)") {
+    val left = Seq(
+      (1L, None, ts("10:30:00"), 0.0),      // NULL-key left: no match ever
+      (2L, Some(1L), ts("10:30:00"), 0.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (None, Some(ts("10:00:00")), Some(5.0)),  // NULL-key right: matches nothing
+      (Some(1L), Some(ts("10:00:00")), Some(9.0))
+    ).toDF("user_id", "ts", "v")
+    val got = TimeJoins.asofBackward(left, right, "user_id", "ts", Seq("v"))
+      .select("event_id", "r_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // `l.key = r.key` (and DuckDB ASOF JOIN) never matches NULL = NULL
+    assert(got(1L) == None)
+    assert(got(2L) == Some(9.0))
+  }
+
+  test("asofBackward: reserved output column names on the left input fail loudly") {
+    val right = Seq((1L, ts("10:00:00"), 1.0)).toDF("user_id", "ts", "v")
+    for (bad <- Seq("__side", "__match", "r_ts", "r_v")) {
+      val left = Seq((1L, ts("10:30:00"), 0.0)).toDF("user_id", "ts", bad)
+      val e = intercept[IllegalArgumentException] {
+        TimeJoins.asofBackward(left, right, "user_id", "ts", Seq("v"))
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
   test("intervalJoin: inverted interval yields zero rows, not a bucket explosion") {
     val points = Seq((1L, ts("10:00:00"))).toDF("pid", "p_ts")
     val bad = Seq((9L, ts("10:00:00"), Timestamp.valueOf("1970-01-01 00:00:00")))

@@ -68,5 +68,9 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT dotq(array(1L, NULL), array(3L, 4L)) IS NULL")
       .as[Boolean].head())
     intercept[Exception] { spark.sql("SELECT dotq('x', 'y')").collect() }
+    // length mismatch -> NULL, matching zip_with's null-padding (a
+    // common-prefix dot would silently mask a dimension mismatch)
+    assert(spark.sql("SELECT dotq(array(1L, 2L, 3L), array(3L, 4L)) IS NULL")
+      .as[Boolean].head())
   }
 }
