@@ -90,6 +90,51 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "dans", "pour", "une", "que"),
     "it" -> Seq("il", "di", "che", "per", "con", "del", "una", "sono", "non", "alla"))
 
+  /** Unicode language profiles: distinctive lowercase substrings over 12
+    * languages / 6 scripts (Latin, Cyrillic, Arabic, Han, Kana, Hangul) —
+    * space-padded function words for space-delimited scripts,
+    * high-frequency particles/characters for CJK, drawn from the UDHR
+    * translations' own frequency ranks (the standard public multilingual
+    * sample; Cavnar–Trenkle-style profile construction).
+    *
+    * Counted on the RAW text with [[substrCount]] (no canon, no lower):
+    * F1 `canon` strips non-ASCII BY DESIGN (both engines agree — that
+    * parity is pinned by g1), so canon'd tokens can never carry a
+    * non-Latin signal; literal replace/length arithmetic is exactly
+    * portable across engines with no regex or locale surface, which is
+    * what lets a DuckDB oracle hash-check CJK scoring bit-for-bit.
+    * List order is the deterministic tie order (first listed wins). */
+  val langProfilesU: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " are ", " of ", " is "),
+    "de" -> Seq(" und ", " sind ", " der ", " die ", " nicht "),
+    "es" -> Seq(" los ", " que ", " en ", " y ", " con "),
+    "fr" -> Seq(" les ", " et ", " des ", " dans ", " une "),
+    "it" -> Seq(" gli ", " che ", " di ", " ed ", " della "),
+    "pt" -> Seq(" os ", " em ", " não ", " uma ", " dos "),
+    "nl" -> Seq(" en ", " van ", " het ", " een ", " worden "),
+    "ru" -> Seq(" и ", " не ", " в ", " на ", " что "),
+    "ar" -> Seq("ال", " في ", " من ", " على ", "ون"),
+    "zh" -> Seq("的", "在", "是", "人", "一"),
+    "ja" -> Seq("の", "は", "に", "して", "である"),
+    "ko" -> Seq("은 ", "며 ", " 그 ", "하다", "에 "))
+
+  /** Per-language Unicode substring scores (occurrence counts, exact in
+    * any engine — see [[langProfilesU]]). */
+  def langScoresU(text: Column): Seq[(String, Column)] =
+    langProfilesU.map { case (lang, ms) =>
+      lang -> ms.map(m => substrCount(text, m)).reduce(_ + _).cast("long")
+    }
+
+  /** Unicode language guess: argmax over [[langScoresU]], first-listed
+    * wins ties, 'und' when nothing scores. */
+  def langGuessU(text: Column): Column = {
+    val scores = langScoresU(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Count of marker tokens (with multiplicity) in a precomputed token
     * array — lets one tokenization feed every language's score. */
   def markerHitsTok(toks: Column, markers: Seq[String]): Column =

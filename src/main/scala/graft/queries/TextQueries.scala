@@ -186,6 +186,75 @@ object TextQueries {
             SELECT lang, doc_id FROM ranked WHERE rank <= 10
             ORDER BY lang, doc_id"""))
 
+  /** UDHR Article 1 in the 12 profiled languages (public-domain UN
+    * text) — the multilingual sample rows `ta_lang_unicode` unions into
+    * the corpus so non-Latin scoring is exercised with REAL text in both
+    * engines, not just zero columns over an ASCII corpus. Ids sit far
+    * above any fixture doc_id. */
+  private[graft] val udhrSamples: Seq[(Long, String, String)] = Seq(
+    (9000001L, "en", "All human beings are born free and equal in dignity and rights."),
+    (9000002L, "de", "Alle Menschen sind frei und gleich an Würde und Rechten geboren."),
+    (9000003L, "es", "Todos los seres humanos nacen libres e iguales en dignidad y derechos."),
+    (9000004L, "fr", "Tous les êtres humains naissent libres et égaux en dignité et en droits."),
+    (9000005L, "it", "Tutti gli esseri umani nascono liberi ed eguali in dignità e diritti."),
+    (9000006L, "pt", "Todos os seres humanos nascem livres e iguais em dignidade e em direitos."),
+    (9000007L, "nl", "Alle mensen worden vrij en gelijk in waardigheid en rechten geboren."),
+    (9000008L, "ru", "Все люди рождаются свободными и равными в своем достоинстве и правах."),
+    (9000009L, "ar", "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق."),
+    (9000010L, "zh", "人人生而自由，在尊严和权利上一律平等。"),
+    (9000011L, "ja", "すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて平等である。"),
+    (9000012L, "ko", "모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다."))
+
+  /** Unicode language ID over corpus ∪ UDHR samples: 12 languages, 6
+    * scripts, scored with engine-exact substring arithmetic
+    * ([[TextAnalysis.langProfilesU]]); `n_tokens` rides along to pin
+    * canon's strip-non-ASCII parity (\p{Alnum} vs [[:alnum:]], both
+    * ASCII-only) on real non-Latin text cross-engine. Narrow per-row
+    * column program — no shuffle before the final order. */
+  val taLangUnicode = Q("ta_lang_unicode",
+    (s, dir) => {
+      import s.implicits._
+      val extra = udhrSamples.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+      val base = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(extra)
+      val scoreCols = TextAnalysis.langScoresU(col("text")).map {
+        case (lang, c) => c.as(s"u_$lang")
+      }
+      base.select((col("doc_id") +: scoreCols) ++ Seq(
+        TextAnalysis.langGuessU(col("text")).as("lang_guess"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val valuesRows = udhrSamples
+        .map { case (id, _, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(",\n                 ")
+      val scores = TextAnalysis.langProfilesU.map { case (lang, ms) =>
+        val sum = ms.map(m =>
+          s"(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '$m', ''))) / ${m.length}")
+          .mkString(" + ")
+        s"CAST($sum AS BIGINT) AS u_$lang"
+      }.mkString(",\n               ")
+      val langs = TextAnalysis.langProfilesU.map(_._1)
+      val best = langs.map(l => s"u_$l").mkString("greatest(", ", ", ")")
+      val guessCase = langs.map(l => s"WHEN u_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH allrows AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+                 $valuesRows) AS v(doc_id, text)),
+          scored AS (
+            SELECT doc_id, text,
+               $scores
+            FROM allrows),
+          b AS (SELECT *, $best AS best FROM scored)
+          SELECT doc_id, ${langs.map(l => s"u_$l").mkString(", ")},
+                 $guessCase AS lang_guess,
+                 len(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS n_tokens
+          FROM b ORDER BY doc_id"""
+    })
+
   /** Quality gating by corpus statistics: keep documents under the 90th
     * punctuation percentile and over the 10th token-count percentile.
     * The thresholds are two scalars — a broadcast against the corpus
@@ -232,6 +301,6 @@ object TextQueries {
     })
 
   val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taLangTrigram,
-    taFingerprint, taCorpusReport, taTopTokens, taSampleStratified,
-    taQualityFilter)
+    taLangUnicode, taFingerprint, taCorpusReport, taTopTokens,
+    taSampleStratified, taQualityFilter)
 }

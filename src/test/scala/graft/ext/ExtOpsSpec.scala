@@ -219,6 +219,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(tri.getLong(1) > tri.getLong(0)) // t_de > t_en
   }
 
+  test("unicode language ID: 12 real UDHR sentences across 6 scripts, each guessed right") {
+    val samples = graft.queries.TextQueries.udhrSamples
+    val df = samples.map { case (id, lang, text) => (id, lang, text) }
+      .toDF("doc_id", "lang", "text")
+      .withColumn("guess", TextAnalysis.langGuessU(col("text")))
+    val got = df.select("lang", "guess").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (lang, guess) =>
+      assert(guess == lang, s"expected $lang, guessed $guess")
+    }
+    assert(got.length == 12 &&
+      Set("en", "de", "es", "fr", "it", "pt", "nl", "ru", "ar", "zh", "ja", "ko")
+        .subsetOf(got.map(_._1).toSet))
+    // pure ASCII noise scores nothing
+    val und = Seq((1L, "xqzzv 12345 bbb")).toDF("id", "text")
+      .select(TextAnalysis.langGuessU(col("text"))).head().getString(0)
+    assert(und == "und")
+  }
+
   test("approx_percentile tracks exact percentile (the at-scale path for r13)") {
     val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
     val row = li.agg(
