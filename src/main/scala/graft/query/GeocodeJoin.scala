@@ -80,15 +80,24 @@ object GeocodeJoin {
   /** Large-query-side form: candidate pairs come from the trigram name
     * index (`TrigramIndex.candidateIdsBulk` — token explode → posting
     * equality join → count checks), the exact predicate re-verifies the
-    * superset, and scoring/ranking is shared with [[topK]]. Queries
-    * containing a token shorter than the gram size can't use posting
-    * lists; they fall back to the broadcast nested-loop join (a small
-    * residue in real corpora). Result equality with [[topK]] is
-    * spec-pinned; no step broadcasts or sorts the full query side. */
+    * superset, and scoring/ranking is shared with [[topK]].
+    *
+    * Any query with AT LEAST one gram-sized token rides the index:
+    * `candidateIdsBulk` conjuncts only the indexable tokens and the
+    * exact predicate re-verifies the short ones, so the residue is
+    * queries whose tokens are ALL shorter than the gram size. That
+    * residue is broadcast only while it is provably small
+    * (`maxFallbackBroadcast` rows); a pathological corpus of 1–2-char
+    * queries instead takes a PARTITIONED nested loop
+    * (`shuffle_replicate_nl`) — quadratic like any unindexable
+    * containment join, but nothing large is ever broadcast. Result
+    * equality with [[topK]] is spec-pinned; no step broadcasts or sorts
+    * the full query side. */
   def topKIndexed(queries: DataFrame, poiView: DataFrame, index: DataFrame,
-                  settings: Settings = Settings(), k: Int = 5): DataFrame = {
+                  settings: Settings = Settings(), k: Int = 5,
+                  maxFallbackBroadcast: Long = 5000L): DataFrame = {
     val q = prepQueries(queries)
-    val indexable = forall(col("toks"),
+    val indexable = exists(col("toks"),
       t => length(t) >= graft.etl.TrigramIndex.N)
     val qIdx = q.filter(indexable)
     val qRest = q.filter(!indexable)
@@ -97,7 +106,13 @@ object GeocodeJoin {
     val idxCands = poiView.join(pairs, Seq("osm_id"))
       .join(qIdx, Seq("qid"))
       .filter(tokenPred)
-    val restCands = poiView.join(broadcast(qRest), tokenPred)
+    // bounded count: one cheap action decides the route, and the limit
+    // keeps the decision O(threshold) however large the residue is
+    val restSmall =
+      qRest.limit((maxFallbackBroadcast + 1).toInt).count() <= maxFallbackBroadcast
+    val restCands =
+      if (restSmall) poiView.join(broadcast(qRest), tokenPred)
+      else poiView.join(qRest.hint("shuffle_replicate_nl"), tokenPred)
     // EXPLICIT-width repartition by the window key, on the BULK path
     // only (topK's micro-batches would just gain empty-task latency):
     // the WRatio projection is CPU-bound, and AQE's byte-based

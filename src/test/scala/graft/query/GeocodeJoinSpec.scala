@@ -52,6 +52,37 @@ class GeocodeJoinSpec extends SparkSpec {
     assert(a.nonEmpty && a.exists(_.getLong(0) == 50L))
   }
 
+  test("all-short-token residue above the broadcast cap: partitioned NL, nothing broadcast") {
+    val ix = graft.etl.TrigramIndex.build(pois)
+    // every token under the gram size -> pure fallback residue
+    val queries = Seq((10L, "mo"), (20L, "ca"), (30L, "x y")).toDF("qid", "text")
+    val guarded = GeocodeJoin.topKIndexed(queries, pois, ix, Settings(), k = 3,
+      maxFallbackBroadcast = 0L)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"),
+      s"expected the partitioned shuffle_replicate_nl route:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must not broadcast above the cap:\n$plan")
+    // and the guarded route returns exactly the broadcast-path answer
+    val a = GeocodeJoin.topK(queries, pois, Settings(), k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(guarded.orderBy("qid", "rank").collect().toSeq == a && a.nonEmpty)
+  }
+
+  test("mixed short+long tokens ride the index (no fallback), short tokens re-verified") {
+    val ix = graft.etl.TrigramIndex.build(pois)
+    // 'kl' is sub-gram; 'cafe' indexes. The exact predicate must still
+    // enforce the short token: only 'monogram cafe' contains both.
+    val queries = Seq((1L, "kl cafe"), (2L, "am cafe")).toDF("qid", "text")
+    val hits = GeocodeJoin.topKIndexed(queries, pois, ix, Settings(), k = 3,
+      maxFallbackBroadcast = 0L) // cap 0: any fallback use would go NL
+    val plan = hits.queryExecution.executedPlan.toString
+    val got = hits.collect().map(r => (r.getLong(0), r.getLong(6))).toSet
+    assert(got == Set((2L, 2L))) // 'am cafe' ⊂ monogram cafe; 'kl cafe' matches nothing
+    // the residue is empty, so nothing needed the nested-loop route
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("normCol matches the scalar norm (distributed query normalization)") {
     val samples = Seq("Jalan-Jalan Cafe!", "a#b@c", "  MixED   spacing ", "it's") ++
       Gen.listOfN(100, Gen.asciiPrintableStr).pureApply(Gen.Parameters.default, Seed(11L))
