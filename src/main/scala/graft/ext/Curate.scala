@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation journey as ONE program: exact dedup →
+  * near-dup detection (MinHash/LSH) → clustering (connected components)
+  * → keep-one-per-cluster → reproducible split assignment — the actual
+  * pipeline a training-data team runs over a crawl before anything else
+  * touches it.
+  *
+  * Every stage is the scale-shaped operator it names ([[Dedup]]): one
+  * hash aggregate for exact groups, banded equality joins for candidate
+  * pairs (never all-pairs), per-round equality join + min-aggregate for
+  * components. The composite adds only narrow joins between stages, so
+  * the whole program inherits the per-stage 100 TB story.
+  */
+object Curate {
+
+  /** Tuning knobs; defaults match the dd_* inventory queries. */
+  final case class Params(
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      simThreshold: Double = 0.5,
+      trainPct: Int = 90)
+
+  /** Curated survivors of `docs`: one representative (min id) per
+    * exact-duplicate group, then one (min id) per near-duplicate
+    * cluster. Output: `doc_id` (the representative), `n_members` (how
+    * many ORIGINAL docs collapsed into it, exact dups included — the
+    * curation accounting a dataset card reports), `split`
+    * (deterministic train/test routing of the survivors). */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          p: Params = Params()): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+
+    // 1. exact dedup: fingerprint groups, keep lowest id, remember size
+    val exactKeep = base
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_exact"))
+      .select("id", "n_exact")
+    val kept = base.join(exactKeep, "id")
+
+    // 2. near-dup pairs on the survivors: shingle → MinHash → LSH bands
+    val sig = Dedup.minhashSignature(
+      Dedup.docShingles(kept, "id", "text", p.shingleN, distinct = false),
+      p.numHashes)
+    val edges = Dedup.minhashLshPairs(sig, p.numHashes, p.rowsPerBand)
+      .filter(col("est_sim") >= p.simThreshold)
+      .select("a", "b")
+
+    // 3. clusters → keep-one: label propagation converges to min id per
+    // component, so the representative IS the label
+    val comps = Dedup.connectedComponents(kept.select("id"), edges)
+
+    // 4. accounting + split: every original doc is counted under its
+    // final representative; survivors get the reproducible split
+    val members = comps.join(kept.select("id", "n_exact"), "id")
+      .groupBy(col("comp").as("doc_id"))
+      .agg(sum(col("n_exact")).as("n_members"))
+    members.select(
+        col("doc_id"),
+        col("n_members"),
+        Dedup.splitAssign(col("doc_id"), p.trainPct).as("split"))
+  }
+}

@@ -206,6 +206,53 @@ object DedupQueries {
                    THEN 'train' ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
+  /** The brief's actual user journey, end to end: exact dedup → MinHash/
+    * LSH near-dup pairs → connected-component clusters → keep-one →
+    * reproducible split, as ONE `Curate.run` program over a bounded doc
+    * window, hash-checked on the final per-representative table (who
+    * survived, how many originals each survivor absorbed, which split it
+    * landed in). The oracle recomputes the whole pipeline in SQL from
+    * the shared CTE pieces (fingerprint groups, signature arithmetic,
+    * band buckets, recursive closure, portable split hash). */
+  val ddCurate = Q("dd_curate",
+    (s, dir) => graft.ext.Curate.run(
+      docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      val agree = (0 until NumHashes)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val keptShingles = shinglesSql(3,
+        "WHERE doc_id < 200 AND doc_id IN (SELECT id FROM exact)")
+      s"""WITH RECURSIVE
+            exact AS (
+              SELECT md5($canonSql) AS fp, min(doc_id) AS id, count(*) AS n_exact
+              FROM documents WHERE doc_id < 200 GROUP BY 1),
+            sig AS (${minhashSigSql(keptShingles)}),
+            $lshCandSql,
+            edges0 AS (
+              SELECT a, b FROM cand
+              JOIN sig sa ON a = sa.id
+              JOIN sig sb ON b = sb.id
+              WHERE round(($agree)::DOUBLE / $NumHashes, 6) >= 0.5::DOUBLE),
+            edges AS (SELECT a AS src, b AS dst FROM edges0
+                      UNION SELECT b, a FROM edges0),
+            reach(src, dst) AS (
+              SELECT id, id FROM exact
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            lab AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src),
+            members AS (
+              SELECT lab.comp AS doc_id, sum(exact.n_exact) AS n_members
+              FROM lab JOIN exact ON lab.id = exact.id
+              GROUP BY 1)
+          SELECT doc_id,
+                 CAST(n_members AS BIGINT) AS n_members,
+                 CASE WHEN ${portableHash("'split:' || doc_id")} % 100 < 90
+                      THEN 'train' ELSE 'test' END AS split
+          FROM members ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
-    ddJaccard, ddComponents, ddContamination, ddSplit)
+    ddJaccard, ddComponents, ddContamination, ddSplit, ddCurate)
 }

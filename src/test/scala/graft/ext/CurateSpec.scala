@@ -1,0 +1,37 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation composite: exact dups collapse to the lowest id,
+  * near-dups cluster and keep one, member accounting sums the originals,
+  * split assignment is deterministic. */
+class CurateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("curate: exact dups, near-dup cluster, accounting, determinism") {
+    val near1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val docs = Seq(
+      (1L, near1),
+      (2L, near1),             // exact dup of 1
+      (3L, near2),             // near dup of 1 (one-token change)
+      (4L, "completely different text about distributed query engines and columnar storage"),
+      (5L, "completely different text about distributed query engines and columnar storage")
+    ).toDF("doc_id", "text")
+
+    val out = Curate.run(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 absorbs 2 (exact) and 3 (near): 3 members; 4 absorbs 5: 2 members
+    assert(byId == Map(1L -> 3L, 4L -> 2L))
+    // split matches the standalone operator (same salt, same hash)
+    val expected = Seq(1L, 4L).map(id =>
+      Seq(id).toDF("id").select(Dedup.splitAssign(col("id"), 90)).head().getString(0))
+    assert(out.map(_.getString(2)).toSeq == expected)
+    // determinism: a second run under a different partitioning agrees
+    val out2 = Curate.run(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.toSeq == out2.toSeq)
+  }
+}
