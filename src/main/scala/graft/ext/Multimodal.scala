@@ -220,6 +220,115 @@ object Multimodal {
         "lum_sum", "lum_min", "lum_max", "lum_hist", "lum8_sum")
   }
 
+  // -------------------------------------------------------------- audio
+  // Same design as the image path: javax.sound.sampled ships with the
+  // JVM (WAV/AIFF PCM — lossless), fixture samples are a pure integer
+  // function of (id, i), so decoded stats are exactly recomputable by
+  // the SQL oracle.
+
+  /** Deterministic synthetic 16-bit PCM sample for clip `id` at frame
+    * `i` (full int16 range, both signs). */
+  def synthSample(id: Long, i: Int): Int =
+    (((id * 131 + i.toLong * 97) % 65536L) - 32768L).toInt
+
+  /** Synthetic clip length: a pure function of the id (64–127 frames). */
+  def synthFrames(id: Long): Int = (64 + id % 64).toInt
+
+  /** Encode the synthetic clip for `id` as a real WAV file (PCM 16-bit
+    * signed little-endian, mono, 8 kHz). */
+  def encodeSynthWav(id: Long): Array[Byte] = {
+    val n = synthFrames(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = synthSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-audio features: frame count, sample rate, and integer
+    * sample stats (sum, sum of absolute values, min, max) — exact under
+    * PCM round trip. */
+  final case class AudioFeatures(nFrames: Long, sampleRateHz: Long,
+                                 sampleSum: Long, absSum: Long,
+                                 sampleMin: Int, sampleMax: Int)
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF PCM). None
+    * for undecodable payloads. Only 16-bit signed LE mono is featurized
+    * (the deployment contract; other formats → None rather than wrong
+    * numbers). */
+  def decodeAudioFeatures(content: Array[Byte]): Option[AudioFeatures] = {
+    if (content == null || content.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian || fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) return None
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0L
+      var abs = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        sum += s
+        abs += math.abs(s)
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        i += 1
+      }
+      if (n == 0) None
+      else Some(AudioFeatures(n.toLong, fmt.getSampleRate.toLong, sum, abs, mn, mx))
+    } finally ais.close()
+  }
+
+  /** Synthetic WAV media table from an id column. */
+  def synthAudioMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(org.apache.spark.sql.functions.col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeSynthWav(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Partition-wise REAL audio feature extraction (same narrow shape as
+    * [[extractImageFeatures]]). */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          decodeAudioFeatures(content) match {
+            case Some(f) => (id, true, Some(f.nFrames), Some(f.sampleRateHz),
+              Some(f.sampleSum), Some(f.absSum), Some(f.sampleMin), Some(f.sampleMax))
+            case None => (id, false, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "decoded", "n_frames", "sample_rate_hz",
+        "sample_sum", "abs_sum", "sample_min", "sample_max")
+  }
+
   /** Wrap a text corpus as a media table (payload = utf8 bytes) — the
     * fixture generator for this environment, which has no binary corpus. */
   def fromDocuments(docs: DataFrame): DataFrame =

@@ -124,6 +124,15 @@ object Fixtures {
         .repartition(width(s), col("media_id")).persist()
     }
 
+  /** Synthetic WAV media table over the documents ids — the audio-codec
+    * fixture (real PCM WAV bytes), memoized like [[pngMedia]]. */
+  def wavMedia(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "wavMedia") {
+      graft.ext.Multimodal.synthAudioMedia(
+          Tables.table(s, dir, "documents"), "doc_id")
+        .repartition(width(s), col("media_id")).persist()
+    }
+
   /** g10's pseudo-gazetteer over documents plus its trigram index —
     * probing a prebuilt index is the production shape; building it per
     * query was bench fat. */

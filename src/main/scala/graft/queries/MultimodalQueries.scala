@@ -127,5 +127,39 @@ object MultimodalQueries {
           FROM px ORDER BY media_id"""
     })
 
-  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmImageFeatures)
+  /** REAL audio decode, oracle-checked the same way as
+    * [[mmImageFeatures]]: deterministic 16-bit PCM clips encoded as true
+    * WAV files (javax.sound.sampled), decoded back, integer sample stats
+    * recomputed by DuckDB from the sample formula — PCM is lossless, so
+    * the hashes pin the whole codec round trip. */
+  val mmAudioFeatures = Q("mm_audio_features",
+    (s, dir) => {
+      val feats = Multimodal.extractAudioFeatures(Fixtures.wavMedia(s, dir))
+      feats.select(
+        col("media_id"),
+        col("n_frames"),
+        col("sample_rate_hz"),
+        col("sample_sum"),
+        col("abs_sum"),
+        col("sample_min").cast("long").as("sample_min"),
+        col("sample_max").cast("long").as("sample_max"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH dims AS (
+               SELECT doc_id AS media_id, 64 + doc_id % 64 AS n FROM documents),
+             s AS (
+               SELECT media_id, n,
+                      list_transform(generate_series(0, n - 1), i ->
+                        ((media_id * 131 + i * 97) % 65536) - 32768) AS samples
+               FROM dims)
+           SELECT media_id,
+                  CAST(n AS BIGINT) AS n_frames,
+                  CAST(8000 AS BIGINT) AS sample_rate_hz,
+                  CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+                  CAST(list_sum(list_transform(samples, x -> abs(x))) AS BIGINT) AS abs_sum,
+                  CAST(list_min(samples) AS BIGINT) AS sample_min,
+                  CAST(list_max(samples) AS BIGINT) AS sample_max
+           FROM s ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmImageFeatures, mmAudioFeatures)
 }

@@ -41,10 +41,38 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("committed external WAV decodes to its golden stats") {
+    val in = getClass.getResourceAsStream("/fixture_pcm16.wav")
+    assert(in != null, "committed fixture missing")
+    val bytes = in.readAllBytes()
+    in.close()
+    val f = Multimodal.decodeAudioFeatures(bytes).get
+    assert(f.nFrames == 10L && f.sampleRateHz == 8000L)
+    assert(f.sampleSum == 7004L && f.absSum == 86196L)
+    assert(f.sampleMin == -32768 && f.sampleMax == 32767)
+  }
+
+  test("synthetic WAV round trip reproduces the oracle's sample formula") {
+    for (id <- Seq(1L, 63L, 64L, 4999L)) {
+      val f = Multimodal.decodeAudioFeatures(Multimodal.encodeSynthWav(id)).get
+      val n = Multimodal.synthFrames(id)
+      val samples = (0 until n).map(i => Multimodal.synthSample(id, i))
+      assert(f.nFrames == n.toLong && f.sampleRateHz == 8000L)
+      assert(f.sampleSum == samples.map(_.toLong).sum)
+      assert(f.absSum == samples.map(s => math.abs(s).toLong).sum)
+      assert(f.sampleMin == samples.min && f.sampleMax == samples.max)
+    }
+  }
+
   test("undecodable payloads yield None / decoded=false rows, not failures") {
     assert(Multimodal.decodeImageFeatures(null).isEmpty)
     assert(Multimodal.decodeImageFeatures(Array.empty[Byte]).isEmpty)
     assert(Multimodal.decodeImageFeatures("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeAudioFeatures(null).isEmpty)
+    assert(Multimodal.decodeAudioFeatures("not a wav".getBytes).isEmpty)
+    // a PNG is not PCM audio and vice versa — the codecs don't cross-fire
+    assert(Multimodal.decodeAudioFeatures(Multimodal.encodeSynthPng(1L)).isEmpty)
+    assert(Multimodal.decodeImageFeatures(Multimodal.encodeSynthWav(1L)).isEmpty)
     import spark.implicits._
     val media = Seq(
       (1L, Multimodal.encodeSynthPng(1L)),
