@@ -151,9 +151,14 @@ object Multimodal {
   def decodeImageFeatures(content: Array[Byte]): Option[ImageFeatures] = {
     if (content == null || content.isEmpty) return None
     javax.imageio.ImageIO.setUseCache(false) // no temp-file spills on executors
+    // NonFatal, not just IOException: the ImageIO plugin readers throw
+    // runtime exceptions (AIOOBE, NegativeArraySize, IllegalArgument) on
+    // payloads whose magic bytes parse but whose body is corrupt — and a
+    // 100 TB crawl always contains some; one such blob must not kill the
+    // whole extract job through task retries
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -268,13 +273,12 @@ object Multimodal {
     * numbers). */
   def decodeAudioFeatures(content: Array[Byte]): Option[AudioFeatures] = {
     if (content == null || content.isEmpty) return None
+    // NonFatal for the same reason as the image path: malformed headers
+    // can throw runtime exceptions from the format parsers
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (ais == null) return None
     try {
       val fmt = ais.getFormat

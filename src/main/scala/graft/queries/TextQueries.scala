@@ -271,7 +271,7 @@ object TextQueries {
       // across the cluster — a small parquet scan arrives as one input
       // split — and is what the checkpoint then stores.
       val m = docs(s, dir)
-        .repartition(32, col("doc_id"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(
           col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),

@@ -92,7 +92,15 @@ object GeocodeJoin {
     * (`shuffle_replicate_nl`) — quadratic like any unindexable
     * containment join, but nothing large is ever broadcast. Result
     * equality with [[topK]] is spec-pinned; no step broadcasts or sorts
-    * the full query side. */
+    * the full query side.
+    *
+    * EAGERNESS CONTRACT: the residue route is decided by a bounded
+    * count run AT CALL TIME (a join strategy cannot switch inside one
+    * static plan), so this builder launches a small job, and a plan
+    * built long before execution keeps the route chosen from the data
+    * as of the call. Callers that build plans ahead of mutable inputs
+    * should pass `maxFallbackBroadcast = 0` to pin the
+    * never-broadcast route. */
   def topKIndexed(queries: DataFrame, poiView: DataFrame, index: DataFrame,
                   settings: Settings = Settings(), k: Int = 5,
                   maxFallbackBroadcast: Long = 5000L): DataFrame = {

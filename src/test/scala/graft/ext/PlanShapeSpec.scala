@@ -67,7 +67,7 @@ class PlanShapeSpec extends SparkSpec {
     // and the queries built on it keep that shape
     for (q <- Seq(graft.queries.TextQueries.taTopTokens,
                   graft.queries.TextQueries.taSampleStratified)) {
-      val p = physical(q.run(spark, "/root/testdata/sf0.001"))
+      val p = physical(q.run(spark, sf("sf0.001")))
       assert(!p.contains("Window"), s"${q.name} plan has a window sort:\n$p")
     }
   }
