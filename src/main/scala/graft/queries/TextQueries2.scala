@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second text-analysis batch: PII redaction, word n-grams, and BM25
+  * retrieval — the remaining text operators a corpus-curation pipeline
+  * runs at scale. All are built-in column composition (codegen'd, no
+  * UDFs); the BM25 ranking reuses the two-phase top-k so no single task
+  * ever sorts the whole corpus.
+  */
+object TextQueries2 {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  // ------------------------------------------------------------- redact
+
+  /** PII patterns in the Java-regex ∩ RE2 portable subset (no
+    * backreferences, no lookaround — RE2 has neither), so Spark and
+    * DuckDB match identically. Order matters and is fixed: email → URL →
+    * phone, each pass over the previous pass's output. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Chained redaction: every match replaced with a typed tag. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(text, lit("")), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Synthetic PII rows unioned into the corpus (the fixture corpus is
+    * word-salad with no PII, so redaction must be exercised on planted
+    * rows — the UDHR-sample pattern from `ta_lang_unicode`). Ids sit far
+    * above any fixture doc_id. */
+  private[graft] val piiSamples: Seq[(Long, String)] = Seq(
+    (9200001L, "contact alice.smith+work@example.com or bob@sub.example.org today"),
+    (9200002L, "see https://example.com/a/b?q=1 and http://test.example.net/x for details"),
+    (9200003L, "call +1 (555) 123-4567 or 020 7946 0958 before noon"),
+    (9200004L, "mixed: carol@example.com via https://example.org, fax 555 867 5309 now"),
+    (9200005L, "no pii here, just plain text"))
+
+  val taRedact = Q("ta_redact",
+    (s, dir) => {
+      import s.implicits._
+      val extra = piiSamples.toDF("doc_id", "text")
+      val base = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(extra)
+      base.select(
+        col("doc_id"),
+        redact(col("text")).as("redacted"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(UrlRe)).as("n_urls"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val valuesRows = piiSamples
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(",\n                 ")
+      // RE2 needs the 'g' flag for replace-all (Java replaces all by
+      // default); counts via regexp_extract_all on the RAW text
+      s"""WITH allrows AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+                 $valuesRows) AS v(doc_id, text))
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(coalesce(text, ''), '$EmailRe', '<EMAIL>', 'g'),
+                     '$UrlRe', '<URL>', 'g'),
+                   '$PhoneRe', '<PHONE>', 'g') AS redacted,
+                 len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+                 len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+                 len(regexp_extract_all(text, '$PhoneRe')) AS n_phones
+          FROM allrows ORDER BY doc_id"""
+    })
+
+  // ------------------------------------------------------------- ngrams
+
+  /** Word bigrams over a PRE-MATERIALIZED token array column. The
+    * argument must be an attribute (e.g. via `.withColumn("toks", ...)`),
+    * not a derived expression — Spark inlines derived expressions into
+    * each lambda evaluation (the HOF re-evaluation trap: canon+split
+    * would run once per element). `sequence` needs the size guard:
+    * Spark's `sequence(0, -1)` generates a DESCENDING sequence. */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-language bigram heavy hitters: explode → count → two-phase
+    * top-k (the `ta_top_tokens` shape one n-gram order up — the group-by
+    * absorbs the fan-out; no per-language vocabulary sort in one task). */
+  val taNgrams = Q("ta_ngrams",
+    (s, dir) => {
+      val counted = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+        .select(col("lang"), explode(bigramsOf(col("toks"))).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      graft.ext.TopK.perGroupTopK(counted, Seq("lang"),
+          struct((-col("n")).as("negn"), col("bigram"), col("n")), 5)
+        .select(col("lang"), col("col.bigram").as("bigram"), col("col.n").as("n"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("lang", "rank")
+    },
+    Some {
+      val canon = TextQueries.canonSql
+      // DuckDB generate_series(1, n) is empty when n < 1 (no descending
+      // surprise); lists are 1-based
+      s"""WITH toks AS (
+            SELECT lang, list_filter(string_split($canon, ' '), x -> x <> '') AS t
+            FROM documents),
+          grams AS (
+            SELECT lang,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks),
+          counted AS (SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2),
+          ranked AS (
+            SELECT lang, bigram, n, row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, bigram ASC) AS rank
+            FROM counted)
+          SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 5
+          ORDER BY lang, rank"""
+    })
+
+  // -------------------------------------------------------------- bm25
+
+  /** The standing example query for `ta_bm25` (terms from the fixture
+    * vocabulary; the operator takes any term set). */
+  val Bm25Terms: Seq[String] = Seq("spark", "scan", "merge", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 document retrieval with a LOG-FREE rational idf:
+    * `idf = (N - df + 0.5) / (df + 0.5)` — monotone in df exactly like
+    * the classic `ln`-form, but built from IEEE basic ops only (+,-,*,/
+    * are correctly rounded and therefore bit-identical in every engine;
+    * `ln` is not, and a 1-ulp ln drift breaks cross-engine hashing).
+    * Per-term scores are scaled to integer micros BEFORE the per-doc
+    * sum, so the sum is order-free — the same reproducibility design as
+    * the quantized cosine ([[graft.ext.Similarity]]).
+    *
+    * Shape at 100 TB: tf is one token-explode + grouped count (partial
+    * agg absorbs the fan-out); df and the corpus stats are tiny
+    * broadcast sides; ranking is the two-phase top-k — no corpus-wide
+    * single-task sort anywhere. */
+  val taBm25 = Q("ta_bm25",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      // one row per (doc, query-term): materialized once — it feeds BOTH
+      // the df aggregate and the scoring join (shared-subplan re-execution
+      // would otherwise re-scan + re-explode the corpus)
+      val tf = toks
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = toks.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val scored = tf
+        .join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+      val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfn = (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+        (col("tf").cast("double") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+      val perDoc = scored
+        .select(col("doc_id"),
+          round((idf * tfn) * lit(1000000.0)).cast("long").as("micro"))
+        .groupBy("doc_id").agg(sum(col("micro")).as("score_micro"))
+      graft.ext.TopK.perGroupTopK(perDoc, Seq.empty,
+          struct((-col("score_micro")).as("negs"), col("doc_id"), col("score_micro")), 20)
+        .select(col("col.doc_id").as("doc_id"),
+          col("col.score_micro").as("score_micro"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("rank")
+    },
+    Some {
+      val canon = TextQueries.canonSql
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split($canon, ' '), x -> x <> '') AS t
+            FROM documents),
+          sized AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+          tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(t) AS term FROM sized)
+            WHERE term IN ($termList)
+            GROUP BY 1, 2, 3),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                    FROM sized),
+          scored AS (
+            SELECT tf.doc_id,
+                   CAST(round((((CAST(s.n_docs - d.df AS DOUBLE) + 0.5::DOUBLE)
+                                / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+                               * ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0}::DOUBLE)
+                                  / (CAST(tf.tf AS DOUBLE) + ${Bm25K1}::DOUBLE
+                                     * (${1.0 - Bm25B}::DOUBLE + ${Bm25B}::DOUBLE
+                                        * (CAST(tf.dl AS DOUBLE) / s.avgdl)))))
+                              * 1000000.0::DOUBLE) AS BIGINT) AS micro
+            FROM tf, dfreq d, stats s WHERE tf.term = d.term),
+          perdoc AS (SELECT doc_id, sum(micro) AS score_micro FROM scored GROUP BY 1),
+          ranked AS (
+            SELECT doc_id, score_micro,
+                   row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+            FROM perdoc)
+          SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= 20
+          ORDER BY rank"""
+    })
+
+  val all: Seq[Q] = Seq(taRedact, taNgrams, taBm25)
+}
