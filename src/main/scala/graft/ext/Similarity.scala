@@ -188,4 +188,43 @@ object Similarity {
           .orderBy(col("cosine").desc, col("cand_id").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH — the
+    * corpus-vs-corpus dedup form (vs [[lshTopK]]'s query-vs-corpus):
+    * `bands` independent bucket ids of `planesPerBand` hyperplanes each;
+    * a pair becomes a candidate when ANY band's buckets collide
+    * (recall 1-(1-p^r)^B vs a single band's p^r), then the exact
+    * quantized cosine keeps pairs at `minCosine` or above.
+    *
+    * Shape at 100 TB: candidate generation is a self-equality-join on
+    * (band, bucket) — never all-pairs; the banded relation carries only
+    * (vec_id, band, bucket), and vectors rejoin by id for the exact
+    * re-check, so the band explode never shuffles the embeddings
+    * themselves. The quantized corpus is materialized once (it feeds
+    * banding plus both sides of the score join). */
+  def nearDupPairs(corpus: DataFrame, bands: Int, planesPerBand: Int,
+                   dim: Int, minCosine: Double): DataFrame = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("q_emb"))
+      .localCheckpoint(true)
+    val bandStructs = (0 until bands).map { b =>
+      val bucket = (0 until planesPerBand).map { i =>
+        when(dotQ(col("q_emb"), lit(hyperplane(b * planesPerBand + i, dim))) > 0,
+          1L << i).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = q
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(q.select(col("vec_id").as("a"), col("q_emb").as("qa")), Seq("a"))
+      .join(q.select(col("vec_id").as("b"), col("q_emb").as("qb")), Seq("b"))
+      .select(col("a"), col("b"), round(cosineQ(col("qa"), col("qb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

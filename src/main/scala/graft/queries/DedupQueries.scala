@@ -253,6 +253,71 @@ object DedupQueries {
           FROM members ORDER BY doc_id"""
     })
 
+  private val Dim = 64
+
+  /** Embedding-cosine near-duplicate pairs — the fifth dedup modality
+    * (beside exact / MinHash / SimHash / n-gram Jaccard): banded
+    * sign-LSH candidates + exact quantized-cosine verify at a 0.9
+    * threshold ([[graft.ext.Similarity.nearDupPairs]]). The fixture
+    * corpus has no natural near-dups, so deterministic ones are PLANTED:
+    * every 25th vector re-enters with its first two components zeroed
+    * (cosine ≈ 0.98 to its source) under id+1'000'000 — the same
+    * planted-rows pattern as `ta_redact`/`ta_lang_unicode`. The oracle
+    * twin rebuilds the identical hyperplanes, bands, and quantized
+    * cosine in SQL, so approximation misses match bit-for-bit too. */
+  val ddEmbedNearDup = Q("dd_embed_neardup",
+    (s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(lit(0.0f), lit(0.0f)),
+            slice(col("embedding"), 3, Dim - 2)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+      graft.ext.Similarity
+        .nearDupPairs(corpus, bands = 4, planesPerBand = 8, dim = Dim,
+          minCosine = 0.9)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000 AS vec_id,
+                      list_concat([0.0::FLOAT, 0.0::FLOAT], embedding[3:]) AS embedding
+               FROM embeddings WHERE vec_id % 25 = 0),
+             qv AS (
+               SELECT vec_id, i, CAST(round(embedding[i] * 32768.0) AS BIGINT) AS v
+               FROM corpus, range(1, ${Dim + 1}) t(i)),
+             wv AS (
+               SELECT p, i, ((p * $Dim + (i - 1)) * 2654435761) % 2000001 - 1000000 AS w
+               FROM range(0, 32) t1(p), range(1, ${Dim + 1}) t2(i)),
+             pdots AS (
+               SELECT vec_id, p, sum(v * w) AS dot
+               FROM qv JOIN wv USING (i) GROUP BY 1, 2),
+             buckets AS (
+               SELECT vec_id, p // 8 AS band,
+                      sum(CASE WHEN dot > 0 THEN 1 << (p % 8) ELSE 0 END) AS bucket
+               FROM pdots GROUP BY 1, 2),
+             cand AS (
+               SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+             norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+             dots AS (
+               SELECT a, b, sum(x.v * y.v) AS dot
+               FROM cand
+               JOIN qv x ON x.vec_id = a
+               JOIN qv y ON y.vec_id = b AND y.i = x.i
+               GROUP BY 1, 2),
+             scored AS (
+               SELECT a, b,
+                      round(dot::DOUBLE / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)), 6) AS cosine
+               FROM dots
+               JOIN norms na ON a = na.vec_id
+               JOIN norms nb ON b = nb.vec_id)
+           SELECT a, b, cosine FROM scored
+           WHERE cosine >= 0.9::DOUBLE ORDER BY a, b"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
-    ddJaccard, ddComponents, ddContamination, ddSplit, ddCurate)
+    ddJaccard, ddComponents, ddContamination, ddSplit, ddCurate,
+    ddEmbedNearDup)
 }

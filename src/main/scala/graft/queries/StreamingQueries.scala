@@ -64,5 +64,47 @@ object StreamingQueries {
             FROM sessions GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val all: Seq[Q] = Seq(stReplayHourly, stSessions)
+  /** Stream-stream interval join, run as a REAL streaming query (two
+    * watermarked file-source streams over the same events file,
+    * [[StreamOps.attributionJoin]], append-mode memory sink): purchases
+    * attributed to the same user's views within 6 hours. Replay has no
+    * late data, so the result equals the batch interval join the oracle
+    * runs. Delay is reported in exact integer microseconds (epoch_us
+    * both engines) — DuckDB's `date_diff('second', …)` counts boundary
+    * CROSSINGS, not elapsed floor, so a seconds column would diverge on
+    * sub-second fractions. */
+  val stIntervalJoin = Q("st_interval_join",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val replayed =
+        try {
+          def stream() = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val views = stream().filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+          val buys = stream().filter(col("event_type") === "purchase")
+            .select(col("user_id").as("buy_user_id"),
+              col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+          val joined = StreamOps.attributionJoin(views, buys,
+            maxDelay = "6 hours", watermark = "1 hour")
+          StreamOps.replayToTable(s, joined,
+            s"st_interval_join_${System.nanoTime()}", "append")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      replayed.orderBy("view_id", "purchase_id")
+    },
+    Some("""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'view' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            ORDER BY view_id, purchase_id"""))
+
+  val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin)
 }

@@ -223,5 +223,103 @@ object TextQueries2 {
           ORDER BY rank"""
     })
 
-  val all: Seq[Q] = Seq(taRedact, taNgrams, taBm25)
+  // ------------------------------------------------------- gopher rules
+
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — public paper): word count bounds, mean
+    * word length band, alphabetic-word fraction, stopword presence, and
+    * the repetition signal (most-frequent-bigram mass). Thresholds are
+    * the paper's where applicable, loosened to the fixture's word-salad
+    * register where the paper assumes web prose.
+    *
+    * All metrics are rational arithmetic on integer counts (no ln — the
+    * BM25 lesson), so both engines produce bit-identical doubles. Shape:
+    * two explode→grouped-aggregate passes (words, bigrams) that partial-
+    * aggregate map-side, left-joined back to the doc spine — no windows,
+    * no corpus-wide sort. */
+  val GopherStops: Seq[String] = TextAnalysis.Stopwords
+
+  val taGopher = Q("ta_gopher_quality",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+        .select(col("doc_id"), col("toks"))
+      val words = toks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("tok"))).as("sum_len"),
+          sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+          sum(when(col("tok").isin(GopherStops: _*), 1L).otherwise(0L)).as("n_stop"))
+      val bigrams = toks
+        .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max(col("n")).as("top_n"), sum(col("n")).as("tot_n"))
+      val m = toks.select("doc_id")
+        .join(words, Seq("doc_id"), "left")
+        .join(bigrams, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          round(coalesce(col("sum_len"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_words"), lit(0L)), lit(1L)).cast("double"), 6)
+            .as("mean_word_len"),
+          round(coalesce(col("n_alpha"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_words"), lit(0L)), lit(1L)).cast("double"), 6)
+            .as("alpha_frac"),
+          coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+          coalesce(
+            round(col("top_n").cast("double") / col("tot_n").cast("double"), 6),
+            lit(0.0)).as("top_bigram_frac"))
+      m.withColumn("keep",
+          (col("n_words") >= 3 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+            col("alpha_frac") >= 0.8 && col("n_stop") >= 1 &&
+            col("top_bigram_frac") <= 0.2).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val canon = TextQueries.canonSql
+      val stopList = GopherStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split($canon, ' '), x -> x <> '') AS t
+            FROM documents),
+          words AS (
+            SELECT doc_id, count(*) AS n_words, sum(len(tok)) AS sum_len,
+                   sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
+                   sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1),
+          bigrams AS (
+            SELECT doc_id, max(n) AS top_n, sum(n) AS tot_n
+            FROM (SELECT doc_id, bg, count(*) AS n
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+                        FROM toks)
+                  GROUP BY 1, 2)
+            GROUP BY 1),
+          m AS (
+            SELECT toks.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   round(coalesce(sum_len, 0)::DOUBLE
+                         / greatest(coalesce(n_words, 0), 1)::DOUBLE, 6) AS mean_word_len,
+                   round(coalesce(n_alpha, 0)::DOUBLE
+                         / greatest(coalesce(n_words, 0), 1)::DOUBLE, 6) AS alpha_frac,
+                   coalesce(n_stop, 0) AS n_stop,
+                   coalesce(round(top_n::DOUBLE / tot_n::DOUBLE, 6), 0.0::DOUBLE) AS top_bigram_frac
+            FROM toks
+            LEFT JOIN words USING (doc_id)
+            LEFT JOIN bigrams USING (doc_id))
+          SELECT doc_id, n_words, mean_word_len, alpha_frac,
+                 CAST(n_stop AS BIGINT) AS n_stop, top_bigram_frac,
+                 CAST(CASE WHEN n_words >= 3 AND n_words <= 100000
+                            AND mean_word_len >= 2.0::DOUBLE AND mean_word_len <= 12.0::DOUBLE
+                            AND alpha_frac >= 0.8::DOUBLE AND n_stop >= 1
+                            AND top_bigram_frac <= 0.2::DOUBLE
+                       THEN 1 ELSE 0 END AS INT) AS keep
+          FROM m ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(taRedact, taNgrams, taBm25, taGopher)
 }

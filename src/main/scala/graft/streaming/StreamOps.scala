@@ -106,6 +106,28 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval join (attribution): each `view` row joins
+    * the SAME user's `purchase` rows landing within `[view_ts, view_ts +
+    * maxDelay]`. Both sides carry watermarks and the join condition
+    * bounds event time in both directions, so Spark derives a state
+    * eviction horizon for each side — per-key join state stays bounded
+    * on an unbounded stream, which is what separates this from a batch
+    * join wearing a trenchcoat. Inner join ⇒ matches emit as soon as
+    * both rows have arrived (no watermark wait in an availableNow
+    * replay).
+    *
+    * Column contract: views(user_id, view_id, view_ts),
+    * purchases(buy_user_id, purchase_id, buy_ts). */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      maxDelay: String, watermark: String): DataFrame =
+    views.withWatermark("view_ts", watermark)
+      .join(purchases.withWatermark("buy_ts", watermark),
+        col("user_id") === col("buy_user_id") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+
   /** Replay a bounded source through a streaming query into a memory
     * sink and return the materialized result. `Trigger.AvailableNow`
     * drains everything then stops — deterministic, oracle-checkable. */

@@ -130,6 +130,25 @@ class ExtOpsSpec extends SparkSpec {
   private def Tables_embeddings() =
     spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
 
+  test("embedding near-dup: exact + perturbed dups found, dissimilar vectors not paired") {
+    def vec(f: Int => Float) = Array.tabulate(64)(f)
+    val base = vec(j => math.sin(j * 1.7).toFloat)
+    val emb = Seq(
+      (0L, base.toSeq),
+      (1L, base.toSeq), // exact dup → cosine 1.0
+      (2L, vec(j => if (j < 2) 0f else base(j)).toSeq), // near-dup
+      (3L, base.map(-_).toSeq) // antiparallel → cosine -1, never a pair
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val pairs = Similarity.nearDupPairs(emb, bands = 4, planesPerBand = 8,
+        dim = 64, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0), s"exact dup must score 1.0: $pairs")
+    assert(pairs.get((0L, 2L)).exists(_ >= 0.9), s"perturbed dup must pair: $pairs")
+    assert(!pairs.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      s"antiparallel vector must never pair: $pairs")
+  }
+
   test("multimodal: histogram features L1-normalize; plumbing preserves rows") {
     val media = Multimodal.fromDocuments(
       Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"))

@@ -40,6 +40,24 @@ class TextQueries2Spec extends SparkSpec {
     assert(out(2) == Seq("a b", "b c", "c d"))
   }
 
+  test("gopher rules: prose keeps; repetition, short, and numeric docs drop") {
+    val dir = tmpDir("gopherdocs")
+    Seq(
+      (1L, "the quick brown fox and a dog run to the park", "en", "s", 45L),
+      (2L, "spam spam spam spam spam spam", "en", "s", 29L), // top-bigram mass 1.0
+      (3L, "a b", "en", "s", 3L), // too few/too short words
+      (4L, "12345 67890 99999 55555", "en", "s", 23L)) // no alphabetic words
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries2.taGopher.run(spark, dir)
+      .select("doc_id", "keep", "top_bigram_frac", "alpha_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows(1L)._1 == 1, s"prose doc must keep: $rows")
+    assert(rows(2L)._1 == 0 && rows(2L)._2 == 1.0, s"repetitive doc must drop: $rows")
+    assert(rows(3L)._1 == 0)
+    assert(rows(4L)._1 == 0 && rows(4L)._3 == 0.0, s"numeric doc must drop: $rows")
+  }
+
   test("bm25 ranks a doc with more distinct query terms above a longer one-term doc") {
     // hand corpus: doc 1 has two query terms once each; doc 2 repeats one
     // term but is long (length normalization damps it); doc 3 has none

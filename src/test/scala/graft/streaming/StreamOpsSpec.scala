@@ -7,6 +7,7 @@ import java.sql.Timestamp
 
 // top-level so Spark can derive an Encoder (inner classes can't)
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class AttrEv(ts: Timestamp, user_id: Long, event_id: Long)
 
 class StreamOpsSpec extends SparkSpec {
 
@@ -135,6 +136,31 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.count { case (k, n, c) => k == "a" && n && c == 1L } == 2,
         s"'a' must be novel twice (before and after TTL expiry), got $out")
     } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the window, same user only") {
+    implicit val sc = spark.sqlContext
+    val vs = MemoryStream[AttrEv]
+    val ps = MemoryStream[AttrEv]
+    vs.addData(
+      AttrEv(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1L),
+      AttrEv(Timestamp.valueOf("2024-01-01 11:00:00"), 2L, 2L))
+    ps.addData(
+      AttrEv(Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 101L), // +2h → match
+      AttrEv(Timestamp.valueOf("2024-01-02 10:00:00"), 1L, 102L), // +24h → outside
+      AttrEv(Timestamp.valueOf("2024-01-01 12:30:00"), 3L, 103L), // other user
+      AttrEv(Timestamp.valueOf("2024-01-01 09:00:00"), 2L, 104L)) // before the view
+    val views = vs.toDF().select(col("user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val buys = ps.toDF().select(col("user_id").as("buy_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+    val out = StreamOps.replayToTable(spark,
+      StreamOps.attributionJoin(views, buys, "6 hours", "1 hour"),
+      "spec_attr_join", "append")
+      .select("view_id", "purchase_id", "delay_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 101L, 7200000000L)),
+      s"only the in-window same-user purchase may match: $out")
   }
 
   test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
