@@ -175,5 +175,33 @@ object Relational2 {
               ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 30 MINUTE
             ORDER BY purchase_id, signup_id"""))
 
-  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18)
+  /** R19 — semi-structured extraction: `events.props` is a JSON string;
+    * `from_json` with an explicit schema parses it ONCE into a typed
+    * struct (codegen'd Jackson parse — the Spark-idiomatic route, vs
+    * get_json_object re-parsing per path), then plain typed aggregation.
+    * The mean is an explicit sum/count division on both engines (avg()
+    * dialect differences don't get a chance to matter). */
+  val r19 = Q("r19_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")).cast("double"), 6)
+          .as("mean_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum((props->>'k')::INT) AS BIGINT) AS sum_k,
+                   min((props->>'k')::INT) AS min_k,
+                   max((props->>'k')::INT) AS max_k,
+                   round(sum((props->>'k')::INT)::DOUBLE
+                         / count((props->>'k')::INT)::DOUBLE, 6) AS mean_k
+            FROM events GROUP BY 1 ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19)
 }

@@ -321,5 +321,60 @@ object TextQueries2 {
           FROM m ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(taRedact, taNgrams, taBm25, taGopher)
+  // ------------------------------------------------------------ rarity
+
+  /** Unigram-LM rarity score — the shape of a perplexity quality filter
+    * without the `ln` (which is not correctly rounded and would break
+    * cross-engine hashing): each token contributes its inverse corpus
+    * frequency `T / n_tok` in INTEGER micros via exact integer division,
+    * the per-doc sum is order-free INT64, and only the final mean is one
+    * deterministic float divide. High score = rare vocabulary (a real
+    * perplexity filter would threshold exactly this way).
+    *
+    * Shape at 100 TB: the frequency table is vocabulary-sized (heavy-
+    * hitter counts partial-aggregate map-side) and broadcasts back onto
+    * the token stream; per-doc reduce is one grouped aggregate. The
+    * corpus total rides the frequency table as a broadcast scalar. */
+  val taRarity = Q("ta_rarity",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val total = freq.agg(sum(col("n_tok")).as("t_total"))
+      val scored = toks
+        .join(broadcast(freq), Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          expr("(t_total * 1000000L) div n_tok").as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("micro")).as("sum_micro"))
+      docs(s, dir).select("doc_id").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(
+            round(col("sum_micro").cast("double") / col("n_words").cast("double"), 6),
+            lit(0.0)).as("rarity"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val canon = TextQueries.canonSql
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split($canon, ' '), x -> x <> '')) AS tok
+            FROM documents),
+          freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1),
+          total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t_total FROM freq),
+          scored AS (
+            SELECT doc_id, count(*) AS n_words,
+                   sum((t.t_total * 1000000) // f.n_tok) AS sum_micro
+            FROM toks JOIN freq f USING (tok), total t
+            GROUP BY 1)
+          SELECT d.doc_id,
+                 CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+                 coalesce(round(s.sum_micro::DOUBLE / s.n_words::DOUBLE, 6), 0.0::DOUBLE) AS rarity
+          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+          ORDER BY d.doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(taRedact, taNgrams, taBm25, taGopher, taRarity)
 }

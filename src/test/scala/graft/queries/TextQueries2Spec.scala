@@ -58,6 +58,22 @@ class TextQueries2Spec extends SparkSpec {
     assert(rows(4L)._1 == 0 && rows(4L)._3 == 0.0, s"numeric doc must drop: $rows")
   }
 
+  test("rarity: a doc of corpus-unique tokens outscores a doc of repeated common ones") {
+    val dir = tmpDir("raritydocs")
+    Seq(
+      (1L, "common common common common", "en", "s", 27L),
+      (2L, "common common common common", "en", "s", 27L),
+      (3L, "zyzzyva quetzal axolotl", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries2.taRarity.run(spark, dir)
+      .select("doc_id", "rarity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 11 tokens total: 'common' appears 8x (inv-freq 11/8), the rare ones 1x (11/1)
+    assert(out(3L) > out(1L) * 5, s"rare vocabulary must outscore common: $out")
+    assert(out(1L) == out(2L), "identical docs must score identically")
+  }
+
   test("bm25 ranks a doc with more distinct query terms above a longer one-term doc") {
     // hand corpus: doc 1 has two query terms once each; doc 2 repeats one
     // term but is long (length normalization damps it); doc 3 has none
