@@ -39,7 +39,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timeAll(): Seq[(String, Double)] = Registry.all.map { q =>
+    // builder-side fast iteration; the driver never sets this
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def timeAll(): Seq[(String, Double)] = Registry.all
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
       catch { case e: Throwable =>

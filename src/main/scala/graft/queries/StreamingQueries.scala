@@ -78,24 +78,35 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.get(noDataKey)
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // an inner stream-stream join emits on match; the trailing no-data
+      // batch only advances the watermark for state EVICTION, which a
+      // drain-and-stop replay never benefits from
+      s.conf.set(noDataKey, "false")
       val replayed =
         try {
-          def stream() = s.readStream.schema(schema)
+          // ONE file-source; both join sides derive from it (a second
+          // readStream would scan the parquet twice per micro-batch)
+          val src = s.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(dir)
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          val views = stream().filter(col("event_type") === "view")
+          val views = src.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"),
               col("ts").as("view_ts"))
-          val buys = stream().filter(col("event_type") === "purchase")
+          val buys = src.filter(col("event_type") === "purchase")
             .select(col("user_id").as("buy_user_id"),
               col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
           val joined = StreamOps.attributionJoin(views, buys,
             maxDelay = "6 hours", watermark = "1 hour")
           StreamOps.replayToTable(s, joined,
             s"st_interval_join_${System.nanoTime()}", "append")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(noDataKey, prevNoData)
+        }
       replayed.orderBy("view_id", "purchase_id")
     },
     Some("""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,

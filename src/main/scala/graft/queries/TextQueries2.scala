@@ -153,12 +153,16 @@ object TextQueries2 {
     * single-task sort anywhere. */
   val taBm25 = Q("ta_bm25",
     (s, dir) => {
+      // tokenization (the regex-heavy part) materialized ONCE — it feeds
+      // the corpus stats aggregate AND the tf relation below; without
+      // this, both subplans re-scan and re-tokenize the corpus
       val toks = docs(s, dir)
         .withColumn("toks", TextAnalysis.tokensCol(col("text")))
         .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+        .localCheckpoint(true)
       // one row per (doc, query-term): materialized once — it feeds BOTH
       // the df aggregate and the scoring join (shared-subplan re-execution
-      // would otherwise re-scan + re-explode the corpus)
+      // would otherwise re-explode the token arrays)
       val tf = toks
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .filter(col("term").isin(Bm25Terms: _*))
