@@ -119,14 +119,21 @@ object StreamOps {
     * Column contract: views(user_id, view_id, view_ts),
     * purchases(buy_user_id, purchase_id, buy_ts). */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
-                      maxDelay: String, watermark: String): DataFrame =
-    views.withWatermark("view_ts", watermark)
+                      maxDelay: String, watermark: String,
+                      keepEventTime: Boolean = false): DataFrame = {
+    val joined = views.withWatermark("view_ts", watermark)
       .join(purchases.withWatermark("buy_ts", watermark),
         col("user_id") === col("buy_user_id") &&
           col("buy_ts") >= col("view_ts") &&
           col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
-      .select(col("user_id"), col("view_id"), col("purchase_id"),
-        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+    val base = Seq(col("user_id"), col("view_id"), col("purchase_id"),
+      (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+    // keepEventTime retains the purchase-side event time (and its
+    // watermark) so a DOWNSTREAM stateful operator — e.g. a windowed
+    // aggregate over attributed purchases — can chain onto the join in
+    // the same streaming query (multiple stateful operators, Spark 4)
+    joined.select((if (keepEventTime) base :+ col("buy_ts") else base): _*)
+  }
 
   /** Replay a bounded source through a streaming query into a memory
     * sink and return the materialized result. `Trigger.AvailableNow`

@@ -163,6 +163,39 @@ class StreamOpsSpec extends SparkSpec {
       s"only the in-window same-user purchase may match: $out")
   }
 
+  test("chained stateful operators: interval join feeding a windowed aggregate in one query") {
+    implicit val sc = spark.sqlContext
+    val vs = MemoryStream[AttrEv]
+    val ps = MemoryStream[AttrEv]
+    // the last row on EACH stream is a far-future no-match flush: the
+    // global watermark is min(per-stream max event time) - delay, and
+    // append-mode windows only emit once it passes their end
+    vs.addData(
+      AttrEv(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1L),
+      AttrEv(Timestamp.valueOf("2024-01-01 10:10:00"), 2L, 2L),
+      AttrEv(Timestamp.valueOf("2024-01-02 00:00:00"), 98L, 9L))
+    ps.addData(
+      AttrEv(Timestamp.valueOf("2024-01-01 11:30:00"), 1L, 101L), // window 11:00
+      AttrEv(Timestamp.valueOf("2024-01-01 11:45:00"), 2L, 102L), // window 11:00
+      AttrEv(Timestamp.valueOf("2024-01-01 13:00:00"), 1L, 103L), // window 13:00
+      AttrEv(Timestamp.valueOf("2024-01-02 00:00:00"), 99L, 999L))
+    val views = vs.toDF().select(col("user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val buys = ps.toDF().select(col("user_id").as("buy_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+    // join state + window state in ONE streaming query — the watermark
+    // propagates through the join to the downstream aggregate
+    val hourly = StreamOps.attributionJoin(views, buys, "6 hours", "1 hour",
+        keepEventTime = true)
+      .groupBy(window(col("buy_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_attributed"))
+    val out = StreamOps.replayToTable(spark, hourly, "spec_attr_hourly", "append")
+      .select(date_format(col("window.start"), "HH:mm").as("h"), col("n_attributed"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("11:00" -> 2L, "13:00" -> 1L),
+      s"attributed purchases must roll up by purchase hour: $out")
+  }
+
   test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
