@@ -203,5 +203,53 @@ object Relational2 {
                          / count((props->>'k')::INT)::DOUBLE, 6) AS mean_k
             FROM events GROUP BY 1 ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19)
+  /** R20 — SLIDING time windows (1h window, 30min slide): every event
+    * lands in exactly two windows. Spark's `window(ts, w, s)` expands
+    * the assignment internally; the DuckDB twin materializes the same
+    * two window starts per event via unnest — both windows provably
+    * contain the event (ts ∈ [tb, tb+30) ⊂ [tb-30, tb+30) ∩ [tb, tb+60)),
+    * so no re-filter is needed. */
+  val r20 = Q("r20_sliding_window",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type"),
+    Some("""WITH w AS (
+              SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                             time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+                     event_type, value
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** R21 — array construction + higher-order functions as a declared
+    * capability (they're used internally everywhere; this pins them
+    * cross-engine): per-order sorted quantity array, then filter /
+    * aggregate / transform over it. The array column is materialized as
+    * an ATTRIBUTE before any lambda touches it (the HOF re-evaluation
+    * trap: a derived expression inlines into every lambda element). */
+  val r21 = Q("r21_array_hof",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(col("l_orderkey"), col("qtys"),
+        size(filter(col("qtys"), x => x > 25)).as("n_big"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+        element_at(transform(col("qtys"), x => x * 2), 1).as("min_doubled"))
+      .orderBy("l_orderkey"),
+    Some("""WITH base AS (
+              SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+              FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1)
+            SELECT l_orderkey, qtys,
+                   CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
+                   CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS total_qty,
+                   qtys[1] * 2 AS min_doubled
+            FROM base ORDER BY l_orderkey"""))
+
+  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21)
 }

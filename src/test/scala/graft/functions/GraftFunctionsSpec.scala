@@ -73,4 +73,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT dotq(array(1L, 2L, 3L), array(3L, 4L)) IS NULL")
       .as[Boolean].head())
   }
+
+  test("VectorCentroid UDAF: integer mean per group, null/empty skipped, SQL-callable") {
+    val df = Seq(
+      (0, Seq(2L, 4L)), (0, Seq(5L, 8L)), (0, null: Seq[Long]),
+      (1, Seq(10L, 20L)), (2, Seq.empty[Long]))
+      .toDF("cid", "q")
+    val out = df.groupBy("cid")
+      .agg(VectorCentroid.centroid(col("q")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(out(0) == Seq(4L, 6L), s"round-half-up integer mean: $out") // (7/2, 12/2) -> (4, 6)
+    assert(out(1) == Seq(10L, 20L))
+    assert(out(2) == Seq.empty, "all-empty group yields an empty centroid")
+    // and the same aggregator registered for SQL
+    spark.udf.register("vec_centroid", org.apache.spark.sql.functions.udaf(VectorCentroid))
+    df.createOrReplaceTempView("vc_in")
+    val viaSql = spark.sql(
+      "SELECT cid, vec_centroid(q) AS c FROM vc_in GROUP BY cid ORDER BY cid")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == out)
+  }
 }
