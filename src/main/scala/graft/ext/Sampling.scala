@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data pipelines: temperature
+  * re-sampling of group (domain/language) mixes and sequence packing of
+  * documents into fixed token-budget bins.
+  *
+  * Both are DETERMINISTIC by construction — membership decisions come
+  * from the portable md5-derived hash ([[Dedup.tokenHash]]) and exact
+  * integer/sqrt arithmetic, never `rand()` — so a retry, a different
+  * partitioning, or a different engine reproduces the same corpus
+  * bit-for-bit (the same property [[Dedup.splitAssign]] provides for
+  * train/test routing).
+  */
+object Sampling {
+
+  /** Temperature-flattening group re-sampler (the "domain mixing" step
+    * of corpus assembly, cf. the data-mixture weighting used by large
+    * LM corpora): group g is kept at rate `sqrt(min_g n_g / n_g)`, so
+    * the rarest group is kept whole and a group 4x its size keeps half
+    * — flattening the mix toward (but not past) uniform, without
+    * upsampling.
+    *
+    * The exponent is FIXED at 1/2 (temperature 2) because IEEE-754
+    * `sqrt` is correctly rounded and therefore engine-portable, while
+    * `pow(x, alpha)` is not (libm implementations differ in the last
+    * ulp, which a floor() then amplifies to a membership flip). The
+    * keep threshold is materialized per group in integer
+    * parts-per-million; membership is `hash(salt:id) mod 1e6 <
+    * threshold`.
+    *
+    * Scale shape: one partial-agg groupBy over the weight column (the
+    * group-cardinality relation is domains-sized, i.e. tiny), a
+    * broadcast join of the per-group thresholds back onto the corpus,
+    * and a narrow filter. Nothing shuffles the corpus.
+    *
+    * @param weight per-row mass to weight groups by — typically a token
+    *               count (mix by token budget), or `lit(1L)` for doc
+    *               counts.
+    */
+  def temperatureMix(docs: DataFrame, group: String, id: String,
+                     weight: Column, salt: String = "mix"): DataFrame = {
+    val scale = 1000000L
+    val masses = docs.groupBy(col(group)).agg(sum(weight).as("mass"))
+    val mn = masses.agg(min("mass").as("min_mass"))
+    val rates = masses.crossJoin(broadcast(mn))
+      .select(col(group),
+        floor(sqrt(col("min_mass").cast("double") / col("mass").cast("double"))
+          * scale).cast("long").as("keep_ppm"))
+    docs.join(broadcast(rates), group)
+      .filter(pmod(Dedup.tokenHash(concat(lit(salt + ":"), col(id).cast("string"))),
+        lit(scale)) < col("keep_ppm"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-capacity bins by
+    * prefix-sum partitioning — doc d goes to bin `floor(start_d /
+    * capacity)` where `start_d` is the running token count before d in
+    * its shard's id order. Bins are contiguous runs of the shard order;
+    * a bin can overshoot capacity by at most one document (the standard
+    * streaming-packing approximation — no bin-packing search, one pass).
+    *
+    * Sharding is the scale knob: each shard is packed independently
+    * under a per-shard total order, so the only sort is per-shard. A
+    * deployment sizes `shards` proportional to corpus tokens (shard ≈
+    * what one packing worker handles); the determinism comes from the
+    * hash route + id order, not from task scheduling.
+    *
+    * Returns one row per (shard, bin): document count, token sum, and
+    * the id span [min_id, max_id] of the bin's run.
+    */
+  def packBins(docs: DataFrame, id: String, tokens: Column,
+               shards: Int, capacity: Long): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col(id))
+    docs
+      .select(col(id),
+        pmod(Dedup.tokenHash(concat(lit("pack:"), col(id).cast("string"))),
+          lit(shards)).as("shard"),
+        tokens.cast("long").as("ntok"))
+      .withColumn("start", sum("ntok").over(w) - col("ntok"))
+      .withColumn("bin", expr(s"start div $capacity"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("sum_tokens"),
+        min(id).as("min_id"), max(id).as("max_id"))
+  }
+}

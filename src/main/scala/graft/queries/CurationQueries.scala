@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.ext.{Sampling, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition inventory: temperature domain mixing and sequence
+  * packing over `documents` ([[graft.ext.Sampling]]). Both oracles
+  * rebuild the identical portable hash + exact arithmetic in DuckDB, so
+  * membership and bin assignment are hash-checked bit-for-bit.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  private val canonSql = TextQueries.canonSql
+  private val ntokSql = s"len(list_filter(string_split($canonSql, ' '), x -> x <> ''))"
+
+  /** DuckDB twin of Dedup.tokenHash over an arbitrary string expr. */
+  private def hashSql(expr: String) = s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+
+  /** Temperature-2 language re-mix weighted by token mass: rare
+    * languages kept whole, the dominant one down-sampled toward (not
+    * past) uniform. Keeps ≈ sqrt(min-mass/mass) of each language,
+    * membership by portable hash — deterministic across engines,
+    * retries, and partitionings. */
+  val taDomainMix = Q("ta_domain_mix",
+    (s, dir) =>
+      Sampling.temperatureMix(
+        docs(s, dir), group = "lang", id = "doc_id",
+        weight = TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "lang", "keep_ppm")
+        .orderBy("doc_id"),
+    Some(s"""WITH masses AS (
+               SELECT lang, sum($ntokSql) AS mass FROM documents GROUP BY 1),
+             mn AS (SELECT min(mass) AS min_mass FROM masses),
+             rates AS (
+               SELECT lang,
+                      CAST(floor(sqrt(min_mass::DOUBLE / mass::DOUBLE) * 1000000) AS BIGINT) AS keep_ppm
+               FROM masses, mn)
+           SELECT d.doc_id, d.lang, r.keep_ppm
+           FROM documents d JOIN rates r USING (lang)
+           WHERE ${hashSql("'mix:' || d.doc_id")} % 1000000 < r.keep_ppm
+           ORDER BY doc_id"""))
+
+  private val PackShards = 16
+  private val PackCapacity = 512L
+
+  /** Sequence packing into 512-token bins over 16 hash shards:
+    * prefix-sum bin assignment in per-shard id order (see
+    * [[Sampling.packBins]] for the scale contract — shard count is the
+    * knob that scales with corpus tokens). */
+  val taPack = Q("ta_pack",
+    (s, dir) =>
+      Sampling.packBins(docs(s, dir), id = "doc_id",
+        tokens = TextAnalysis.tokenCount(col("text")),
+        shards = PackShards, capacity = PackCapacity)
+        .orderBy("shard", "bin"),
+    Some(s"""WITH t AS (
+               SELECT doc_id, CAST($ntokSql AS BIGINT) AS ntok,
+                      ${hashSql("'pack:' || doc_id")} % $PackShards AS shard
+               FROM documents),
+             c AS (
+               SELECT doc_id, ntok, shard,
+                      sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+               FROM t)
+           SELECT shard, strt // $PackCapacity AS bin,
+                  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                  min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))
+
+  val all: Seq[Q] = Seq(taDomainMix, taPack)
+}
