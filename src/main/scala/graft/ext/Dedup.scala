@@ -221,6 +221,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-sketch pre-filtered decontamination: the KEEP side of
+    * [[contaminationPairs]] — train documents sharing NO n-gram shingle
+    * with the held-out set, computed without shuffling the full train
+    * shingle relation.
+    *
+    * The Bloom filter over distinct test shingle hashes is built once
+    * (a driver-side sketch, ~1.2 bytes/element at 1% fpp — a few GB for
+    * 10^10 test shingles, broadcastable) and applied AT THE SCAN to
+    * train shingles. Only bloom-POSITIVE shingles enter the exact hash
+    * join (false positives are resolved there; false negatives are
+    * impossible, so bloom-negative train docs are definitively clean).
+    * At 100 TB this turns "shuffle every train shingle" into "shuffle
+    * the ~fpp-sized suspect subset" — the sketch moves to the tasks,
+    * the data mostly doesn't move at all. The `mightContain` UDF is a
+    * deliberate exception to the no-UDF rule: it's a pre-filter whose
+    * output feeds an exact verify, never a semantics-bearing step.
+    *
+    * Returns the clean train document ids (one `id` column). */
+  def bloomDecontaminate(df: DataFrame, idCol: String, textCol: String,
+                         testPred: Column, n: Int,
+                         expectedTestShingles: Long = 1L << 16,
+                         fpp: Double = 0.01): DataFrame = {
+    val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
+    val sh = docShingles(df, idCol, textCol, n)
+      .join(flags, "id")
+      .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
+      .localCheckpoint(true) // read 3x: bloom build, exact verify, train scan
+    val testH = sh.filter(col("is_test")).select("h").distinct()
+    val bloom = testH.stat.bloomFilter("h", expectedTestShingles, fpp)
+    val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
+    val dirty = sh.filter(!col("is_test"))
+      .filter(mightContain(col("h"))) // sketch pre-filter at the scan
+      .join(testH, "h") // exact verify over survivors only
+      .select("id").distinct()
+    df.filter(!testPred).select(col(idCol).cast("long").as("id")).distinct()
+      .join(dirty, Seq("id"), "left_anti")
+  }
+
   /** Token-set Jaccard similarity pairs via an inverted-index join:
     * pairs sharing ≥1 token, sim = |A∩B| / |A|+|B|-|A∩B|. The `maxDf`
     * document-frequency cut drops ubiquitous tokens before the join —

@@ -193,6 +193,28 @@ object DedupQueries {
           ORDER BY test_id, train_id"""
     })
 
+  /** The KEEP side of decontamination, via a broadcast Bloom sketch over
+    * test shingles pre-filtering the train scan before the exact verify
+    * ([[Dedup.bloomDecontaminate]] — the sketch moves, the corpus
+    * doesn't). The sketch only prunes; the oracle is the plain exact
+    * anti-join, so the result hash-checks regardless of fpp. */
+  val ddBloomClean = Q("dd_bloom_clean",
+    (s, dir) => Dedup.bloomDecontaminate(
+      docs(s, dir), "doc_id", "text", testPred = col("doc_id") % 20 === 0, n = 4)
+      .orderBy("id"),
+    Some {
+      s"""WITH sh AS (
+            SELECT id, $tokHashSql AS h FROM (${shinglesSql(4)})),
+          test AS (SELECT DISTINCT h FROM sh WHERE id % 20 = 0),
+          dirty AS (
+            SELECT DISTINCT s.id FROM sh s JOIN test USING (h)
+            WHERE s.id % 20 <> 0)
+          SELECT DISTINCT doc_id AS id FROM documents
+          WHERE doc_id % 20 <> 0
+            AND doc_id NOT IN (SELECT id FROM dirty)
+          ORDER BY id"""
+    })
+
   /** Reproducible 90/10 split assignment over the whole corpus — the
     * salted-hash routing every decontamination/eval pipeline starts
     * from (stable under retries and repartitioning, unlike rand()). */
@@ -318,6 +340,6 @@ object DedupQueries {
            WHERE cosine >= 0.9::DOUBLE ORDER BY a, b"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
-    ddJaccard, ddComponents, ddContamination, ddSplit, ddCurate,
-    ddEmbedNearDup)
+    ddJaccard, ddComponents, ddContamination, ddBloomClean, ddSplit,
+    ddCurate, ddEmbedNearDup)
 }

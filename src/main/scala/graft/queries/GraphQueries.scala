@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.ext.{Dedup, Graphs}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Graph inventory: link-quality scoring over a deterministic synthetic
+  * link graph derived from `documents` (each doc "links to" 3
+  * hash-chosen docs — the fixture corpus has no real hyperlinks, so the
+  * graph is a pure function of doc_ids that both engines rebuild
+  * identically, the planted-rows pattern used throughout).
+  */
+object GraphQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  private def hashSql(expr: String) = s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+
+  private val Iters = 3
+
+  /** 3-iteration fixed-point PageRank ([[Graphs.pageRankFixedPoint]] —
+    * INT64 picoshare arithmetic, bit-exact cross-engine). The oracle
+    * unrolls the same three iterations as chained CTEs. */
+  val grPageRank = Q("gr_pagerank",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val nodes = d.select(col("doc_id").as("id"))
+      val edges = d.select(col("doc_id").as("src"),
+          explode(array(lit(0), lit(1), lit(2))).as("k"))
+        .select(col("src"),
+          pmod(Dedup.tokenHash(
+            concat(lit("link:"), col("src").cast("string"), lit(":"), col("k"))),
+            lit(n)).as("dst"))
+      Graphs.pageRankFixedPoint(nodes, edges, Iters)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val iterCtes = (1 to Iters).map { i =>
+        s"""s$i AS (
+              SELECT e.dst, sum(r${i - 1}.rank // e.outdeg) AS s
+              FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id GROUP BY 1),
+            r$i AS (
+              SELECT d.doc_id AS id,
+                     CAST((SELECT base FROM b) + coalesce(s$i.s, 0) * 85 // 100 AS BIGINT) AS rank
+              FROM documents d LEFT JOIN s$i ON d.doc_id = s$i.dst)"""
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+            b AS (SELECT (1000000000000 // n) AS unit,
+                         (1000000000000 // n) * 15 // 100 AS base FROM n),
+            e0 AS (
+              SELECT doc_id AS src,
+                     ${hashSql("'link:' || doc_id || ':' || k")} % (SELECT n FROM n) AS dst
+              FROM documents, range(0, 3) t(k)),
+            e AS (
+              SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM e0),
+            r0 AS (
+              SELECT doc_id AS id, (SELECT unit FROM b) AS rank FROM documents),
+            $iterCtes
+          SELECT id AS doc_id, rank FROM r$Iters ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(grPageRank)
+}

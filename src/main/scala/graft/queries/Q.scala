@@ -21,5 +21,5 @@ object Registry {
     Relational.all ++ Relational2.all ++ GeocodeQueries.all ++
       TextQueries.all ++ TextQueries2.all ++ CurationQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamingQueries.all
+      GraphQueries.all ++ StreamingQueries.all
 }

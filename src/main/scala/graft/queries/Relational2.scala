@@ -251,5 +251,40 @@ object Relational2 {
                    qtys[1] * 2 AS min_doubled
             FROM base ORDER BY l_orderkey"""))
 
-  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19, r20, r21)
+  /** R22 — the TPC-H Q3 shape (shipping-priority top-10): a three-table
+    * star join with selective filters on every side, grouped revenue,
+    * global top-k. The plan the optimizer should pick — and .explain
+    * confirms — pushes all three filters to the scans, broadcasts the
+    * filtered customer dim, and finishes with TakeOrderedAndProject
+    * (per-partition top-10, never a global sort). Revenue is rounded
+    * in-query on both sides (the project-wide double-sum determinism
+    * convention, see r2). */
+  val r22 = Q("r22_tpch_q3",
+    (s, dir) => {
+      val cut = to_timestamp(lit("1998-01-01"))
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19, r20,
+    r21, r22)
 }

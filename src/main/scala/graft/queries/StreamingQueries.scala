@@ -117,5 +117,30 @@ object StreamingQueries {
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
             ORDER BY view_id, purchase_id"""))
 
-  val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin)
+  /** Exact dedup as a REAL streaming query (documents file source →
+    * stateful fingerprint aggregate → memory sink): the state store
+    * holds one (fp, keep_id, n_docs) row per distinct fingerprint, and
+    * because min/count are arrival-order-independent the drained result
+    * equals batch `dd_exact` — the same oracle pins both. */
+  val stStreamDedup = Q("st_stream_dedup",
+    (s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val replayed =
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+          val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
+          StreamOps.replayToTable(s, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      replayed.orderBy("keep_id")
+    },
+    Some(s"""SELECT md5(${TextQueries.canonSql}) AS fp, min(doc_id) AS keep_id,
+                    count(*) AS n_docs
+             FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
+    stStreamDedup)
 }

@@ -135,6 +135,21 @@ object StreamOps {
     joined.select((if (keepEventTime) base :+ col("buy_ts") else base): _*)
   }
 
+  /** The exact-dedup operator as a CONTINUOUS pipeline: the same
+    * fingerprint groups as [[graft.ext.Dedup.exactGroups]] (md5 of the
+    * canonical text → min-id keeper + count), maintained incrementally
+    * in the state store as documents arrive. min/count are
+    * arrival-order-independent, so the drained stream result equals the
+    * batch operator bit-for-bit — one definition serves ingest-time and
+    * batch dedup. State is one row per DISTINCT fingerprint (no
+    * watermark needed: fingerprint state is the dedup index itself and
+    * lives forever by design; cap it upstream by date-partitioning the
+    * corpus if unbounded growth matters). */
+  def streamingExactDedup(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.groupBy(graft.ext.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
   /** Replay a bounded source through a streaming query into a memory
     * sink and return the materialized result. `Trigger.AvailableNow`
     * drains everything then stops — deterministic, oracle-checkable. */

@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Properties of the corpus-composition operators (ext/Sampling) and the
+  * fixed-point PageRank (ext/Graphs) that the oracle hash can't express:
+  * invariants over arbitrary inputs, determinism under repartitioning,
+  * and the broadcast/no-corpus-shuffle plan shapes SCALE.md claims.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // group "a": 6 docs, group "b": 2, group "c": 1 — skewed mix
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 15L),
+    (5L, "a", 25L), (6L, "a", 20L), (7L, "b", 30L), (8L, "b", 10L),
+    (9L, "c", 40L)).toDF("id", "grp", "w")
+
+  test("temperatureMix keeps the rarest group whole and flattens the rest") {
+    val kept = Sampling.temperatureMix(corpus, "grp", "id", col("w"))
+    val ppm = kept.select("grp", "keep_ppm").distinct().as[(String, Long)]
+      .collect().toMap
+    // c has min mass (40): kept at exactly 1e6 ppm → every row survives
+    assert(ppm.get("c").forall(_ == 1000000L))
+    assert(kept.filter(col("grp") === "c").count() == 1)
+    // a (mass 120) keeps at sqrt(40/120) ≈ 577350 ppm
+    assert(ppm.get("a").forall(p => p > 570000L && p < 580000L))
+  }
+
+  test("temperatureMix membership is stable under repartitioning") {
+    val a = Sampling.temperatureMix(corpus, "grp", "id", col("w"))
+      .select("id").as[Long].collect().sorted
+    val b = Sampling.temperatureMix(corpus.repartition(7), "grp", "id", col("w"))
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("temperatureMix broadcasts the rate table — the corpus is never shuffled") {
+    val plan = Sampling.temperatureMix(corpus, "grp", "id", col("w"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates should join by broadcast:\n$plan")
+  }
+
+  test("packBins: bins partition each shard's id order into contiguous runs") {
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("id", "txt")
+    val bins = Sampling.packBins(docs, "id", (col("id") % 37 + 1), shards = 4,
+      capacity = 100L)
+      .orderBy("shard", "bin").collect()
+    // every doc lands in exactly one bin
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == 200L)
+    // contiguity: within a shard, bin id-spans never overlap and ascend
+    bins.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("max_id") < y.getAs[Long]("min_id"))
+        case _ =>
+      }
+    }
+    // capacity: a bin holds < capacity + its largest doc (prefix-sum
+    // packing overshoots by at most one document)
+    assert(bins.forall(_.getAs[Long]("sum_tokens") < 100L + 37L))
+  }
+
+  test("packBins is deterministic under repartitioning") {
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("id", "txt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packBins(df, "id", (col("id") % 37 + 1), 4, 100L)
+        .orderBy("shard", "bin").collect().toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+
+  test("pageRankFixedPoint: symmetric ring graph gives every node equal rank") {
+    val n = 12L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val ranks = Graphs.pageRankFixedPoint(nodes, edges, 3)
+      .select("rank").as[Long].collect()
+    assert(ranks.distinct.length == 1) // symmetry → identical fixed-point value
+    // mass ≈ conserved on a dangling-free graph (floor-division dust only)
+    assert(math.abs(ranks.sum - 1000000000000L) < n * 100)
+  }
+
+  test("pageRankFixedPoint concentrates rank on a sink hub") {
+    // star: everyone links to node 0; node 0 links to node 1
+    val nodes = (0L to 9L).toDF("id")
+    val edges = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val r = Graphs.pageRankFixedPoint(nodes, edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+    assert(r(2L) == r(9L)) // leaves are symmetric
+  }
+
+  test("bloomDecontaminate equals the exact anti-join formulation") {
+    val docs = (1L to 60L).map { i =>
+      // shared phrases every 5th doc so contamination actually occurs
+      val words = if (i % 5 == 0) "alpha beta gamma delta epsilon"
+      else s"w${i}a w${i}b w${i}c w${i}d w${i}e"
+      (i, words)
+    }.toDF("doc_id", "text")
+    val testPred = col("doc_id") % 10 === 0
+    val bloom = Dedup.bloomDecontaminate(docs, "doc_id", "text", testPred, n = 4)
+      .as[Long].collect().sorted
+    val pairs = Dedup.contaminationPairs(docs, "doc_id", "text", testPred, n = 4)
+      .select("train_id").distinct().as[Long].collect().toSet
+    val naive = docs.filter(!testPred).select(col("doc_id")).as[Long]
+      .collect().filterNot(pairs).sorted
+    assert(bloom.sameElements(naive))
+  }
+}
