@@ -168,6 +168,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (after Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest of
+    * `nCentroids` coarse centroids (the same deterministic quantizer
+    * shape as [[ivfTopK]]), then mark as dropped any vector that has a
+    * SAME-CLUSTER vector of smaller id with cosine ≥ `minCosine`.
+    *
+    * The all-pairs cosine matrix never materializes: pairwise work is
+    * confined to equality-joined cluster buckets, and `nCentroids`
+    * scales with the corpus so per-cluster populations (and the
+    * per-cluster quadratic term) stay constant — the published recipe's
+    * scale contract. Complements [[nearDupPairs]] (banded sign-LSH):
+    * clustering prunes by GLOBAL geometry where LSH prunes by random
+    * projections; SemDeDup is the standard shape when an IVF/k-means
+    * structure already exists for serving.
+    *
+    * Returns (vec_id, cid, dropped) for every corpus vector. */
+  def semDedupKeep(corpus: DataFrame, nCentroids: Int,
+                   minCosine: Double): DataFrame = {
+    val cent = broadcast(corpus.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cent_emb")))
+    // read 3x below (self-join sides + final projection): materialize once
+    val assigned = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("q_emb"))
+      .crossJoin(cent)
+      .select(col("vec_id"), col("q_emb"), col("cid"),
+        cosineQ(col("q_emb"), col("cent_emb")).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        any_value(col("q_emb")).as("q_emb"))
+      .localCheckpoint(true)
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .filter(round(cosineQ(col("x.q_emb"), col("y.q_emb")), 6) >= minCosine)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned.select("vec_id", "cid")
+      .join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("d"), lit(false)).as("dropped"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; exact
     * cosine re-rank inside the bucket. Recall trades against bucket
     * count (numPlanes); equality join replaces the cross join. */

@@ -273,5 +273,74 @@ object SimilarityQueries {
              SELECT query_id, rank, cand_id, cosine FROM ranked
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained)
+  /** SemDeDup: cluster-scoped semantic dedup
+    * ([[Similarity.semDedupKeep]]) over the corpus with planted
+    * near-dups (every 25th vector re-entered with its first two
+    * components zeroed under id+1e6 — the same planted-rows pattern as
+    * `dd_embed_neardup`, which prunes the SAME pairs by sign-LSH; this
+    * prunes by coarse-quantizer cluster). The oracle rebuilds the
+    * identical assignment argmax and within-cluster pairwise cosine. */
+  val ddSemDedup = Q("dd_semdedup",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(lit(0.0f), lit(0.0f)),
+            slice(col("embedding"), 3, Dim - 2)).as("embedding"))
+      val corpus = e.select("vec_id", "embedding").unionByName(planted)
+      Similarity.semDedupKeep(corpus, nCentroids = NCent, minCosine = 0.9)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH corpus AS (
+               SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000 AS vec_id,
+                      list_concat([0.0::FLOAT, 0.0::FLOAT], embedding[3:]) AS embedding
+               FROM embeddings WHERE vec_id % 25 = 0),
+             qv AS (
+               SELECT vec_id, i, CAST(round(embedding[i] * 32768.0) AS BIGINT) AS v
+               FROM corpus, range(1, ${Dim + 1}) t(i)),
+             norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+             cent AS (SELECT vec_id AS cid FROM corpus ORDER BY vec_id LIMIT $NCent),
+             cdots AS (
+               SELECT a.vec_id, c.cid, sum(a.v * b.v) AS dot
+               FROM qv a
+               JOIN cent c ON true
+               JOIN qv b ON b.vec_id = c.cid AND b.i = a.i
+               GROUP BY 1, 2),
+             csim AS (
+               SELECT cdots.vec_id, cdots.cid,
+                      dot::DOUBLE / (sqrt(n1.nn::DOUBLE) * sqrt(n2.nn::DOUBLE)) AS sim
+               FROM cdots
+               JOIN norms n1 ON cdots.vec_id = n1.vec_id
+               JOIN norms n2 ON cdots.cid = n2.vec_id),
+             assign AS (
+               SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cid ASC) AS rn FROM csim)
+               WHERE rn = 1),
+             pairs AS (
+               SELECT x.vec_id AS a, y.vec_id AS b
+               FROM assign x JOIN assign y
+                 ON x.cid = y.cid AND y.vec_id < x.vec_id),
+             pdots AS (
+               SELECT a, b, sum(p.v * q.v) AS dot
+               FROM pairs
+               JOIN qv p ON p.vec_id = a
+               JOIN qv q ON q.vec_id = b AND q.i = p.i
+               GROUP BY 1, 2),
+             dropped AS (
+               SELECT DISTINCT a AS vec_id
+               FROM pdots
+               JOIN norms na ON a = na.vec_id
+               JOIN norms nb ON b = nb.vec_id
+               WHERE round(dot::DOUBLE / (sqrt(na.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)), 6)
+                     >= 0.9::DOUBLE)
+           SELECT assign.vec_id, assign.cid,
+                  (dropped.vec_id IS NOT NULL) AS dropped
+           FROM assign LEFT JOIN dropped USING (vec_id)
+           ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
+    ddSemDedup)
 }

@@ -106,4 +106,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!rarity.contains("Window"), s"rarity must not use a window:\n$rarity")
     assert(!rarity.contains("CartesianProduct"), s"rarity has a cartesian:\n$rarity")
   }
+
+  test("semDedup's pairwise join is an equality join on cluster id, never all-pairs") {
+    val emb = (1L to 20L).map(i => (i, Seq.fill(64)(i.toFloat / 20f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val plan = physical(Similarity.semDedupKeep(emb, nCentroids = 4, minCosine = 0.9))
+    // the ONLY cross join is corpus × broadcast centroids (bounded side);
+    // the quadratic-risk self-join must be hash-equality on cid
+    assert(!plan.contains("CartesianProduct"), s"semDedup has a cartesian:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"semDedup pair search should be an equality join:\n$plan")
+  }
+
+  test("bloom decontamination pre-filters the train scan before the exact join") {
+    val docs = (1L to 30L).map(i => (i, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+    val plan = physical(
+      Dedup.bloomDecontaminate(docs, "doc_id", "text", col("doc_id") % 10 === 0, n = 4))
+    assertNoProductJoin(plan, "bloomDecontaminate")
+    // the sketch filter must sit in the plan (a UDF filter node), i.e.
+    // the exact join's left input is the bloom-positive subset
+    assert(plan.contains("mightContain") || plan.contains("UDF"),
+      s"bloom pre-filter missing from plan:\n$plan")
+  }
+
+  test("pageRank per-iteration step is equality-join + partial aggregate") {
+    val nodes = (0L to 9L).toDF("id")
+    val edges = (0L to 9L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val plan = physical(Graphs.pageRankFixedPoint(nodes, edges, 1))
+    assertNoProductJoin(plan, "pageRankFixedPoint")
+  }
 }
