@@ -65,4 +65,37 @@ object Curate {
         col("n_members"),
         Dedup.splitAssign(col("doc_id"), p.trainPct).as("split"))
   }
+
+  /** The WHOLE modern curation journey, [[run]] extended through corpus
+    * composition: dedup/cluster/keep-one/split, then decontaminate the
+    * train side against the held-out split (Bloom-sketch pre-filter,
+    * exact verify — [[Dedup.bloomDecontaminate]]), re-mix the clean
+    * train corpus by language at temperature 2
+    * ([[Sampling.temperatureMix]]), and pack the result into
+    * token-budget bins ([[Sampling.packAssign]]).
+    *
+    * Returns the TRAINING MANIFEST: one row per surviving train doc —
+    * (doc_id, lang, n_members, shard, bin). Every stage decision is
+    * portable-hash- or integer-determined, so the manifest is a pure
+    * function of the corpus: bit-identical across engines, retries, and
+    * partitionings (hash-checked end to end by `dd_curate_full`).
+    */
+  def runFull(docs: DataFrame, idCol: String, textCol: String,
+              langCol: String, p: Params = Params(),
+              decontamN: Int = 4, packShards: Int = 8,
+              packCapacity: Long = 512L): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"), col(langCol).as("lang"))
+    val survivors = run(docs, idCol, textCol, p)
+    val sdocs = survivors.join(base, "doc_id")
+    val clean = Dedup.bloomDecontaminate(
+        sdocs, "doc_id", "text", testPred = col("split") === "test", decontamN)
+      .withColumnRenamed("id", "doc_id")
+    val cleanTrain = sdocs.filter(col("split") === "train").join(clean, "doc_id")
+    val mixed = Sampling.temperatureMix(cleanTrain, "lang", "doc_id",
+      weight = TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.packAssign(mixed, "doc_id",
+        TextAnalysis.tokenCount(col("text")), packShards, packCapacity)
+      .select("doc_id", "lang", "n_members", "shard", "bin")
+  }
 }

@@ -72,17 +72,25 @@ object Sampling {
     * the id span [min_id, max_id] of the bin's run.
     */
   def packBins(docs: DataFrame, id: String, tokens: Column,
-               shards: Int, capacity: Long): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy(col(id))
-    docs
-      .select(col(id),
-        pmod(Dedup.tokenHash(concat(lit("pack:"), col(id).cast("string"))),
-          lit(shards)).as("shard"),
-        tokens.cast("long").as("ntok"))
-      .withColumn("start", sum("ntok").over(w) - col("ntok"))
-      .withColumn("bin", expr(s"start div $capacity"))
+               shards: Int, capacity: Long): DataFrame =
+    packAssign(docs, id, tokens, shards, capacity)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("sum_tokens"),
         min(id).as("min_id"), max(id).as("max_id"))
+
+  /** Per-document packing assignment: the (shard, bin) each doc lands
+    * in, plus its token count — the manifest form ([[packBins]] is the
+    * aggregated report over this). Input columns are passed through. */
+  def packAssign(docs: DataFrame, id: String, tokens: Column,
+                 shards: Int, capacity: Long): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col(id))
+    docs
+      .withColumn("shard",
+        pmod(Dedup.tokenHash(concat(lit("pack:"), col(id).cast("string"))),
+          lit(shards)))
+      .withColumn("ntok", tokens.cast("long"))
+      .withColumn("start", sum("ntok").over(w) - col("ntok"))
+      .withColumn("bin", expr(s"start div $capacity"))
+      .drop("start")
   }
 }

@@ -275,6 +275,88 @@ object DedupQueries {
           FROM members ORDER BY doc_id"""
     })
 
+  /** The WHOLE curation journey ([[graft.ext.Curate.runFull]]): dedup →
+    * cluster → keep-one → split → Bloom decontaminate → temperature mix
+    * → sequence pack, hash-checked end to end as the final training
+    * manifest. The oracle chains the dd_curate recursive-CTE twin with
+    * the dd_bloom_clean / ta_domain_mix / ta_pack twins over the
+    * survivor relation. */
+  val ddCurateFull = Q("dd_curate_full",
+    (s, dir) => graft.ext.Curate.runFull(
+      docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", "lang")
+      .orderBy("doc_id"),
+    Some {
+      val agree = (0 until NumHashes)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val keptShingles = shinglesSql(3,
+        "WHERE doc_id < 200 AND doc_id IN (SELECT id FROM exact)")
+      val survShingles = shinglesSql(4,
+        "WHERE doc_id < 200 AND doc_id IN (SELECT doc_id FROM surv)")
+      val ntok = s"len(list_filter(string_split($canonSql, ' '), x -> x <> ''))"
+      s"""WITH RECURSIVE
+            exact AS (
+              SELECT md5($canonSql) AS fp, min(doc_id) AS id, count(*) AS n_exact
+              FROM documents WHERE doc_id < 200 GROUP BY 1),
+            sig AS (${minhashSigSql(keptShingles)}),
+            $lshCandSql,
+            edges0 AS (
+              SELECT a, b FROM cand
+              JOIN sig sa ON a = sa.id
+              JOIN sig sb ON b = sb.id
+              WHERE round(($agree)::DOUBLE / $NumHashes, 6) >= 0.5::DOUBLE),
+            edges AS (SELECT a AS src, b AS dst FROM edges0
+                      UNION SELECT b, a FROM edges0),
+            reach(src, dst) AS (
+              SELECT id, id FROM exact
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            lab AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src),
+            members AS (
+              SELECT lab.comp AS doc_id, sum(exact.n_exact) AS n_members
+              FROM lab JOIN exact ON lab.id = exact.id
+              GROUP BY 1),
+            surv AS (
+              SELECT doc_id, CAST(n_members AS BIGINT) AS n_members,
+                     CASE WHEN ${portableHash("'split:' || doc_id")} % 100 < 90
+                          THEN 'train' ELSE 'test' END AS split
+              FROM members),
+            sdocs AS (
+              SELECT s.doc_id, s.n_members, s.split, d.text, d.lang
+              FROM surv s JOIN documents d USING (doc_id)),
+            ssh AS (SELECT id, $tokHashSql AS h FROM ($survShingles)),
+            testh AS (
+              SELECT DISTINCT h FROM ssh
+              JOIN surv ON ssh.id = surv.doc_id WHERE surv.split = 'test'),
+            dirty AS (
+              SELECT DISTINCT s.id FROM ssh s JOIN testh USING (h)
+              JOIN surv ON s.id = surv.doc_id WHERE surv.split = 'train'),
+            clean AS (
+              SELECT doc_id, n_members, lang, text FROM sdocs
+              WHERE split = 'train' AND doc_id NOT IN (SELECT id FROM dirty)),
+            masses AS (SELECT lang, sum($ntok) AS mass FROM clean GROUP BY 1),
+            mn AS (SELECT min(mass) AS min_mass FROM masses),
+            rates AS (
+              SELECT lang,
+                     CAST(floor(sqrt(min_mass::DOUBLE / mass::DOUBLE) * 1000000) AS BIGINT) AS keep_ppm
+              FROM masses, mn),
+            mixed AS (
+              SELECT c.doc_id, c.n_members, c.lang, CAST($ntok AS BIGINT) AS ntok
+              FROM clean c JOIN rates USING (lang)
+              WHERE ${portableHash("'mix:' || c.doc_id")} % 1000000 < keep_ppm),
+            packt AS (
+              SELECT doc_id, n_members, lang, ntok,
+                     ${portableHash("'pack:' || doc_id")} % 8 AS shard
+              FROM mixed),
+            packed AS (
+              SELECT doc_id, n_members, lang, shard,
+                     sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+              FROM packt)
+          SELECT doc_id, lang, n_members, shard, strt // 512 AS bin
+          FROM packed ORDER BY doc_id"""
+    })
+
   private val Dim = 64
 
   /** Embedding-cosine near-duplicate pairs — the fifth dedup modality
@@ -341,5 +423,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
     ddJaccard, ddComponents, ddContamination, ddBloomClean, ddSplit,
-    ddCurate, ddEmbedNearDup)
+    ddCurate, ddCurateFull, ddEmbedNearDup)
 }

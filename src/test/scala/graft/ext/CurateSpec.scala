@@ -34,4 +34,37 @@ class CurateSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out.toSeq == out2.toSeq)
   }
+
+  test("curate runFull: manifest is train-only, decontaminated, and deterministic") {
+    // 40 distinct docs (8+ tokens so 4-gram decontamination has shingles),
+    // two languages to exercise the mix stage
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 3 == 0) "xx" else "en"
+      (i, s"document $i body w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", lang)
+    }.toDF("doc_id", "text", "lang")
+
+    val manifest = Curate.runFull(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    assert(manifest.nonEmpty)
+    val ids = manifest.map(_.getAs[Long]("doc_id")).toSet
+
+    // every manifest doc is a train-split survivor
+    val splits = Seq(Curate.run(docs, "doc_id", "text"))
+      .head.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ids.forall(id => splits(id) == "train"))
+
+    // no manifest doc shares a 4-gram with the held-out side
+    val testPred = col("split") === "test"
+    val sdocs = Curate.run(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val pairs = Dedup.contaminationPairs(sdocs, "doc_id", "text",
+      testPred = col("doc_id").isin(splits.filter(_._2 == "test").keys.toSeq: _*),
+      n = 4).select("train_id").as[Long].collect().toSet
+    assert(ids.intersect(pairs).isEmpty)
+
+    // deterministic under repartitioning
+    val again = Curate.runFull(docs.repartition(5), "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    assert(manifest.toSeq == again.toSeq)
+  }
 }
