@@ -19,6 +19,35 @@ object TextAnalysis {
   /** Token count (whitespace tokenization over canon). */
   def tokenCount(text: Column): Column = size(tokensCol(text))
 
+  /** Overlapping token-window chunks: doc → one row per chunk of
+    * `chunkSize` tokens advancing by `chunkSize - overlap` (the
+    * context-window preparation step every LM training pipeline runs
+    * before packing). Returns (passthrough cols, chunk_id, chunk_tokens
+    * array); the final chunk may be shorter. Pure column program —
+    * tokenize once, `sequence` + `explode` + `slice` — narrow end to
+    * end, no shuffle, no UDF. Empty docs produce no chunks. */
+  def chunkify(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkify needs 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    docs
+      .withColumn("__toks", tokensCol(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      // last chunk index: the largest i with i*step + overlap < ntok, so
+      // every chunk contributes ≥1 new token (a naive ceil(ntok/step)
+      // emits a trailing runt fully contained in its predecessor) — and
+      // consequently every chunk holds > overlap tokens
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            floor((size(col("__toks")) - overlap - 1).cast("double") / step)
+              .cast("int")))))
+      .withColumn("chunk_tokens",
+        slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkSize)))
+      .drop("__toks")
+  }
+
   /** A BPE-ish subword proxy: count of alnum runs + digit runs via regex
     * split — a cheap deterministic stand-in for a real tokenizer's piece
     * count (upper-bounds tokens per word at len/1 pieces). */

@@ -70,5 +70,39 @@ object CurationQueries {
                   min(doc_id) AS min_id, max(doc_id) AS max_id
            FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))
 
-  val all: Seq[Q] = Seq(taDomainMix, taPack)
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+
+  /** Context-window chunking ([[TextAnalysis.chunkify]]): 32-token
+    * windows advancing by 24, chunk content pinned by md5 of the joined
+    * tokens so slicing is hash-checked, not just counted. */
+  val taChunks = Q("ta_chunks",
+    (s, dir) =>
+      TextAnalysis.chunkify(docs(s, dir), "text", ChunkSize, ChunkOverlap)
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk_tokens")).as("n_tokens"),
+          md5(array_join(col("chunk_tokens"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id"),
+    Some {
+      val step = ChunkSize - ChunkOverlap
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split($canonSql, ' '), x -> x <> '') AS toks
+            FROM documents),
+          c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0,
+                     greatest(CAST((len(toks) - $ChunkOverlap - 1) // $step AS INT), 0))) AS chunk_id
+            FROM t WHERE len(toks) > 0),
+          s AS (
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   toks[chunk_id * $step + 1 :
+                        least(chunk_id * $step + $ChunkSize, len(toks))] AS chunk
+            FROM c)
+        SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_hash
+        FROM s ORDER BY doc_id, chunk_id"""
+    })
+
+  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks)
 }

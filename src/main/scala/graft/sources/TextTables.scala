@@ -50,4 +50,15 @@ object TextTables {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC round-trip: the other columnar interchange format (Hive/Trino
+    * ecosystems). Same pushdown/pruning levers as Parquet — predicate
+    * pushdown and column pruning reach the ORC scan (asserted in
+    * `TextTablesSpec`), so a downstream that standardizes on ORC loses
+    * nothing. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

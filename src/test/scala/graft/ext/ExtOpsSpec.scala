@@ -275,4 +275,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx=$approx exact=$exact")
   }
+
+  test("chunkify: windows cover every token, overlap correctly, and respect size") {
+    import spark.implicits._
+    val text = (1 to 75).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkify(docs, "text", chunkSize = 32, overlap = 8)
+      .select("doc_id", "chunk_id", "chunk_tokens")
+      .as[(Long, Int, Seq[String])].collect().sortBy(c => (c._1, c._2))
+    // empty doc → no chunks; short doc → one short chunk
+    assert(!chunks.exists(_._1 == 3L))
+    assert(chunks.filter(_._1 == 2L).map(_._3) sameElements Array(Seq("short", "doc")))
+    // 75 tokens, step 24 → chunks start at 0/24/48 (72 would add nothing)
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1.forall(_._3.length <= 32))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    d1.sliding(2).foreach {
+      case Array(a, b) => assert(a._3.takeRight(8) == b._3.take(8))
+      case _ =>
+    }
+    // concatenating steps reconstructs the document exactly
+    val rebuilt = d1.head._3 ++ d1.tail.flatMap(_._3.drop(8))
+    assert(rebuilt == text.split(" ").toSeq)
+  }
 }

@@ -59,4 +59,19 @@ class TextTablesSpec extends SparkSpec {
     val inputs = read.queryExecution.executedPlan.collectLeaves().toString
     assert(!inputs.contains("lang=ar") || !plan.contains("lang=ar"))
   }
+
+  test("orc round-trip preserves every row; filter and projection reach the ORC scan") {
+    val dir = s"${tmp("orc")}/docs"
+    TextTables.writeOrc(tricky, dir)
+    val back = TextTables.readOrc(spark, tricky.schema, dir)
+    assert(sig(back) == sig(tricky))
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      tricky.orderBy("doc_id").collect().toSeq)
+    val q = back.filter(col("doc_id") > 3).select("doc_id", "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"doc_id filter must push to the ORC scan:\n$plan")
+    assert(!plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1").contains("text"),
+      s"unprojected text column must be pruned from the ORC read:\n$plan")
+  }
 }
