@@ -44,7 +44,10 @@ object Sampling {
   def temperatureMix(docs: DataFrame, group: String, id: String,
                      weight: Column, salt: String = "mix"): DataFrame = {
     val scale = 1000000L
+    // zero-mass groups are dropped up front: they'd make min_mass 0 and
+    // the sqrt ratio 0/0 = NaN, whose long-cast differs across engines
     val masses = docs.groupBy(col(group)).agg(sum(weight).as("mass"))
+      .filter(col("mass") > 0)
     val mn = masses.agg(min("mass").as("min_mass"))
     val rates = masses.crossJoin(broadcast(mn))
       .select(col(group),

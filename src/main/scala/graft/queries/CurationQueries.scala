@@ -16,8 +16,7 @@ object CurationQueries {
   private val canonSql = TextQueries.canonSql
   private val ntokSql = s"len(list_filter(string_split($canonSql, ' '), x -> x <> ''))"
 
-  /** DuckDB twin of Dedup.tokenHash over an arbitrary string expr. */
-  private def hashSql(expr: String) = s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+  private def hashSql(expr: String) = DedupQueries.portableHash(expr)
 
   /** Temperature-2 language re-mix weighted by token mass: rare
     * languages kept whole, the dominant one down-sampled toward (not
@@ -104,5 +103,51 @@ object CurationQueries {
         FROM s ORDER BY doc_id, chunk_id"""
     })
 
-  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks)
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Count-min heavy-hitter estimation ([[graft.functions.CountMin]]):
+    * the sketch aggregates ALL token occurrences into a fixed
+    * 4×256-count buffer (one sketch per partition on the shuffle, not
+    * one row per distinct token), then the top-25 true tokens are
+    * point-estimated against it. The affine-over-md5 bucket hashing is
+    * engine-portable, so the oracle rebuilds the sketch's exact counts
+    * — collisions included — and the estimates hash-match. */
+  val taCmsHeavy = Q("ta_cms_heavy",
+    (s, dir) => {
+      import graft.ext.Dedup
+      import graft.functions.CountMin
+      val occ = Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
+        .select(col("tok"), Dedup.tokenHash(col("tok")).as("h"))
+      val sketch = occ.agg(
+        CountMin.cmsketch(col("h"), CmsDepth, CmsWidth).as("sketch"))
+      val top = occ.groupBy("tok")
+        .agg(count(lit(1)).as("n_true"), max("h").as("h"))
+        .orderBy(desc("n_true"), col("tok")).limit(25)
+      top.crossJoin(broadcast(sketch))
+        .select(col("tok"), col("n_true"),
+          CountMin.estimate(col("sketch"), col("h"), CmsDepth, CmsWidth).as("n_est"))
+        .orderBy(desc("n_true"), col("tok"))
+    },
+    Some(s"""WITH occ AS (
+               SELECT unnest(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS tok
+               FROM documents),
+             oh AS (SELECT tok, ${hashSql("tok")} AS h FROM occ),
+             cnt AS (
+               SELECT d, ((h * (2 * d + 1) + (40503 * (d + 1) + 9973)) % 4294967311) % $CmsWidth AS b,
+                      count(*) AS c
+               FROM oh, range(0, $CmsDepth) t(d) GROUP BY 1, 2),
+             top AS (
+               SELECT tok, max(h) AS h, count(*) AS n_true FROM oh
+               GROUP BY tok ORDER BY n_true DESC, tok LIMIT 25),
+             est AS (
+               SELECT top.tok, top.n_true, min(c.c) AS n_est
+               FROM top CROSS JOIN range(0, $CmsDepth) t(d)
+               JOIN cnt c ON c.d = t.d
+                 AND c.b = ((top.h * (2 * t.d + 1) + (40503 * (t.d + 1) + 9973)) % 4294967311) % $CmsWidth
+               GROUP BY 1, 2)
+           SELECT tok, n_true, CAST(n_est AS BIGINT) AS n_est
+           FROM est ORDER BY n_true DESC, tok"""))
+
+  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks, taCmsHeavy)
 }

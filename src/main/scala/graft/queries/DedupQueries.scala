@@ -21,8 +21,9 @@ object DedupQueries {
         FROM documents $where"""
 
   /** Portable 32-bit hash in DuckDB — twin of Dedup.tokenHash over an
-    * arbitrary expression. */
-  private def portableHash(expr: String) =
+    * arbitrary expression. Single source for every oracle in the
+    * package (the canonSql lesson: independent copies drift). */
+  private[queries] def portableHash(expr: String) =
     s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
 
   private val tokHashSql = portableHash("tok")

@@ -14,7 +14,7 @@ object GraphQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
 
-  private def hashSql(expr: String) = s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+  private def hashSql(expr: String) = DedupQueries.portableHash(expr)
 
   private val Iters = 3
 
