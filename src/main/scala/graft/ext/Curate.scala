@@ -91,11 +91,13 @@ object Curate {
     val clean = Dedup.bloomDecontaminate(
         sdocs, "doc_id", "text", testPred = col("split") === "test", decontamN)
       .withColumnRenamed("id", "doc_id")
+    // tokenize once: the canon regex chain is the per-row hot cost, and
+    // both the mix weight and the pack size consume the same count
     val cleanTrain = sdocs.filter(col("split") === "train").join(clean, "doc_id")
+      .withColumn("__ntok", TextAnalysis.tokenCount(col("text")).cast("long"))
     val mixed = Sampling.temperatureMix(cleanTrain, "lang", "doc_id",
-      weight = TextAnalysis.tokenCount(col("text")).cast("long"))
-    Sampling.packAssign(mixed, "doc_id",
-        TextAnalysis.tokenCount(col("text")), packShards, packCapacity)
+      weight = col("__ntok"))
+    Sampling.packAssign(mixed, "doc_id", col("__ntok"), packShards, packCapacity)
       .select("doc_id", "lang", "n_members", "shard", "bin")
   }
 }

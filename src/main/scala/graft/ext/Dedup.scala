@@ -243,16 +243,18 @@ object Dedup {
                          testPred: Column, n: Int,
                          expectedTestShingles: Long = 1L << 16,
                          fpp: Double = 0.01): DataFrame = {
-    val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
-    val sh = docShingles(df, idCol, textCol, n)
-      .join(flags, "id")
-      .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
-      .localCheckpoint(true) // read 3x: bloom build, exact verify, train scan
-    val testH = sh.filter(col("is_test")).select("h").distinct()
+    // each side is tokenized exactly once, from only ITS documents; the
+    // held-out side (small by construction) is the only relation
+    // materialized — the corpus-sized train shingles stream straight
+    // from the scan through the bloom filter into the verify join
+    val testH = docShingles(df.filter(testPred), idCol, textCol, n)
+      .select(tokenHash(col("tok")).as("h")).distinct()
+      .localCheckpoint(true) // read 2x: bloom build + exact verify
     val bloom = testH.stat.bloomFilter("h", expectedTestShingles, fpp)
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
-    val dirty = sh.filter(!col("is_test"))
+    val dirty = docShingles(df.filter(!testPred), idCol, textCol, n)
+      .select(col("id"), tokenHash(col("tok")).as("h"))
       .filter(mightContain(col("h"))) // sketch pre-filter at the scan
       .join(testH, "h") // exact verify over survivors only
       .select("id").distinct()

@@ -75,6 +75,24 @@ object Similarity {
     * divided by the count and re-quantized. Assignment uses the
     * bit-exact quantized cosine. Seeds are the lowest `nCentroids` ids.
     * Returns (cid, cent_emb quantized). */
+  /** Nearest-centroid assignment: the partial-aggregatable `max_by`
+    * argmax over a broadcast centroid set. SINGLE SOURCE of the
+    * deterministic (csim desc, cid asc) tie-break that the Lloyd
+    * trainer, the IVF serving path, and SemDeDup — and all their DuckDB
+    * oracle twins — depend on agreeing about. `cent` must carry
+    * (cid, cent_emb); returns one row per input id: (idCol, cid,
+    * embCol). */
+  private[ext] def nearestCentroid(vecs: DataFrame, cent: DataFrame,
+                                   idCol: String, embCol: String): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .select(col(idCol), col(embCol), col("cid"),
+        cosineQ(col(embCol), col("cent_emb")).as("csim"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        // embCol is group-constant (the row's own embedding replicated
+        // across centroids) — any_value is deterministic here
+        any_value(col(embCol)).as(embCol))
+
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int,
                         iterations: Int): DataFrame = {
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("q_emb"))
@@ -82,17 +100,11 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("q_emb").as("cent_emb"))
     var it = 0
     while (it < iterations) {
-      // nearest-centroid assignment via the same partial-aggregatable
-      // max_by argmax as the serving path (ivfTopK corpusLists) — a
-      // rank-1 window here was a full corpus×centroid sort shuffle PER
-      // Lloyd iteration; max_by combines map-side
-      val assigned = q.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("q_emb"), col("cid"),
-          cosineQ(col("q_emb"), col("cent_emb")).as("csim"))
-        .groupBy("vec_id")
-        .agg(
-          max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-          any_value(col("q_emb")).as("q_emb"))
+      // nearest-centroid assignment via the shared max_by argmax
+      // (nearestCentroid) — a rank-1 window here was a full
+      // corpus×centroid sort shuffle PER Lloyd iteration; max_by
+      // combines map-side
+      val assigned = nearestCentroid(q, cent, "vec_id", "q_emb")
         .select("cid", "q_emb")
       // update step: per-position INT64 sums (exact, order-free) → mean →
       // re-quantize; reassembled in position order so the result is a
@@ -139,17 +151,13 @@ object Similarity {
         .select(col(idCol), col(embAlias), col("cid"),
           cosineQ(col(embAlias), col("cent_emb")).as("csim"))
 
-    // corpus → single nearest list: max_by over (csim, -cid) is the same
-    // deterministic argmax as a rank-1 window but partial-aggregatable —
-    // no full-corpus sort shuffle (the corpus is the big side at scale)
-    val corpusLists = scored(corpus, "cand_id", "c_emb")
-      .groupBy("cand_id")
-      .agg(
-        max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        // c_emb is group-constant (the row's own embedding replicated
-        // across centroids) — any_value is deterministic here and skips
-        // a second ordering-struct evaluation
-        any_value(col("c_emb")).as("c_emb"))
+    // corpus → single nearest list via the shared argmax
+    // (nearestCentroid): partial-aggregatable, no full-corpus sort
+    // shuffle (the corpus is the big side at scale)
+    val corpusLists = nearestCentroid(
+      corpus.select(col("vec_id").as("cand_id"),
+        quantize(col("embedding")).as("c_emb")),
+      cent, "cand_id", "c_emb")
 
     // queries → nprobe nearest lists (tiny side: window rank is fine)
     val queryProbes = scored(queries, "query_id", "q_emb")
@@ -189,14 +197,9 @@ object Similarity {
     val cent = broadcast(corpus.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cent_emb")))
     // read 3x below (self-join sides + final projection): materialize once
-    val assigned = corpus
-      .select(col("vec_id"), quantize(col("embedding")).as("q_emb"))
-      .crossJoin(cent)
-      .select(col("vec_id"), col("q_emb"), col("cid"),
-        cosineQ(col("q_emb"), col("cent_emb")).as("csim"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        any_value(col("q_emb")).as("q_emb"))
+    val assigned = nearestCentroid(
+        corpus.select(col("vec_id"), quantize(col("embedding")).as("q_emb")),
+        cent, "vec_id", "q_emb")
       .localCheckpoint(true)
     val dropped = assigned.as("x")
       .join(assigned.as("y"),

@@ -36,8 +36,10 @@ object TextAnalysis {
       .filter(size(col("__toks")) > 0)
       // last chunk index: the largest i with i*step + overlap < ntok, so
       // every chunk contributes ≥1 new token (a naive ceil(ntok/step)
-      // emits a trailing runt fully contained in its predecessor) — and
-      // consequently every chunk holds > overlap tokens
+      // emits a trailing runt fully contained in its predecessor). For
+      // docs longer than `overlap` every chunk therefore holds > overlap
+      // tokens; a doc at or under `overlap` tokens yields its single
+      // full chunk
       .withColumn("chunk_id",
         explode(sequence(lit(0),
           greatest(lit(0),

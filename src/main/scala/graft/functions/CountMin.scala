@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * sketch at 100 TB, where the heavy-hitter candidate space (tokens,
   * URLs, shingles) is corpus-sized but the question ("how often does X
   * occur, roughly?") needs only bounded state. Estimates are one-sided:
-  * `estimate ≥ true count`, overshooting by at most ~2N/width with
-  * probability 1 − 2^-depth (the classic CM bound).
+  * `estimate ≥ true count` always. The classic ~2N/width overshoot
+  * bound assumes pairwise-independent hash rows; these rows are FIXED
+  * affine functions of one md5-derived hash (the price of cross-engine
+  * reproducibility), so treat the bound as a heuristic for
+  * md5-uniform keys, not an adversarial guarantee.
   *
   * Hashing is the same engine-portable affine-over-md5 family as
   * MinHash ([[Dedup.minhashA]]/[[Dedup.minhashB]] mod

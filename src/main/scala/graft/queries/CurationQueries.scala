@@ -31,7 +31,8 @@ object CurationQueries {
         .select("doc_id", "lang", "keep_ppm")
         .orderBy("doc_id"),
     Some(s"""WITH masses AS (
-               SELECT lang, sum($ntokSql) AS mass FROM documents GROUP BY 1),
+               SELECT lang, sum($ntokSql) AS mass FROM documents
+               GROUP BY 1 HAVING sum($ntokSql) > 0),
              mn AS (SELECT min(mass) AS min_mass FROM masses),
              rates AS (
                SELECT lang,
@@ -119,6 +120,7 @@ object CurationQueries {
       import graft.functions.CountMin
       val occ = Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
         .select(col("tok"), Dedup.tokenHash(col("tok")).as("h"))
+        .localCheckpoint(true) // read 2x (sketch + true counts): one tokenize pass
       val sketch = occ.agg(
         CountMin.cmsketch(col("h"), CmsDepth, CmsWidth).as("sketch"))
       val top = occ.groupBy("tok")

@@ -335,7 +335,8 @@ object DedupQueries {
             clean AS (
               SELECT doc_id, n_members, lang, text FROM sdocs
               WHERE split = 'train' AND doc_id NOT IN (SELECT id FROM dirty)),
-            masses AS (SELECT lang, sum($ntok) AS mass FROM clean GROUP BY 1),
+            masses AS (SELECT lang, sum($ntok) AS mass FROM clean
+                       GROUP BY 1 HAVING sum($ntok) > 0),
             mn AS (SELECT min(mass) AS min_mass FROM masses),
             rates AS (
               SELECT lang,

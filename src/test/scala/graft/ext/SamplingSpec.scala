@@ -13,20 +13,22 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
   private def corpus = Seq(
-    // group "a": 6 docs, group "b": 2, group "c": 1 — skewed mix
+    // masses: a=120, b=35, c=40 — b is the UNIQUE minimum (a tie here
+    // would let a wrong-min regression pass unnoticed)
     (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 15L),
-    (5L, "a", 25L), (6L, "a", 20L), (7L, "b", 30L), (8L, "b", 10L),
+    (5L, "a", 25L), (6L, "a", 20L), (7L, "b", 30L), (8L, "b", 5L),
     (9L, "c", 40L)).toDF("id", "grp", "w")
 
   test("temperatureMix keeps the rarest group whole and flattens the rest") {
     val kept = Sampling.temperatureMix(corpus, "grp", "id", col("w"))
     val ppm = kept.select("grp", "keep_ppm").distinct().as[(String, Long)]
       .collect().toMap
-    // c has min mass (40): kept at exactly 1e6 ppm → every row survives
-    assert(ppm.get("c").forall(_ == 1000000L))
-    assert(kept.filter(col("grp") === "c").count() == 1)
-    // a (mass 120) keeps at sqrt(40/120) ≈ 577350 ppm
-    assert(ppm.get("a").forall(p => p > 570000L && p < 580000L))
+    // b has min mass (35): kept at exactly 1e6 ppm → every row survives
+    assert(ppm.get("b").forall(_ == 1000000L))
+    assert(kept.filter(col("grp") === "b").count() == 2)
+    // a (mass 120) keeps at sqrt(35/120) ≈ 540062 ppm; c at sqrt(35/40) ≈ 935414
+    assert(ppm.get("a").forall(p => p > 535000L && p < 545000L))
+    assert(ppm.get("c").forall(p => p > 930000L && p < 940000L))
   }
 
   test("temperatureMix membership is stable under repartitioning") {
