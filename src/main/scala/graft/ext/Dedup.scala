@@ -262,6 +262,31 @@ object Dedup {
       .join(dirty, Seq("id"), "left_anti")
   }
 
+  /** Snapshot diff: classify every document across two corpus snapshots
+    * as added / removed / changed / unchanged — the accounting step an
+    * incremental crawl refresh runs before re-curating (only `added` +
+    * `changed` need re-processing; `removed` ids retire from the
+    * index). Comparison is by content fingerprint (md5 of canon), so a
+    * re-crawled byte-identical page is `unchanged` even if fetched
+    * anew.
+    *
+    * Scale shape: one full-outer equality join on the id — both sides
+    * shuffle-partitioned by the key they'd be bucketed on in a real
+    * deployment — and a narrow fingerprint compare. Nothing quadratic,
+    * nothing collected. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(
+      col(idCol).cast("long").as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as(as))
+    fp(before, "fp_before").join(fp(after, "fp_after"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_before").isNull, "added")
+          .when(col("fp_after").isNull, "removed")
+          .when(col("fp_before") === col("fp_after"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Token-set Jaccard similarity pairs via an inverted-index join:
     * pairs sharing ≥1 token, sim = |A∩B| / |A|+|B|-|A∩B|. The `maxDf`
     * document-frequency cut drops ubiquitous tokens before the join —

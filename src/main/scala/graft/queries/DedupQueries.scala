@@ -216,6 +216,37 @@ object DedupQueries {
           ORDER BY id"""
     })
 
+  /** Incremental-refresh accounting ([[Dedup.snapshotDiff]]): snapshot A
+    * is docs 0–299, snapshot B is docs 100–399 with every 7th document
+    * re-crawled with extra content (the planted-rows pattern) — so the
+    * diff exercises all four statuses: 100–399∌A → added, 0–99∉B →
+    * removed, id%7=0 in the overlap → changed, rest → unchanged. */
+  val ddSnapshotDiff = Q("dd_snapshot_diff",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val before = d.filter(col("doc_id") < 300)
+      val after = d.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(before, after, "doc_id", "text").orderBy("id")
+    },
+    Some(s"""WITH a AS (
+               SELECT doc_id AS id, md5($canonSql) AS fp
+               FROM documents WHERE doc_id < 300),
+             b AS (
+               SELECT doc_id AS id,
+                      md5(${WRatioSql.canonOf(
+                        "(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)")}) AS fp
+               FROM documents WHERE doc_id >= 100 AND doc_id < 400)
+           SELECT coalesce(a.id, b.id) AS id,
+                  CASE WHEN a.id IS NULL THEN 'added'
+                       WHEN b.id IS NULL THEN 'removed'
+                       WHEN a.fp = b.fp THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM a FULL OUTER JOIN b ON a.id = b.id
+           ORDER BY id"""))
+
   /** Reproducible 90/10 split assignment over the whole corpus — the
     * salted-hash routing every decontamination/eval pipeline starts
     * from (stable under retries and repartitioning, unlike rand()). */
@@ -425,5 +456,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
     ddJaccard, ddComponents, ddContamination, ddBloomClean, ddSplit,
-    ddCurate, ddCurateFull, ddEmbedNearDup)
+    ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff)
 }

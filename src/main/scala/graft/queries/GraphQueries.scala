@@ -61,5 +61,56 @@ object GraphQueries {
           SELECT id AS doc_id, rank FROM r$Iters ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(grPageRank)
+  /** Degree / reciprocity profile of the link graph: per-node in-degree
+    * (out-degree is 3 by construction) and whether the node sits on any
+    * reciprocal (u→v ∧ v→u) edge — the hub/mutual-link signals crawl
+    * curation uses beside PageRank. One groupBy and one self-join on
+    * (src, dst) vs (dst, src); nothing quadratic. */
+  val grDegrees = Q("gr_degrees",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          explode(array(lit(0), lit(1), lit(2))).as("k"))
+        .select(col("src"),
+          pmod(Dedup.tokenHash(
+            concat(lit("link:"), col("src").cast("string"), lit(":"), col("k"))),
+            lit(n)).as("dst"))
+        .distinct() // parallel edges collapse for degree/reciprocity
+      val inDeg = edges.groupBy(col("dst").as("doc_id"))
+        .agg(count(lit(1)).as("in_deg"))
+      val recip = edges.as("e")
+        .join(edges.as("r"),
+          col("e.src") === col("r.dst") && col("e.dst") === col("r.src") &&
+            col("e.src") < col("e.dst"))
+        .select(explode(array(col("e.src"), col("e.dst"))).as("doc_id"))
+        .distinct()
+        .withColumn("reciprocal", lit(true))
+      d.select("doc_id")
+        .join(inDeg, Seq("doc_id"), "left")
+        .join(recip, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("reciprocal"), lit(false)).as("reciprocal"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS n FROM documents),
+             e AS (
+               SELECT DISTINCT doc_id AS src,
+                      ${hashSql("'link:' || doc_id || ':' || k")} % (SELECT n FROM n) AS dst
+               FROM documents, range(0, 3) t(k)),
+             ind AS (SELECT dst AS doc_id, count(*) AS in_deg FROM e GROUP BY 1),
+             recip AS (
+               SELECT DISTINCT unnest([x.src, x.dst]) AS doc_id
+               FROM e x JOIN e y ON x.src = y.dst AND x.dst = y.src
+               WHERE x.src < x.dst)
+           SELECT d.doc_id,
+                  coalesce(ind.in_deg, 0) AS in_deg,
+                  (recip.doc_id IS NOT NULL) AS reciprocal
+           FROM documents d
+           LEFT JOIN ind ON d.doc_id = ind.doc_id
+           LEFT JOIN recip ON d.doc_id = recip.doc_id
+           ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(grPageRank, grDegrees)
 }

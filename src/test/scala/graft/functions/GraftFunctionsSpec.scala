@@ -93,4 +93,17 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
     assert(viaSql == out)
   }
+
+  test("CountMin UDAF registers for SQL and matches the column form") {
+    val df = (1 to 100).map(i => s"k${i % 7}").toDF("k")
+      .select(graft.ext.Dedup.tokenHash(col("k")).as("h"))
+    val viaCol = df.agg(CountMin.cmsketch(col("h"), 2, 32)).as[Seq[Long]].head()
+    spark.udf.register("cmsketch_2_32",
+      org.apache.spark.sql.functions.udaf(new CountMin(2, 32)))
+    df.createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql("SELECT cmsketch_2_32(h) FROM cms_in")
+      .as[Seq[Long]].head()
+    assert(viaCol == viaSql)
+    assert(viaCol.sum == 200L) // 100 occurrences × depth 2
+  }
 }
