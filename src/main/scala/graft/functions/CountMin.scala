@@ -32,19 +32,24 @@ import org.apache.spark.sql.functions._
   */
 final case class CmsBuf(var counts: Array[Long])
 
+/** Input rows are (hash, weight): CMS is LINEAR, so a weighted update
+  * equals `weight` repeated unit updates — build the sketch from an
+  * already-aggregated (key, count) relation when one exists (vocab-
+  * sized input instead of corpus-occurrence-sized; see `ta_cms_heavy`)
+  * and from raw hashes with weight 1 on streams. */
 final class CountMin(depth: Int, width: Int)
-    extends Aggregator[java.lang.Long, CmsBuf, Seq[Long]] {
+    extends Aggregator[(Long, Long), CmsBuf, Seq[Long]] {
 
   private def bucket(d: Int, h: Long): Int =
     (((h * Dedup.minhashA(d) + Dedup.minhashB(d)) % Dedup.MinhashPrime) % width).toInt
 
   override def zero: CmsBuf = CmsBuf(Array.empty)
 
-  override def reduce(b: CmsBuf, h: java.lang.Long): CmsBuf = {
-    if (h == null) return b
+  override def reduce(b: CmsBuf, in: (Long, Long)): CmsBuf = {
+    val (h, w) = in
     if (b.counts.isEmpty) b.counts = Array.ofDim[Long](depth * width)
     var d = 0
-    while (d < depth) { b.counts(d * width + bucket(d, h)) += 1; d += 1 }
+    while (d < depth) { b.counts(d * width + bucket(d, h)) += w; d += 1 }
     b
   }
 
@@ -67,10 +72,14 @@ final class CountMin(depth: Int, width: Int)
 
 object CountMin {
 
-  /** Column form: `cmsketch(hashCol, 4, 256)` aggregates to the
-    * flattened sketch array. */
+  /** Column form over raw occurrences: `cmsketch(hashCol, 4, 256)`. */
   def cmsketch(hash: Column, depth: Int, width: Int): Column =
-    udaf(new CountMin(depth, width)).apply(hash)
+    cmsketchWeighted(hash, lit(1L), depth, width)
+
+  /** Weighted column form over pre-aggregated (hash, count) rows. */
+  def cmsketchWeighted(hash: Column, weight: Column,
+                       depth: Int, width: Int): Column =
+    udaf(new CountMin(depth, width)).apply(hash, weight)
 
   /** Point-estimate lookup against a sketch COLUMN (array produced by
     * [[cmsketch]]): min over depths of the key's bucket count. Pure

@@ -118,14 +118,19 @@ object CurationQueries {
     (s, dir) => {
       import graft.ext.Dedup
       import graft.functions.CountMin
-      val occ = Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
+      // aggregate occurrences to the vocab-sized (tok, n, h) relation
+      // FIRST, then feed the sketch weighted updates (CMS is linear) —
+      // one tokenize pass, and the materialized relation is vocabulary-
+      // sized, not corpus-occurrence-sized
+      val tokCounts = Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
         .select(col("tok"), Dedup.tokenHash(col("tok")).as("h"))
-        .localCheckpoint(true) // read 2x (sketch + true counts): one tokenize pass
-      val sketch = occ.agg(
-        CountMin.cmsketch(col("h"), CmsDepth, CmsWidth).as("sketch"))
-      val top = occ.groupBy("tok")
+        .groupBy("tok")
         .agg(count(lit(1)).as("n_true"), max("h").as("h"))
-        .orderBy(desc("n_true"), col("tok")).limit(25)
+        .localCheckpoint(true) // read 2x: sketch build + top-k
+      val sketch = tokCounts.agg(
+        CountMin.cmsketchWeighted(col("h"), col("n_true"), CmsDepth, CmsWidth)
+          .as("sketch"))
+      val top = tokCounts.orderBy(desc("n_true"), col("tok")).limit(25)
       top.crossJoin(broadcast(sketch))
         .select(col("tok"), col("n_true"),
           CountMin.estimate(col("sketch"), col("h"), CmsDepth, CmsWidth).as("n_est"))

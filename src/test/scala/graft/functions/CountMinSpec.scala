@@ -48,6 +48,17 @@ class CountMinSpec extends SparkSpec {
     assert(base == sk(occurrences.coalesce(1)))
   }
 
+  test("weighted updates over aggregated counts equal unit updates over occurrences") {
+    val raw = occurrences
+    val agg = raw.groupBy("h").agg(count(lit(1)).as("n"))
+    val viaUnits = raw.agg(CountMin.cmsketch(col("h"), depth, width))
+      .as[Seq[Long]].head()
+    val viaWeights = agg.agg(
+      CountMin.cmsketchWeighted(col("h"), col("n"), depth, width))
+      .as[Seq[Long]].head()
+    assert(viaUnits == viaWeights) // CMS is linear
+  }
+
   test("column-form estimate matches a driver-side sketch replay") {
     val occ = occurrences.collect().map(_.getAs[Long]("h"))
     val counts = Array.ofDim[Long](depth * width)

@@ -101,7 +101,8 @@ class GraftFunctionsSpec extends SparkSpec {
     spark.udf.register("cmsketch_2_32",
       org.apache.spark.sql.functions.udaf(new CountMin(2, 32)))
     df.createOrReplaceTempView("cms_in")
-    val viaSql = spark.sql("SELECT cmsketch_2_32(h) FROM cms_in")
+    val viaSql = spark.sql(
+      "SELECT cmsketch_2_32(h, CAST(1 AS BIGINT)) FROM cms_in")
       .as[Seq[Long]].head()
     assert(viaCol == viaSql)
     assert(viaCol.sum == 200L) // 100 occurrences × depth 2
