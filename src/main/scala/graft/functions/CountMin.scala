@@ -38,15 +38,16 @@ final case class CmsBuf(var counts: Array[Long])
   * sized input instead of corpus-occurrence-sized; see `ta_cms_heavy`)
   * and from raw hashes with weight 1 on streams. */
 final class CountMin(depth: Int, width: Int)
-    extends Aggregator[(Long, Long), CmsBuf, Seq[Long]] {
+    extends Aggregator[(java.lang.Long, java.lang.Long), CmsBuf, Seq[Long]] {
 
   private def bucket(d: Int, h: Long): Int =
     (((h * Dedup.minhashA(d) + Dedup.minhashB(d)) % Dedup.MinhashPrime) % width).toInt
 
   override def zero: CmsBuf = CmsBuf(Array.empty)
 
-  override def reduce(b: CmsBuf, in: (Long, Long)): CmsBuf = {
+  override def reduce(b: CmsBuf, in: (java.lang.Long, java.lang.Long)): CmsBuf = {
     val (h, w) = in
+    if (h == null || w == null) return b // null hash (md5 of null) is skipped
     if (b.counts.isEmpty) b.counts = Array.ofDim[Long](depth * width)
     var d = 0
     while (d < depth) { b.counts(d * width + bucket(d, h)) += w; d += 1 }

@@ -1,14 +1,17 @@
 package graft.queries
 
 import graft.ext.{Dedup, Graphs}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph inventory: link-quality scoring over a deterministic synthetic
-  * link graph derived from `documents` (each doc "links to" 3
-  * hash-chosen docs — the fixture corpus has no real hyperlinks, so the
-  * graph is a pure function of doc_ids that both engines rebuild
-  * identically, the planted-rows pattern used throughout).
+  * link graph derived from `documents` (each doc "links to"
+  * [[GraphQueries.OutDeg]] hash-chosen docs — the fixture corpus has no
+  * real hyperlinks, so the graph is a pure function of doc_ids that
+  * both engines rebuild identically, the planted-rows pattern used
+  * throughout). The edge derivation has ONE source per engine
+  * ([[linkEdges]] / [[edgesSql]]) so gr_pagerank and gr_degrees can
+  * never drift onto different graphs.
   */
 object GraphQueries {
 
@@ -17,6 +20,25 @@ object GraphQueries {
   private def hashSql(expr: String) = DedupQueries.portableHash(expr)
 
   private val Iters = 3
+  private val OutDeg = 3
+
+  /** The synthetic (src, dst) edge list: dst_k = hash("link:src:k") mod
+    * n for k < OutDeg. Parallel edges and self-loops possible — callers
+    * decide whether to collapse them. */
+  private def linkEdges(d: DataFrame, n: Long): DataFrame =
+    d.select(col("doc_id").as("src"),
+        explode(array((0 until OutDeg).map(lit): _*)).as("k"))
+      .select(col("src"),
+        pmod(Dedup.tokenHash(
+          concat(lit("link:"), col("src").cast("string"), lit(":"), col("k"))),
+          lit(n)).as("dst"))
+
+  /** DuckDB twin of [[linkEdges]] (body of an edge CTE; `n` must be a
+    * CTE named n). */
+  private val edgesSql =
+    s"""SELECT doc_id AS src,
+          ${hashSql("'link:' || doc_id || ':' || k")} % (SELECT n FROM n) AS dst
+        FROM documents, range(0, $OutDeg) t(k)"""
 
   /** 3-iteration fixed-point PageRank ([[Graphs.pageRankFixedPoint]] —
     * INT64 picoshare arithmetic, bit-exact cross-engine). The oracle
@@ -25,14 +47,8 @@ object GraphQueries {
     (s, dir) => {
       val d = docs(s, dir)
       val n = d.count()
-      val nodes = d.select(col("doc_id").as("id"))
-      val edges = d.select(col("doc_id").as("src"),
-          explode(array(lit(0), lit(1), lit(2))).as("k"))
-        .select(col("src"),
-          pmod(Dedup.tokenHash(
-            concat(lit("link:"), col("src").cast("string"), lit(":"), col("k"))),
-            lit(n)).as("dst"))
-      Graphs.pageRankFixedPoint(nodes, edges, Iters)
+      Graphs.pageRankFixedPoint(d.select(col("doc_id").as("id")),
+          linkEdges(d, n), Iters)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -49,10 +65,7 @@ object GraphQueries {
       s"""WITH n AS (SELECT count(*) AS n FROM documents),
             b AS (SELECT (1000000000000 // n) AS unit,
                          (1000000000000 // n) * 15 // 100 AS base FROM n),
-            e0 AS (
-              SELECT doc_id AS src,
-                     ${hashSql("'link:' || doc_id || ':' || k")} % (SELECT n FROM n) AS dst
-              FROM documents, range(0, 3) t(k)),
+            e0 AS ($edgesSql),
             e AS (
               SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM e0),
             r0 AS (
@@ -62,21 +75,19 @@ object GraphQueries {
     })
 
   /** Degree / reciprocity profile of the link graph: per-node in-degree
-    * (out-degree is 3 by construction) and whether the node sits on any
-    * reciprocal (u→v ∧ v→u) edge — the hub/mutual-link signals crawl
-    * curation uses beside PageRank. One groupBy and one self-join on
-    * (src, dst) vs (dst, src); nothing quadratic. */
+    * (out-degree is OutDeg by construction) and whether the node sits
+    * on any reciprocal (u→v ∧ v→u, u ≠ v) PAIR — self-loops are
+    * deliberately excluded by the u < v predicate (a page linking to
+    * itself is not a mutual link between two pages). One groupBy and
+    * one self-join on (src, dst) vs (dst, src); nothing quadratic. */
   val grDegrees = Q("gr_degrees",
     (s, dir) => {
       val d = docs(s, dir)
       val n = d.count()
-      val edges = d.select(col("doc_id").as("src"),
-          explode(array(lit(0), lit(1), lit(2))).as("k"))
-        .select(col("src"),
-          pmod(Dedup.tokenHash(
-            concat(lit("link:"), col("src").cast("string"), lit(":"), col("k"))),
-            lit(n)).as("dst"))
+      // read 3x (in-degree + both self-join sides): materialize once
+      val edges = linkEdges(d, n)
         .distinct() // parallel edges collapse for degree/reciprocity
+        .localCheckpoint(true)
       val inDeg = edges.groupBy(col("dst").as("doc_id"))
         .agg(count(lit(1)).as("in_deg"))
       val recip = edges.as("e")
@@ -95,10 +106,7 @@ object GraphQueries {
         .orderBy("doc_id")
     },
     Some(s"""WITH n AS (SELECT count(*) AS n FROM documents),
-             e AS (
-               SELECT DISTINCT doc_id AS src,
-                      ${hashSql("'link:' || doc_id || ':' || k")} % (SELECT n FROM n) AS dst
-               FROM documents, range(0, 3) t(k)),
+             e AS (SELECT DISTINCT * FROM ($edgesSql)),
              ind AS (SELECT dst AS doc_id, count(*) AS in_deg FROM e GROUP BY 1),
              recip AS (
                SELECT DISTINCT unnest([x.src, x.dst]) AS doc_id

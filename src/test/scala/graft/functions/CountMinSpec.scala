@@ -48,6 +48,15 @@ class CountMinSpec extends SparkSpec {
     assert(base == sk(occurrences.coalesce(1)))
   }
 
+  test("null hashes are skipped, not crashed on") {
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (null, "b"), (2L, "c"), (null, "d"))
+      .toDF("h", "x")
+    val sk = withNulls.agg(CountMin.cmsketch(col("h"), depth, width))
+      .as[Seq[Long]].head()
+    assert(sk.sum == 2L * depth) // only the two non-null rows counted
+  }
+
   test("weighted updates over aggregated counts equal unit updates over occurrences") {
     val raw = occurrences
     val agg = raw.groupBy("h").agg(count(lit(1)).as("n"))
