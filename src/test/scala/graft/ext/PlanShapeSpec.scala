@@ -137,4 +137,20 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(Graphs.pageRankFixedPoint(nodes, edges, 1))
     assertNoProductJoin(plan, "pageRankFixedPoint")
   }
+
+  test("chunkify is narrow end to end: no shuffle, no window, no join") {
+    val docs = (1L to 50L).map(i => (i, s"a$i b$i c$i d$i")).toDF("doc_id", "text")
+    val plan = physical(TextAnalysis.chunkify(docs, "text", 32, 8))
+    assert(!plan.contains("Exchange"), s"chunkify must not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"chunkify must stay a per-row column program:\n$plan")
+  }
+
+  test("snapshot diff is one equality full-outer join, nothing quadratic") {
+    val a = (1L to 30L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val b = (11L to 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val plan = physical(Dedup.snapshotDiff(a, b, "doc_id", "text"))
+    assertNoProductJoin(plan, "snapshotDiff")
+    assert(plan.contains("FullOuter"), s"expected a full-outer equality join:\n$plan")
+  }
 }
