@@ -285,6 +285,32 @@ object Relational2 {
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10"""))
 
+  /** R23 — latest-record-per-key compaction (the upsert-resolution /
+    * CDC-compaction shape every lakehouse table maintenance job runs):
+    * one `max_by` over a (ts, id) ordering struct — a partial-aggregatable
+    * argmax, so the shuffle carries one row per key and there is NO
+    * per-key window sort of the fact table (the oracle reconstructs the
+    * same pick with a rank window, the formulation the engine
+    * deliberately avoids at scale). */
+  val r23 = Q("r23_latest_by_key",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, ts AS last_ts,
+                   event_id AS last_event_id, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+            ORDER BY user_id, event_type"""))
+
   val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19, r20,
-    r21, r22)
+    r21, r22, r23)
 }
