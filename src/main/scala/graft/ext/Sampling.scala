@@ -86,7 +86,11 @@ object Sampling {
     * aggregated report over this). Input columns are passed through. */
   def packAssign(docs: DataFrame, id: String, tokens: Column,
                  shards: Int, capacity: Long): DataFrame = {
+    // ROWS frame pinned: the default RANGE frame would merge tied ids
+    // into one prefix-sum step, diverging from the documented per-row
+    // semantics (and the oracle twins, which pin ROWS explicitly)
     val w = Window.partitionBy("shard").orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard",
         pmod(Dedup.tokenHash(concat(lit("pack:"), col(id).cast("string"))),

@@ -65,7 +65,7 @@ object CurationQueries {
                       sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
                FROM t)
-           SELECT shard, strt // $PackCapacity AS bin,
+           SELECT shard, CAST(strt // $PackCapacity AS BIGINT) AS bin,
                   count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens,
                   min(doc_id) AS min_id, max(doc_id) AS max_id
            FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))

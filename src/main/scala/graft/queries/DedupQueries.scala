@@ -386,7 +386,7 @@ object DedupQueries {
                      sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
               FROM packt)
-          SELECT doc_id, lang, n_members, shard, strt // 512 AS bin
+          SELECT doc_id, lang, n_members, shard, CAST(strt // 512 AS BIGINT) AS bin
           FROM packed ORDER BY doc_id"""
     })
 

@@ -237,7 +237,12 @@ object Relational2 {
       .filter(col("l_orderkey") < 1000)
       .groupBy("l_orderkey")
       .agg(array_sort(collect_list(col("l_quantity").cast("long"))).as("qtys"))
-      .select(col("l_orderkey"), col("qtys"),
+      .select(col("l_orderkey"),
+        // serialized, not raw: the gate's comparator sorts columns by
+        // value, and a list cell is unhashable there — the CSV form
+        // pins the same content while staying comparable
+        array_join(transform(col("qtys"), x => x.cast("string")), ",")
+          .as("qtys_csv"),
         size(filter(col("qtys"), x => x > 25)).as("n_big"),
         aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total_qty"),
         element_at(transform(col("qtys"), x => x * 2), 1).as("min_doubled"))
@@ -245,10 +250,12 @@ object Relational2 {
     Some("""WITH base AS (
               SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
               FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1)
-            SELECT l_orderkey, qtys,
+            SELECT l_orderkey,
+                   list_aggregate(list_transform(qtys, x -> CAST(x AS VARCHAR)),
+                                  'string_agg', ',') AS qtys_csv,
                    CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
                    CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS total_qty,
-                   qtys[1] * 2 AS min_doubled
+                   CAST(qtys[1] * 2 AS BIGINT) AS min_doubled
             FROM base ORDER BY l_orderkey"""))
 
   /** R22 — the TPC-H Q3 shape (shipping-priority top-10): a three-table

@@ -218,7 +218,7 @@ object TextQueries2 {
                                         * (CAST(tf.dl AS DOUBLE) / s.avgdl)))))
                               * 1000000.0::DOUBLE) AS BIGINT) AS micro
             FROM tf, dfreq d, stats s WHERE tf.term = d.term),
-          perdoc AS (SELECT doc_id, sum(micro) AS score_micro FROM scored GROUP BY 1),
+          perdoc AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro FROM scored GROUP BY 1),
           ranked AS (
             SELECT doc_id, score_micro,
                    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
