@@ -309,4 +309,46 @@ object Dedup {
           (col("na.n_toks") + col("nb.n_toks") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Positional k-token window hashes — the relational form of exact
+    * SUBSTRING dedup (the "is this k-token span repeated anywhere in the
+    * corpus?" question; reference pipelines answer it with a single-node
+    * suffix array, which has no distributed equivalent). A rolling window
+    * hash turns it into one narrow flatMap (one output row per token) and
+    * one partial-aggregatable count — no suffix structure, nothing
+    * superlinear. Returns (id, pos, whash), pos 1-based; docs shorter
+    * than k emit nothing. The hash is the portable md5-based
+    * [[tokenHash]], so a SQL oracle recomputes it bit-for-bit. */
+  def spanHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"spanHashes needs k > 0, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Norm.canonStr(text).split(' ').filter(_.nonEmpty)
+        toks.sliding(k).filter(_.length == k).zipWithIndex
+          .map { case (w, i) => (id, i + 1L, w.mkString(" ")) }
+      }
+      .toDF("id", "pos", "gram")
+      .select(col("id"), col("pos"), tokenHash(col("gram")).as("whash"))
+  }
+
+  /** Per-document duplicated-span profile over [[spanHashes]] output:
+    * n_spans, how many of the doc's spans recur anywhere in the corpus
+    * (its own other positions included — a span repeated within one doc
+    * is still training-loss duplication), and the duplicated fraction.
+    * Two shuffles, both keyed and partial-aggregatable: span-hash count,
+    * then the count joined back (hash equality join) and re-aggregated
+    * by doc. The count>1 spans are exactly the removal set of
+    * exact-substring dedup. */
+  def spanDupProfile(spans: DataFrame): DataFrame = {
+    val cnt = spans.groupBy("whash").agg(count(lit(1)).as("n_occ"))
+    spans.join(cnt, "whash")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_ratio"))
+  }
 }

@@ -50,6 +50,38 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Positional postings (id, pos, term), pos 1-based: the relation an
+    * inverted index materializes, and the input to [[phraseSearch]].
+    * Pure column program: the token array becomes an attribute in its
+    * own projection so canon runs once per document, then one Generate
+    * (posexplode) — narrow, no shuffle; writing this relation out
+    * partitioned/sorted by term IS the index build. */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), tokensCol(col(textCol)).as("__t"))
+      .select(col("id"), posexplode(col("__t")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
+
+  /** Exact phrase occurrences over positional postings: filter the
+    * postings to each phrase term (a selective predicate the scan
+    * absorbs — with term-partitioned postings it prunes to one
+    * partition per term), then chain position-adjacency EQUALITY joins
+    * anchored on the first term: term i must sit at anchor pos + i.
+    * Catalyst extracts (id, pos + i) as join keys, so every step is a
+    * hash join on (id, pos) — never a broadcast-nested-loop, and the
+    * intermediate cardinality only ever shrinks. Returns one row per
+    * occurrence (id, pos of the anchor term). */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val anchor = postings.filter(col("term") === phrase.head).select("id", "pos")
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (term, i)) =>
+      val p = postings.filter(col("term") === term)
+        .select(col("id").as(s"__id$i"), col("pos").as(s"__pos$i"))
+      acc.join(p, col("id") === col(s"__id$i") &&
+          col(s"__pos$i") === col("pos") + i)
+        .drop(s"__id$i", s"__pos$i")
+    }
+  }
+
   /** A BPE-ish subword proxy: count of alnum runs + digit runs via regex
     * split — a cheap deterministic stand-in for a real tokenizer's piece
     * count (upper-bounds tokens per word at len/1 pieces). */

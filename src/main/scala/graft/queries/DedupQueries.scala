@@ -454,7 +454,41 @@ object DedupQueries {
            SELECT a, b, cosine FROM scored
            WHERE cosine >= 0.9::DOUBLE ORDER BY a, b"""))
 
+  private val SpanK = 8
+
+  /** Exact substring-span dedup profile — the sixth dedup modality:
+    * which k-token spans recur ANYWHERE in the corpus, per document
+    * (reference pipelines do this with a single-node suffix array over
+    * the concatenated corpus; the distributed shape is
+    * [[graft.ext.Dedup.spanHashes]] rolling window hashes → global
+    * count → join-back, all equality-keyed). k=8 is proportional to the
+    * ~54-token fixture documents the way 50 tokens is to real web text.
+    * The oracle rebuilds the identical positional windows with
+    * generate_series slices and the shared portable hash. */
+  val ddSpanDedup = Q("dd_span_dedup",
+    (s, dir) => Dedup.spanDupProfile(
+      Dedup.spanHashes(docs(s, dir), "doc_id", "text", SpanK))
+      .orderBy("id"),
+    Some(s"""WITH t AS (
+               SELECT doc_id,
+                      list_filter(string_split($canonSql, ' '), x -> x <> '') AS t
+               FROM documents),
+             spans AS (
+               SELECT doc_id AS id,
+                      unnest(generate_series(1, len(t) - ${SpanK - 1})) AS pos,
+                      unnest(list_transform(generate_series(1, len(t) - ${SpanK - 1}),
+                             i -> array_to_string(t[i : i + ${SpanK - 1}], ' '))) AS gram
+               FROM t WHERE len(t) >= $SpanK),
+             h AS (SELECT id, pos, ${portableHash("gram")} AS whash FROM spans),
+             cnt AS (SELECT whash, count(*) AS n_occ FROM h GROUP BY 1)
+           SELECT id, count(*) AS n_spans,
+                  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                  round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                    AS dup_ratio
+           FROM h JOIN cnt USING (whash)
+           GROUP BY 1 ORDER BY id"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
     ddJaccard, ddComponents, ddContamination, ddBloomClean, ddSplit,
-    ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff)
+    ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff, ddSpanDedup)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second relational battery: grouping sets, correlated subqueries,
@@ -318,6 +319,39 @@ object Relational2 {
             WHERE rn = 1
             ORDER BY user_id, event_type"""))
 
+  /** R24 — the navigation/distribution window-function battery
+    * (lag/lead/ntile/percent_rank/first_value) per customer ordered by
+    * (date, key). These are value-copy and rank functions, not
+    * aggregations, so results are engine-exact without rounding tricks;
+    * percent_rank (a small rational) still gets the project-wide
+    * round-6. The partition key has customer cardinality — thousands of
+    * small groups hash-spread across tasks, NOT the few-groups skew
+    * shape the two-phase top-k exists for. */
+  val r24 = Q("r24_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(col("o_totalprice") - first_value(col("o_totalprice")).over(w), 2)
+          .as("delta_from_first"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(o_totalprice - first_value(o_totalprice) OVER w, 2)
+                     AS delta_from_first
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19, r20,
-    r21, r22, r23)
+    r21, r22, r23, r24)
 }

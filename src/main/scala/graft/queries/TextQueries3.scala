@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.ext.{Dedup, TextAnalysis, TopK}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Third text-analysis batch: positional-index phrase search, a
+  * per-domain document cap, and hashed-feature linear classifier
+  * scoring — retrieval and curation shapes a corpus pipeline runs at
+  * scale. The phrase search is all equality joins over a postings
+  * relation; the domain cap reuses the two-phase top-k (no per-domain
+  * window sort); the classifier is a broadcast model join + one
+  * partial-aggregatable sum.
+  */
+object TextQueries3 {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  private val canonSql = TextQueries.canonSql
+
+  /** The searched phrase: present at every fixture scale factor
+    * (9/3/10 occurrences at sf0.001/0.01/0.1 — the registry spec
+    * requires non-empty results at sf0.001 too); within-doc
+    * multiplicity is pinned separately in `SpanPhraseSpec`. */
+  private[queries] val Phrase = Seq("big", "order", "scan")
+
+  /** Exact phrase search over the positional-postings relation:
+    * per-doc occurrence counts of a 3-token phrase via position-
+    * adjacency equality joins ([[graft.ext.TextAnalysis.phraseSearch]]).
+    * The oracle rebuilds the postings with zipped unnests and runs the
+    * same adjacency join. */
+  val taPhraseSearch = Q("ta_phrase_search",
+    (s, dir) => TextAnalysis.phraseSearch(
+        TextAnalysis.positionalPostings(docs(s, dir), "doc_id", "text"), Phrase)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+      .orderBy("id"),
+    Some(s"""WITH t AS (
+               SELECT doc_id,
+                      list_filter(string_split($canonSql, ' '), x -> x <> '') AS t
+               FROM documents),
+             p AS (
+               SELECT doc_id AS id,
+                      unnest(generate_series(1, len(t))) AS pos,
+                      unnest(t) AS term
+               FROM t WHERE len(t) >= 1)
+           SELECT p0.id AS id, count(*) AS n_hits, min(p0.pos) AS first_pos
+           FROM p p0
+           JOIN p p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1
+           JOIN p p2 ON p2.id = p0.id AND p2.pos = p0.pos + 2
+           WHERE p0.term = '${Phrase(0)}' AND p1.term = '${Phrase(1)}'
+             AND p2.term = '${Phrase(2)}'
+           GROUP BY p0.id ORDER BY 1"""))
+
+  private val DomainCap = 10
+
+  /** Per-domain document cap — keep the top `DomainCap` docs per source
+    * by token count (longest-first, doc_id tiebreak), the standard
+    * "no single domain dominates the corpus" curation rule. Uses the
+    * two-phase [[graft.ext.TopK]] (bounded per-partition heaps → tiny
+    * merge), so no task ever sorts a whole domain — the shape that
+    * survives a domain with a billion pages. The oracle is the
+    * row_number window formulation the engine deliberately avoids. */
+  val taDomainCap = Q("ta_domain_cap",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TopK.perGroupTopK(d, Seq("source"),
+          struct((-col("n_tokens")).as("neg_tokens"), col("doc_id"),
+            col("n_tokens")),
+          DomainCap)
+        .select(col("source"), col("pos"),
+          col("col.doc_id").as("doc_id"), col("col.n_tokens").as("n_tokens"))
+        .orderBy("source", "pos")
+    },
+    Some(s"""WITH q AS (
+               SELECT source, doc_id,
+                      CAST(len(list_filter(string_split($canonSql, ' '), x -> x <> ''))
+                           AS BIGINT) AS n_tokens
+               FROM documents),
+             r AS (
+               SELECT source, doc_id, n_tokens,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_tokens DESC, doc_id) AS rn
+               FROM q)
+           SELECT source, CAST(rn - 1 AS INT) AS pos, doc_id, n_tokens
+           FROM r WHERE rn <= $DomainCap ORDER BY source, pos"""))
+
+  private val ClassifierBuckets = 512
+
+  /** Hashed-feature linear classifier scoring — the fastText-shaped
+    * APPLY path of a quality classifier at corpus scale: tokens →
+    * hashed feature buckets → weight lookup → per-doc margin sum in
+    * integer micro units, keep = margin > 0. The weight table here is a
+    * deterministic hash-derived FIXTURE standing in for trained
+    * parameters (training is out of scope); the operator under test is
+    * the serving plumbing — feature hashing, a broadcast model join
+    * (the model moves to the tasks, the corpus never shuffles for the
+    * lookup), and one partial-aggregatable sum per doc. Integer micro
+    * weights keep the margin order-independent and engine-exact. */
+  val taClassifierScore = Q("ta_classifier_score",
+    (s, dir) => {
+      val w = s.range(ClassifierBuckets).select(col("id").as("bucket"),
+        (Dedup.tokenHash(concat(lit("w:"), col("id").cast("string"))) % 2001 - 1000)
+          .as("w"))
+      Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
+        .select(col("id"),
+          pmod(Dedup.tokenHash(col("tok")), lit(ClassifierBuckets.toLong)).as("bucket"))
+        .join(broadcast(w), "bucket")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_feats"), sum("w").as("score_micro"))
+        .select(col("id"), col("n_feats"), col("score_micro"),
+          (col("score_micro") > 0).as("keep"))
+        .orderBy("id")
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id AS id,
+                      unnest(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS tok
+               FROM documents),
+             w AS (
+               SELECT i AS bucket,
+                      (${DedupQueries.portableHash("'w:' || i")} % 2001) - 1000 AS w
+               FROM (SELECT unnest(generate_series(0, ${ClassifierBuckets - 1})) AS i)),
+             f AS (
+               SELECT id, ${DedupQueries.portableHash("tok")} % $ClassifierBuckets AS bucket
+               FROM toks)
+           SELECT id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS score_micro,
+                  (CAST(sum(w) AS BIGINT) > 0) AS keep
+           FROM f JOIN w USING (bucket)
+           GROUP BY 1 ORDER BY id"""))
+
+  val all: Seq[Q] = Seq(taPhraseSearch, taDomainCap, taClassifierScore)
+}
