@@ -233,6 +233,75 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the COMPRESSION scale path beside LSH/IVF's pruning paths:
+    * each vector is encoded as `m` small codes (nearest codeword per
+    * subspace), and queries rank candidates by a sum of per-subspace
+    * lookup distances without ever touching the original embeddings.
+    *
+    * At 100 TB this is the difference between scanning the embedding
+    * table and scanning a codes relation ~dim/m× smaller: the corpus
+    * embeddings are read ONCE (encode time); serving joins the code
+    * relation against a broadcast per-query distance table — an
+    * equality join on (subspace, code) plus one partial-aggregatable
+    * INT64 sum. Every distance is squared-L2 over quantized integers
+    * (via three codegen'd dotQ calls, d² = a·a − 2a·b + b·b), so the
+    * codes, the ADC distances, and the ranking are bit-exact in any
+    * engine — no float ever enters.
+    *
+    * The codebook is deterministic (the `ks` lowest-id vectors'
+    * subvectors, the same seeding convention as [[ivfTopK]]); a
+    * Lloyd-refined codebook drops in the same way [[trainIvfCentroids]]
+    * feeds [[ivfTopK]]. Argmin ties break to the lowest code id.
+    * Returns (query_id, rank, cand_id, adist). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int, ks: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pqTopK needs m | dim, got $m / $dim")
+    val sub = dim / m
+    def subspaces(q: Column) = array((0 until m).map(s =>
+      struct(lit(s).as("s"), slice(q, s * sub + 1, sub).as("sv"))): _*)
+    def d2(a: Column, b: Column) =
+      dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
+
+    // codebook: (s, code, cw) — ks codewords per subspace, broadcastable
+    val cb = corpus.orderBy("vec_id").limit(ks)
+      .select(col("vec_id").as("code"), quantize(col("embedding")).as("q"))
+      .select(col("code"), explode(subspaces(col("q"))).as("e"))
+      .select(col("e.s").as("s"), col("code"), col("e.sv").as("cw"))
+
+    // corpus encode: nearest codeword per (vector, subspace) — min_by
+    // over a total (d2, code) order, partial-aggregatable, corpus never
+    // shuffles its embeddings (the codebook moves to the tasks)
+    val codes = corpus
+      .select(col("vec_id").as("cand_id"), quantize(col("embedding")).as("q"))
+      .select(col("cand_id"), explode(subspaces(col("q"))).as("e"))
+      .select(col("cand_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("cand_id"), col("s"), col("code"),
+        d2(col("sv"), col("cw")).as("d2"))
+      .groupBy("cand_id", "s")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+    // per-query ADC table: exact distance from the query subvector to
+    // every codeword — m × ks rows per query, broadcast to the scan
+    val table = queries
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q"))
+      .select(col("query_id"), explode(subspaces(col("q"))).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("qv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        d2(col("qv"), col("cw")).as("d2"))
+
+    codes.join(broadcast(table), Seq("s", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("d2").as("adist"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH — the
     * corpus-vs-corpus dedup form (vs [[lshTopK]]'s query-vs-corpus):
     * `bands` independent bucket ids of `planesPerBand` hyperplanes each;

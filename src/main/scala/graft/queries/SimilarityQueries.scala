@@ -341,6 +341,52 @@ object SimilarityQueries {
            FROM assign LEFT JOIN dropped USING (vec_id)
            ORDER BY vec_id"""))
 
+  private val PqM = 8   // subspaces (64-dim → 8×8)
+  private val PqKs = 16 // codewords per subspace
+
+  /** Product-quantization ANN (ADC): vectors compressed to 8 codes of
+    * 16 codewords each; candidates ranked by summed per-subspace lookup
+    * distances — the compression scale path ([[Similarity.pqTopK]]).
+    * Everything is INT64 squared-L2 over quantized components, so the
+    * oracle reproduces codes, distance tables, and ranking bit-exactly
+    * (the one approximation — PQ itself — is deterministic). */
+  val annPq = Q("ann_pq_topk",
+    (s, dir) => Similarity.pqTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 5, m = PqM, ks = PqKs, dim = Dim)
+      .select("query_id", "rank", "cand_id", "adist")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH qv AS (${qvSql()}),
+               seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs),
+               cw AS (
+                 SELECT vec_id AS code, (i - 1) // ${Dim / PqM} AS s, i, v AS w
+                 FROM qv WHERE vec_id IN (SELECT vec_id FROM seeds)),
+               cdist AS (
+                 SELECT a.vec_id AS vid, c.s, c.code,
+                        CAST(sum((a.v - c.w) * (a.v - c.w)) AS BIGINT) AS d2
+                 FROM qv a JOIN cw c ON c.i = a.i
+                 GROUP BY 1, 2, 3),
+               codes AS (
+                 SELECT vid AS cand_id, s, code FROM (
+                   SELECT vid, s, code,
+                          row_number() OVER (PARTITION BY vid, s
+                            ORDER BY d2 ASC, code ASC) AS rn
+                   FROM cdist)
+                 WHERE rn = 1),
+               qtab AS (
+                 SELECT vid AS query_id, s, code, d2 FROM cdist WHERE vid < 5),
+               adc AS (
+                 SELECT t.query_id, c.cand_id, CAST(sum(t.d2) AS BIGINT) AS adist
+                 FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.code
+                 GROUP BY 1, 2),
+               ranked AS (
+                 SELECT query_id, cand_id, adist,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, cand_id ASC) AS rank
+                 FROM adc WHERE query_id <> cand_id)
+             SELECT query_id, rank, cand_id, adist FROM ranked
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup)
+    ddSemDedup, annPq)
 }

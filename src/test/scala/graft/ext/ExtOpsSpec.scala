@@ -299,4 +299,26 @@ class ExtOpsSpec extends SparkSpec {
     val rebuilt = d1.head._3 ++ d1.tail.flatMap(_._3.drop(8))
     assert(rebuilt == text.split(" ").toSeq)
   }
+
+  test("PQ ANN: a clone of a SEED vector ranks first at ADC distance exactly 0") {
+    // ADC measures query→codeword distances, so a clone's adist equals
+    // the QUERY's own quantization error — exactly 0 only when the query
+    // is a seed (its codeword is itself). That's the invariant to pin.
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(j =>
+      (((seed * dim + j) * 2654435761L) % 1999 - 999).toFloat / 1000f)
+    // 10 base vectors + a clone of SEED vector 2 (ks=4 → seeds 0..3)
+    val rows = (0 until 10).map(i => (i.toLong, vec(i).toSeq)) :+ (100L, vec(2).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(
+      corpus.filter(col("vec_id") === 2), corpus, k = 3, m = 4, ks = 4, dim = dim)
+      .orderBy("rank").collect()
+    // the clone codes to the query's own codes; each lookup distance is
+    // 0 — it MUST sit in the adist=0 tier (other vectors may share all
+    // codes and tie; ties break by cand_id)
+    val zeroTier = top.filter(r => r.getLong(r.fieldIndex("adist")) == 0L)
+      .map(r => r.getLong(r.fieldIndex("cand_id"))).toSet
+    assert(top.head.getLong(top.head.fieldIndex("adist")) == 0L)
+    assert(zeroTier.contains(100L), s"clone not in the zero tier: $zeroTier")
+  }
 }
