@@ -161,5 +161,40 @@ object MultimodalQueries {
                   CAST(list_max(samples) AS BIGINT) AS sample_max
            FROM s ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmImageFeatures, mmAudioFeatures)
+  private val FrameSize = 32
+  private val FrameStride = 24
+
+  /** Frame sampling over the binary payload ([[Multimodal.sampleFrames]]
+    * — the "sample every Nth video frame" explode shape: one pass per
+    * partition, one output row per frame, frames overlap by
+    * FrameSize − FrameStride bytes). The oracle rebuilds every byte
+    * window with character substrings (the corpus payload is ASCII
+    * text-as-bytes, so char offsets ARE byte offsets) and md5-checks the
+    * exact frame bytes. */
+  val mmFrameSample = Q("mm_frame_sample",
+    (s, dir) => Multimodal.sampleFrames(media(s, dir), FrameSize, FrameStride)
+      .select(col("media_id"), col("frame_no"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_no"),
+    Some(s"""WITH b AS (
+               SELECT doc_id AS media_id, text,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+             f AS (
+               SELECT media_id, text, n,
+                      unnest(generate_series(0,
+                        greatest(1, (n + ${FrameStride - 1}) // $FrameStride) - 1))
+                        AS frame_no
+               FROM b)
+           SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+                  CAST(least(n, frame_no * $FrameStride + $FrameSize)
+                       - frame_no * $FrameStride AS BIGINT) AS frame_len,
+                  md5(substr(text, frame_no * $FrameStride + 1,
+                      least(n, frame_no * $FrameStride + $FrameSize)
+                      - frame_no * $FrameStride)) AS frame_md5
+           FROM f ORDER BY media_id, frame_no"""))
+
+  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmImageFeatures, mmAudioFeatures,
+    mmFrameSample)
 }

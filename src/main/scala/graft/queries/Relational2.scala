@@ -352,6 +352,49 @@ object Relational2 {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_orderkey"""))
 
+  /** R25 — the TPC-H Q5 shape (local-supplier volume): a SIX-table join
+    * where customer and supplier must share a nation, region-filtered,
+    * one year of orders. The plan to want — and `.explain` confirms —
+    * broadcasts the three dimension tables (region→nation→supplier
+    * chain collapses before touching facts), shuffles only
+    * lineitem⋈orders⋈customer on their keys, and the c_nationkey =
+    * s_nationkey equi-condition rides the supplier join as a key, not a
+    * post-filter. Revenue rounded in-query on both sides (the r2/r22
+    * double-sum convention). */
+  val r25 = Q("r25_tpch_q5",
+    (s, dir) => {
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      val nat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY revenue DESC, n_name"""))
+
   val all: Seq[Q] = Seq(r11, r12, r13, r14, r15, r16, r17, r18, r19, r20,
-    r21, r22, r23, r24)
+    r21, r22, r23, r24, r25)
 }

@@ -153,4 +153,19 @@ class PlanShapeSpec extends SparkSpec {
     assertNoProductJoin(plan, "snapshotDiff")
     assert(plan.contains("FullOuter"), s"expected a full-outer equality join:\n$plan")
   }
+
+  test("TPC-H Q5 shape: dims broadcast, facts shuffle, date filters reach the scans") {
+    val df = graft.queries.Relational2.all.find(_.name == "r25_tpch_q5").get
+      .run(spark, sf("sf0.001"))
+    val plan = physical(df)
+    assertNoProductJoin(plan, "r25_tpch_q5")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"expected supplier/nation/region on the broadcast side, got $broadcasts:\n$plan")
+    // the order-date range must be pushed to the parquet scan, not
+    // applied post-join (PushedFilters on o_orderdate)
+    assert(plan.contains("o_orderdate"), plan)
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+      s"o_orderdate range not pushed to the scan:\n$plan")
+  }
 }
