@@ -53,4 +53,49 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over the UNDIRECTED
+    * simplification of `edges` (self-loops dropped, directions and
+    * parallel edges collapsed) — the standard degree-ORIENTED
+    * node-iterator: each undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher, wedges are built only
+    * from a node's OUT-edges, and a wedge closes into a triangle when
+    * its canonical endpoint pair exists as an undirected edge.
+    *
+    * The orientation is the 100 TB load-bearing part: out-degrees in
+    * the oriented graph are O(√m), so the wedge self-join generates
+    * O(m^1.5) rows instead of the naive Σdeg² — a power-law hub with
+    * 10⁸ in-links contributes NO wedges from its in-side. Every step is
+    * an equality join or a partial-aggregatable count; each triangle is
+    * produced exactly once (its unique two-out-edge apex).
+    * Returns (id, n_tri) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint(true) // read 4x: degrees, both orient sides, closure
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"),
+        least(col("e1.t"), col("e2.t")).as("b"),
+        greatest(col("e1.t"), col("e2.t")).as("c"))
+    val tris = wedges.join(und,
+      col("b") === col("u") && col("c") === col("v"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
 }

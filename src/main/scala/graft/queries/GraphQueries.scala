@@ -120,5 +120,41 @@ object GraphQueries {
            LEFT JOIN recip ON d.doc_id = recip.doc_id
            ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(grPageRank, grDegrees)
+  /** Per-node triangle counts over the undirected link graph
+    * ([[Graphs.triangleCounts]] — degree-oriented node-iterator: wedges
+    * only from oriented out-edges, O(m^1.5) not Σdeg²). The oracle
+    * rebuilds the same orientation, wedge join, and closure check. */
+  val grTriangles = Q("gr_triangles",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      Graphs.triangleCounts(linkEdges(d, n))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS n FROM documents),
+             e0 AS ($edgesSql),
+             und AS (
+               SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+               FROM e0 WHERE src <> dst),
+             deg AS (
+               SELECT id, count(*) AS d
+               FROM (SELECT unnest([u, v]) AS id FROM und) GROUP BY 1),
+             o AS (
+               SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                           THEN u ELSE v END AS s,
+                      CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                           THEN v ELSE u END AS t
+               FROM und
+               JOIN deg du ON u = du.id
+               JOIN deg dv ON v = dv.id),
+             w AS (
+               SELECT e1.s AS a, least(e1.t, e2.t) AS b, greatest(e1.t, e2.t) AS c
+               FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+             tri AS (SELECT a, b, c FROM w JOIN und ON b = u AND c = v)
+           SELECT id AS doc_id, count(*) AS n_tri
+           FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+           GROUP BY 1 ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(grPageRank, grDegrees, grTriangles)
 }

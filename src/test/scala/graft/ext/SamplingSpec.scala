@@ -95,6 +95,24 @@ class SamplingSpec extends SparkSpec {
     assert(r(2L) == r(9L)) // leaves are symmetric
   }
 
+  test("triangleCounts: K4 gives every node 3 triangles; stars and loops give none") {
+    // K4 on {0..3} (4 triangles, each node in 3) + a star hub 10 with
+    // leaves 11..15 (wedges galore, zero closures) + a self-loop +
+    // a parallel/reversed edge that must collapse
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val star = (11L to 15L).map(i => (10L, i))
+    val edges = (k4 ++ star ++ Seq((2L, 2L), (1L, 0L))).toDF("src", "dst")
+    val tri = Graphs.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(tri == (0L to 3L).map(_ -> 3L).toMap)
+  }
+
+  test("triangleCounts counts each triangle once regardless of edge direction mix") {
+    // one triangle given with mixed directions and a duplicate edge
+    val edges = Seq((5L, 6L), (7L, 6L), (5L, 7L), (6L, 5L)).toDF("src", "dst")
+    val tri = Graphs.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(tri == Map(5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
   test("bloomDecontaminate equals the exact anti-join formulation") {
     val docs = (1L to 60L).map { i =>
       // shared phrases every 5th doc so contamination actually occurs
