@@ -334,6 +334,24 @@ object Dedup {
       .select(col("id"), col("pos"), tokenHash(col("gram")).as("whash"))
   }
 
+  /** The REMOVAL accounting of exact-substring dedup: for every doc,
+    * how many token positions are covered by at least one duplicated
+    * k-span (the exact union of overlapping span intervals, computed by
+    * exploding each duplicated span into its k positions and counting
+    * DISTINCT positions — fan-out is k× the duplicated spans only, and
+    * both steps are keyed shuffles). Returns (id, n_removed); docs with
+    * no duplicated span are absent (join back against the corpus for
+    * zeros). */
+  def spanRemovalCounts(spans: DataFrame, k: Int): DataFrame = {
+    val s = spans.localCheckpoint(true) // read 2x: count + join-back
+    val cnt = s.groupBy("whash").agg(count(lit(1)).as("n_occ"))
+    s.join(cnt.filter(col("n_occ") > 1).select("whash"), "whash")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_removed"))
+  }
+
   /** Per-document duplicated-span profile over [[spanHashes]] output:
     * n_spans, how many of the doc's spans recur anywhere in the corpus
     * (its own other positions included — a span repeated within one doc

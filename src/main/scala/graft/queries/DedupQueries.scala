@@ -488,7 +488,53 @@ object DedupQueries {
            FROM h JOIN cnt USING (whash)
            GROUP BY 1 ORDER BY id"""))
 
+  /** Exact-substring dedup REMOVAL accounting: per doc, the exact
+    * number of token positions covered by ≥1 duplicated k-span (the
+    * interval UNION — overlapping duplicated spans don't double-count)
+    * and the surviving-token ratio. This is what a span-cut pass would
+    * actually delete; `dd_span_dedup` reports span counts, this reports
+    * token coverage. */
+  val ddSpanClean = Q("dd_span_clean",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val removed = Dedup.spanRemovalCounts(
+        Dedup.spanHashes(d, "doc_id", "text", SpanK), SpanK)
+      d.select(col("doc_id").as("id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(removed, Seq("id"), "left")
+        .select(col("id"), col("n_tokens"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          round((col("n_tokens") - coalesce(col("n_removed"), lit(0L)))
+            .cast("double") / greatest(col("n_tokens"), lit(1L)), 6)
+            .as("keep_ratio"))
+        .orderBy("id")
+    },
+    Some(s"""WITH t AS (
+               SELECT doc_id,
+                      list_filter(string_split($canonSql, ' '), x -> x <> '') AS t
+               FROM documents),
+             spans AS (
+               SELECT doc_id AS id,
+                      unnest(generate_series(1, len(t) - ${SpanK - 1})) AS pos,
+                      unnest(list_transform(generate_series(1, len(t) - ${SpanK - 1}),
+                             i -> array_to_string(t[i : i + ${SpanK - 1}], ' '))) AS gram
+               FROM t WHERE len(t) >= $SpanK),
+             h AS (SELECT id, pos, ${portableHash("gram")} AS whash FROM spans),
+             cnt AS (SELECT whash FROM h GROUP BY whash HAVING count(*) > 1),
+             covered AS (
+               SELECT DISTINCT id, unnest(generate_series(pos, pos + ${SpanK - 1})) AS tpos
+               FROM h JOIN cnt USING (whash)),
+             removed AS (SELECT id, count(*) AS n_removed FROM covered GROUP BY 1)
+           SELECT t.doc_id AS id,
+                  CAST(len(t.t) AS BIGINT) AS n_tokens,
+                  coalesce(r.n_removed, 0) AS n_removed,
+                  round((len(t.t) - coalesce(r.n_removed, 0))::DOUBLE
+                        / greatest(len(t.t), 1), 6) AS keep_ratio
+           FROM t LEFT JOIN removed r ON t.doc_id = r.id
+           ORDER BY id"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
     ddJaccard, ddComponents, ddContamination, ddBloomClean, ddSplit,
-    ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff, ddSpanDedup)
+    ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff, ddSpanDedup,
+    ddSpanClean)
 }

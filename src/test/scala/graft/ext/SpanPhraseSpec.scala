@@ -39,6 +39,20 @@ class SpanPhraseSpec extends SparkSpec {
     assert(prof(3).getLong(1) == 7 && prof(3).getDouble(3) == 1.0)
   }
 
+  test("spanRemovalCounts unions overlapping spans — no double counting") {
+    val docs = Seq(
+      (1L, "m n o m n o m n o"),   // every 3-span duplicated → all 9 covered
+      (2L, "x y z tail filler"),   // shares only "x y z" with doc 3
+      (3L, "head x y z other")
+    ).toDF("doc_id", "text")
+    val removed = Dedup.spanRemovalCounts(
+      Dedup.spanHashes(docs, "doc_id", "text", 3), 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1: 7 duplicated spans covering positions 1..9 exactly once
+    // docs 2/3: one shared span → 3 covered positions each
+    assert(removed.toSeq == Seq((1L, 9L), (2L, 3L), (3L, 3L)))
+  }
+
   test("phraseSearch finds every occurrence at its anchor position") {
     val docs = Seq(
       (1L, "slow hash batch then slow hash batch"),
