@@ -1,0 +1,35 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply: the MERGE/upsert half of an incremental
+  * pipeline (the diff half is [[Dedup.snapshotDiff]]). Given a base
+  * snapshot and a change feed carrying an op column, produce the next
+  * snapshot — the semantics of SQL `MERGE WHEN MATCHED UPDATE / WHEN
+  * MATCHED [op=delete] DELETE / WHEN NOT MATCHED INSERT`, the refresh
+  * step every continuously-crawled corpus or dimension table needs.
+  *
+  * Shape at 100 TB: one left-anti join of the base against the (much
+  * smaller) change-key set, plus a union with the surviving changes —
+  * the base shuffles ONCE on the key (or not at all when both sides are
+  * bucketed by it; see `BucketingSpec` for the layout), and the change
+  * feed is broadcast when it fits. No window, no full-table rewrite
+  * logic beyond the one join — the same plan Delta/Iceberg MERGE lowers
+  * to, declared directly.
+  */
+object Cdc {
+
+  /** Apply `changes` (same schema as `base` plus an `op` column) to
+    * `base` on key `keyCol`. Rows of `base` whose key appears in
+    * `changes` are replaced (op = upsert) or dropped (op = `deleteOp`);
+    * change rows with unseen keys are inserts. A change feed must carry
+    * at most one row per key (enforce upstream with
+    * [[graft.ext.Curate]]-style latest-per-key compaction). */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+                   opCol: String = "op", deleteOp: String = "D"): DataFrame = {
+    val keep = base.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    keep.unionByName(
+      changes.filter(col(opCol) =!= deleteOp).drop(opCol))
+  }
+}

@@ -221,6 +221,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fuzzy decontamination by CONTAINMENT: per held-out document, the
+    * fraction of its distinct n-gram shingles that appear ANYWHERE in
+    * the training corpus — |shingles(test) ∩ shingles(train)| /
+    * |shingles(test)|. Containment (not Jaccard) is the right measure
+    * here: a short eval prompt embedded verbatim in one long training
+    * page has tiny Jaccard but containment ≈ 1. Returns (test_id,
+    * n_shingles, n_shared); thresholding is the caller's policy.
+    *
+    * Shape at 100 TB: the train side collapses to DISTINCT 32-bit
+    * shingle hashes before the join (the corpus's shingle multiset
+    * never shuffles), and the test side joins it left-semi — each test
+    * shingle contributes at most one row regardless of how many train
+    * documents contain it, so the join output is bounded by the test
+    * shingle count, not the pair count [[contaminationPairs]] returns. */
+  def containmentScores(df: DataFrame, idCol: String, textCol: String,
+                        testPred: Column, n: Int): DataFrame = {
+    val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
+    // materialized once — feeds the train-hash set AND the test side
+    val sh = docShingles(df, idCol, textCol, n)
+      .join(flags, "id")
+      .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
+      .localCheckpoint(true)
+    val trainH = sh.filter(!col("is_test")).select("h").distinct()
+    val test = sh.filter(col("is_test"))
+    val shared = test.join(trainH, Seq("h"), "left_semi")
+      .groupBy(col("id").as("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    test.groupBy(col("id").as("test_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(shared, Seq("test_id"), "left")
+      .select(col("test_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Bloom-sketch pre-filtered decontamination: the KEEP side of
     * [[contaminationPairs]] — train documents sharing NO n-gram shingle
     * with the held-out set, computed without shuffling the full train

@@ -56,6 +56,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Scalar quantization to int8 range: per-vector symmetric scale
+    * q_i = round(x_i · 127 / max|x|) — the 4-byte→1-byte compression
+    * every memory-bound ANN serving tier runs. All inputs are exact
+    * (float→double cast, IEEE mul/div correctly rounded, round
+    * half-away-from-zero matches both engines), so the codes are
+    * engine-portable; dot products over them are pure INT64. The
+    * max|x| reduction is computed as its OWN projection first —
+    * inlining it into the per-element lambda would re-evaluate the
+    * 64-element reduce per component (the measured Catalyst-inlining
+    * trap, see [[graft.ext.Dedup.docTokens]]). Zero vectors quantize
+    * to zero codes. Input column `emb`, output columns `mx` + `sq`. */
+  def withSq8(df: DataFrame, emb: String): DataFrame =
+    df.withColumn("mx",
+        aggregate(col(emb), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .withColumn("sq",
+        transform(col(emb), x =>
+          when(col("mx") === 0.0, 0L)
+            .otherwise(round(x.cast("double") * lit(127.0) / col("mx"))
+              .cast("long"))))
+      .drop("mx")
+
+  /** Brute-force top-k over int8 scalar-quantized codes, with a
+    * `in_exact` recall flag against the full-precision (2^15-quantized
+    * cosine) top-k — the measurement an ANN compression tier is
+    * accepted on. Integer dot products rank (no norms: SQ preserves
+    * direction per vector only up to its own scale, so this is the
+    * standard symmetric-dot approximation); ties break to the lowest
+    * candidate id. Same broadcast-queries shape as [[bruteForceTopK]]
+    * — the corpus never shuffles, and the recall join is per-query
+    * top-k vs top-k (tiny). */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(withSq8(queries, "embedding")
+      .select(col("vec_id").as("query_id"), col("sq").as("q_sq")))
+    val c = withSq8(corpus, "embedding")
+      .select(col("vec_id").as("cand_id"), col("sq").as("c_sq"))
+    val sq = q.crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        dotQ(col("q_sq"), col("c_sq")).as("dot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
+    sq.join(exact, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dot"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+  }
+
   /** Deterministic integer hyperplane `p` for sign-LSH (no RNG: derived
     * from Knuth's multiplicative constant so any engine reproduces it). */
   def hyperplane(p: Int, dim: Int): Array[Long] =

@@ -194,6 +194,38 @@ object DedupQueries {
           ORDER BY test_id, train_id"""
     })
 
+  private val ContaminatedMinPpm = 500000L
+
+  /** Fuzzy decontamination by shingle containment
+    * ([[Dedup.containmentScores]]): per held-out doc, what fraction of
+    * its distinct 4-gram shingles the training corpus contains, in
+    * integer ppm — the graded complement of [[ddContamination]]'s exact
+    * pair counts. The oracle rebuilds the distinct-hash semi-join with
+    * an IN subquery. */
+  val ddContainment = Q("dd_containment",
+    (s, dir) => Dedup.containmentScores(
+        docs(s, dir), "doc_id", "text", testPred = col("doc_id") % 20 === 0, n = 4)
+      .withColumn("cont_ppm", expr("(n_shared * 1000000) DIV n_shingles"))
+      .withColumn("contaminated", col("cont_ppm") >= ContaminatedMinPpm)
+      .orderBy("test_id"),
+    Some {
+      s"""WITH sh AS (
+            SELECT id, $tokHashSql AS h FROM (${shinglesSql(4)})),
+          test AS (SELECT id, h FROM sh WHERE id % 20 = 0),
+          trainh AS (SELECT DISTINCT h FROM sh WHERE id % 20 <> 0),
+          tot AS (SELECT id AS test_id, count(*) AS n_shingles FROM test GROUP BY 1),
+          shr AS (
+            SELECT id AS test_id, count(*) AS n_shared FROM test
+            WHERE h IN (SELECT h FROM trainh) GROUP BY 1)
+          SELECT t.test_id, t.n_shingles,
+                 coalesce(s.n_shared, 0) AS n_shared,
+                 CAST((coalesce(s.n_shared, 0) * 1000000) // t.n_shingles AS BIGINT)
+                   AS cont_ppm,
+                 ((coalesce(s.n_shared, 0) * 1000000) // t.n_shingles
+                   >= $ContaminatedMinPpm) AS contaminated
+          FROM tot t LEFT JOIN shr s USING (test_id) ORDER BY test_id"""
+    })
+
   /** The KEEP side of decontamination, via a broadcast Bloom sketch over
     * test shingles pre-filtering the train scan before the exact verify
     * ([[Dedup.bloomDecontaminate]] — the sketch moves, the corpus
@@ -534,7 +566,7 @@ object DedupQueries {
            ORDER BY id"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
-    ddJaccard, ddComponents, ddContamination, ddBloomClean, ddSplit,
-    ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff, ddSpanDedup,
-    ddSpanClean)
+    ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
+    ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
+    ddSpanDedup, ddSpanClean)
 }

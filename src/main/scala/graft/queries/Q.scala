@@ -18,7 +18,7 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.all ++ Relational2.all ++ GeocodeQueries.all ++
+    Relational.all ++ Relational2.all ++ Relational3.all ++ GeocodeQueries.all ++
       TextQueries.all ++ TextQueries2.all ++ TextQueries3.all ++
       CurationQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ GraphQueries.all ++ StreamingQueries.all

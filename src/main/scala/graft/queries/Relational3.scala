@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.ext.{Cdc, Sessions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Third relational batch: CDC merge/upsert (the incremental-refresh
+  * apply step), batch sessionization, and the TPC-H Q18 large-volume
+  * shape — three plans a production warehouse runs daily, each with a
+  * bit-exact DuckDB twin.
+  */
+object Relational3 {
+
+  private def orders(s: SparkSession, dir: String) = Tables.table(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String) = Tables.table(s, dir, "lineitem")
+  private def customer(s: SparkSession, dir: String) = Tables.table(s, dir, "customer")
+  private def events(s: SparkSession, dir: String) = Tables.table(s, dir, "events")
+
+  private val OrdersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+  private val InsertShift = 10000000L
+
+  /** R26 — CDC MERGE/upsert ([[graft.ext.Cdc.applyChanges]]): apply a
+    * derived change feed (keys %10==0 updated with a repriced status,
+    * %10==3 deleted, %10==7 re-inserted under shifted keys) to the
+    * orders snapshot. One anti-join + union — the base shuffles once on
+    * the key; no window, no full-table rewrite. The oracle applies the
+    * same feed with NOT IN + UNION ALL. */
+  val r26MergeUpsert = Q("r26_merge_upsert",
+    (s, dir) => {
+      val o = orders(s, dir).select(OrdersCols.map(col): _*)
+      val upd = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.05))
+        .withColumn("op", lit("U"))
+      val del = o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("op", lit("D"))
+      val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(InsertShift))
+        .withColumn("op", lit("I"))
+      Cdc.applyChanges(o, upd.unionByName(del).unionByName(ins), "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+    Some(s"""WITH base AS (SELECT ${OrdersCols.mkString(", ")} FROM orders),
+             changes AS (
+               SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                      o_totalprice * 1.05 AS o_totalprice, o_orderdate,
+                      o_orderpriority, 'U' AS op
+               FROM base WHERE o_orderkey % 10 = 0
+               UNION ALL
+               SELECT ${OrdersCols.mkString(", ")}, 'D' AS op
+               FROM base WHERE o_orderkey % 10 = 3
+               UNION ALL
+               SELECT o_orderkey + $InsertShift AS o_orderkey, o_custkey,
+                      o_orderstatus, o_totalprice, o_orderdate,
+                      o_orderpriority, 'I' AS op
+               FROM base WHERE o_orderkey % 10 = 7)
+           SELECT ${OrdersCols.mkString(", ")} FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+           UNION ALL
+           SELECT ${OrdersCols.mkString(", ")} FROM changes WHERE op <> 'D'
+           ORDER BY o_orderkey"""))
+
+  private val SessionGapSec = 43200L // 12h: the fixture's events are sparse
+
+  /** R27 — batch sessionization ([[graft.ext.Sessions.sessionize]]):
+    * gap-based per-user sessions with exact-micros gap comparison and
+    * integral duration. Both windows key on user_id (millions of keys
+    * at scale — no single-task sort), and the prefix-sum session id
+    * reuses the lag window's exchange. */
+  val r27Sessionize = Q("r27_sessionize",
+    (s, dir) => Sessions.sessionize(
+        events(s, dir), "user_id", "ts", "event_id", SessionGapSec)
+      .orderBy("user_id", "session_seq"),
+    Some(s"""WITH x AS (
+               SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+               FROM events),
+             f AS (
+               SELECT user_id, ts, event_id,
+                      CASE WHEN p IS NULL
+                                OR epoch_us(ts) - epoch_us(p) > ${SessionGapSec * 1000000L}
+                           THEN 1 ELSE 0 END AS brk
+               FROM x),
+             a AS (
+               SELECT user_id, ts,
+                      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS session_seq
+               FROM f)
+           SELECT user_id, session_seq, count(*) AS n_events,
+                  min(ts) AS session_start, max(ts) AS session_end,
+                  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+                    AS duration_sec
+           FROM a GROUP BY 1, 2 ORDER BY user_id, session_seq"""))
+
+  private val Q18MinQty = 250L
+
+  /** R28 — the TPC-H Q18 shape (large-volume customers): a HAVING
+    * subquery on the fact table feeding a three-table join. The
+    * per-order quantity sum is one partial-aggregatable hash aggregate
+    * (integers stored as doubles sum exactly in any order); the
+    * qualifying-order set is tiny and AQE broadcasts it into the
+    * orders/customer joins. Top-100 by (price desc, date, orderkey). */
+  val r28TpchQ18 = Q("r28_tpch_q18",
+    (s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > Q18MinQty)
+      big
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""WITH big AS (
+               SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+               FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > $Q18MinQty)
+           SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                  o.o_totalprice, b.sum_qty
+           FROM big b
+           JOIN orders o ON b.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+           LIMIT 100"""))
+
+  val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18)
+}

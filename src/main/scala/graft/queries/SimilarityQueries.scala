@@ -387,6 +387,66 @@ object SimilarityQueries {
              SELECT query_id, rank, cand_id, adist FROM ranked
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** int8 scalar-quantized ANN with a per-hit `in_exact` recall flag
+    * against the full-precision top-10 ([[Similarity.sqTopK]]) — the
+    * compression-acceptance report for a memory-bound serving tier.
+    * Every ranked score is an INT64 dot over engine-portable int8
+    * codes; the oracle rebuilds the quantization (per-vector max-abs
+    * scale, round half away from zero) and both rankings in SQL. */
+  val annSq = Q("ann_sq_topk",
+    (s, dir) => Similarity.sqTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir), k = 10)
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH mxs AS (
+               SELECT vec_id,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS mx
+               FROM embeddings),
+             sqv AS (
+               SELECT e.vec_id, i,
+                      CASE WHEN m.mx = 0 THEN 0
+                           ELSE CAST(round((CAST(embedding[i] AS DOUBLE) * 127.0) / m.mx)
+                                     AS BIGINT) END AS v
+               FROM embeddings e JOIN mxs m USING (vec_id), range(1, ${Dim + 1}) t(i)),
+             sdots AS (
+               SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      CAST(sum(q.v * c.v) AS BIGINT) AS dot
+               FROM sqv q JOIN sqv c ON q.i = c.i AND q.vec_id <> c.vec_id
+               WHERE q.vec_id < 5
+               GROUP BY 1, 2),
+             sranked AS (
+               SELECT query_id, cand_id, dot,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, cand_id ASC) AS rank
+               FROM sdots),
+             qq AS (${qvSql("WHERE vec_id < 5")}),
+             cc AS (${qvSql()}),
+             qn AS (SELECT vec_id, sum(v * v) AS nn FROM qq GROUP BY 1),
+             cn AS (SELECT vec_id, sum(v * v) AS nn FROM cc GROUP BY 1),
+             edots AS (
+               SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id, sum(qq.v * cc.v) AS dot
+               FROM qq JOIN cc ON qq.i = cc.i
+               WHERE qq.vec_id <> cc.vec_id
+               GROUP BY 1, 2),
+             escored AS (
+               SELECT query_id, cand_id,
+                      round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+               FROM edots
+               JOIN qn ON query_id = qn.vec_id
+               JOIN cn ON cand_id = cn.vec_id),
+             eranked AS (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, cand_id ASC) AS rank
+               FROM escored)
+           SELECT s.query_id, s.rank, s.cand_id, s.dot,
+                  (e.cand_id IS NOT NULL) AS in_exact
+           FROM sranked s
+           LEFT JOIN (SELECT query_id, cand_id FROM eranked WHERE rank <= 10) e
+             ON s.query_id = e.query_id AND s.cand_id = e.cand_id
+           WHERE s.rank <= 10
+           ORDER BY s.query_id, s.rank"""))
+
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup, annPq)
+    ddSemDedup, annPq, annSq)
 }

@@ -129,5 +129,61 @@ object TextQueries3 {
            FROM f JOIN w USING (bucket)
            GROUP BY 1 ORDER BY id"""))
 
-  val all: Seq[Q] = Seq(taPhraseSearch, taDomainCap, taClassifierScore)
+  /** Per-doc n-gram multiplicity stats: total / distinct / max-count
+    * over the doc's n-grams. Two chained hash aggregates — the first
+    * (id, gram) group absorbs the shingle fan-out map-side, so the
+    * second only ever sees distinct grams per doc. */
+  private def repStats(d: org.apache.spark.sql.DataFrame, n: Int) =
+    Dedup.docShingles(d, "doc_id", "text", n, distinct = false)
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as(s"n$n"), count(lit(1)).as(s"d$n"),
+        max("c").as(s"top$n"))
+
+  private val Top2MaxPpm = 200000L // Gopher-style: top 2-gram ≤ 20% of 2-grams
+  private val Dup3MaxPpm = 300000L // duplicate 3-grams ≤ 30%
+
+  /** Repetition signals (the Gopher repetition filters, token-count
+    * form): per document, the most-frequent-2-gram fraction and the
+    * duplicate-3-gram fraction, in integer ppm (integral division —
+    * exact and order-free cross-engine), plus the keep verdict at the
+    * standard thresholds. Boilerplate/spam ("buy now buy now buy now")
+    * scores high and is cut before training. Docs need ≥ 3 tokens to
+    * have both gram sizes (inner join — same on both sides). */
+  val taRepetition = Q("ta_repetition",
+    (s, dir) => {
+      val d = docs(s, dir)
+      repStats(d, 2).join(repStats(d, 3), "id")
+        .select(col("id"), col("n2"),
+          expr("(top2 * 1000000) DIV n2").as("top2_ppm"),
+          col("n3"),
+          expr("((n3 - d3) * 1000000) DIV n3").as("dup3_ppm"))
+        .withColumn("keep",
+          col("top2_ppm") < Top2MaxPpm && col("dup3_ppm") < Dup3MaxPpm)
+        .orderBy("id")
+    },
+    Some {
+      def grams(n: Int) =
+        s"""SELECT doc_id AS id,
+                   unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+                          i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS tok
+            FROM (SELECT doc_id,
+                         list_filter(string_split($canonSql, ' '), x -> x <> '') AS t
+                  FROM documents)"""
+      def stats(n: Int) =
+        s"""SELECT id, CAST(sum(c) AS BIGINT) AS n$n, count(*) AS d$n,
+                   CAST(max(c) AS BIGINT) AS top$n
+            FROM (SELECT id, tok, count(*) AS c FROM (${grams(n)}) GROUP BY 1, 2)
+            GROUP BY 1"""
+      s"""WITH s2 AS (${stats(2)}), s3 AS (${stats(3)})
+          SELECT id, n2,
+                 CAST((top2 * 1000000) // n2 AS BIGINT) AS top2_ppm,
+                 n3,
+                 CAST(((n3 - d3) * 1000000) // n3 AS BIGINT) AS dup3_ppm,
+                 ((top2 * 1000000) // n2 < $Top2MaxPpm
+                   AND ((n3 - d3) * 1000000) // n3 < $Dup3MaxPpm) AS keep
+          FROM s2 JOIN s3 USING (id) ORDER BY id"""
+    })
+
+  val all: Seq[Q] = Seq(taPhraseSearch, taDomainCap, taClassifierScore,
+    taRepetition)
 }
