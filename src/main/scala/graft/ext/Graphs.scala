@@ -54,6 +54,51 @@ object Graphs {
     ranks
   }
 
+  /** Synchronous label propagation — semi-supervised class spreading
+    * over the link graph (the third iterative primitive beside the
+    * min-label fixpoint of [[Dedup.connectedComponents]] and the
+    * additive mass of [[pageRankFixedPoint]]): seeds keep their label
+    * forever; every other node adopts, each round, the MAJORITY label
+    * among its in-neighbors' previous-round labels (parallel edges
+    * count as weight), keeping its previous label when no in-neighbor
+    * is labeled yet. Ties break to the SMALLEST label — a total order,
+    * so the result is a pure function of (graph, seeds, iters),
+    * engine- and partitioning-independent.
+    *
+    * Scale shape per round: one equality join (edges ⋈ labels on src),
+    * one two-level hash aggregate — (dst, lbl) counts absorb the
+    * message fan-in map-side, then a `min_by` argmax per dst — and a
+    * left join back onto the node set; lineage cut per round. The
+    * argmax is partial-aggregatable: no per-node sort, no window.
+    *
+    * `nodes`: (id); `seeds`: (id, lbl) for the labeled subset;
+    * `edges`: (src, dst). Returns (id, lbl) with lbl NULL where no
+    * label reached the node in `iters` rounds. */
+  def labelPropagation(nodes: DataFrame, seeds: DataFrame,
+                       edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint(true) // read every round
+    val seeded = nodes.join(seeds.withColumnRenamed("lbl", "seed_lbl"),
+        Seq("id"), "left")
+      .localCheckpoint(true)
+    var labels = seeded.select(col("id"), col("seed_lbl").as("lbl"))
+    for (_ <- 1 to iters) {
+      val maj = e.join(labels.filter(col("lbl").isNotNull),
+          e("src") === col("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("dst")
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl")))
+          .as("maj_lbl"))
+      labels = seeded
+        .join(labels.withColumnRenamed("lbl", "prev_lbl")
+          .withColumnRenamed("id", "pid"), col("id") === col("pid"))
+        .join(maj, col("id") === maj("dst"), "left")
+        .select(col("id"),
+          coalesce(col("seed_lbl"), col("maj_lbl"), col("prev_lbl")).as("lbl"))
+        .localCheckpoint(true) // constant-size plan per round
+    }
+    labels
+  }
+
   /** Per-node triangle participation counts over the UNDIRECTED
     * simplification of `edges` (self-loops dropped, directions and
     * parallel edges collapsed) — the standard degree-ORIENTED

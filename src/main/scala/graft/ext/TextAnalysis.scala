@@ -188,15 +188,25 @@ object TextAnalysis {
       lang -> ms.map(m => substrCount(text, m)).reduce(_ + _).cast("long")
     }
 
-  /** Unicode language guess: argmax over [[langScoresU]], first-listed
-    * wins ties, 'und' when nothing scores. */
-  def langGuessU(text: Column): Column = {
-    val scores = langScoresU(text)
+  /** Argmax over precomputed per-language score COLUMNS, first-listed
+    * wins ties, 'und' when nothing scores. Callers should pass plain
+    * attribute references (project the scores first): handing the raw
+    * score EXPRESSIONS here re-evaluates each one ~n_langs× inside the
+    * greatest + comparison chain — the measured cost of the pre-round-5
+    * ta_lang_unicode (60 substring counts re-derived per comparison). */
+  def langGuessFromScores(scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Unicode language guess: argmax over [[langScoresU]], first-listed
+    * wins ties, 'und' when nothing scores. Prefer projecting
+    * [[langScoresU]] once and using [[langGuessFromScores]] on the
+    * resulting attributes (see its scaladoc). */
+  def langGuessU(text: Column): Column =
+    langGuessFromScores(langScoresU(text))
 
   /** Count of marker tokens (with multiplicity) in a precomputed token
     * array — lets one tokenization feed every language's score. */

@@ -156,5 +156,57 @@ object GraphQueries {
            FROM (SELECT unnest([a, b, c]) AS id FROM tri)
            GROUP BY 1 ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(grPageRank, grDegrees, grTriangles)
+  private val SeedMod = 17L
+
+  /** 3-round synchronous label propagation
+    * ([[Graphs.labelPropagation]]): docs with doc_id % $SeedMod == 0
+    * seed label doc_id % 5 (mod-17 seeds × mod-5 labels are coprime, so
+    * all five classes occur); everyone else adopts the majority
+    * in-neighbor label, smallest-label tiebreak. The oracle unrolls the
+    * rounds as chained CTEs with a row_number argmax; unreached nodes
+    * surface as -1 on both sides (no NULLs cross the comparator). */
+  val grLabelProp = Q("gr_labelprop",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val seeds = d.filter(col("doc_id") % SeedMod === 0)
+        .select(col("doc_id").as("id"), (col("doc_id") % 5).as("lbl"))
+      Graphs.labelPropagation(d.select(col("doc_id").as("id")), seeds,
+          linkEdges(d, n), Iters)
+        .select(col("id").as("doc_id"),
+          coalesce(col("lbl"), lit(-1L)).as("lbl"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val iterCtes = (1 to Iters).map { i =>
+        s"""m$i AS (
+              SELECT e.dst, l.lbl, count(*) AS c
+              FROM e JOIN l${i - 1} l ON e.src = l.id
+              WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+            w$i AS (
+              SELECT dst, lbl FROM (
+                SELECT dst, lbl,
+                       row_number() OVER (PARTITION BY dst
+                         ORDER BY c DESC, lbl ASC) AS rn
+                FROM m$i) WHERE rn = 1),
+            l$i AS (
+              SELECT d.doc_id AS id,
+                     CASE WHEN d.doc_id % $SeedMod = 0 THEN d.doc_id % 5
+                          ELSE coalesce(w$i.lbl, p.lbl) END AS lbl
+              FROM documents d
+              LEFT JOIN w$i ON d.doc_id = w$i.dst
+              LEFT JOIN l${i - 1} p ON d.doc_id = p.id)"""
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+            e AS ($edgesSql),
+            l0 AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % $SeedMod = 0 THEN doc_id % 5 END AS lbl
+              FROM documents),
+            $iterCtes
+          SELECT id AS doc_id, coalesce(lbl, -1) AS lbl
+          FROM l$Iters ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(grPageRank, grDegrees, grTriangles, grLabelProp)
 }

@@ -128,5 +128,59 @@ object Relational3 {
            ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
            LIMIT 100"""))
 
-  val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18)
+  /** R29 — table profiling (the Deequ/quality-report shape): per
+    * column, row count, null count, exact distinct count, and numeric
+    * min/max, computed in ONE scan — a single multi-aggregate (Spark
+    * plans the distinct set via Expand: one pass over the data,
+    * not one scan per column) unpivoted with `stack`. At 100 TB the
+    * distinct counts swap to `approx_count_distinct` (bounds-proven in
+    * `ExtOpsSpec`); everything else is already partial-aggregatable. */
+  val r29Profile = Q("r29_profile",
+    (s, dir) => {
+      val o = orders(s, dir)
+      def nn(c: String) = count(col(c)).as(s"nn_$c")
+      def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+      o.agg(count(lit(1)).as("n"),
+          nn("o_orderkey"), nd("o_orderkey"),
+          min(col("o_orderkey")).cast("double").as("mn_o_orderkey"),
+          max(col("o_orderkey")).cast("double").as("mx_o_orderkey"),
+          nn("o_custkey"), nd("o_custkey"),
+          min(col("o_custkey")).cast("double").as("mn_o_custkey"),
+          max(col("o_custkey")).cast("double").as("mx_o_custkey"),
+          nn("o_totalprice"), nd("o_totalprice"),
+          min(col("o_totalprice")).as("mn_o_totalprice"),
+          max(col("o_totalprice")).as("mx_o_totalprice"),
+          nn("o_orderstatus"), nd("o_orderstatus"),
+          nn("o_orderpriority"), nd("o_orderpriority"),
+          nn("o_orderdate"), nd("o_orderdate"))
+        .selectExpr("""stack(6,
+            'o_orderkey',     n, n - nn_o_orderkey,     nd_o_orderkey,     mn_o_orderkey,     mx_o_orderkey,
+            'o_custkey',      n, n - nn_o_custkey,      nd_o_custkey,      mn_o_custkey,      mx_o_custkey,
+            'o_totalprice',   n, n - nn_o_totalprice,   nd_o_totalprice,   mn_o_totalprice,   mx_o_totalprice,
+            'o_orderstatus',  n, n - nn_o_orderstatus,  nd_o_orderstatus,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_orderpriority',n, n - nn_o_orderpriority,nd_o_orderpriority,CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_orderdate',    n, n - nn_o_orderdate,    nd_o_orderdate,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          ) AS (col_name, n, n_null, n_distinct, vmin, vmax)""")
+        .orderBy("col_name")
+    },
+    Some {
+      def block(c: String, numeric: Boolean) = {
+        val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+                   count(*) - count($c) AS n_null,
+                   count(DISTINCT $c) AS n_distinct,
+                   $mn AS vmin, $mx AS vmax
+            FROM orders"""
+      }
+      Seq(block("o_orderkey", numeric = true),
+        block("o_custkey", numeric = true),
+        block("o_totalprice", numeric = true),
+        block("o_orderstatus", numeric = false),
+        block("o_orderpriority", numeric = false),
+        block("o_orderdate", numeric = false))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    })
+
+  val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18, r29Profile)
 }

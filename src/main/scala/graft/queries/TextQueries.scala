@@ -76,10 +76,17 @@ object TextQueries {
       val scoreCols = TextAnalysis.langScores(col("toks")).map {
         case (lang, c) => c.as(s"s_$lang")
       }
+      val langs = TextAnalysis.langMarkers.map(_._1)
       docs(s, dir)
         .withColumn("toks", TextAnalysis.tokensCol(col("text")))
-        .select((Seq(col("doc_id")) ++ scoreCols ++
-          Seq(TextAnalysis.langGuessTok(col("toks")).as("lang_guess"), col("lang"))): _*)
+        .select((Seq(col("doc_id")) ++ scoreCols ++ Seq(col("lang"))): _*)
+        // guess reads the score ATTRIBUTES — same two-step shape as
+        // ta_lang_unicode (the argmax chain would otherwise re-run each
+        // marker filter ~6×)
+        .withColumn("lang_guess", TextAnalysis.langGuessFromScores(
+          langs.map(l => l -> col(s"s_$l"))))
+        .select((Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
+          Seq(col("lang_guess"), col("lang"))): _*)
         .orderBy("doc_id")
     },
     Some {
@@ -217,12 +224,21 @@ object TextQueries {
       val extra = udhrSamples.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
       val base = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .unionByName(extra)
+      // scores projected ONCE, then the argmax chain reads the score
+      // ATTRIBUTES — inlining the 60 substring counts into the guess
+      // expression re-evaluated each ~13× (greatest + 12 comparisons);
+      // CollapseProject keeps non-cheap multiply-referenced aliases in
+      // their own projection, so the two-step form stays two-step
       val scoreCols = TextAnalysis.langScoresU(col("text")).map {
         case (lang, c) => c.as(s"u_$lang")
       }
-      base.select((col("doc_id") +: scoreCols) ++ Seq(
-        TextAnalysis.langGuessU(col("text")).as("lang_guess"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens")): _*)
+      val langs = TextAnalysis.langProfilesU.map(_._1)
+      base.select((col("doc_id") +: scoreCols) :+
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"): _*)
+        .withColumn("lang_guess", TextAnalysis.langGuessFromScores(
+          langs.map(l => l -> col(s"u_$l"))))
+        .select((col("doc_id") +: langs.map(l => col(s"u_$l"))) ++
+          Seq(col("lang_guess"), col("n_tokens")): _*)
         .orderBy("doc_id")
     },
     Some {

@@ -78,6 +78,17 @@ class CdcSessionsSpec extends SparkSpec {
     assert(a.length == 2 && a(0).getAs[Long]("n_events") == 2L)
   }
 
+  test("sessionize plans ONE exchange: lag, prefix sum and final agg share it") {
+    val e = ev((1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 01:00:00", 2L))
+    val plan = Sessions.sessionize(e, "user_id", "ts", "event_id", 60L)
+      .queryExecution.executedPlan.toString
+    // both windows and the group-by key on user_id — hashpartitioning
+    // (user_id) satisfies all three, so EnsureRequirements must not add
+    // a second shuffle (the SCALE.md claim, executable)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle exchange:\n$plan")
+  }
+
   // ---- Similarity int8 scalar quantization ----
 
   test("withSq8: codes bounded to ±127, zero vectors quantize to zero") {

@@ -113,6 +113,30 @@ class SamplingSpec extends SparkSpec {
     assert(tri == Map(5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
 
+  test("labelPropagation: ties break to smallest label, seeds never change") {
+    val nodes = (1L to 4L).toDF("id")
+    // 1(lbl 5) and 2(lbl 7) both feed 3; 2 feeds seed 1 (must not flip it)
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq((1L, 5L), (2L, 7L)).toDF("id", "lbl")
+    val out = Graphs.labelPropagation(nodes, seeds, edges, 2)
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(out(1L) == 5L && out(2L) == 7L) // seeds held
+    assert(out(3L) == 5L)                  // 1-1 tie → smallest label
+    assert(out(4L) == null)                // unreached stays unlabeled
+  }
+
+  test("labelPropagation spreads one hop per round along a path") {
+    val nodes = (1L to 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, 9L)).toDF("id", "lbl")
+    val one = Graphs.labelPropagation(nodes, seeds, edges, 1)
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(one(2L) == 9L && one(3L) == null)
+    val two = Graphs.labelPropagation(nodes, seeds, edges, 2)
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(two(3L) == 9L)
+  }
+
   test("bloomDecontaminate equals the exact anti-join formulation") {
     val docs = (1L to 60L).map { i =>
       // shared phrases every 5th doc so contamination actually occurs
