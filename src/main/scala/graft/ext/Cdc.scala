@@ -29,7 +29,10 @@ object Cdc {
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
                    opCol: String = "op", deleteOp: String = "D"): DataFrame = {
     val keep = base.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // null-safe: a NULL / unmapped op is an upsert, never a silent
+    // delete (the plain =!= would drop the row from the union while its
+    // key already anti-joined the base row away)
     keep.unionByName(
-      changes.filter(col(opCol) =!= deleteOp).drop(opCol))
+      changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol))
   }
 }

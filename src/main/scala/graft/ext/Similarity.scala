@@ -66,7 +66,9 @@ object Similarity {
     * inlining it into the per-element lambda would re-evaluate the
     * 64-element reduce per component (the measured Catalyst-inlining
     * trap, see [[graft.ext.Dedup.docTokens]]). Zero vectors quantize
-    * to zero codes. Input column `emb`, output columns `mx` + `sq`. */
+    * to zero codes. Input column `emb`; adds ONE column `sq` (the
+    * per-vector scale is internal — recompute the max-abs reduce if a
+    * dequantization path ever needs it). */
   def withSq8(df: DataFrame, emb: String): DataFrame =
     df.withColumn("mx",
         aggregate(col(emb), lit(0.0),

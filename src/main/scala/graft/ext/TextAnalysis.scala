@@ -223,13 +223,8 @@ object TextAnalysis {
 
   /** Language guess = argmax over marker-hit scores, first-listed wins
     * ties (greatest-chain keeps the comparison deterministic). */
-  def langGuessTok(toks: Column): Column = {
-    val scores = langScores(toks)
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
+  def langGuessTok(toks: Column): Column =
+    langGuessFromScores(langScores(toks))
 
   /** [[langGuessTok]] with tokenization inline. Callers scoring MANY
     * languages should project [[tokensCol]] once and use the Tok forms

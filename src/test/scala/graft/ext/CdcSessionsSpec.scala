@@ -38,6 +38,15 @@ class CdcSessionsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("applyChanges treats a NULL op as an upsert, never a silent delete") {
+    val changes = Seq((2L, "B2", 21.0, null.asInstanceOf[String]))
+      .toDF("k", "v", "p", "op")
+    val out = Cdc.applyChanges(base, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "B2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("applyChanges plans one anti-join of base against the change keys") {
     val changes = Seq((2L, "B2", 21.0, "U")).toDF("k", "v", "p", "op")
     val plan = Cdc.applyChanges(base, changes, "k")
