@@ -182,5 +182,48 @@ object Relational3 {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     })
 
-  val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18, r29Profile)
+  /** R30 — Pearson correlation per group, in the exact-integer
+    * discipline: both variables are small integers (quantity 1–50,
+    * discount in pennies 0–10), so every moment sum is EXACT in INT64
+    * and order-free; the closed-form numerator/denominator stay below
+    * 2^53 even at the 10× fixture, so their double casts are exact and
+    * the final division + round(6) is bit-identical cross-engine —
+    * the same reproducibility design as the quantized cosine. (Built-in
+    * `corr()` float-accumulates and drifts with aggregation order; at
+    * 100 TB the moment sums move to DECIMAL(38) — same shape.) */
+  val r30Corr = Q("r30_corr",
+    (s, dir) => {
+      val q = lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * lit(100.0)).cast("long").as("y"))
+      q.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("flag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("corr6"))
+        .orderBy("flag")
+    },
+    Some("""WITH q AS (
+              SELECT l_returnflag AS flag,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_discount * 100) AS BIGINT) AS y
+              FROM lineitem),
+            a AS (
+              SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM q GROUP BY 1)
+          SELECT flag, n,
+                 round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr6
+          FROM a ORDER BY flag"""))
+
+  val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18, r29Profile,
+    r30Corr)
 }

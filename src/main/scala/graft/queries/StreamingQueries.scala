@@ -73,6 +73,40 @@ object StreamingQueries {
     * both engines) — DuckDB's `date_diff('second', …)` counts boundary
     * CROSSINGS, not elapsed floor, so a seconds column would diverge on
     * sub-second fractions. */
+  /** Stream-static enrichment join ([[StreamOps.enrichedDailyCounts]]):
+    * the replayed event stream broadcast-joins the static customer
+    * dimension each micro-batch, then aggregates a day × segment
+    * report. Money in integer cents — exact cross-engine. The oracle is
+    * the plain batch join + group (replay has no late data). */
+  val stEnrich = Q("st_enrich",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val replayed =
+        try {
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val dim = s.read.parquet(s"$dir/customer.parquet")
+            .select(col("c_custkey"), col("c_mktsegment"))
+          val agg = StreamOps.enrichedDailyCounts(stream, dim)
+          StreamOps.replayToTable(s, agg,
+            s"st_enrich_${System.nanoTime()}", "complete")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      replayed
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("c_mktsegment").as("segment"), col("n_events"), col("sum_cents"))
+        .orderBy("day", "segment")
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   c_mktsegment AS segment, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2 ORDER BY day, segment"""))
+
   val stIntervalJoin = Q("st_interval_join",
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -142,5 +176,5 @@ object StreamingQueries {
              FROM documents GROUP BY 1 ORDER BY keep_id"""))
 
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
-    stStreamDedup)
+    stStreamDedup, stEnrich)
 }

@@ -20,6 +20,21 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
 
+  /** Stream-static enrichment: the ubiquitous "join the event stream to
+    * a dimension table" serving shape — the static side is broadcast to
+    * every micro-batch (Spark re-plans the static side per batch; the
+    * STREAM never shuffles for the join), then a watermarked daily
+    * aggregate per segment. Money sums in integer cents (exact and
+    * aggregation-order-free — a float `sum(value)` over a day's worth
+    * of doubles would hash differently per partitioning). */
+  def enrichedDailyCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * lit(100.0)).cast("long")).as("sum_cents"))
+
   /** Session windows per user: 30-minute inactivity gap. Works in both
     * batch (session_window is batch-capable) and streaming mode. */
   def userSessions(events: DataFrame): DataFrame =

@@ -168,4 +168,23 @@ class PlanShapeSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
       s"o_orderdate range not pushed to the scan:\n$plan")
   }
+
+  test("TPC-H Q18 shape: the qualifying-order set joins broadcast, nothing quadratic") {
+    val df = graft.queries.Relational3.all.find(_.name == "r28_tpch_q18").get
+      .run(spark, sf("sf0.001"))
+    df.collect() // AQE: broadcast decisions finalize at execution
+    val plan = physical(df)
+    assertNoProductJoin(plan, "r28_tpch_q18")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the tiny HAVING-qualified order set to broadcast:\n$plan")
+  }
+
+  test("profiling report reads the table ONCE (multi-distinct via Expand, not per-column scans)") {
+    val df = graft.queries.Relational3.all.find(_.name == "r29_profile").get
+      .run(spark, sf("sf0.001"))
+    val plan = physical(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"), s"expected Expand for the distinct set:\n$plan")
+  }
 }
