@@ -59,7 +59,8 @@ object Relational3 {
            SELECT ${OrdersCols.mkString(", ")} FROM base
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
            UNION ALL
-           SELECT ${OrdersCols.mkString(", ")} FROM changes WHERE op <> 'D'
+           SELECT ${OrdersCols.mkString(", ")} FROM changes
+           WHERE op IS DISTINCT FROM 'D'
            ORDER BY o_orderkey"""))
 
   private val SessionGapSec = 43200L // 12h: the fixture's events are sparse

@@ -14,23 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** The replayed events file-source: nanos-as-long (the fixture's
+    * TIMESTAMP(NANOS) encoding), schema from a batch read, micros
+    * conversion — the shared front-end of every streaming query here
+    * (one body, so a fix to the nanos handling reaches all of them). */
+  private def eventsStream(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` (one
+    * state store per shuffle partition — size to the aggregate's group
+    * count, not default width), restoring the previous value after. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val stReplayHourly = Q("st_replay_hourly",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // one state store per shuffle partition: 8 is plenty for this
-      // aggregate's group count and cuts micro-batch setup overhead
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val replayed =
-        try {
-          val stream = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          val agg = StreamOps.hourlyEventCounts(stream)
-          StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val replayed = withShufflePartitions(s, 8) {
+        val agg = StreamOps.hourlyEventCounts(eventsStream(s, dir))
+        StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
+      }
       replayed
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -73,6 +84,40 @@ object StreamingQueries {
     * both engines) — DuckDB's `date_diff('second', …)` counts boundary
     * CROSSINGS, not elapsed floor, so a seconds column would diverge on
     * sub-second fractions. */
+  val stIntervalJoin = Q("st_interval_join",
+    (s, dir) => {
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.get(noDataKey)
+      // an inner stream-stream join emits on match; the trailing no-data
+      // batch only advances the watermark for state EVICTION, which a
+      // drain-and-stop replay never benefits from
+      s.conf.set(noDataKey, "false")
+      val replayed =
+        try withShufflePartitions(s, 4) {
+          // ONE file-source; both join sides derive from it (a second
+          // readStream would scan the parquet twice per micro-batch)
+          val src = eventsStream(s, dir)
+          val views = src.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+          val buys = src.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("buy_user_id"),
+              col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+          val joined = StreamOps.attributionJoin(views, buys,
+            maxDelay = "6 hours", watermark = "1 hour")
+          StreamOps.replayToTable(s, joined,
+            s"st_interval_join_${System.nanoTime()}", "append")
+        } finally s.conf.set(noDataKey, prevNoData)
+      replayed.orderBy("view_id", "purchase_id")
+    },
+    Some("""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'view' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            ORDER BY view_id, purchase_id"""))
+
   /** Stream-static enrichment join ([[StreamOps.enrichedDailyCounts]]):
     * the replayed event stream broadcast-joins the static customer
     * dimension each micro-batch, then aggregates a day × segment
@@ -80,22 +125,13 @@ object StreamingQueries {
     * the plain batch join + group (replay has no late data). */
   val stEnrich = Q("st_enrich",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val replayed =
-        try {
-          val stream = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          val dim = s.read.parquet(s"$dir/customer.parquet")
-            .select(col("c_custkey"), col("c_mktsegment"))
-          val agg = StreamOps.enrichedDailyCounts(stream, dim)
-          StreamOps.replayToTable(s, agg,
-            s"st_enrich_${System.nanoTime()}", "complete")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val replayed = withShufflePartitions(s, 8) {
+        val dim = Tables.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val agg = StreamOps.enrichedDailyCounts(eventsStream(s, dir), dim)
+        StreamOps.replayToTable(s, agg,
+          s"st_enrich_${System.nanoTime()}", "complete")
+      }
       replayed
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("c_mktsegment").as("segment"), col("n_events"), col("sum_cents"))
@@ -107,50 +143,6 @@ object StreamingQueries {
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1, 2 ORDER BY day, segment"""))
 
-  val stIntervalJoin = Q("st_interval_join",
-    (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val prevNoData = s.conf.get(noDataKey)
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      // an inner stream-stream join emits on match; the trailing no-data
-      // batch only advances the watermark for state EVICTION, which a
-      // drain-and-stop replay never benefits from
-      s.conf.set(noDataKey, "false")
-      val replayed =
-        try {
-          // ONE file-source; both join sides derive from it (a second
-          // readStream would scan the parquet twice per micro-batch)
-          val src = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(dir)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          val views = src.filter(col("event_type") === "view")
-            .select(col("user_id"), col("event_id").as("view_id"),
-              col("ts").as("view_ts"))
-          val buys = src.filter(col("event_type") === "purchase")
-            .select(col("user_id").as("buy_user_id"),
-              col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
-          val joined = StreamOps.attributionJoin(views, buys,
-            maxDelay = "6 hours", watermark = "1 hour")
-          StreamOps.replayToTable(s, joined,
-            s"st_interval_join_${System.nanoTime()}", "append")
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(noDataKey, prevNoData)
-        }
-      replayed.orderBy("view_id", "purchase_id")
-    },
-    Some("""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
-                   epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
-            FROM events a JOIN events b
-              ON a.user_id = b.user_id
-             AND a.event_type = 'view' AND b.event_type = 'purchase'
-             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
-            ORDER BY view_id, purchase_id"""))
-
   /** Exact dedup as a REAL streaming query (documents file source →
     * stateful fingerprint aggregate → memory sink): the state store
     * holds one (fp, keep_id, n_docs) row per distinct fingerprint, and
@@ -159,16 +151,13 @@ object StreamingQueries {
   val stStreamDedup = Q("st_stream_dedup",
     (s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val replayed =
-        try {
-          val stream = s.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(dir)
-          val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
-          StreamOps.replayToTable(s, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val replayed = withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
+        StreamOps.replayToTable(s, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
+      }
       replayed.orderBy("keep_id")
     },
     Some(s"""SELECT md5(${TextQueries.canonSql}) AS fp, min(doc_id) AS keep_id,
