@@ -61,24 +61,14 @@ object Similarity {
     * every memory-bound ANN serving tier runs. All inputs are exact
     * (float→double cast, IEEE mul/div correctly rounded, round
     * half-away-from-zero matches both engines), so the codes are
-    * engine-portable; dot products over them are pure INT64. The
-    * max|x| reduction is computed as its OWN projection first —
-    * inlining it into the per-element lambda would re-evaluate the
-    * 64-element reduce per component (the measured Catalyst-inlining
-    * trap, see [[graft.ext.Dedup.docTokens]]). Zero vectors quantize
-    * to zero codes. Input column `emb`; adds ONE column `sq` (the
-    * per-vector scale is internal — recompute the max-abs reduce if a
-    * dequantization path ever needs it). */
+    * engine-portable; dot products over them are pure INT64. Encodes
+    * via the native codegen expression
+    * ([[graft.functions.Sq8Expression]] — at corpus scale the encode
+    * touches every vector, and the HOF aggregate+transform form runs
+    * its lambdas interpreted per row). Zero vectors quantize to zero
+    * codes. Input column `emb`; adds ONE column `sq`. */
   def withSq8(df: DataFrame, emb: String): DataFrame =
-    df.withColumn("mx",
-        aggregate(col(emb), lit(0.0),
-          (acc, x) => greatest(acc, abs(x.cast("double")))))
-      .withColumn("sq",
-        transform(col(emb), x =>
-          when(col("mx") === 0.0, 0L)
-            .otherwise(round(x.cast("double") * lit(127.0) / col("mx"))
-              .cast("long"))))
-      .drop("mx")
+    df.withColumn("sq", graft.functions.sq8(col(emb)))
 
   /** Brute-force top-k over int8 scalar-quantized codes, with a
     * `in_exact` recall flag against the full-precision (2^15-quantized

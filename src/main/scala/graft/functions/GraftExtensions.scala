@@ -58,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotQExpression(children(0), children(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("sq8"),
+      info("sq8", "sq8(v) - int8 scalar quantization of an array<float> vector " +
+        "(round(x*127/max|x|), zero vector -> zero codes)"),
+      (children: Seq[Expression]) => Sq8Expression(children.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("canon"),
       info("canon", "canon(s) - scout gazetteer name normalization"),
       (children: Seq[Expression]) => canonExpr(children.head)))

@@ -16,4 +16,9 @@ package object functions {
   def dotq(a: Column, b: Column): Column =
     GraftBridge.column(DotQExpression(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** int8 scalar quantization (float vector → int codes) as a codegen'd
+    * native expression (the SQ compression tier's encode primitive). */
+  def sq8(emb: Column): Column =
+    GraftBridge.column(Sq8Expression(GraftBridge.expression(emb)))
 }

@@ -74,6 +74,38 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Boolean].head())
   }
 
+  test("sq8 native expression matches the HOF formulation it replaced") {
+    val df = Seq(
+      Array(0.5f, -1.0f, 0.25f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f),           // zero vector -> zero codes
+      Array(-2.0f, 1.0f, 0.5f),          // negative max-abs
+      Array(3.0f, -1.5f)                 // -1.5*127/3 = -63.5: half away from zero
+    ).toDF("v")
+    // the exact pre-round-5 HOF form, kept as the semantic reference
+    val hof = df
+      .withColumn("mx", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .select(transform(col("v"), x =>
+        when(col("mx") === 0.0, 0L)
+          .otherwise(round(x.cast("double") * lit(127.0) / col("mx"))
+            .cast("long"))))
+      .as[Seq[Long]].collect().toSeq
+    val native = df.select(sq8(col("v"))).as[Seq[Long]].collect().toSeq
+    assert(native == hof)
+    assert(native(3) == Seq(127L, -64L)) // away from zero, not half-up
+    // SQL registration + codegen (no UDF node)
+    assert(spark.sql("SELECT sq8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)))")
+      .as[Seq[Long]].head() == Seq(127L, -64L))
+    // null vector -> null; null ELEMENT -> null code, others quantized
+    val r = Seq(Option.empty[Array[Float]]).toDF("v").select(sq8(col("v"))).collect()
+    assert(r(0).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT sq8(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)))")
+      .collect()(0).getSeq[Any](0)
+    assert(withNullElem == Seq(127L, null))
+    intercept[Exception] { spark.sql("SELECT sq8(array(1.0, 2.0))").collect() }
+  }
+
   test("VectorCentroid UDAF: integer mean per group, null/empty skipped, SQL-callable") {
     val df = Seq(
       (0, Seq(2L, 4L)), (0, Seq(5L, 8L)), (0, null: Seq[Long]),
