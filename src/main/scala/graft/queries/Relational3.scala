@@ -225,6 +225,53 @@ object Relational3 {
                         sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr6
           FROM a ORDER BY flag"""))
 
+  /** R31 — funnel analysis (view → click → purchase, each stage's FIRST
+    * event strictly after the previous stage's): the product-analytics
+    * sequence shape. Three chained min-aggregates + equality joins on
+    * the user key — each stage relation shrinks, nothing quadratic, no
+    * per-user sort (the window-function formulation would sort every
+    * user's events; min-after-threshold is a partial aggregate).
+    * Timestamps surface as exact epoch micros with -1 for not-reached
+    * (integer, null-free — comparator-proof on both engines). */
+  val r31Funnel = Q("r31_funnel",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("vt")).as("view_us"),
+          coalesce(unix_micros(col("ct")), lit(-1L)).as("click_us"),
+          coalesce(unix_micros(col("pt")), lit(-1L)).as("purchase_us"),
+          (lit(1) + when(col("ct").isNotNull, 1).otherwise(0)
+            + when(col("pt").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (
+              SELECT user_id, min(ts) AS vt FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS ct
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+              WHERE e.event_type = 'click' GROUP BY 1),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS pt
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT v.user_id, epoch_us(v.vt) AS view_us,
+                 coalesce(epoch_us(c.ct), -1) AS click_us,
+                 coalesce(epoch_us(p.pt), -1) AS purchase_us,
+                 CAST(1 + (c.ct IS NOT NULL)::INT + (p.pt IS NOT NULL)::INT
+                      AS INT) AS stage
+          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+          ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18, r29Profile,
-    r30Corr)
+    r30Corr, r31Funnel)
 }

@@ -125,16 +125,11 @@ object SimilarityQueries {
   private val NCent = 8
   private val NProbe = 2
 
-  /** IVF ANN: coarse-quantizer posting lists + nprobe probing — the
-    * second scale path beside sign-LSH. Centroid assignment uses the
-    * bit-exact quantized cosine, so DuckDB reproduces the exact lists. */
-  val annIvf = Q("ann_ivf_topk",
-    (s, dir) => Similarity.ivfTopK(
-      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
-      k = 5, nCentroids = NCent, nprobe = NProbe)
-      .select("query_id", "rank", "cand_id", "cosine")
-      .orderBy("query_id", "rank"),
-    Some(s"""WITH qv AS (${qvSql()}),
+  /** Shared IVF oracle (seeded centroids, NCent lists, NProbe probes):
+    * [[annIvf]] and the persisted-index [[annIvfPersisted]] compute the
+    * SAME result by contract, so one twin pins both. */
+  private lazy val ivfOracleSql: String =
+    s"""WITH qv AS (${qvSql()}),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
                cent AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $NCent),
                cdots AS (
@@ -179,7 +174,37 @@ object SimilarityQueries {
                           ORDER BY cosine DESC, cand_id ASC) AS rank
                  FROM scored)
              SELECT query_id, rank, cand_id, cosine FROM ranked
-             WHERE rank <= 5 ORDER BY query_id, rank"""))
+             WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** IVF ANN: coarse-quantizer posting lists + nprobe probing — the
+    * second scale path beside sign-LSH. Centroid assignment uses the
+    * bit-exact quantized cosine, so DuckDB reproduces the exact lists. */
+  val annIvf = Q("ann_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 5, nCentroids = NCent, nprobe = NProbe)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank"),
+    Some(ivfOracleSql))
+
+  /** The PERSISTED-index serving path ([[graft.ext.VectorIndex]]):
+    * build centroids + cid-sorted posting lists as parquet tables, then
+    * answer the query batch from the stored layout — probed cids become
+    * a literal pushed-down IN filter, so only the covering row groups
+    * are read. Same centroids/probes/re-rank as [[annIvf]] by
+    * construction, so the same oracle pins it; `VectorIndexSpec`
+    * asserts the pushdown. */
+  val annIvfPersisted = Q("ann_ivf_persisted_topk",
+    (s, dir) => {
+      val path = "/tmp/graft-vindex-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.ext.VectorIndex.write(emb(s, dir), path, nCentroids = NCent)
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSql))
 
   /** One unrolled Lloyd iteration `cent{k-1}` → `cent{k}` over quantized
     * components (cid, i, cv): bit-exact quantized-cosine assignment with
@@ -448,5 +473,5 @@ object SimilarityQueries {
            ORDER BY s.query_id, s.rank"""))
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup, annPq, annSq)
+    ddSemDedup, annPq, annSq, annIvfPersisted)
 }
