@@ -272,6 +272,81 @@ object Relational3 {
           FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
           ORDER BY user_id"""))
 
+  /** R32 — z-score outlier detection per group, with the z² test done
+    * ENTIRELY in integers: |x−μ| > 3σ ⇔ (n·x − sx)² > 9·(n·sxx − sx²)
+    * (multiply through by n² — population σ). No float mean/stddev
+    * ever materializes, so the verdict is exact and order-free — the
+    * anomaly-flagging shape that survives cross-engine hashing (a
+    * float `stddev_pop` drifts with aggregation order). One moment
+    * aggregate broadcast back over the scan. Values in whole units
+    * (not cents): x ≤ ~500 keeps n·sxx within INT64 headroom past a
+    * further 100× above the 10× fixture. */
+  val r32Outliers = Q("r32_outliers",
+    (s, dir) => {
+      val q = events(s, dir).select(col("event_id"),
+        col("event_type").as("flag"),
+        round(col("value")).cast("long").as("x"))
+      val m = q.groupBy("flag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      q.join(broadcast(m), "flag")
+        .filter((col("n") * col("x") - col("sx")) *
+          (col("n") * col("x") - col("sx")) >
+          lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("flag"), col("event_id"), col("x"))
+        .orderBy("flag", "event_id")
+    },
+    Some("""WITH q AS (
+              SELECT event_id, event_type AS flag,
+                     CAST(round(value) AS BIGINT) AS x
+              FROM events),
+            m AS (
+              SELECT flag, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+              FROM q GROUP BY 1)
+          SELECT q.flag, q.event_id, q.x
+          FROM q JOIN m ON q.flag = m.flag
+          WHERE (m.n * q.x - m.sx) * (m.n * q.x - m.sx)
+                  > 9 * (m.n * m.sxx - m.sx * m.sx)
+          ORDER BY q.flag, q.event_id"""))
+
+  private val HistBuckets = 10L
+
+  /** R33 — equi-width histogram of order value in integer CENTS:
+    * bucket = (cents − min) · B ÷ (max − min + 1), integral division
+    * throughout, so bucket membership is exact cross-engine (float
+    * width arithmetic puts boundary values in different buckets per
+    * engine). Two passes: a 2-scalar min/max broadcast, then one
+    * partial-aggregatable count — the same shape histogram() lowers
+    * to anywhere. */
+  val r33Histogram = Q("r33_histogram",
+    (s, dir) => {
+      val o = orders(s, dir).select(
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val mm = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+      o.crossJoin(broadcast(mm))
+        .select(expr(s"(cents - lo) * $HistBuckets DIV (hi - lo + 1)").as("bucket"),
+          col("lo"), col("hi"))
+        .groupBy("bucket", "lo", "hi")
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("bucket"),
+          expr(s"lo + (bucket * (hi - lo + 1)) DIV $HistBuckets")
+            .as("bucket_lo_cents"),
+          col("n_orders"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH c AS (
+               SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+             mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+             b AS (
+               SELECT (cents - lo) * $HistBuckets // (hi - lo + 1) AS bucket,
+                      lo, hi
+               FROM c, mm)
+           SELECT CAST(bucket AS BIGINT) AS bucket,
+                  CAST(lo + (bucket * (hi - lo + 1)) // $HistBuckets AS BIGINT)
+                    AS bucket_lo_cents,
+                  count(*) AS n_orders
+           FROM b GROUP BY 1, 2 ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(r26MergeUpsert, r27Sessionize, r28TpchQ18, r29Profile,
-    r30Corr, r31Funnel)
+    r30Corr, r31Funnel, r32Outliers, r33Histogram)
 }
