@@ -38,6 +38,23 @@ object Similarity {
     dotQ(qa, qb).cast("double") /
       (sqrt(dotQ(qa, qa).cast("double")) * sqrt(dotQ(qb, qb).cast("double")))
 
+  /** The exact re-rank tail shared by every candidate-generation
+    * strategy (brute/LSH/IVF/persisted-index): self-match filter →
+    * rounded quantized cosine → per-query window rank, ties to the
+    * lowest candidate id → top k. ONE body: this tie-break + rounding
+    * contract is what the DuckDB oracles pin, and four drifting copies
+    * would desynchronize silently. Input needs columns
+    * (query_id, cand_id, q_emb, c_emb). */
+  private[ext] def exactReRank(cands: DataFrame, k: Int): DataFrame =
+    cands
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+
   /** Brute-force top-k: broadcast the (small) query set against the
     * corpus, per-query window rank on rounded cosine with id tiebreak.
     * The corpus side never shuffles except the final per-query top-k. */
@@ -46,14 +63,7 @@ object Similarity {
       col("vec_id").as("query_id"), quantize(col("embedding")).as("q_emb")))
     val c = corpus.select(
       col("vec_id").as("cand_id"), quantize(col("embedding")).as("c_emb"))
-    q.crossJoin(c)
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
+    exactReRank(q.crossJoin(c), k)
   }
 
   /** Scalar quantization to int8 range: per-vector symmetric scale
@@ -209,14 +219,7 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .drop("csim", "crank")
 
-    queryProbes.join(corpusLists, Seq("cid"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
+    exactReRank(queryProbes.join(corpusLists, Seq("cid")), k)
   }
 
   /** SemDeDup-style cluster-scoped semantic dedup (after Abbas et al.
@@ -266,14 +269,7 @@ object Similarity {
     val c = corpus.select(
       col("vec_id").as("cand_id"), quantize(col("embedding")).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), numPlanes, dim))
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
+    exactReRank(q.join(c, Seq("bucket")), k)
   }
 
   /** Product-quantization ANN with asymmetric distance computation

@@ -32,9 +32,13 @@ object VectorIndex {
         .select(col("vec_id").as("cid"),
           Similarity.quantize(col("embedding")).as("cent_emb"))
     cent.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // assign against the JUST-WRITTEN centroids: re-using the unmaterialized
+    // `cent` plan would re-run its full-corpus TakeOrdered a second time,
+    // and reading back also guarantees postings match the persisted table
+    val centStored = corpus.sparkSession.read.parquet(s"$path/centroids")
     val q = corpus.select(col("vec_id").as("cand_id"),
       Similarity.quantize(col("embedding")).as("c_emb"))
-    Similarity.nearestCentroid(q, cent, "cand_id", "c_emb")
+    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
       .select(col("cid"), col("cand_id"), col("c_emb"))
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
@@ -66,15 +70,10 @@ object VectorIndex {
       .localCheckpoint(true) // read twice: cid collect + the probe join
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(s"$path/postings")
-      .filter(col("cid").isInCollection(cids))
-      .join(probes, Seq("cid"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(Similarity.cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("cand_id").asc)))
-      .filter(col("rank") <= k)
+    Similarity.exactReRank(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("cid").isInCollection(cids))
+        .join(probes, Seq("cid")),
+      k)
   }
 }

@@ -25,7 +25,10 @@ object Sq8 {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val v = Math.abs(a.getFloat(i).toDouble)
-        if (v > mx) mx = v
+        // NaN propagates into the scale like the HOF's greatest() (NaN
+        // orders above every double in Spark), so a NaN-bearing vector
+        // quantizes to all-zero codes in both formulations
+        if (java.lang.Double.isNaN(v) || v > mx) mx = v
       }
       i += 1
     }

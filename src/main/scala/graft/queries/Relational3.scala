@@ -257,12 +257,17 @@ object Relational3 {
               SELECT user_id, min(ts) AS vt FROM events
               WHERE event_type = 'view' GROUP BY 1),
             c AS (
+              -- stage comparisons at MICROS (epoch_us): the engine reads
+              -- the nanos fixture truncated to micros, so a raw ts >
+              -- would be stricter here on sub-microsecond residues
               SELECT e.user_id, min(e.ts) AS ct
-              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+              FROM events e JOIN v ON e.user_id = v.user_id
+                AND epoch_us(e.ts) > epoch_us(v.vt)
               WHERE e.event_type = 'click' GROUP BY 1),
             p AS (
               SELECT e.user_id, min(e.ts) AS pt
-              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+              FROM events e JOIN c ON e.user_id = c.user_id
+                AND epoch_us(e.ts) > epoch_us(c.ct)
               WHERE e.event_type = 'purchase' GROUP BY 1)
           SELECT v.user_id, epoch_us(v.vt) AS view_us,
                  coalesce(epoch_us(c.ct), -1) AS click_us,
@@ -279,8 +284,11 @@ object Relational3 {
     * anomaly-flagging shape that survives cross-engine hashing (a
     * float `stddev_pop` drifts with aggregation order). One moment
     * aggregate broadcast back over the scan. Values in whole units
-    * (not cents): x ≤ ~500 keeps n·sxx within INT64 headroom past a
-    * further 100× above the 10× fixture. */
+    * (not cents): with x ≤ ~500 the INT64 moments hold to roughly
+    * n ≈ 5×10⁶ rows per group (~25× the 10× fixture; the binding term
+    * is sx² at the fixture's mean). Beyond that, move the moments to
+    * DECIMAL(38) — Spark's non-ANSI Long multiply would WRAP silently
+    * where DuckDB errors, so the headroom bound is load-bearing. */
   val r32Outliers = Q("r32_outliers",
     (s, dir) => {
       val q = events(s, dir).select(col("event_id"),
@@ -328,7 +336,9 @@ object Relational3 {
         .groupBy("bucket", "lo", "hi")
         .agg(count(lit(1)).as("n_orders"))
         .select(col("bucket"),
-          expr(s"lo + (bucket * (hi - lo + 1)) DIV $HistBuckets")
+          // ceiling, not floor: the smallest cents value mapping TO this
+          // bucket — floor((b*width)/B) usually still lands in bucket b-1
+          expr(s"lo + (bucket * (hi - lo + 1) + $HistBuckets - 1) DIV $HistBuckets")
             .as("bucket_lo_cents"),
           col("n_orders"))
         .orderBy("bucket")
@@ -342,8 +352,8 @@ object Relational3 {
                       lo, hi
                FROM c, mm)
            SELECT CAST(bucket AS BIGINT) AS bucket,
-                  CAST(lo + (bucket * (hi - lo + 1)) // $HistBuckets AS BIGINT)
-                    AS bucket_lo_cents,
+                  CAST(lo + (bucket * (hi - lo + 1) + $HistBuckets - 1) // $HistBuckets
+                       AS BIGINT) AS bucket_lo_cents,
                   count(*) AS n_orders
            FROM b GROUP BY 1, 2 ORDER BY bucket"""))
 
