@@ -49,6 +49,13 @@ object TrigramIndex {
       .sortWithinPartitions("gram", "col_id", "osm_id")
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
+  /** Posting-list sizes, `(gram, df)` — the statistics table behind the
+    * `maxDf` probe cut in [[candidateIdsBulk]]. One partial-aggregatable
+    * pass over the index; persist it next to the index at build time so
+    * serving-path queries don't re-aggregate 100 TB of postings. */
+  def gramDfOf(index: DataFrame): DataFrame =
+    index.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+
   /** ids of rows where SOME name column contains every gram of EVERY
     * token — the candidate superset for the P5 predicate. Tokens shorter
     * than the gram size can't be indexed; None → caller falls back to
@@ -84,8 +91,25 @@ object TrigramIndex {
     * EXCLUDED from the conjunction (the result stays a superset — the
     * caller's exact re-verify restores them); a query with NO indexable
     * token gets no row at all, so callers must route those to the scan
-    * path (`topKIndexed` routes any short-token query there). */
-  def candidateIdsBulk(index: DataFrame, queryToks: DataFrame): DataFrame = {
+    * path (`topKIndexed` routes any short-token query there).
+    *
+    * `maxDf` is the document-frequency cut on posting-list probes — the
+    * `Dedup.jaccardPairs` treatment applied to the gram index. Grams
+    * whose posting list exceeds `maxDf` rows are dropped from each
+    * token's conjunction BEFORE the index join, so no probe fans out
+    * past `maxDf` rows; when ALL of a token's grams are ubiquitous, its
+    * single rarest gram is kept instead (tiebreak lexicographic), so
+    * every token still contributes ≥1 equality constraint and the
+    * short-token routing contract above is unchanged. Dropping grams
+    * only WEAKENS the conjunction, so the result remains a superset for
+    * any `maxDf` — the caller's exact re-verify restores precision; the
+    * cut trades probe fan-out for (bounded) extra verify work.
+    * `gramDf` optionally supplies a precomputed `(gram, df)` table (the
+    * production shape: persisted next to the index at build time);
+    * absent, dfs are aggregated from `index` in-plan. */
+  def candidateIdsBulk(index: DataFrame, queryToks: DataFrame,
+                       maxDf: Long = Long.MaxValue,
+                       gramDf: Option[DataFrame] = None): DataFrame = {
     // every expected-count rides ALONG its exploded rows (size before
     // explode) instead of being re-aggregated from a second read of the
     // same subtree: a separate nGrams/nToks aggregate + join re-executes
@@ -104,11 +128,32 @@ object TrigramIndex {
     val toks = qt.select("tok").distinct()
     // grams of each distinct token, column-side (no UDF): sliding
     // substrings via sequence+transform
-    val tokGrams = toks
+    val tokGramsAll = toks
       .select(col("tok"), expr(
         s"array_distinct(transform(sequence(1, length(tok) - ${N - 1}), i -> substring(tok, i, $N)))")
         .as("grams"))
-      .select(col("tok"), size(col("grams")).as("ng"), explode(col("grams")).as("gram"))
+    val tokGrams =
+      if (maxDf == Long.MaxValue && gramDf.isEmpty)
+        tokGramsAll
+          .select(col("tok"), size(col("grams")).as("ng"), explode(col("grams")).as("gram"))
+      else {
+        // df-cut path: join each token's grams to their posting-list
+        // sizes, drop ubiquitous grams, keep-rarest fallback. Grams
+        // ABSENT from the index keep df 0 (left join): they cost
+        // nothing to probe and correctly zero the token's candidates.
+        // Both windows share the tok partitioning -> one shuffle of a
+        // tiny (distinct tokens × grams) table.
+        val dfs = gramDf.getOrElse(gramDfOf(index))
+        val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        tokGramsAll
+          .select(col("tok"), explode(col("grams")).as("gram"))
+          .join(dfs.select(col("gram"), col("df")), Seq("gram"), "left")
+          .withColumn("df", coalesce(col("df"), lit(0L)))
+          .withColumn("rk", row_number().over(
+            wTok.orderBy(col("df").asc, col("gram").asc)))
+          .filter(col("df") <= maxDf || col("rk") === 1)
+          .select(col("tok"), count(lit(1)).over(wTok).as("ng"), col("gram"))
+      }
     val tokCands = tokGrams
       .join(index, Seq("gram"))
       .groupBy(col("tok"), col("osm_id"), col("col_id"))

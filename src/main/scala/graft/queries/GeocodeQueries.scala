@@ -319,7 +319,15 @@ object GeocodeQueries {
     * (`GeocodeJoin.topKIndexed` — token explode → gram-equality probe →
     * count checks → verify), never broadcasting the query side. The
     * oracle is the plain containment-scan semantics, so the hash match
-    * certifies the index path end-to-end at join scale. */
+    * certifies the index path end-to-end at join scale.
+    *
+    * Runs with BOTH pair bounds engaged: `maxDf = 2000` exercises the
+    * posting-probe df-cut (correctness-neutral superset), and
+    * `maxCandidatesPerQuery = 1000` exercises the pre-scoring cap above
+    * the fixture's true per-query candidate counts (max 50 at sf0.01,
+    * 492 at sf0.1 — measured via the oracle's `joined` CTE), so the
+    * hash match ALSO certifies that the bounded path is exact below the
+    * cap. */
   val g11 = Q("g11_bulk_geocode_index",
     (s, dir) => {
       val pois = Fixtures.gazPois(s, dir, withWikidata = false)
@@ -327,7 +335,8 @@ object GeocodeQueries {
       val queries = t(s, dir, "part")
         .filter(col("p_partkey") % 13 === 0)
         .select(col("p_partkey").cast("long").as("qid"), col("p_name").as("text"))
-      graft.query.GeocodeJoin.topKIndexed(queries, pois, ix, k = 3)
+      graft.query.GeocodeJoin.topKIndexed(queries, pois, ix, k = 3,
+        maxDf = 2000L, maxCandidatesPerQuery = 1000)
         .withColumn("score", round(col("score"), 6))
         .orderBy("qid", "rank")
     },

@@ -38,10 +38,14 @@ object GeocodeJoin {
   private val tokenPred: Column = forall(col("toks"), t =>
     col("name_local_norm").contains(t) || col("name_en_norm").contains(t))
 
-  /** Score + per-qid window top-k over joined (poiView × query)
+  /** Score + per-key window top-k over joined (poiView × query)
     * survivor rows — shared by the broadcast and the indexed path so
-    * both produce identical hits by construction. */
-  private def rankTopK(cands: DataFrame, settings: Settings, k: Int): DataFrame = {
+    * both produce identical hits by construction. `keyCols` is the
+    * per-query partition key: (qid, text) on the direct path, the
+    * normalized text alone on the deduplicated bulk path (where the
+    * caller re-attaches qids after ranking). */
+  private def rankTopKKeyed(cands: DataFrame, settings: Settings, k: Int,
+                            keyCols: Seq[String]): DataFrame = {
     // same raw-name fallback as Ranking.simTarget (ranking.py:69-70)
     def target(normCol: Column, rawCol: Column): Column =
       when(normCol.isNotNull && normCol =!= "", normCol)
@@ -60,13 +64,18 @@ object GeocodeJoin {
     cands
       .withColumn("score", score)
       .withColumn("rank", row_number().over(
-        Window.partitionBy("qid")
+        Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("score").desc, col("osm_id").asc)))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("text"), col("rank"),
+      .select(keyCols.map(col) ++ Seq(col("rank"),
         coalesce(col("name_local"), col("name_en"), lit("")).as("name"),
-        col("lat"), col("lon"), col("osm_id"), col("kind"), col("score"))
+        col("lat"), col("lon"), col("osm_id"), col("kind"), col("score")): _*)
   }
+
+  private def rankTopK(cands: DataFrame, settings: Settings, k: Int): DataFrame =
+    rankTopKKeyed(cands, settings, k, Seq("qid", "text"))
+      .select(col("qid"), col("text"), col("rank"), col("name"),
+        col("lat"), col("lon"), col("osm_id"), col("kind"), col("score"))
 
   /** `queries` must carry (`qid`, `text`). Returns per-qid top-k hits
     * with the same scoring surface as [[Ranking.rank]] minus proximity
@@ -77,10 +86,13 @@ object GeocodeJoin {
            settings: Settings = Settings(), k: Int = 5): DataFrame =
     rankTopK(poiView.join(broadcast(prepQueries(queries)), tokenPred), settings, k)
 
-  /** Large-query-side form: candidate pairs come from the trigram name
-    * index (`TrigramIndex.candidateIdsBulk` — token explode → posting
-    * equality join → count checks), the exact predicate re-verifies the
-    * superset, and scoring/ranking is shared with [[topK]].
+  /** Large-query-side form: queries are DEDUPLICATED by normalized
+    * text first (every downstream stage is a pure function of qnorm;
+    * qids re-attach after ranking), candidate pairs come from the
+    * trigram name index (`TrigramIndex.candidateIdsBulk` — token
+    * explode → posting equality join → count checks), the exact
+    * predicate re-verifies the superset, and scoring/ranking is shared
+    * with [[topK]].
     *
     * Any query with AT LEAST one gram-sized token rides the index:
     * `candidateIdsBulk` conjuncts only the indexable tokens and the
@@ -100,36 +112,93 @@ object GeocodeJoin {
     * built long before execution keeps the route chosen from the data
     * as of the call. Callers that build plans ahead of mutable inputs
     * should pass `maxFallbackBroadcast = 0` to pin the
-    * never-broadcast route. */
+    * never-broadcast route.
+    *
+    * PAIR BOUNDS (the two knobs that keep a low-diversity vocabulary —
+    * where thousands of names share every token — from going quadratic
+    * at scale):
+    *  - `maxDf` cuts ubiquitous grams out of the posting probe
+    *    ([[graft.etl.TrigramIndex.candidateIdsBulk]]); correctness-
+    *    neutral for ANY value (superset + exact re-verify).
+    *  - `maxCandidatesPerQuery` caps how many VERIFIED candidates per
+    *    query reach WRatio scoring, keeping the expensive stage linear
+    *    in queries instead of quadratic in (queries × same-token
+    *    names). Candidates are kept by a cheap score proxy (smallest
+    *    name-length distance to the query, osm_id tiebreak — WRatio is
+    *    length-ratio-bounded, so far-length candidates are the right
+    *    ones to shed) — EXACT whenever every query has ≤ cap verified
+    *    candidates (the window just counts), approximate top-k above
+    *    it; deterministic either way. */
   def topKIndexed(queries: DataFrame, poiView: DataFrame, index: DataFrame,
                   settings: Settings = Settings(), k: Int = 5,
-                  maxFallbackBroadcast: Long = 5000L): DataFrame = {
+                  maxFallbackBroadcast: Long = 5000L,
+                  maxDf: Long = Long.MaxValue,
+                  maxCandidatesPerQuery: Int = Int.MaxValue): DataFrame = {
     val q = prepQueries(queries)
+    // DEDUP BY NORMALIZED TEXT: candidates, verification, and scoring
+    // depend only on qnorm (toks is a pure function of it), so every
+    // stage below runs once per DISTINCT query text and the qids
+    // re-attach after ranking. Bulk geocode workloads are Zipfian in
+    // surface forms — popular place names repeat constantly — so this
+    // collapses the candidate fan-out AND the WRatio stage by the
+    // duplication factor, exactly (same score, same osm_id tiebreak →
+    // same ranked list for every duplicate).
+    // (route split BEFORE the dedup aggregate: the split predicate is a
+    // pure function of the text, and keeping the filters directly on
+    // the query relation lets Catalyst fold a provably-empty residue
+    // away — ConvertToLocalRelation can't see through an Aggregate)
     val indexable = exists(col("toks"),
       t => length(t) >= graft.etl.TrigramIndex.N)
-    val qIdx = q.filter(indexable)
-    val qRest = q.filter(!indexable)
+    def uniq(side: DataFrame): DataFrame =
+      side.select(col("qnorm"), col("toks")).dropDuplicates("qnorm")
+    val uqIdx = uniq(q.filter(indexable))
+    val uqRest = uniq(q.filter(!indexable))
     val pairs = graft.etl.TrigramIndex.candidateIdsBulk(
-      index, qIdx.select("qid", "toks"))
+        index, uqIdx.select(col("qnorm").as("qid"), col("toks")), maxDf)
+      .withColumnRenamed("qid", "qnorm")
     val idxCands = poiView.join(pairs, Seq("osm_id"))
-      .join(qIdx, Seq("qid"))
+      .join(uqIdx, Seq("qnorm"))
       .filter(tokenPred)
     // bounded count: one cheap action decides the route, and the limit
     // keeps the decision O(threshold) however large the residue is
+    // (threshold counts DISTINCT unindexable texts)
     val restSmall =
-      qRest.limit((maxFallbackBroadcast + 1).toInt).count() <= maxFallbackBroadcast
+      uqRest.limit((maxFallbackBroadcast + 1).toInt).count() <= maxFallbackBroadcast
     val restCands =
-      if (restSmall) poiView.join(broadcast(qRest), tokenPred)
-      else poiView.join(qRest.hint("shuffle_replicate_nl"), tokenPred)
+      if (restSmall) poiView.join(broadcast(uqRest), tokenPred)
+      else poiView.join(uqRest.hint("shuffle_replicate_nl"), tokenPred)
     // EXPLICIT-width repartition by the window key, on the BULK path
     // only (topK's micro-batches would just gain empty-task latency):
     // the WRatio projection is CPU-bound, and AQE's byte-based
     // coalescing would shrink the survivor shuffle to 1-3 partitions
     // and serialize the scoring — measured 3x on g11. A user-numbered
-    // repartition is exempt from coalescing, and rankTopK's window
-    // reuses the hash(qid) distribution, so no extra shuffle.
+    // repartition is exempt from coalescing, and the ranking window
+    // reuses the hash(qnorm) distribution, so no extra shuffle.
     val width = queries.sparkSession.sessionState.conf.numShufflePartitions
-    rankTopK(idxCands.unionByName(restCands).repartition(width, col("qid")),
-      settings, k)
+    val unioned = idxCands.unionByName(restCands).repartition(width, col("qnorm"))
+    // pair bound: shed far-length candidates BEFORE the WRatio
+    // projection (the CPU-heavy stage). The window rides the
+    // hash(qnorm) distribution just installed, so the cap adds a sort
+    // but no shuffle; the ranking window reuses it the same way.
+    val capped =
+      if (maxCandidatesPerQuery == Int.MaxValue) unioned
+      else {
+        val qLen = length(col("qnorm"))
+        def lenDist(c: Column): Column =
+          when(c.isNotNull && c =!= "", abs(length(c) - qLen))
+            .otherwise(lit(Int.MaxValue))
+        val proxy = least(lenDist(col("name_local_norm")), lenDist(col("name_en_norm")))
+        unioned
+          .withColumn("cap_rk", row_number().over(
+            Window.partitionBy("qnorm").orderBy(proxy.asc, col("osm_id").asc)))
+          .filter(col("cap_rk") <= maxCandidatesPerQuery)
+          .drop("cap_rk")
+      }
+    // rank once per distinct text, then re-expand to every (qid, text)
+    // that normalizes to it
+    rankTopKKeyed(capped, settings, k, Seq("qnorm"))
+      .join(q.select("qid", "text", "qnorm"), Seq("qnorm"))
+      .select(col("qid"), col("text"), col("rank"), col("name"),
+        col("lat"), col("lon"), col("osm_id"), col("kind"), col("score"))
   }
 }

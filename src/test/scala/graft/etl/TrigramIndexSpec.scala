@@ -70,6 +70,42 @@ class TrigramIndexSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("maxDf cut: superset for ANY cut, exact after intersection with the scan predicate") {
+    val queries = Seq(
+      (1L, Seq("dining")),
+      (2L, Seq("mono", "dining")),
+      (3L, Seq("market")),
+      (4L, Seq("zzz"))
+    ).toDF("qid", "toks")
+    // df=1 is the most aggressive legal cut: every token falls back to
+    // its single rarest gram. Candidates may WIDEN, never narrow.
+    for (maxDf <- Seq(1L, 2L, 100L)) {
+      val got = TrigramIndex.candidateIdsBulk(index, queries, maxDf)
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(scanIds(Seq("dining")).subsetOf(got.getOrElse(1L, Set.empty)), s"maxDf=$maxDf")
+      assert(scanIds(Seq("mono", "dining")).subsetOf(got.getOrElse(2L, Set.empty)), s"maxDf=$maxDf")
+      assert(scanIds(Seq("market")).subsetOf(got.getOrElse(3L, Set.empty)), s"maxDf=$maxDf")
+      // a token with NO matching gram still kills its query: absent
+      // grams keep df 0 and are always kept by the cut
+      assert(!got.contains(4L), s"maxDf=$maxDf")
+    }
+    // and a non-cutting maxDf reproduces the exact default-path result
+    val loose = TrigramIndex.candidateIdsBulk(index, queries, 1000000L)
+      .as[(Long, Long)].collect().toSet
+    val dflt = TrigramIndex.candidateIdsBulk(index, queries)
+      .as[(Long, Long)].collect().toSet
+    assert(loose == dflt)
+  }
+
+  test("maxDf cut accepts a precomputed gram-df table (the persisted shape)") {
+    val queries = Seq((1L, Seq("dining"))).toDF("qid", "toks")
+    val dfs = TrigramIndex.gramDfOf(index).persist()
+    val got = TrigramIndex.candidateIdsBulk(index, queries, 2L, Some(dfs))
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(scanIds(Seq("dining")).subsetOf(got))
+    dfs.unpersist()
+  }
+
   test("gram extraction") {
     assert(TrigramIndex.grams("abcd") == Seq("abc", "bcd"))
     assert(TrigramIndex.grams("ab").isEmpty)

@@ -83,6 +83,32 @@ class GeocodeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pair bounds: df-cut + above-count cap reproduce the unbounded answer exactly") {
+    val ix = graft.etl.TrigramIndex.build(pois)
+    val queries = Seq(
+      (10L, "monograph dining"), (20L, "widget"), (30L, "kl cafe"), (50L, "the widget")
+    ).toDF("qid", "text")
+    val a = GeocodeJoin.topK(queries, pois, Settings(), k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    // maxDf=1 forces the rarest-gram fallback on every token; cap 100 is
+    // far above any query's candidate count -> bit-identical output
+    val b = GeocodeJoin.topKIndexed(queries, pois, ix, Settings(), k = 3,
+      maxDf = 1L, maxCandidatesPerQuery = 100)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("cap below the candidate count sheds far-length candidates deterministically") {
+    val ix = graft.etl.TrigramIndex.build(pois)
+    val queries = Seq((20L, "widget")).toDF("qid", "text")
+    // 'widget' verifies against osm_id 3 ('red widget store', len 16) and
+    // 4 (en 'the widget', len 10). qnorm len 6 -> length distances 10 vs 4:
+    // cap=1 must keep osm_id 4 only.
+    val got = GeocodeJoin.topKIndexed(queries, pois, ix, Settings(), k = 3,
+      maxCandidatesPerQuery = 1).collect()
+    assert(got.length == 1 && got.head.getLong(6) == 4L)
+  }
+
   test("normCol matches the scalar norm (distributed query normalization)") {
     val samples = Seq("Jalan-Jalan Cafe!", "a#b@c", "  MixED   spacing ", "it's") ++
       Gen.listOfN(100, Gen.asciiPrintableStr).pureApply(Gen.Parameters.default, Seed(11L))
