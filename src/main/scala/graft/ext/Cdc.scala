@@ -23,16 +23,34 @@ object Cdc {
   /** Apply `changes` (same schema as `base` plus an `op` column) to
     * `base` on key `keyCol`. Rows of `base` whose key appears in
     * `changes` are replaced (op = upsert) or dropped (op = `deleteOp`);
-    * change rows with unseen keys are inserts. A change feed must carry
-    * at most one row per key (enforce upstream with
-    * [[graft.ext.Curate]]-style latest-per-key compaction). */
+    * change rows with unseen keys are inserts.
+    *
+    * A change feed must carry at most one row per key. Pass `seqCol`
+    * (an ordering column — change sequence number, commit timestamp) to
+    * have the feed compacted to latest-per-key HERE; without it the
+    * precondition is the caller's (a duplicate-key feed would otherwise
+    * emit duplicate keys into the snapshot, and a delete+upsert pair
+    * for one key would resurrect the row). The compaction is one window
+    * over the (small) feed — the base is untouched. For determinism,
+    * `seqCol` must be unique per key; ties fall back to preferring the
+    * delete (a delete+upsert at the SAME sequence number is ambiguous —
+    * failing toward absence is the conservative read, and deterministic). */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
-                   opCol: String = "op", deleteOp: String = "D"): DataFrame = {
-    val keep = base.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+                   opCol: String = "op", deleteOp: String = "D",
+                   seqCol: Option[String] = None): DataFrame = {
+    val feed = seqCol.fold(changes) { s =>
+      changes
+        .withColumn("_cdc_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+            .orderBy(col(s).desc,
+              when(col(opCol) <=> deleteOp, 0).otherwise(1).asc)))
+        .filter(col("_cdc_rk") === 1).drop("_cdc_rk")
+    }
+    val keep = base.join(feed.select(col(keyCol)), Seq(keyCol), "left_anti")
     // null-safe: a NULL / unmapped op is an upsert, never a silent
     // delete (the plain =!= would drop the row from the union while its
     // key already anti-joined the base row away)
     keep.unionByName(
-      changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol))
+      feed.filter(!(col(opCol) <=> deleteOp)).drop(opCol +: seqCol.toSeq: _*))
   }
 }

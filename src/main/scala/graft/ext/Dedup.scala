@@ -83,7 +83,14 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
     * consecutive signature values. Returns (a, b, est_sim) where est_sim
     * is the fraction of agreeing minhashes — the MinHash estimate of
-    * Jaccard similarity. */
+    * Jaccard similarity.
+    *
+    * BUILD-INLINE form: signatures are materialized with a local
+    * checkpoint, which lives in executor storage and dies with the
+    * executors. The durable serving path — signatures + band buckets
+    * persisted as sorted tables — is [[MinHashIndex]]; both derive
+    * band keys from the same [[MinHashIndex.bands]] so they cannot
+    * drift. */
   def minhashLshPairs(sigIn: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     // materialized ONCE: the plan reads the signature relation 6 times
     // (one per band branch + both sides of the score join); without the
@@ -92,12 +99,7 @@ object Dedup {
     // that reuse (the round-2 driver bench measured 5.2s vs 0.75s on the
     // same code depending on whether reuse kicked in)
     val sig = sigIn.localCheckpoint(true)
-    val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
-      val key = concat_ws("_",
-        (lit(b) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))): _*)
-      sig.select(col("id"), lit(b).as("band"), key.as("bucket"))
-    }.reduce(_ union _)
+    val bands = MinHashIndex.bands(sig, numHashes, rowsPerBand)
     val l = bands.as("l")
     val r = bands.as("r")
     val cand = l.join(r,

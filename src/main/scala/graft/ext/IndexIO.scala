@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** Publish-by-rename for multi-table persisted indexes
+  * ([[VectorIndex]], [[MinHashIndex]]). A naive per-table overwrite
+  * publishes non-atomically: a failure (or concurrent reader) between
+  * the two table writes pairs NEW table A with STALE table B —
+  * silently wrong serving results rather than an error.
+  *
+  * The staging pattern here shrinks that to a fail-LOUD window: every
+  * table is written under a fresh staging directory sibling to the
+  * destination, then ONE directory rename publishes the whole index.
+  * A reader races only the delete→rename instant, where the path is
+  * briefly absent and the read errors — it can never observe mixed
+  * tables. Concurrent WRITERS to the same destination remain
+  * single-writer-by-contract (last rename wins).
+  */
+private[ext] object IndexIO {
+
+  /** Staging path: sibling of `dest` so the rename stays within one
+    * filesystem (object-store "renames" of nested dirs are copies, but
+    * stay correct — the publish point is still the single rename). */
+  def stagingFor(dest: String): String =
+    s"$dest-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Replace `dest` with `staging` (delete + rename via the Hadoop
+    * filesystem of the path, so hdfs:// and s3a:// work like file://). */
+  def publish(spark: SparkSession, staging: String, dest: String): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), destPath))
+      throw new java.io.IOException(s"publish rename $staging -> $dest failed")
+  }
+}

@@ -22,27 +22,36 @@ object VectorIndex {
   /** Build and persist the index: `centroids` (cid, cent_emb) and
     * `postings` (cid, cand_id, c_emb) sorted by cid. `iterations` > 0
     * Lloyd-refines the deterministic seed centroids
-    * ([[Similarity.trainIvfCentroids]]). */
+    * ([[Similarity.trainIvfCentroids]]).
+    *
+    * Both tables are written under a staging directory and published by
+    * ONE rename ([[IndexIO]]): a failure mid-build leaves the previous
+    * index intact, and a concurrent reader can never pair new centroids
+    * with stale postings (it would probe the wrong lists and silently
+    * return wrong neighbors — the rename makes the race fail loudly or
+    * not at all). */
   def write(corpus: DataFrame, path: String, nCentroids: Int,
             iterations: Int = 0, partitions: Int = 8): Unit = {
+    val staging = IndexIO.stagingFor(path)
     val cent =
       if (iterations > 0)
         Similarity.trainIvfCentroids(corpus, nCentroids, iterations)
       else corpus.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id").as("cid"),
           Similarity.quantize(col("embedding")).as("cent_emb"))
-    cent.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    cent.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     // assign against the JUST-WRITTEN centroids: re-using the unmaterialized
     // `cent` plan would re-run its full-corpus TakeOrdered a second time,
     // and reading back also guarantees postings match the persisted table
-    val centStored = corpus.sparkSession.read.parquet(s"$path/centroids")
+    val centStored = corpus.sparkSession.read.parquet(s"$staging/centroids")
     val q = corpus.select(col("vec_id").as("cand_id"),
       Similarity.quantize(col("embedding")).as("c_emb"))
     Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
       .select(col("cid"), col("cand_id"), col("c_emb"))
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    IndexIO.publish(corpus.sparkSession, staging, path)
   }
 
   /** Serve a (small) query batch from the stored index: assign each
@@ -52,9 +61,16 @@ object VectorIndex {
     * pushes to the parquet scan and the cid-sorted layout prunes row
     * groups; a join would read every list. Exact re-rank inside the
     * probed lists, ties to the lowest candidate id — identical
-    * semantics to [[Similarity.ivfTopK]] with the same centroids. */
+    * semantics to [[Similarity.ivfTopK]] with the same centroids.
+    *
+    * The literal route is bounded: distinct probed cids ≤ `maxLiteralCids`
+    * (default 10k — comfortably a serving batch, far below plan-size
+    * trouble) go in as the pushed `IN`; above it the filter switches to
+    * a broadcast semi-join on the probed cids, which reads more row
+    * groups but keeps plan size and driver memory flat however large
+    * the query batch × nprobe product grows. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-           k: Int, nprobe: Int): DataFrame = {
+           k: Int, nprobe: Int, maxLiteralCids: Int = 10000): DataFrame = {
     val cent = broadcast(spark.read.parquet(s"$path/centroids"))
     val probes = queries
       .select(col("vec_id").as("query_id"),
@@ -68,12 +84,17 @@ object VectorIndex {
       .filter(col("crank") <= nprobe)
       .select("query_id", "q_emb", "cid")
       .localCheckpoint(true) // read twice: cid collect + the probe join
+    // bounded collect: limit(max+1) caps the driver transfer at the
+    // threshold even when the probe set is huge
     val cids = probes.select("cid").distinct()
+      .limit(maxLiteralCids + 1)
       .collect().map(_.getLong(0)).toSeq
-    Similarity.exactReRank(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("cid").isInCollection(cids))
-        .join(probes, Seq("cid")),
-      k)
+    val postings = spark.read.parquet(s"$path/postings")
+    val probed =
+      if (cids.length <= maxLiteralCids)
+        postings.filter(col("cid").isInCollection(cids))
+      else postings.join(
+        broadcast(probes.select("cid").distinct()), Seq("cid"), "left_semi")
+    Similarity.exactReRank(probed.join(probes, Seq("cid")), k)
   }
 }

@@ -82,27 +82,51 @@ object DedupQueries {
   /** LSH banding over unigram signatures of a bounded doc window: bands
     * of 2 rows over 8 hashes; pairs sharing a band bucket, scored by the
     * agreeing-hash fraction (the MinHash Jaccard estimate). */
+  /** Shared oracle for the inline (dd_minhash_pairs) and persisted
+    * (dd_minhash_persisted) LSH pair paths — both must reproduce the
+    * same (a, b, est_sim) set over the same doc window. */
+  private def minhashPairsOracle: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sig AS (${minhashSigSql(toksSql("WHERE doc_id < 100"))}),
+          $lshCandSql
+        SELECT a, b, round(($agree)::DOUBLE / $NumHashes, 6) AS est_sim
+        FROM cand
+        JOIN sig sa ON a = sa.id
+        JOIN sig sb ON b = sb.id
+        ORDER BY a, b"""
+  }
+
+  private def minhashPairTokens(s: SparkSession, dir: String) =
+    Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
+      distinct = false)
+
   val ddMinhashPairs = Q("dd_minhash_pairs",
     (s, dir) => {
-      val sig = Dedup.minhashSignature(
-        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
-          distinct = false),
-        NumHashes)
+      val sig = Dedup.minhashSignature(minhashPairTokens(s, dir), NumHashes)
       Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2)
         .orderBy("a", "b")
     },
-    Some {
-      val agree = (0 until NumHashes)
-        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH sig AS (${minhashSigSql(toksSql("WHERE doc_id < 100"))}),
-            $lshCandSql
-          SELECT a, b, round(($agree)::DOUBLE / $NumHashes, 6) AS est_sim
-          FROM cand
-          JOIN sig sa ON a = sa.id
-          JOIN sig sb ON b = sb.id
-          ORDER BY a, b"""
-    })
+    Some(minhashPairsOracle))
+
+  /** The PERSISTED-index serving path ([[graft.ext.MinHashIndex]]):
+    * signatures + band buckets written as sorted tables, candidate
+    * pairs answered from the stored layout with no checkpoint and no
+    * re-tokenization — the durable replacement for the inline form's
+    * executor-local materialization. Same oracle as dd_minhash_pairs:
+    * the hash match certifies persisted ≡ inline end-to-end. */
+  val ddMinhashPersisted = Q("dd_minhash_persisted",
+    (s, dir) => {
+      // per-invocation unique dir (cleaned at JVM exit): a shared
+      // hash-keyed path would race concurrent Verify/Bench JVMs
+      val path = graft.core.TempDirs.create("graft-mhindex-")
+      graft.ext.MinHashIndex.write(minhashPairTokens(s, dir), path,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.pairs(s, path, NumHashes)
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracle))
 
   private val SimhashBits = 16
 
@@ -565,7 +589,8 @@ object DedupQueries {
            FROM t LEFT JOIN removed r ON t.doc_id = r.id
            ORDER BY id"""))
 
-  val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs, ddSimhash,
+  val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
+    ddMinhashPersisted, ddSimhash,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
     ddSpanDedup, ddSpanClean)

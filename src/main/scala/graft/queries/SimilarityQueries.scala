@@ -196,10 +196,10 @@ object SimilarityQueries {
     * asserts the pushdown. */
   val annIvfPersisted = Q("ann_ivf_persisted_topk",
     (s, dir) => {
-      // per-invocation unique dir: a shared hash-keyed path would race
-      // concurrent Verify/Bench JVMs overwriting while the other reads
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-vindex-").toString
+      // per-invocation unique dir (cleaned at JVM exit): a shared
+      // hash-keyed path would race concurrent Verify/Bench JVMs
+      // overwriting while the other reads
+      val path = graft.core.TempDirs.create("graft-vindex-")
       graft.ext.VectorIndex.write(emb(s, dir), path, nCentroids = NCent)
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)

@@ -38,6 +38,27 @@ class CdcSessionsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("applyChanges seqCol compacts a duplicate-key feed to latest-per-key") {
+    // key 2: upsert@1 then delete@2 -> gone; key 3: delete@1 then
+    // upsert@2 -> resurrected with the v2 row; key 9: two inserts ->
+    // only seq 2 survives
+    val changes = Seq(
+      (2L, "B2", 21.0, "U", 1L), (2L, "B2", 21.0, "D", 2L),
+      (3L, "C1", 31.0, "D", 1L), (3L, "C2", 32.0, "U", 2L),
+      (9L, "z1", 90.0, "I", 1L), (9L, "z2", 91.0, "I", 2L)
+    ).toDF("k", "v", "p", "op", "seq")
+    val out = Cdc.applyChanges(base, changes, "k", seqCol = Some("seq"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0), (3L, "C2", 32.0), (4L, "d", 40.0), (9L, "z2", 91.0)))
+    // same-seq delete+upsert tie resolves to the delete, deterministically
+    val tied = Seq((2L, "x", 0.0, "U", 5L), (2L, "y", 0.0, "D", 5L))
+      .toDF("k", "v", "p", "op", "seq")
+    val out2 = Cdc.applyChanges(base, tied, "k", seqCol = Some("seq"))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(1L, 3L, 4L))
+  }
+
   test("applyChanges treats a NULL op as an upsert, never a silent delete") {
     val changes = Seq((2L, "B2", 21.0, null.asInstanceOf[String]))
       .toDF("k", "v", "p", "op")
