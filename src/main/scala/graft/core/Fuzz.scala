@@ -189,9 +189,26 @@ object Fuzz {
   def partialTokenRatio(a: String, b: String): Double =
     math.max(partialTokenSortRatio(a, b), partialTokenSetRatio(a, b))
 
-  /** The WRatio composite. Empty input on either side → 0. */
-  def wratio(a: String, b: String): Double = {
-    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+  /** Per-side input cap for [[wratio]]: scoring sees at most this many
+    * leading chars. Place names live two orders of magnitude below it,
+    * so real inputs are untouched; what it buys is a COST bound — the
+    * worst pair costs O(MaxLen²/64) bit-ops instead of O(|a|·|b|)
+    * windows, so one pathological 100 KB "name" in a bulk join can no
+    * longer stall its task for minutes (the same guard rapidfuzz
+    * documents via its `score_cutoff`/processor pipeline for long
+    * inputs). The cap is part of the cross-engine F14 definition: the
+    * DuckDB twin (`WRatioSql`) and the Python reference
+    * (`tools/wratio_ref.py`) truncate identically, so parity holds on
+    * EVERY input, not just short ones. */
+  val MaxLen = 512
+
+  /** The WRatio composite. Empty input on either side → 0. Inputs are
+    * capped to [[MaxLen]] chars BEFORE anything else (including the
+    * length-ratio weighting) — see [[MaxLen]] for why. */
+  def wratio(aIn: String, bIn: String): Double = {
+    if (aIn == null || bIn == null || aIn.isEmpty || bIn.isEmpty) return 0.0
+    val a = if (aIn.length > MaxLen) aIn.substring(0, MaxLen) else aIn
+    val b = if (bIn.length > MaxLen) bIn.substring(0, MaxLen) else bIn
     val lenRatio =
       math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
     val base = ratio(a, b)

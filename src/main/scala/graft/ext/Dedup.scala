@@ -274,10 +274,24 @@ object Dedup {
     * deliberate exception to the no-UDF rule: it's a pre-filter whose
     * output feeds an exact verify, never a semantics-bearing step.
     *
+    * The sketch is built by `stat.bloomFilter` — a partition-local
+    * build + merge aggregation on the EXECUTORS; only the final merged
+    * sketch lands on the driver (that is the broadcast source, so it is
+    * also the floor). Sizing: the default `expectedTestShingles = -1`
+    * COUNTS the materialized distinct test-shingle relation and sizes
+    * the sketch exactly — a guessed constant undersizes a 100 GB+
+    * held-out set, and an undersized bloom degrades silently (fpp → 1:
+    * every train shingle becomes a "suspect" and the exact verify join
+    * re-inherits the full shuffle the sketch was built to avoid). The
+    * count is one extra job over an already-materialized relation —
+    * noise next to the train-side scan it protects. Pass an explicit
+    * estimate only to skip that job when the held-out cardinality is
+    * known a priori.
+    *
     * Returns the clean train document ids (one `id` column). */
   def bloomDecontaminate(df: DataFrame, idCol: String, textCol: String,
                          testPred: Column, n: Int,
-                         expectedTestShingles: Long = 1L << 16,
+                         expectedTestShingles: Long = -1L,
                          fpp: Double = 0.01): DataFrame = {
     // each side is tokenized exactly once, from only ITS documents; the
     // held-out side (small by construction) is the only relation
@@ -285,8 +299,11 @@ object Dedup {
     // from the scan through the bloom filter into the verify join
     val testH = docShingles(df.filter(testPred), idCol, textCol, n)
       .select(tokenHash(col("tok")).as("h")).distinct()
-      .localCheckpoint(true) // read 2x: bloom build + exact verify
-    val bloom = testH.stat.bloomFilter("h", expectedTestShingles, fpp)
+      .localCheckpoint(true) // read 3x: sizing count + bloom build + verify
+    val expected =
+      if (expectedTestShingles > 0) expectedTestShingles
+      else math.max(testH.count(), 1L)
+    val bloom = testH.stat.bloomFilter("h", expected, fpp)
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
     val dirty = docShingles(df.filter(!testPred), idCol, textCol, n)

@@ -54,6 +54,38 @@ object VectorIndex {
     IndexIO.publish(corpus.sparkSession, staging, path)
   }
 
+  /** Append new vectors to a stored index WITHOUT a full rebuild: the
+    * streaming-ingest path. New vectors are assigned against the STORED
+    * centroids (no retrain — the coarse quantizer stays fixed, the
+    * standard IVF ingest contract), unioned with the existing postings,
+    * and re-laid-out; the result publishes by the same single rename as
+    * [[write]]. Reading the old postings while writing to staging is
+    * safe — the destination is untouched until the rename.
+    *
+    * Equivalence: for the same final corpus and the same centroids,
+    * append(write(A), B) ≡ write(A ∪ B) bit-for-bit (assignment is a
+    * pure per-row function of the centroid table; the layout re-sort
+    * makes the union order immaterial) — `VectorIndexSpec` pins it.
+    * At 100 TB the union+re-sort rewrites only `partitions` output
+    * files of posting data; with date- or shard-partitioned posting
+    * roots the rewrite narrows to the touched shards. */
+  def append(newVectors: DataFrame, path: String, partitions: Int = 8): Unit = {
+    val spark = newVectors.sparkSession
+    val staging = IndexIO.stagingFor(path)
+    val centStored = spark.read.parquet(s"$path/centroids")
+    centStored.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    val q = newVectors.select(col("vec_id").as("cand_id"),
+      Similarity.quantize(col("embedding")).as("c_emb"))
+    val appended = Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
+      .select(col("cid"), col("cand_id"), col("c_emb"))
+    spark.read.parquet(s"$path/postings")
+      .unionByName(appended)
+      .repartitionByRange(partitions, col("cid"))
+      .sortWithinPartitions("cid", "cand_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    IndexIO.publish(spark, staging, path)
+  }
+
   /** Serve a (small) query batch from the stored index: assign each
     * query to its `nprobe` nearest centroids, then read ONLY those
     * posting lists — the probed cids are collected to a LITERAL `IN`

@@ -208,6 +208,26 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql))
 
+  /** The APPEND ingest path ([[graft.ext.VectorIndex.append]]): build
+    * the index over part of the corpus, append the rest against the
+    * stored centroids, serve the same batch. The initial part holds the
+    * NCent smallest vec_ids, so the split build's seed centroids equal
+    * the full rebuild's — the SAME oracle as ann_ivf_topk therefore
+    * pins append ≡ rebuild end-to-end. */
+  val annIvfAppend = Q("ann_ivf_append",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-vindex-app-")
+      graft.ext.VectorIndex.write(
+        emb(s, dir).filter(col("vec_id") < 250), path, nCentroids = NCent)
+      graft.ext.VectorIndex.append(
+        emb(s, dir).filter(col("vec_id") >= 250), path)
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSql))
+
   /** One unrolled Lloyd iteration `cent{k-1}` → `cent{k}` over quantized
     * components (cid, i, cv): bit-exact quantized-cosine assignment with
     * the (sim DESC, cid ASC) argmax tiebreak, then the per-position
@@ -475,5 +495,5 @@ object SimilarityQueries {
            ORDER BY s.query_id, s.rank"""))
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup, annPq, annSq, annIvfPersisted)
+    ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend)
 }

@@ -52,10 +52,13 @@ object WRatioSql {
     * NULL token-join would otherwise poison the concatenations. */
   def ctes(pairsRel: String): String = s"""
 wr_tok AS (
+  -- inputs capped to Fuzz.MaxLen chars, mirroring the engine's
+  -- pathological-length guard (part of the F14 definition)
   SELECT pid, a, b,
     list_filter(string_split(a, ' '), x -> x <> '') AS wa,
     list_filter(string_split(b, ' '), x -> x <> '') AS wb
-  FROM $pairsRel
+  FROM (SELECT pid, left(a, ${graft.core.Fuzz.MaxLen}) AS a,
+               left(b, ${graft.core.Fuzz.MaxLen}) AS b FROM $pairsRel)
 ),
 wr_tok2 AS (
   SELECT pid, a, b,

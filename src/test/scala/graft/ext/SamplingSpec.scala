@@ -153,4 +153,35 @@ class SamplingSpec extends SparkSpec {
       .collect().filterNot(pairs).sorted
     assert(bloom.sameElements(naive))
   }
+
+  test("bloomDecontaminate: large held-out set, auto-sized sketch, identical under mis-sizing") {
+    // ~500 held-out docs x ~16 distinct 4-shingles each ≈ 8k distinct
+    // hashes — far past any guessed constant's comfort zone, and every
+    // 7th train doc shares a phrase with some held-out doc
+    val docs = (1L to 2000L).map { i =>
+      val words =
+        if (i % 4 == 0) s"held out corpus entry ${i / 4} with extra shared tail ${i % 28}"
+        else if (i % 7 == 0) s"held out corpus entry ${(i % 112) / 4} with extra shared tail ${i % 28}"
+        else s"t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f"
+      (i, words)
+    }.toDF("doc_id", "text")
+    val testPred = col("doc_id") % 4 === 0
+    def exact: Seq[Long] = {
+      val dirty = Dedup.contaminationPairs(docs, "doc_id", "text", testPred, n = 4)
+        .select("train_id").distinct().as[Long].collect().toSet
+      docs.filter(!testPred).select("doc_id").as[Long]
+        .collect().filterNot(dirty).sorted.toSeq
+    }
+    val want = exact
+    // auto-sized (default): byte-identical to the exact anti-join
+    val auto = Dedup.bloomDecontaminate(docs, "doc_id", "text", testPred, n = 4)
+      .as[Long].collect().sorted.toSeq
+    assert(auto == want && want.nonEmpty)
+    // deliberately undersized sketch: fpp degrades, correctness doesn't
+    // (the exact verify owns semantics; the sketch only prunes)
+    val tiny = Dedup.bloomDecontaminate(docs, "doc_id", "text", testPred, n = 4,
+      expectedTestShingles = 16L)
+      .as[Long].collect().sorted.toSeq
+    assert(tiny == want)
+  }
 }

@@ -37,6 +37,28 @@ class VectorIndexSpec extends SparkSpec {
       s"cid IN filter not pushed to the postings scan:\n$plan")
   }
 
+  test("append equals rebuild bit-for-bit for the same final corpus") {
+    // initial corpus holds the nCentroids smallest ids, so the seed
+    // centroids of the split build equal those of the full rebuild
+    val first = emb.filter(col("vec_id") < 40)
+    val rest = emb.filter(col("vec_id") >= 40)
+    val pA = java.nio.file.Files.createTempDirectory("graft-vindex-app").toString + "/idx"
+    val pB = java.nio.file.Files.createTempDirectory("graft-vindex-reb").toString + "/idx"
+    VectorIndex.write(first, pA, nCentroids = 8)
+    VectorIndex.append(rest, pA)
+    VectorIndex.write(emb, pB, nCentroids = 8)
+    val qs = emb.filter(col("vec_id") < 5)
+    val a = VectorIndex.topK(spark, pA, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    val b = VectorIndex.topK(spark, pB, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // and the postings TABLES are identical, not just the answers
+    val ta = spark.read.parquet(s"$pA/postings").orderBy("cid", "cand_id").collect()
+    val tb = spark.read.parquet(s"$pB/postings").orderBy("cid", "cand_id").collect()
+    assert(ta.sameElements(tb))
+  }
+
   test("trained centroids drop in: write(iterations=2) serves and stays deterministic") {
     VectorIndex.write(emb, path, nCentroids = 4, iterations = 2)
     val a = VectorIndex.topK(spark, path, emb.filter(col("vec_id") < 3),

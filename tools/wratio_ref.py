@@ -95,9 +95,13 @@ def partial_token_set_ratio(a: str, b: str) -> float:
     return partial_ratio(" ".join(sorted(sa)), " ".join(sorted(sb)))
 
 
+MAX_LEN = 512  # per-side input cap, mirrors graft.core.Fuzz.MaxLen
+
+
 def wratio(a: str, b: str) -> float:
     if not a or not b:
         return 0.0
+    a, b = a[:MAX_LEN], b[:MAX_LEN]
     len_ratio = max(len(a), len(b)) / min(len(a), len(b))
     base = ratio(a, b)
     if len_ratio < 1.5:

@@ -30,10 +30,11 @@ def wratio_ctes(pairs: str) -> str:
     """
     return f"""
 wr_tok AS (
+  -- inputs capped to 512 chars, mirrors graft.core.Fuzz.MaxLen
   SELECT pid, a, b,
     list_filter(string_split(a, ' '), x -> x <> '') AS wa,
     list_filter(string_split(b, ' '), x -> x <> '') AS wb
-  FROM {pairs}
+  FROM (SELECT pid, left(a, 512) AS a, left(b, 512) AS b FROM {pairs})
 ),
 wr_tok2 AS (
   SELECT pid, a, b,
