@@ -175,13 +175,24 @@ object GeocodeJoin {
     // repartition is exempt from coalescing, and the ranking window
     // reuses the hash(qnorm) distribution, so no extra shuffle.
     val width = queries.sparkSession.sessionState.conf.numShufflePartitions
-    val unioned = idxCands.unionByName(restCands).repartition(width, col("qnorm"))
+    val unioned = idxCands.unionByName(restCands)
     // pair bound: shed far-length candidates BEFORE the WRatio
-    // projection (the CPU-heavy stage). The window rides the
-    // hash(qnorm) distribution just installed, so the cap adds a sort
-    // but no shuffle; the ranking window reuses it the same way.
+    // projection (the CPU-heavy stage). A `row_number <= cap` filter
+    // is Spark 4's WindowGroupLimit pattern; left on its OWN exchange
+    // (no user repartition upstream) the planner splits it into a
+    // PARTIAL group-limit below the shuffle and a Final above, so a
+    // single ubiquitous query text whose candidates span the whole
+    // gazetteer is pruned WHERE ITS ROWS SIT — each map partition
+    // forwards ≤ cap rows per text, in codegen, and the final window
+    // task handles ≤ partitions × cap rows per text. The skew
+    // treatment comes free with the declarative form
+    // (`GeocodeJoinSpec` pins the Partial pass; a hand-rolled
+    // mapPartitions heap prune measured 30-75% SLOWER here from
+    // typed-Row serialization). The explicit-width repartition for the
+    // CPU-bound scoring stage then moves only the capped survivors.
     val capped =
-      if (maxCandidatesPerQuery == Int.MaxValue) unioned
+      if (maxCandidatesPerQuery == Int.MaxValue)
+        unioned.repartition(width, col("qnorm"))
       else {
         val qLen = length(col("qnorm"))
         def lenDist(c: Column): Column =
@@ -193,6 +204,7 @@ object GeocodeJoin {
             Window.partitionBy("qnorm").orderBy(proxy.asc, col("osm_id").asc)))
           .filter(col("cap_rk") <= maxCandidatesPerQuery)
           .drop("cap_rk")
+          .repartition(width, col("qnorm"))
       }
     // rank once per distinct text, then re-expand to every (qid, text)
     // that normalizes to it

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * vocabularies (the one workload where candidate pairs grow
   * quadratically — see VERDICT r5).
   *
-  * `runMain graft.tools.G11Probe <sfDir> [cap,cap,...] [maxDf]`
+  * `runMain graft.tools.G11Probe <sfDir> [cap,cap,...] [maxDf] [skew]`
+  *
+  * `skew`: append one pathological hot query — the text "old", a
+  * substring of ~25% of all part-derived names — to measure how the
+  * cap's pre-shuffle WindowGroupLimit absorbs a single text whose
+  * candidate set dwarfs every other's.
   */
 object G11Probe {
   def main(args: Array[String]): Unit = {
@@ -18,6 +23,7 @@ object G11Probe {
     val caps = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                else Seq(Int.MaxValue, 1000, 100)
     val maxDf = if (args.length > 2) args(2).toLong else 2000L
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-g11probe")
@@ -30,9 +36,15 @@ object G11Probe {
 
     val pois = graft.queries.Fixtures.gazPois(spark, sfDir, withWikidata = false)
     val ix = graft.queries.Fixtures.gazIndex(spark, sfDir)
-    val queries = graft.queries.Tables.table(spark, sfDir, "part")
+    val base = graft.queries.Tables.table(spark, sfDir, "part")
       .filter(col("p_partkey") % 13 === 0)
       .select(col("p_partkey").cast("long").as("qid"), col("p_name").as("text"))
+    val queries =
+      if (!skew) base
+      else {
+        import spark.implicits._
+        base.unionByName(Seq((0L, "old")).toDF("qid", "text"))
+      }
     // warm the memoized fixtures + codegen out of the measurement
     ix.count(); pois.count()
 
@@ -41,7 +53,7 @@ object G11Probe {
       val n = graft.query.GeocodeJoin.topKIndexed(queries, pois, ix, k = 3,
         maxDf = maxDf, maxCandidatesPerQuery = cap).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[g11probe] sf=$sfDir cap=$cap maxDf=$maxDf rows=$n time=$sec%.1fs")
+      println(f"[g11probe] sf=$sfDir cap=$cap maxDf=$maxDf skew=$skew rows=$n time=$sec%.1fs")
     }
     spark.stop()
   }

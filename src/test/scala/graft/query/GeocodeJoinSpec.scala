@@ -109,6 +109,21 @@ class GeocodeJoinSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(6) == 4L)
   }
 
+  test("cap compiles to a WindowGroupLimit prune (skew-bounded, pre-sort shed)") {
+    val ix = graft.etl.TrigramIndex.build(pois)
+    val queries = Seq((10L, "monograph dining"), (20L, "widget")).toDF("qid", "text")
+    val plan = GeocodeJoin.topKIndexed(queries, pois, ix, Settings(), k = 3,
+      maxCandidatesPerQuery = 5).queryExecution.executedPlan.toString
+    // the rank<=cap filter must lower to the group-limit operator in
+    // BOTH modes: Partial (pre-shuffle, sheds a skewed text's
+    // candidates where its rows sit) and Final — not a full per-group
+    // sort+filter
+    assert(plan.contains("Partial") && "WindowGroupLimit[^\\n]*5, Partial".r
+      .findFirstIn(plan).isDefined, s"no pre-shuffle WindowGroupLimit Partial in:\n$plan")
+    assert("WindowGroupLimit[^\\n]*5, Final".r.findFirstIn(plan).isDefined,
+      s"no WindowGroupLimit Final in:\n$plan")
+  }
+
   test("normCol matches the scalar norm (distributed query normalization)") {
     val samples = Seq("Jalan-Jalan Cafe!", "a#b@c", "  MixED   spacing ", "it's") ++
       Gen.listOfN(100, Gen.asciiPrintableStr).pureApply(Gen.Parameters.default, Seed(11L))
