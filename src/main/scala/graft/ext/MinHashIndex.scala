@@ -58,6 +58,39 @@ object MinHashIndex {
     IndexIO.publish(spark, staging, path)
   }
 
+  /** Append new documents' signatures to a stored index WITHOUT a full
+    * rebuild — the incremental-crawl refresh path (the [[VectorIndex.append]]
+    * twin). New (id, tok) rows are signed with the same hash family,
+    * their band keys derived identically, both tables re-laid-out and
+    * republished by one rename. Reading the old tables while writing to
+    * staging is safe — the destination is untouched until the rename.
+    *
+    * Equivalence: append(write(A), B) ≡ write(A ∪ B) bit-for-bit for
+    * disjoint id sets (signatures are per-id aggregates; the layout
+    * re-sort makes union order immaterial) — spec-pinned. Appending ids
+    * already present would produce DUPLICATE signature rows, not merged
+    * ones (MinHash of a doc's token set is not incrementally mergeable
+    * from two partial token sets unless the split is exact) — callers
+    * route re-crawled docs through [[Dedup.snapshotDiff]] and rebuild
+    * or retire those ids first. */
+  def append(tokens: DataFrame, path: String, numHashes: Int,
+             rowsPerBand: Int, partitions: Int = 8): Unit = {
+    val spark = tokens.sparkSession
+    val staging = IndexIO.stagingFor(path)
+    val oldSig = spark.read.parquet(s"$path/signatures")
+    Dedup.minhashSignature(tokens, numHashes)
+      .unionByName(oldSig)
+      .repartitionByRange(partitions, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures")
+    val sigStored = spark.read.parquet(s"$staging/signatures")
+    bands(sigStored, numHashes, rowsPerBand)
+      .repartitionByRange(partitions, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+    IndexIO.publish(spark, staging, path)
+  }
+
   /** All candidate pairs from the stored index: docs sharing any band
     * bucket, scored by agreeing-minhash fraction — identical semantics
     * (and identical output) to [[Dedup.minhashLshPairs]] over the same

@@ -128,6 +128,25 @@ object DedupQueries {
     },
     Some(minhashPairsOracle))
 
+  /** The APPEND refresh path ([[graft.ext.MinHashIndex.append]]): index
+    * half the doc window, append the other half against the stored
+    * layout, serve pairs. The final corpus equals dd_minhash_pairs' —
+    * the SAME oracle therefore pins append ≡ rebuild end-to-end. */
+  val ddMinhashAppend = Q("dd_minhash_append",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-mhindex-app-")
+      def toks(pred: org.apache.spark.sql.Column) =
+        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
+          "doc_id", "text", distinct = false)
+      graft.ext.MinHashIndex.write(toks(col("doc_id") < 50), path,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.append(toks(col("doc_id") >= 50), path,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.pairs(s, path, NumHashes)
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracle))
+
   private val SimhashBits = 16
 
   val ddSimhash = Q("dd_simhash",
@@ -590,7 +609,7 @@ object DedupQueries {
            ORDER BY id"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
-    ddMinhashPersisted, ddSimhash,
+    ddMinhashPersisted, ddMinhashAppend, ddSimhash,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
     ddSpanDedup, ddSpanClean)

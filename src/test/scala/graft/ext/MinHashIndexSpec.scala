@@ -53,6 +53,25 @@ class MinHashIndexSpec extends SparkSpec {
     assert(parent.listFiles.map(_.getName).filter(_.contains("staging")).isEmpty)
   }
 
+  test("append equals rebuild bit-for-bit for the same final corpus") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-app").toString + "/idx"
+    val pB = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-reb").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    MinHashIndex.write(toksOf(col("doc_id") <= 2), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.write(toks, pB, NumHashes, rowsPerBand = 2)
+    val a = MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
+    val b = MinHashIndex.pairs(spark, pB, NumHashes).orderBy("a", "b").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // tables, not just answers
+    val sa = spark.read.parquet(s"$pA/signatures").orderBy("id").collect()
+    val sb = spark.read.parquet(s"$pB/signatures").orderBy("id").collect()
+    assert(sa.sameElements(sb))
+  }
+
   test("band keys: persisted table matches the shared construction") {
     MinHashIndex.write(toks, path, NumHashes, rowsPerBand = 2)
     val sig = spark.read.parquet(s"$path/signatures")
