@@ -202,13 +202,27 @@ object Fuzz {
     * EVERY input, not just short ones. */
   val MaxLen = 512
 
+  /** First [[MaxLen]] CODE POINTS of `s` — the truncation unit must be
+    * code points, not UTF-16 units: DuckDB's `left()` and Python's
+    * slicing both count code points, and a UTF-16 cut could split a
+    * surrogate pair, so a unit mismatch would break the documented
+    * every-input cross-engine parity on astral text. The fast path
+    * (length ≤ MaxLen in UTF-16 units ⇒ ≤ MaxLen code points) skips
+    * the scan for all real-world names. */
+  private def capLen(s: String): String =
+    if (s.length <= MaxLen) s
+    else {
+      val cp = s.codePointCount(0, s.length)
+      if (cp <= MaxLen) s else s.substring(0, s.offsetByCodePoints(0, MaxLen))
+    }
+
   /** The WRatio composite. Empty input on either side → 0. Inputs are
-    * capped to [[MaxLen]] chars BEFORE anything else (including the
-    * length-ratio weighting) — see [[MaxLen]] for why. */
+    * capped to [[MaxLen]] code points BEFORE anything else (including
+    * the length-ratio weighting) — see [[MaxLen]] for why. */
   def wratio(aIn: String, bIn: String): Double = {
     if (aIn == null || bIn == null || aIn.isEmpty || bIn.isEmpty) return 0.0
-    val a = if (aIn.length > MaxLen) aIn.substring(0, MaxLen) else aIn
-    val b = if (bIn.length > MaxLen) bIn.substring(0, MaxLen) else bIn
+    val a = capLen(aIn)
+    val b = capLen(bIn)
     val lenRatio =
       math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
     val base = ratio(a, b)

@@ -26,13 +26,19 @@ object Wkb {
     7 -> "GEOMETRYCOLLECTION")
 
   /** WKT text for a WKB blob. Throws IllegalArgumentException on
-    * malformed or unsupported input — callers at the ingest boundary
-    * decide whether to drop or fail the row. */
+    * malformed or unsupported input — INCLUDING truncated blobs (buffer
+    * underflow is rewrapped, so callers at the ingest boundary can rely
+    * on one exception type to implement drop-vs-fail policy). */
   def toWkt(bytes: Array[Byte]): String = {
     require(bytes != null && bytes.length >= 5, "WKB too short")
     val sb = new StringBuilder(bytes.length)
     val buf = ByteBuffer.wrap(bytes)
-    geom(buf, sb)
+    try {
+      geom(buf, sb)
+    } catch {
+      case e: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(s"truncated WKB (${bytes.length} bytes)", e)
+    }
     require(!buf.hasRemaining, s"${buf.remaining()} trailing bytes after WKB geometry")
     sb.toString
   }
@@ -49,11 +55,12 @@ object Wkb {
       else throw new IllegalArgumentException(s"bad WKB byte-order marker $order"))
     val rawType = buf.getInt()
     if ((rawType & 0x20000000) != 0) buf.getInt() // skip EWKB SRID
-    val base = rawType & 0x0FFFFFFF & ~0x20000000
-    require(base >= 1 && base <= 7,
+    val base = rawType & 0x0FFFFFFF
+    // one check covers both encodings of higher dimensions: ISO WKB
+    // offsets the type by 1000/2000/3000 (base > 7) and EWKB sets the
+    // Z/M flag bits (0xC0000000)
+    require(base >= 1 && base <= 7 && (rawType & 0xC0000000) == 0,
       s"unsupported WKB geometry type $rawType (Z/M or unknown)")
-    require((rawType & 0xC0000000) == 0 && base <= 7 && base >= 1,
-      s"unsupported WKB flags in type $rawType")
     sb.append(TypeNames(base)).append(' ')
     base match {
       case 1 => point(buf, sb)
@@ -86,7 +93,7 @@ object Wkb {
   /** "(x y, x y, ...)" */
   private def ring(buf: ByteBuffer, sb: StringBuilder): Unit = {
     val n = buf.getInt()
-    require(n >= 0 && n <= buf.remaining() / 16 + 1, s"bad point count $n")
+    require(n >= 0 && n <= buf.remaining() / 16, s"bad point count $n")
     sb.append('(')
     var i = 0
     while (i < n) {

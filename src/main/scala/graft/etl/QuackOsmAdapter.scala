@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * The reference CLI's geometry/tag filters map to plain DataFrame
   * filters here (run BEFORE the WKB decode so dropped features never
   * pay for parsing):
-  *  - `--geom-filter-bbox minx,miny,maxx,maxy` → [[bboxFilter]]
-  *    (envelope-overlap on the decoded geometry — apply after adapt)
+  *  - `--geom-filter-bbox minx,miny,maxx,maxy` →
+  *    `.transform(bboxFilter(...))` (envelope-overlap on the decoded
+  *    geometry — apply after adapt)
   *  - `--osm-tags-filter-file {"amenity": ["cafe"]}` → [[tagsFilter]]
   *  - `--explode-tags` has no equivalent because nothing needs one:
   *    the engine consumes the map form directly (`element_at`).
@@ -82,14 +83,23 @@ object QuackOsmAdapter {
       else present && element_at(col("tags"), k).isInCollection(vs)
     }.reduceLeft(_ || _)
 
-  /** `--geom-filter-bbox` equivalent, applied AFTER [[adapt]]: keep
-    * features whose envelope overlaps the box. Envelope-overlap (not
-    * exact intersection) mirrors the prefilter role the CLI flag plays
-    * — the gazetteer's own bbox predicates re-verify downstream. */
-  def bboxFilter(minx: Double, miny: Double, maxx: Double, maxy: Double): Column = {
-    val g = graft.core.Geo.geomSummaryUdf(col("wkt"))
-    g.isNotNull &&
-      !(g.getField("minx") > maxx || g.getField("maxx") < minx ||
-        g.getField("miny") > maxy || g.getField("maxy") < miny)
+  /** `--geom-filter-bbox` equivalent, applied AFTER [[adapt]] via
+    * `.transform(...)`: keep features whose envelope overlaps the box.
+    * Envelope-overlap (not exact intersection) mirrors the prefilter
+    * role the CLI flag plays — the gazetteer's own bbox predicates
+    * re-verify downstream. A DataFrame transform rather than a Column:
+    * the summary UDF (a full WKT parse — megabytes for a country
+    * multipolygon) must be PROJECTED to an attribute once, because a
+    * filter predicate referencing one UDF expression five times
+    * re-evaluates it five times (no subexpression elimination in
+    * predicates — the ta_lang_unicode lesson at the ingest boundary). */
+  def bboxFilter(minx: Double, miny: Double, maxx: Double, maxy: Double)(
+      df: DataFrame): DataFrame = {
+    val g = col("__geo_summary")
+    df.withColumn("__geo_summary", graft.core.Geo.geomSummaryUdf(col("wkt")))
+      .filter(g.isNotNull &&
+        !(g.getField("minx") > maxx || g.getField("maxx") < minx ||
+          g.getField("miny") > maxy || g.getField("maxy") < miny))
+      .drop("__geo_summary")
   }
 }

@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   * The staging pattern here shrinks that to a fail-LOUD window: every
   * table is written under a fresh staging directory sibling to the
   * destination, then ONE directory rename publishes the whole index.
-  * A reader races only the delete→rename instant, where the path is
-  * briefly absent and the read errors — it can never observe mixed
-  * tables. Concurrent WRITERS to the same destination remain
-  * single-writer-by-contract (last rename wins).
+  * A reader races only the rename-aside→rename-in instant, where the
+  * path is briefly absent and the read errors — it can never observe
+  * mixed tables — and a crash inside that instant leaves the previous
+  * index intact under a `dest-old-*` sibling for recovery. Concurrent
+  * WRITERS to the same destination remain single-writer-by-contract
+  * (last rename wins).
   */
 private[ext] object IndexIO {
 
@@ -24,13 +26,26 @@ private[ext] object IndexIO {
   def stagingFor(dest: String): String =
     s"$dest-staging-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** Replace `dest` with `staging` (delete + rename via the Hadoop
-    * filesystem of the path, so hdfs:// and s3a:// work like file://). */
+  /** Replace `dest` with `staging` via the Hadoop filesystem of the
+    * path (hdfs:// and s3a:// work like file://). The old index is
+    * renamed ASIDE first, not deleted: a crash between the two renames
+    * leaves the previous index recoverable under `dest-old-*` instead
+    * of destroyed (delete-first would lose it permanently — the worst
+    * possible failure for a serving index). The aside copy is removed
+    * only after the new index is in place. */
   def publish(spark: SparkSession, staging: String, dest: String): Unit = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(destPath)) fs.delete(destPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), destPath))
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$dest-old-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs.exists(destPath)
+    if (hadOld && !fs.rename(destPath, aside))
+      throw new java.io.IOException(s"publish aside-rename $dest -> $aside failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), destPath)) {
+      // restore the old index before failing so serving keeps working
+      if (hadOld) fs.rename(aside, destPath)
       throw new java.io.IOException(s"publish rename $staging -> $dest failed")
+    }
+    if (hadOld) fs.delete(aside, true)
   }
 }

@@ -75,9 +75,17 @@ object MinHashIndex {
     * or retire those ids first. */
   def append(tokens: DataFrame, path: String, numHashes: Int,
              rowsPerBand: Int, partitions: Int = 8): Unit = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val spark = tokens.sparkSession
     val staging = IndexIO.stagingFor(path)
     val oldSig = spark.read.parquet(s"$path/signatures")
+    // a numHashes that disagrees with the stored signature width would
+    // silently re-band the whole index with different keys; fail loudly
+    // against the stored schema instead (id + m0..m{n-1})
+    require(oldSig.schema.fieldNames.length - 1 == numHashes,
+      s"stored index at $path has ${oldSig.schema.fieldNames.length - 1} " +
+        s"minhashes, append called with numHashes=$numHashes")
     Dedup.minhashSignature(tokens, numHashes)
       .unionByName(oldSig)
       .repartitionByRange(partitions, col("id"))

@@ -117,9 +117,11 @@ object VectorIndex {
       .select("query_id", "q_emb", "cid")
       .localCheckpoint(true) // read twice: cid collect + the probe join
     // bounded collect: limit(max+1) caps the driver transfer at the
-    // threshold even when the probe set is huge
+    // threshold even when the probe set is huge (saturating add — a
+    // caller pinning the literal route with Int.MaxValue must not
+    // overflow into a negative limit)
     val cids = probes.select("cid").distinct()
-      .limit(maxLiteralCids + 1)
+      .limit(math.min(maxLiteralCids.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect().map(_.getLong(0)).toSeq
     val postings = spark.read.parquet(s"$path/postings")
     val probed =

@@ -64,6 +64,16 @@ class QuackOsmAdapterSpec extends SparkSpec {
     z.put(1.toByte).putInt(1001).putDouble(1).putDouble(2).putDouble(3)
     intercept[IllegalArgumentException](Wkb.toWkt(z.array()))
     intercept[IllegalArgumentException](Wkb.toWkt(Array[Byte](9, 9)))
+    // TRUNCATED blob (valid point header, missing coordinate bytes):
+    // must surface as IllegalArgumentException, not BufferUnderflow —
+    // the adapter's bad-geometry→null policy catches only IAE
+    val trunc = ByteBuffer.allocate(5).order(ByteOrder.LITTLE_ENDIAN)
+    trunc.put(1.toByte).putInt(1)
+    intercept[IllegalArgumentException](Wkb.toWkt(trunc.array()))
+    // truncated polygon ring (claims 4 points, carries 1)
+    val truncPoly = ByteBuffer.allocate(9 + 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    truncPoly.put(1.toByte).putInt(3).putInt(1).putInt(4).putDouble(0).putDouble(0)
+    intercept[IllegalArgumentException](Wkb.toWkt(truncPoly.array()))
   }
 
   test("feature ids: disjoint per type, numeric suffix preserved, malformed rejected") {
@@ -119,7 +129,8 @@ class QuackOsmAdapterSpec extends SparkSpec {
     // --geom-filter-bbox around Kuala Lumpur: drops the 0,0 bench and
     // keeps overlapping envelopes (incl. the country multipolygon)
     val adapted = QuackOsmAdapter.adapt(quackDf, dropBadGeometry = true)
-    val bf = adapted.filter(QuackOsmAdapter.bboxFilter(101.5, 3.0, 101.8, 3.3))
+    val bf = adapted.transform(QuackOsmAdapter.bboxFilter(101.5, 3.0, 101.8, 3.3))
     assert(bf.select("id").count() == 4)
+    assert(bf.columns.toSeq == adapted.columns.toSeq) // helper column dropped
   }
 }
