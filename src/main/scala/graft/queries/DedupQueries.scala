@@ -68,16 +68,19 @@ object DedupQueries {
   /** LSH band/bucket candidate pairs as CTEs over an in-scope `sig` —
     * shared by the dd_minhash_pairs and dd_components oracles (the
     * clustering oracle builds its edge list from the same pair SQL). */
-  private def lshCandSql: String = {
-    val bandSelects = (0 until NumHashes / 2).map(b =>
-      s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM sig")
-      .mkString(" UNION ALL ")
+  private def lshCandSqlFor(rowsPerBand: Int): String = {
+    val bandSelects = (0 until NumHashes / rowsPerBand).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"m${rowsPerBand * b + r}").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws('_', $b, $ms) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
     s"""bands AS ($bandSelects),
         cand AS (
           SELECT DISTINCT l.id AS a, r.id AS b
           FROM bands l JOIN bands r
             ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
   }
+
+  private def lshCandSql: String = lshCandSqlFor(2)
 
   /** LSH banding over unigram signatures of a bounded doc window: bands
     * of 2 rows over 8 hashes; pairs sharing a band bucket, scored by the
@@ -218,6 +221,68 @@ object DedupQueries {
               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
           SELECT src AS doc_id, min(dst) AS component
           FROM reach GROUP BY src ORDER BY doc_id"""))
+
+  /** Cluster REPRESENTATIVE selection — the curation policy layered on
+    * dd_components: within each near-dup cluster keep the doc with the
+    * MOST content (longest text; ties to lowest id), not blindly the
+    * lowest id — the policy real pipelines want when a cluster mixes a
+    * full article with its truncated syndications. One window over the
+    * component assignment joined back to doc lengths; the heavy work
+    * (signatures → LSH pairs → components) is the dd_components shape
+    * at STRICTER banding (4 rows/band → 2 bands): the fixture's
+    * word-salad docs chain into one blob under 2-row bands, and a
+    * representative policy is only observable across several clusters. */
+  val ddClusterRep = Q("dd_cluster_rep",
+    (s, dir) => {
+      val win = docs(s, dir).filter(col("doc_id") < 100)
+      val sig = Dedup.minhashSignature(
+        Dedup.docTokens(win, "doc_id", "text", distinct = false), NumHashes)
+      val edges = Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 4)
+      val comp = Dedup.connectedComponents(
+        win.select(col("doc_id").cast("long").as("id")), edges)
+      val sized = comp.join(
+        win.select(col("doc_id").cast("long").as("id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n_chars")),
+        Seq("id"))
+      val reps = sized
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")
+            .orderBy(col("n_chars").desc, col("id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("comp").as("component"), col("id").as("keep_id"),
+          col("n_chars").as("keep_chars"))
+      val csize = sized.groupBy(col("comp").as("component"))
+        .agg(count(lit(1)).as("n_docs"))
+      reps.join(csize, Seq("component"))
+        .select("component", "keep_id", "keep_chars", "n_docs")
+        .orderBy("component")
+    },
+    Some(
+      s"""WITH RECURSIVE sig AS (${minhashSigSql(toksSql("WHERE doc_id < 100"))}),
+            ${lshCandSqlFor(4)},
+            nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+            edges AS (SELECT a AS src, b AS dst FROM cand
+                      UNION SELECT b, a FROM cand),
+            reach(src, dst) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            comp AS (SELECT src AS id, min(dst) AS component
+                     FROM reach GROUP BY src),
+            sized AS (
+              SELECT comp.id, comp.component,
+                     CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars
+              FROM comp JOIN documents d ON comp.id = d.doc_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY component
+                          ORDER BY n_chars DESC, id ASC) AS rk
+              FROM sized),
+            csize AS (SELECT component, count(*) AS n_docs
+                      FROM sized GROUP BY component)
+          SELECT r.component, r.id AS keep_id, r.n_chars AS keep_chars,
+                 CAST(csize.n_docs AS BIGINT) AS n_docs
+          FROM ranked r JOIN csize USING (component)
+          WHERE r.rk = 1 ORDER BY r.component"""))
 
   /** Train/test decontamination: held-out docs (stable id-based split)
     * sharing 4-gram shingles with training docs, joined on the portable
@@ -609,7 +674,7 @@ object DedupQueries {
            ORDER BY id"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
-    ddMinhashPersisted, ddMinhashAppend, ddSimhash,
+    ddMinhashPersisted, ddMinhashAppend, ddSimhash, ddClusterRep,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
     ddSpanDedup, ddSpanClean)

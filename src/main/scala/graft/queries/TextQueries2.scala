@@ -80,6 +80,97 @@ object TextQueries2 {
           FROM allrows ORDER BY doc_id"""
     })
 
+  // ---------------------------------------------------------- pii audit
+
+  /** Card-number CANDIDATE shape (digits with optional space/dash
+    * separators, 13-19 digits once stripped — the length check happens
+    * after stripping); IPv4 and SSN are format-level checks. All in the
+    * Java∩RE2 portable subset like the redact patterns. */
+  val CardRe = "\\b[0-9](?:[0-9 -]{11,17})[0-9]\\b"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Luhn checksum over a stripped digit string, as portable
+    * higher-order-function columns (sum over digits right-to-left,
+    * doubling every second, −9 when the double exceeds 9; total ≡ 0 mod
+    * 10). Identical structure in the DuckDB twin below — the audit's
+    * whole point is that a FORMAT match is not a card: the checksum
+    * separates real leaks from phone-number-shaped noise. Column API,
+    * not `expr(...)`: a `\b` inside a SQL string literal parses as a
+    * BACKSPACE character and the pattern silently never matches. */
+  private def luhnOk(d: Column): Column = {
+    def digitAt(i: Column): Column = ascii(d.substr(length(d) - i + 1, lit(1))) - 48
+    val checksum = aggregate(sequence(lit(1), length(d)), lit(0), (acc, i) => {
+      val x = digitAt(i)
+      acc + when(i % 2 === 0, when(x * 2 > 9, x * 2 - 9).otherwise(x * 2)).otherwise(x)
+    })
+    length(d) >= 13 && length(d) <= 19 && checksum % 10 === 0
+  }
+
+  /** Planted audit rows (fixture corpus is word salad): two VALID test
+    * card numbers (Luhn-passing, the published test-card values), one
+    * digit-flipped invalid, IPv4s, an SSN-shaped string, a clean row. */
+  private[graft] val piiAuditSamples: Seq[(Long, String)] = Seq(
+    (9300001L, "card 4539 1488 0343 6467 on file"),          // valid visa-shape
+    (9300002L, "amex 3782 822463 10005 expires soon"),       // valid amex-shape
+    (9300003L, "typo card 4539 1488 0343 6468 rejected"),    // Luhn-invalid
+    (9300004L, "hosts 192.168.0.1 and 10.0.0.255 internal"),
+    (9300005L, "ref 123-45-6789 filed yesterday"),
+    (9300006L, "no identifiers in this row at all"))
+
+  /** PII audit: candidate/validated card counts (Luhn), IPv4 and SSN
+    * format counts, and a per-doc `has_pii` flag — the governance
+    * sweep a corpus runs BEFORE redaction decides what to strip.
+    * Everything is codegen'd column composition (regexp + HOFs); at
+    * 100 TB this is one narrow pass, no shuffle. */
+  val taPiiAudit = Q("ta_pii_audit",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(piiAuditSamples.toDF("doc_id", "text"))
+      val cands = regexp_extract_all(col("text"), lit(CardRe), lit(0))
+      val digits = transform(cands, c => regexp_replace(c, lit("[^0-9]"), lit("")))
+      base.select(
+        col("doc_id"),
+        size(cands).cast("long").as("n_card_candidates"),
+        size(filter(digits, luhnOk(_))).cast("long").as("n_cards_valid"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("text"), lit(SsnRe), lit(0))).cast("long").as("n_ssn"))
+        .withColumn("has_pii",
+          col("n_cards_valid") + col("n_ipv4") + col("n_ssn") > 0)
+        .orderBy("doc_id")
+    },
+    Some {
+      val valuesRows = piiAuditSamples
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(",\n                 ")
+      val luhn =
+        s"""len(list_filter(
+              list_transform(regexp_extract_all(text, '$CardRe'),
+                             c -> regexp_replace(c, '[^0-9]', '', 'g')),
+              d -> length(d) >= 13 AND length(d) <= 19 AND
+                   list_sum(list_transform(range(1, length(d) + 1), i ->
+                     CASE WHEN i % 2 = 0
+                       THEN CASE WHEN 2 * (ascii(substring(d, length(d) - i + 1, 1)) - 48) > 9
+                            THEN 2 * (ascii(substring(d, length(d) - i + 1, 1)) - 48) - 9
+                            ELSE 2 * (ascii(substring(d, length(d) - i + 1, 1)) - 48) END
+                       ELSE ascii(substring(d, length(d) - i + 1, 1)) - 48 END)) % 10 = 0))"""
+      s"""WITH allrows AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+                 $valuesRows) AS v(doc_id, text))
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$CardRe')) AS BIGINT) AS n_card_candidates,
+                 CAST($luhn AS BIGINT) AS n_cards_valid,
+                 CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+                 CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT) AS n_ssn,
+                 (CAST($luhn AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT)) > 0 AS has_pii
+          FROM allrows ORDER BY doc_id"""
+    })
+
   // ------------------------------------------------------------- ngrams
 
   /** Word bigrams over a PRE-MATERIALIZED token array column. The
@@ -380,5 +471,5 @@ object TextQueries2 {
           ORDER BY d.doc_id"""
     })
 
-  val all: Seq[Q] = Seq(taRedact, taNgrams, taBm25, taGopher, taRarity)
+  val all: Seq[Q] = Seq(taRedact, taPiiAudit, taNgrams, taBm25, taGopher, taRarity)
 }
