@@ -164,6 +164,70 @@ object StreamingQueries {
                     count(*) AS n_docs
              FROM documents GROUP BY 1 ORDER BY keep_id"""))
 
+  private val MhHashes = 8
+
+  /** Band-select union over an in-scope sig-shaped relation (DuckDB). */
+  private def bandsSqlOver(rel: String): String =
+    (0 until MhHashes / 2).map(b =>
+      s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM $rel")
+      .mkString(" UNION ALL ")
+
+  /** Streaming near-dup PREFILTER against the persisted MinHash index
+    * ([[graft.ext.MinHashIndex]]): docs 0–99 are indexed as the
+    * "already-crawled corpus", docs 100–199 replay as the incoming
+    * stream, and each incoming doc's per-row signature bands
+    * ([[StreamOps.nearDupBands]] — narrow, no stateful shuffle)
+    * stream-static join the stored bucket table; `n_hits` counts the
+    * (band, stored-doc) collisions that would route the doc to the
+    * exact-verify path. The batch oracle recomputes both signature
+    * sets and the same join — replay has no late data, and the per-row
+    * HOF signature must be BIT-identical to the groupBy-min form. */
+  val stNearDupFilter = Q("st_neardup_filter",
+    (s, dir) => {
+      val idxPath = graft.core.TempDirs.create("graft-mh-stream-")
+      graft.ext.MinHashIndex.write(
+        graft.ext.Dedup.docTokens(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", distinct = false),
+        idxPath, MhHashes, rowsPerBand = 2)
+      val buckets = s.read.parquet(s"$idxPath/buckets")
+        .select(col("band"), col("bucket"), col("id").as("index_id"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val replayed = withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
+          .join(buckets, Seq("band", "bucket"))
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        StreamOps.replayToTable(s, hits,
+          s"st_neardup_${System.nanoTime()}", "complete")
+      }
+      replayed.orderBy("doc_id")
+    },
+    Some {
+      val toks = (pred: String) =>
+        s"""SELECT DISTINCT doc_id AS id,
+              unnest(list_filter(string_split(${TextQueries.canonSql}, ' '), x -> x <> '')) AS tok
+            FROM documents WHERE $pred"""
+      val mins = (0 until MhHashes).map(i =>
+        s"min((h * ${graft.ext.Dedup.minhashA(i)} + ${graft.ext.Dedup.minhashB(i)}) % ${graft.ext.Dedup.MinhashPrime}) AS m$i")
+        .mkString(", ")
+      def sigOf(pred: String) =
+        s"""SELECT id, $mins FROM (
+              SELECT id, ${DedupQueries.portableHash("tok")} AS h FROM (${toks(pred)})
+            ) GROUP BY id"""
+      s"""WITH sig_idx AS (${sigOf("doc_id < 100")}),
+            sig_q AS (${sigOf("doc_id >= 100 AND doc_id < 200")}),
+            b_idx AS (${bandsSqlOver("sig_idx")}),
+            b_q AS (${bandsSqlOver("sig_q")})
+          SELECT q.id AS doc_id, count(*) AS n_hits
+          FROM b_q q JOIN b_idx x ON q.band = x.band AND q.bucket = x.bucket
+          GROUP BY 1 ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
-    stStreamDedup, stEnrich)
+    stStreamDedup, stEnrich, stNearDupFilter)
 }

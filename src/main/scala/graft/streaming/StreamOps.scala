@@ -165,6 +165,39 @@ object StreamOps {
     docs.groupBy(graft.ext.TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Per-row MinHash band keys for a document stream — the crawl-time
+    * near-dup PREFILTER front-end. Unlike the batch
+    * [[graft.ext.Dedup.minhashSignature]] (a groupBy-min), the
+    * signature here is computed per ROW with array higher-order
+    * functions (the token multiset is already in hand as an array, so
+    * `array_min` over the affine-hashed tokens IS the minhash) — a
+    * NARROW projection with no stateful aggregate, which keeps the
+    * stream side append-friendly and shuffle-free until the
+    * stream-static bucket join. Bit-parity with the batch signature is
+    * oracle-pinned (same portable md5 token hash, same affine family).
+    *
+    * Output: (id, band, bucket) via [[graft.ext.MinHashIndex.bands]] —
+    * join it against a stored index's `buckets` table to flag incoming
+    * docs that collide with the corpus before heavy processing. */
+  def nearDupBands(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int, rowsPerBand: Int): DataFrame = {
+    import graft.ext.Dedup
+    val toks = filter(
+      split(graft.core.Norm.canon(col(textCol)), " "), t => t =!= "")
+    // project the token array to an attribute FIRST: inlining it would
+    // re-run the canon regex chain once per minhash column
+    val withToks = docs
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+    val ms = (0 until numHashes).map { i =>
+      array_min(transform(col("toks"), t =>
+        (Dedup.tokenHash(t) * Dedup.minhashA(i) + Dedup.minhashB(i))
+          % Dedup.MinhashPrime)).as(s"m$i")
+    }
+    graft.ext.MinHashIndex.bands(
+      withToks.select(col("id") +: ms: _*), numHashes, rowsPerBand)
+  }
+
   /** Replay a bounded source through a streaming query into a memory
     * sink and return the materialized result. `Trigger.AvailableNow`
     * drains everything then stops — deterministic, oracle-checkable. */
