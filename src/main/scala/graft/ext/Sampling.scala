@@ -41,6 +41,48 @@ object Sampling {
     *               count (mix by token budget), or `lit(1L)` for doc
     *               counts.
     */
+  /** Hash-bucketed NEGATIVE SAMPLING for contrastive training pairs:
+    * `k` deterministic pseudo-random negatives per query, WITHOUT a
+    * query × corpus cross join. Each corpus doc lands in one of
+    * `nBuckets` hash buckets; each (query, slot j) probes the bucket
+    * `hash(salt:qid:j) mod nBuckets` and keeps the bucket member with
+    * the smallest per-(query, slot) hash — so sampling is one EQUALITY
+    * join on the bucket id (corpus shuffles once on its bucket; the
+    * slot side is queries × k rows), and per-slot work is bounded by
+    * the bucket size ≈ corpus/nBuckets regardless of corpus scale.
+    *
+    * Determinism: every choice flows from the portable md5 hash — a
+    * retry, a repartition, or another engine draws the SAME negatives.
+    * A self-pair (negative == its own query id) is excluded; an empty
+    * probed bucket yields no row for that slot (both engines agree, so
+    * this too is deterministic — size `nBuckets` ≪ corpus to make it
+    * rare). Output: (qid, slot, neg_id), slot 1-based. */
+  def negativeSample(queryIds: DataFrame, corpus: DataFrame,
+                     qidCol: String, docIdCol: String,
+                     k: Int, nBuckets: Int,
+                     salt: String = "neg"): DataFrame = {
+    require(k > 0 && nBuckets > 0, s"need k > 0 and nBuckets > 0, got $k, $nBuckets")
+    val cands = corpus.select(
+      col(docIdCol).cast("long").as("neg_id"),
+      pmod(Dedup.tokenHash(concat(lit(salt + ":"),
+        col(docIdCol).cast("string"))), lit(nBuckets)).as("bucket"))
+    val slots = queryIds
+      .select(col(qidCol).cast("long").as("qid"))
+      .select(col("qid"), explode(sequence(lit(1), lit(k))).as("slot"))
+      .withColumn("bucket",
+        pmod(Dedup.tokenHash(concat_ws(":", lit(salt), col("qid"), col("slot"))),
+          lit(nBuckets)))
+    val drawKey = Dedup.tokenHash(
+      concat_ws(":", lit(salt), col("qid"), col("slot"), col("neg_id")))
+    slots.join(cands, Seq("bucket"))
+      .filter(col("neg_id") =!= col("qid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid", "slot")
+          .orderBy(drawKey.asc, col("neg_id").asc)))
+      .filter(col("rk") === 1)
+      .select("qid", "slot", "neg_id")
+  }
+
   def temperatureMix(docs: DataFrame, group: String, id: String,
                      weight: Column, salt: String = "mix"): DataFrame = {
     val scale = 1000000L

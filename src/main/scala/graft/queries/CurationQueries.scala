@@ -156,5 +156,40 @@ object CurationQueries {
            SELECT tok, n_true, CAST(n_est AS BIGINT) AS n_est
            FROM est ORDER BY n_true DESC, tok"""))
 
-  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks, taCmsHeavy)
+  /** Contrastive negative sampling ([[Sampling.negativeSample]]): 3
+    * deterministic negatives per query doc via hash-bucket probes — one
+    * equality join, no query × corpus product. The oracle replays the
+    * identical md5 draw arithmetic, so the sampled ids hash-match
+    * bit-for-bit. */
+  val taNegatives = Q("ta_negatives",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Sampling.negativeSample(
+        d.filter(col("doc_id") % 17 === 3), d,
+        "doc_id", "doc_id", k = 3, nBuckets = 16)
+        .orderBy("qid", "slot")
+    },
+    Some {
+      val bucketOf = (e: String) =>
+        s"(${hashSql(s"concat_ws(':', 'neg', $e)")} % 16)"
+      s"""WITH cands AS (
+            SELECT doc_id AS neg_id, ${bucketOf("doc_id")} AS bucket
+            FROM documents),
+          slots AS (
+            SELECT doc_id AS qid, t.slot,
+                   ${bucketOf("doc_id, t.slot")} AS bucket
+            FROM documents, generate_series(1, 3) AS t(slot)
+            WHERE doc_id % 17 = 3),
+          drawn AS (
+            SELECT qid, slot, neg_id,
+                   row_number() OVER (PARTITION BY qid, slot
+                     ORDER BY ${hashSql("concat_ws(':', 'neg', qid, slot, neg_id)")} ASC,
+                              neg_id ASC) AS rk
+            FROM slots JOIN cands USING (bucket)
+            WHERE neg_id <> qid)
+          SELECT qid, slot, neg_id FROM drawn WHERE rk = 1
+          ORDER BY qid, slot"""
+    })
+
+  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks, taCmsHeavy, taNegatives)
 }

@@ -284,6 +284,60 @@ object DedupQueries {
           FROM ranked r JOIN csize USING (component)
           WHERE r.rk = 1 ORDER BY r.component"""))
 
+  /** Corpus DRIFT report — the distribution check an incremental crawl
+    * runs between snapshots before trusting a refresh: per-token rates
+    * in integer parts-per-million for two snapshot halves (even/odd
+    * ids here; in production, yesterday/today), ranked by absolute
+    * shift. Everything is one token-count aggregation with conditional
+    * sums (no per-side scans) and integer-exact ppm arithmetic
+    * (floor(1e6·cnt/total) stays under 2^53, so the double-typed floor
+    * equals DuckDB's integer `//` bit-for-bit). Top-25 by |shift| with
+    * a token tiebreak — deterministic. */
+  val ddDrift = Q("dd_drift",
+    (s, dir) => {
+      val toks = Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
+      val sided = toks.select(col("tok"), (col("id") % 2 === 0).as("is_a"))
+      val counts = sided.groupBy("tok").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+      val totals = sided.agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("tot_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("tot_b"))
+      val ppmA = floor(lit(1000000L) * col("cnt_a") / col("tot_a")).cast("long")
+      val ppmB = floor(lit(1000000L) * col("cnt_b") / col("tot_b")).cast("long")
+      counts.crossJoin(broadcast(totals))
+        .select(col("tok"), col("cnt_a"), col("cnt_b"),
+          ppmA.as("ppm_a"), ppmB.as("ppm_b"),
+          (ppmA - ppmB).as("shift_ppm"))
+        .orderBy(abs(col("shift_ppm")).desc, col("tok").asc)
+        .limit(25)
+    },
+    Some {
+      val toksAll =
+        s"""SELECT doc_id AS id,
+              unnest(list_filter(string_split($canonSql, ' '), x -> x <> '')) AS tok
+            FROM documents"""
+      s"""WITH sided AS (
+            SELECT tok, (id % 2 = 0) AS is_a FROM ($toksAll)),
+          counts AS (
+            SELECT tok,
+                   CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                   CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+            FROM sided GROUP BY tok),
+          totals AS (
+            SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+                   CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+            FROM sided)
+          SELECT tok, cnt_a, cnt_b,
+                 (1000000 * cnt_a) // tot_a AS ppm_a,
+                 (1000000 * cnt_b) // tot_b AS ppm_b,
+                 (1000000 * cnt_a) // tot_a - (1000000 * cnt_b) // tot_b AS shift_ppm
+          FROM counts, totals
+          ORDER BY abs((1000000 * cnt_a) // tot_a - (1000000 * cnt_b) // tot_b) DESC,
+                   tok ASC
+          LIMIT 25"""
+    })
+
   /** Train/test decontamination: held-out docs (stable id-based split)
     * sharing 4-gram shingles with training docs, joined on the portable
     * shingle hash on BOTH engines (so hash collisions, if any, agree). */
@@ -674,7 +728,7 @@ object DedupQueries {
            ORDER BY id"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
-    ddMinhashPersisted, ddMinhashAppend, ddSimhash, ddClusterRep,
+    ddMinhashPersisted, ddMinhashAppend, ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
     ddSpanDedup, ddSpanClean)
