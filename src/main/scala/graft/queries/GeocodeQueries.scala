@@ -364,5 +364,52 @@ object GeocodeQueries {
              WHERE canon LIKE '%table%' AND canon LIKE '%value%'
              ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
+  /** G12 — bulk REVERSE geocode ([[graft.query.ReverseGeocode]]):
+    * nearest customer-derived POI for every supplier-derived point via
+    * 10°-cell 3×3 equality joins (no cross join; 10° matches the
+    * fixture's sparse uniform density — production urban corpora use
+    * 1°). Ranking compares the 6-decimal-rounded distance with an
+    * osm_id tiebreak, so trig last-ulp differences cannot flip the
+    * argmin and the oracle hash-checks exactly. */
+  val g12 = Q("g12_reverse_geocode",
+    (s, dir) => {
+      val pois = poiLatLon(t(s, dir, "customer"))
+        .select(col("c_custkey").cast("long").as("osm_id"), col("lat"), col("lon"))
+      val pts = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("qid"),
+        (lit(-85.0) + (col("s_suppkey") * 41 % 17000) / 100.0).as("lat"),
+        (lit(-180.0) + (col("s_suppkey") * 79 % 36000) / 100.0).as("lon"))
+      graft.query.ReverseGeocode.nearest(pts, pois, cellDeg = 10.0)
+        .orderBy("qid")
+    },
+    Some(s"""WITH pois AS (SELECT c_custkey AS osm_id, lat, lon FROM ($poiLatLonSql)),
+          pts AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS qid,
+                   (-85.0 + ((s_suppkey * 41) % 17000) / 100.0)::DOUBLE AS lat,
+                   (-180.0 + ((s_suppkey * 79) % 36000) / 100.0)::DOUBLE AS lon
+            FROM supplier),
+          pcell AS (
+            SELECT CAST(osm_id AS BIGINT) AS osm_id, lat AS p_lat, lon AS p_lon,
+                   CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
+                   CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon
+            FROM pois),
+          probes AS (
+            SELECT qid, lat AS q_lat, lon AS q_lon,
+                   CAST(floor(lat / 10.0) AS BIGINT) + dx.x AS cell_lat,
+                   CAST(floor(lon / 10.0) AS BIGINT) + dy.y AS cell_lon
+            FROM pts, unnest([-1, 0, 1]) AS dx(x), unnest([-1, 0, 1]) AS dy(y)),
+          joined AS (
+            SELECT qid, osm_id,
+                   round(2 * 6371.0088 * asin(sqrt(
+                     pow(sin(radians(p_lat - q_lat) / 2), 2) +
+                     cos(radians(q_lat)) * cos(radians(p_lat)) *
+                     pow(sin(radians(p_lon - q_lon) / 2), 2))), 6) AS dist_km
+            FROM probes JOIN pcell USING (cell_lat, cell_lon))
+          SELECT qid, osm_id, dist_km FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY dist_km ASC, osm_id ASC) AS rk
+            FROM joined)
+          WHERE rk = 1 ORDER BY qid"""))
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
 }

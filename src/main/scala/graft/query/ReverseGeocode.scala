@@ -1,0 +1,64 @@
+package graft.query
+
+import graft.core.Geo
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bulk REVERSE geocode — nearest POI per coordinate, the inverse of
+  * the forward path and the other half of the geocoding surface a
+  * pipeline needs (attach a place to every event/photo location). The
+  * reference is forward-only; this is a declared extension
+  * (SURVEY §2.8).
+  *
+  * Scale shape: NO cross join. POIs land in `cellDeg`-degree grid
+  * cells; each query point probes its 3×3 neighborhood, so the join is
+  * an EQUALITY join on (cell_lat, cell_lon) and per-query work is
+  * bounded by the POI density of nine cells, independent of corpus
+  * size. The search is therefore bounded-radius by construction: a
+  * query whose 3×3 neighborhood is empty yields NO row (the contract —
+  * callers widen `cellDeg` or fall back for the sparse tail), and a
+  * returned hit is the true nearest only when the nearest POI lies
+  * within one cell width; at one degree (~111 km) that covers any
+  * urban-density corpus.
+  *
+  * Determinism: ranking compares the distance ROUNDED to 6 decimals
+  * (half-away-from-zero on both engines) with an osm_id tiebreak, so a
+  * last-ulp trig difference between engines can never flip the argmin.
+  *
+  * Antimeridian caveat: cells do not wrap at ±180° — a production
+  * deployment duplicates POIs within `cellDeg` of the seam into
+  * wrapped cells (one extra narrow projection); fixture longitudes
+  * stay clear of it.
+  */
+object ReverseGeocode {
+
+  /** `points`: (qid, lat, lon). `pois`: (osm_id, lat, lon, ...).
+    * Returns (qid, osm_id, dist_km) — the nearest POI within the 3×3
+    * cell neighborhood, one row per query that has one. */
+  def nearest(points: DataFrame, pois: DataFrame,
+              cellDeg: Double = 1.0): DataFrame = {
+    require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
+    val pcell = pois.select(
+      col("osm_id"), col("lat").as("p_lat"), col("lon").as("p_lon"),
+      floor(col("lat") / cellDeg).cast("long").as("cell_lat"),
+      floor(col("lon") / cellDeg).cast("long").as("cell_lon"))
+    val offsets = array((-1 to 1).map(lit): _*)
+    val probes = points
+      .select(col("qid"), col("lat").as("q_lat"), col("lon").as("q_lon"))
+      .withColumn("dx", explode(offsets))
+      .withColumn("dy", explode(offsets))
+      .select(col("qid"), col("q_lat"), col("q_lon"),
+        (floor(col("q_lat") / cellDeg).cast("long") + col("dx")).as("cell_lat"),
+        (floor(col("q_lon") / cellDeg).cast("long") + col("dy")).as("cell_lon"))
+    probes.join(pcell, Seq("cell_lat", "cell_lon"))
+      .withColumn("dist_km",
+        round(Geo.haversineKm(col("q_lat"), col("q_lon"),
+          col("p_lat"), col("p_lon")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("dist_km").asc, col("osm_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("osm_id"), col("dist_km"))
+  }
+}
