@@ -34,7 +34,7 @@ object DedupQueries {
     Some(s"""SELECT md5($canonSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
              FROM documents GROUP BY 1 ORDER BY keep_id"""))
 
-  private val NumHashes = 8
+  private[queries] val NumHashes = 8
 
   /** DuckDB 3-gram shingles: positional slices over the token list
     * (generate_series used as a list, not a lateral table function). */
@@ -68,17 +68,22 @@ object DedupQueries {
   /** LSH band/bucket candidate pairs as CTEs over an in-scope `sig` —
     * shared by the dd_minhash_pairs and dd_components oracles (the
     * clustering oracle builds its edge list from the same pair SQL). */
-  private def lshCandSqlFor(rowsPerBand: Int): String = {
-    val bandSelects = (0 until NumHashes / rowsPerBand).map { b =>
+  /** Band-select union over a sig-shaped relation — the ONE SQL twin of
+    * [[graft.ext.MinHashIndex.bands]], shared by the dd_* oracles and
+    * st_neardup_filter's (independent copies drift — the canonSql
+    * lesson). */
+  private[queries] def bandsSqlOver(rel: String, rowsPerBand: Int): String =
+    (0 until NumHashes / rowsPerBand).map { b =>
       val ms = (0 until rowsPerBand).map(r => s"m${rowsPerBand * b + r}").mkString(", ")
-      s"SELECT id, $b AS band, concat_ws('_', $b, $ms) AS bucket FROM sig"
+      s"SELECT id, $b AS band, concat_ws('_', $b, $ms) AS bucket FROM $rel"
     }.mkString(" UNION ALL ")
-    s"""bands AS ($bandSelects),
+
+  private def lshCandSqlFor(rowsPerBand: Int): String =
+    s"""bands AS (${bandsSqlOver("sig", rowsPerBand)}),
         cand AS (
           SELECT DISTINCT l.id AS a, r.id AS b
           FROM bands l JOIN bands r
             ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)"""
-  }
 
   private def lshCandSql: String = lshCandSqlFor(2)
 
@@ -288,27 +293,30 @@ object DedupQueries {
     * runs between snapshots before trusting a refresh: per-token rates
     * in integer parts-per-million for two snapshot halves (even/odd
     * ids here; in production, yesterday/today), ranked by absolute
-    * shift. Everything is one token-count aggregation with conditional
-    * sums (no per-side scans) and integer-exact ppm arithmetic
-    * (floor(1e6·cnt/total) stays under 2^53, so the double-typed floor
-    * equals DuckDB's integer `//` bit-for-bit). Top-25 by |shift| with
-    * a token tiebreak — deterministic. */
+    * shift. ONE tokenization pass: the corpus aggregates once into the
+    * vocab-sized per-token counts (materialized — two readers below),
+    * and the totals are SUMS OF THE COUNTS, not a second corpus scan.
+    * ppm is INTEGRAL division on int64 (`div`), the exact twin of
+    * DuckDB's `//` at any magnitude — floor over a double quotient
+    * would disagree near integer boundaries once totals pass 2^53/1e6.
+    * Top-25 by |shift| with a token tiebreak — deterministic. */
   val ddDrift = Q("dd_drift",
     (s, dir) => {
       val toks = Dedup.docTokens(docs(s, dir), "doc_id", "text", distinct = false)
-      val sided = toks.select(col("tok"), (col("id") % 2 === 0).as("is_a"))
-      val counts = sided.groupBy("tok").agg(
-        sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
-      val totals = sided.agg(
-        sum(when(col("is_a"), 1L).otherwise(0L)).as("tot_a"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("tot_b"))
-      val ppmA = floor(lit(1000000L) * col("cnt_a") / col("tot_a")).cast("long")
-      val ppmB = floor(lit(1000000L) * col("cnt_b") / col("tot_b")).cast("long")
+      val counts = toks
+        .select(col("tok"), (col("id") % 2 === 0).as("is_a"))
+        .groupBy("tok").agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+        .localCheckpoint(true) // read twice: totals + the report itself
+      val totals = counts.agg(
+        sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
       counts.crossJoin(broadcast(totals))
+        .withColumn("ppm_a", expr("(1000000 * cnt_a) div tot_a"))
+        .withColumn("ppm_b", expr("(1000000 * cnt_b) div tot_b"))
         .select(col("tok"), col("cnt_a"), col("cnt_b"),
-          ppmA.as("ppm_a"), ppmB.as("ppm_b"),
-          (ppmA - ppmB).as("shift_ppm"))
+          col("ppm_a"), col("ppm_b"),
+          (col("ppm_a") - col("ppm_b")).as("shift_ppm"))
         .orderBy(abs(col("shift_ppm")).desc, col("tok").asc)
         .limit(25)
     },

@@ -164,13 +164,12 @@ object StreamingQueries {
                     count(*) AS n_docs
              FROM documents GROUP BY 1 ORDER BY keep_id"""))
 
-  private val MhHashes = 8
+  /** One hash-family constant and one band-SQL generator for the whole
+    * queries package (independent copies drift). */
+  private val MhHashes = DedupQueries.NumHashes
 
-  /** Band-select union over an in-scope sig-shaped relation (DuckDB). */
   private def bandsSqlOver(rel: String): String =
-    (0 until MhHashes / 2).map(b =>
-      s"SELECT id, $b AS band, concat_ws('_', $b, m${2 * b}, m${2 * b + 1}) AS bucket FROM $rel")
-      .mkString(" UNION ALL ")
+    DedupQueries.bandsSqlOver(rel, rowsPerBand = 2)
 
   /** Streaming near-dup PREFILTER against the persisted MinHash index
     * ([[graft.ext.MinHashIndex]]): docs 0–99 are indexed as the

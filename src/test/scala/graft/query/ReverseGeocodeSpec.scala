@@ -41,9 +41,10 @@ class ReverseGeocodeSpec extends SparkSpec {
     assert(!ReverseGeocode.nearest(pts, pois, cellDeg = 180.0).isEmpty)
   }
 
-  test("cross-cell neighbors are found (query on a cell boundary)") {
-    // query sits just west of a cell boundary; POI 2 is in the next cell
-    val pts = Seq((40L, 3.9999, 101.9999)).toDF("qid", "lat", "lon")
+  test("cross-cell neighbors are found (query's own cell is empty)") {
+    // query cell (4, 102) holds NO poi; the nearest (poi 2, cell (3, 101))
+    // is a DIAGONAL neighbor — remove the dx/dy probing and this fails
+    val pts = Seq((40L, 4.0001, 102.0001)).toDF("qid", "lat", "lon")
     val got = ReverseGeocode.nearest(pts, pois, cellDeg = 1.0).collect()
     assert(got.length == 1 && got.head.getLong(1) == 2L)
   }
