@@ -73,7 +73,15 @@ object Bench {
     val headline = results.filter(r => Headline(r._1)).map(_._2).sum
     // a failed query must be visible in the JSON, not silently deflate it
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures only the tail of stdout, which truncates the
+    // per-query map past ~60 entries; persist the full line so every
+    // round's per-query history stays machine-readable.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

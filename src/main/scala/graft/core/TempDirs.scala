@@ -6,12 +6,24 @@ package graft.core
   * is removed recursively at JVM exit — a long Verify+Bench session no
   * longer leaks one full index copy per invocation to /tmp. Production
   * callers pass a real, durable path instead.
+  *
+  * A single shutdown hook drains a shared list: a session that builds an
+  * index per invocation registers one hook thread total, not one per
+  * directory.
   */
 object TempDirs {
 
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def create(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
+    pending.add(p)
+    if (hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        var q = pending.poll()
+        while (q != null) { delete(q.toFile); q = pending.poll() }
+      }))
     p.toString
   }
 

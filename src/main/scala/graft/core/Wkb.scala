@@ -47,7 +47,12 @@ object Wkb {
     if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
-  private def geom(buf: ByteBuffer, sb: StringBuilder): Unit = {
+  /** Reads one geometry header (order marker, type word, optional EWKB
+    * SRID) and returns the base type 1–7. Every header — top level AND
+    * multi-geometry members — goes through here, so an EWKB member with
+    * Z/M flags or a bad order marker hits the same loud rejection as a
+    * top-level one instead of misparsing coordinates. */
+  private def header(buf: ByteBuffer): Int = {
     val order = buf.get()
     buf.order(
       if (order == 1) ByteOrder.LITTLE_ENDIAN
@@ -61,26 +66,26 @@ object Wkb {
     // Z/M flag bits (0xC0000000)
     require(base >= 1 && base <= 7 && (rawType & 0xC0000000) == 0,
       s"unsupported WKB geometry type $rawType (Z/M or unknown)")
+    base
+  }
+
+  /** Validated member header for a homogeneous multi-geometry. */
+  private def memberHeader(buf: ByteBuffer, expected: Int, in: String): Unit = {
+    val base = header(buf)
+    require(base == expected, s"$in member type $base (expected $expected)")
+  }
+
+  private def geom(buf: ByteBuffer, sb: StringBuilder): Unit = {
+    val base = header(buf)
     sb.append(TypeNames(base)).append(' ')
     base match {
       case 1 => point(buf, sb)
       case 2 => ring(buf, sb)
       case 3 => rings(buf, sb)
-      case 4 => collect(buf, sb, inner = b => { // each point has its own header
-        val o = b.get(); b.order(if (o == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-        val t = b.getInt(); require((t & 0x0FFFFFFF) == 1, s"MULTIPOINT member type $t")
-        point(b, sb)
-      })
-      case 5 => collect(buf, sb, inner = b => {
-        val o = b.get(); b.order(if (o == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-        val t = b.getInt(); require((t & 0x0FFFFFFF) == 2, s"MULTILINESTRING member type $t")
-        ring(b, sb)
-      })
-      case 6 => collect(buf, sb, inner = b => {
-        val o = b.get(); b.order(if (o == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-        val t = b.getInt(); require((t & 0x0FFFFFFF) == 3, s"MULTIPOLYGON member type $t")
-        rings(b, sb)
-      })
+      // each multi-geometry member carries its own full header
+      case 4 => collect(buf, sb, inner = b => { memberHeader(b, 1, "MULTIPOINT"); point(b, sb) })
+      case 5 => collect(buf, sb, inner = b => { memberHeader(b, 2, "MULTILINESTRING"); ring(b, sb) })
+      case 6 => collect(buf, sb, inner = b => { memberHeader(b, 3, "MULTIPOLYGON"); rings(b, sb) })
       case 7 => collect(buf, sb, inner = b => geom(b, sb))
     }
   }

@@ -75,13 +75,21 @@ object QuackOsmAdapter {
   /** `--osm-tags-filter-file` equivalent: keep features where SOME
     * listed key matches (empty value-set = any value, like the QuackOSM
     * `true` form). Apply BEFORE [[adapt]] — it prunes on the tags map
-    * alone, so dropped features never pay for WKB decoding. */
-  def tagsFilter(filter: Map[String, Seq[String]]): Column =
+    * alone, so dropped features never pay for WKB decoding.
+    *
+    * An empty map is rejected: a caller translating an empty
+    * `--osm-tags-filter-file` should skip the filter entirely (QuackOSM
+    * with no filter keeps everything), and silently returning
+    * `lit(true)` would hide that a filter file failed to parse. */
+  def tagsFilter(filter: Map[String, Seq[String]]): Column = {
+    require(filter.nonEmpty,
+      "tagsFilter needs at least one tag key; omit the filter to keep all features")
     filter.map { case (k, vs) =>
       val present = element_at(col("tags"), k).isNotNull
       if (vs.isEmpty) present
       else present && element_at(col("tags"), k).isInCollection(vs)
     }.reduceLeft(_ || _)
+  }
 
   /** `--geom-filter-bbox` equivalent, applied AFTER [[adapt]] via
     * `.transform(...)`: keep features whose envelope overlaps the box.

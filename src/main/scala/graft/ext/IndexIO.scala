@@ -11,18 +11,27 @@ import org.apache.spark.sql.SparkSession
   * The staging pattern here shrinks that to a fail-LOUD window: every
   * table is written under a fresh staging directory sibling to the
   * destination, then ONE directory rename publishes the whole index.
-  * A reader races only the rename-aside→rename-in instant, where the
-  * path is briefly absent and the read errors — it can never observe
-  * mixed tables — and a crash inside that instant leaves the previous
-  * index intact under a `dest-old-*` sibling for recovery. Concurrent
-  * WRITERS to the same destination remain single-writer-by-contract
-  * (last rename wins).
+  * On a rename-atomic filesystem (file://, HDFS) a reader races only
+  * the rename-aside→rename-in instant, where the path is briefly
+  * absent and the read errors — it can never observe mixed tables —
+  * and a crash inside that instant leaves the previous index intact
+  * under a `dest-old-*` sibling for recovery. Concurrent WRITERS to
+  * the same destination remain single-writer-by-contract (last rename
+  * wins).
+  *
+  * OBJECT STORES (s3a:// and friends) are weaker: a directory "rename"
+  * is a non-atomic copy+delete, so a concurrent reader can observe a
+  * partially-copied index and a crash mid-copy leaves a partial
+  * destination. Deployments serving from an object store need one
+  * more indirection this module deliberately leaves to the deployment:
+  * write each build to a fresh versioned directory and flip a small
+  * current-pointer file (a single-object PUT, which IS atomic) — the
+  * staged-write half of this pattern still applies unchanged.
   */
 private[ext] object IndexIO {
 
   /** Staging path: sibling of `dest` so the rename stays within one
-    * filesystem (object-store "renames" of nested dirs are copies, but
-    * stay correct — the publish point is still the single rename). */
+    * filesystem. */
   def stagingFor(dest: String): String =
     s"$dest-staging-${java.util.UUID.randomUUID().toString.take(8)}"
 

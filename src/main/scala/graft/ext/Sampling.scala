@@ -17,30 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Temperature-flattening group re-sampler (the "domain mixing" step
-    * of corpus assembly, cf. the data-mixture weighting used by large
-    * LM corpora): group g is kept at rate `sqrt(min_g n_g / n_g)`, so
-    * the rarest group is kept whole and a group 4x its size keeps half
-    * — flattening the mix toward (but not past) uniform, without
-    * upsampling.
-    *
-    * The exponent is FIXED at 1/2 (temperature 2) because IEEE-754
-    * `sqrt` is correctly rounded and therefore engine-portable, while
-    * `pow(x, alpha)` is not (libm implementations differ in the last
-    * ulp, which a floor() then amplifies to a membership flip). The
-    * keep threshold is materialized per group in integer
-    * parts-per-million; membership is `hash(salt:id) mod 1e6 <
-    * threshold`.
-    *
-    * Scale shape: one partial-agg groupBy over the weight column (the
-    * group-cardinality relation is domains-sized, i.e. tiny), a
-    * broadcast join of the per-group thresholds back onto the corpus,
-    * and a narrow filter. Nothing shuffles the corpus.
-    *
-    * @param weight per-row mass to weight groups by — typically a token
-    *               count (mix by token budget), or `lit(1L)` for doc
-    *               counts.
-    */
   /** Hash-bucketed NEGATIVE SAMPLING for contrastive training pairs:
     * `k` deterministic pseudo-random negatives per query, WITHOUT a
     * query × corpus cross join. Each corpus doc lands in one of
@@ -83,6 +59,30 @@ object Sampling {
       .select("qid", "slot", "neg_id")
   }
 
+  /** Temperature-flattening group re-sampler (the "domain mixing" step
+    * of corpus assembly, cf. the data-mixture weighting used by large
+    * LM corpora): group g is kept at rate `sqrt(min_g n_g / n_g)`, so
+    * the rarest group is kept whole and a group 4x its size keeps half
+    * — flattening the mix toward (but not past) uniform, without
+    * upsampling.
+    *
+    * The exponent is FIXED at 1/2 (temperature 2) because IEEE-754
+    * `sqrt` is correctly rounded and therefore engine-portable, while
+    * `pow(x, alpha)` is not (libm implementations differ in the last
+    * ulp, which a floor() then amplifies to a membership flip). The
+    * keep threshold is materialized per group in integer
+    * parts-per-million; membership is `hash(salt:id) mod 1e6 <
+    * threshold`.
+    *
+    * Scale shape: one partial-agg groupBy over the weight column (the
+    * group-cardinality relation is domains-sized, i.e. tiny), a
+    * broadcast join of the per-group thresholds back onto the corpus,
+    * and a narrow filter. Nothing shuffles the corpus.
+    *
+    * @param weight per-row mass to weight groups by — typically a token
+    *               count (mix by token budget), or `lit(1L)` for doc
+    *               counts.
+    */
   def temperatureMix(docs: DataFrame, group: String, id: String,
                      weight: Column, salt: String = "mix"): DataFrame = {
     val scale = 1000000L

@@ -76,6 +76,31 @@ class QuackOsmAdapterSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wkb.toWkt(truncPoly.array()))
   }
 
+  test("Wkb.toWkt: multi-geometry MEMBER headers validated like top level") {
+    // EWKB Z flag on a MULTIPOINT member: loud rejection, not misparse
+    val zMember = ByteBuffer.allocate(9 + 29).order(ByteOrder.LITTLE_ENDIAN)
+    zMember.put(1.toByte).putInt(4).putInt(1) // MULTIPOINT of 1
+      .put(1.toByte).putInt(1 | 0x80000000).putDouble(1).putDouble(2).putDouble(3)
+    val eZ = intercept[IllegalArgumentException](Wkb.toWkt(zMember.array()))
+    assert(eZ.getMessage.contains("Z/M or unknown"))
+    // EWKB SRID flag on a member is skipped, same as at top level
+    val sridMember = ByteBuffer.allocate(9 + 25).order(ByteOrder.LITTLE_ENDIAN)
+    sridMember.put(1.toByte).putInt(4).putInt(1)
+      .put(1.toByte).putInt(1 | 0x20000000).putInt(4326).putDouble(3).putDouble(4)
+    assert(Wkb.toWkt(sridMember.array()) == "MULTIPOINT ((3 4))")
+    // bad member byte-order marker: rejected, not treated as big-endian
+    val badOrder = ByteBuffer.allocate(9 + 21).order(ByteOrder.LITTLE_ENDIAN)
+    badOrder.put(1.toByte).putInt(5).putInt(1) // MULTILINESTRING of 1
+      .put(7.toByte).putInt(2).putDouble(0).putDouble(0)
+    val eOrd = intercept[IllegalArgumentException](Wkb.toWkt(badOrder.array()))
+    assert(eOrd.getMessage.contains("byte-order"))
+    // wrong member type inside a MULTIPOLYGON still rejected
+    val wrongType = ByteBuffer.allocate(9 + 21).order(ByteOrder.LITTLE_ENDIAN)
+    wrongType.put(1.toByte).putInt(6).putInt(1)
+      .put(1.toByte).putInt(1).putDouble(0).putDouble(0) // a POINT member
+    intercept[IllegalArgumentException](Wkb.toWkt(wrongType.array()))
+  }
+
   test("feature ids: disjoint per type, numeric suffix preserved, malformed rejected") {
     val n = QuackOsmAdapter.parseFeatureId("node/240109189")
     val w = QuackOsmAdapter.parseFeatureId("way/240109189")
@@ -132,5 +157,9 @@ class QuackOsmAdapterSpec extends SparkSpec {
     val bf = adapted.transform(QuackOsmAdapter.bboxFilter(101.5, 3.0, 101.8, 3.3))
     assert(bf.select("id").count() == 4)
     assert(bf.columns.toSeq == adapted.columns.toSeq) // helper column dropped
+    // empty filter map fails with a clear message, not reduceLeft noise
+    val eEmpty = intercept[IllegalArgumentException](
+      QuackOsmAdapter.tagsFilter(Map.empty))
+    assert(eEmpty.getMessage.contains("at least one tag key"))
   }
 }
