@@ -35,6 +35,47 @@ private[ext] object IndexIO {
   def stagingFor(dest: String): String =
     s"$dest-staging-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Shard ids present under a shard-partitioned table root (`shard=N`
+    * subdirectories, Hive partition-dir naming so a plain
+    * `spark.read.parquet(root)` discovers them). Driver-side directory
+    * listing — one RPC, never a data read. */
+  def shardIds(spark: SparkSession, tableRoot: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = fsOf(spark, tableRoot)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("shard=") => s.stripPrefix("shard=").toInt }
+      .sorted
+  }
+
+  /** Hidden staging dir for a single-shard append: lives UNDER the
+    * table root (same filesystem, one rename away) but starts with
+    * `_`, which Spark's file listing skips — a crash mid-write leaves
+    * invisible garbage, never a partial shard in query results. */
+  def shardStagingFor(tableRoot: String): String =
+    s"$tableRoot/_shard-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Publish one NEW shard: a single rename of the hidden staging dir
+    * to `root/shard=N`. The destination must not exist (appends only
+    * ever add shards; rewriting history is [[publish]]'s job via a
+    * full-index staging). On a rename-atomic filesystem a reader sees
+    * the shard fully or not at all — there is no aside/restore dance
+    * because nothing pre-existing is touched. */
+  def publishShard(spark: SparkSession, staging: String, destShard: String): Unit = {
+    val fs = fsOf(spark, destShard)
+    val dest = new org.apache.hadoop.fs.Path(destShard)
+    if (fs.exists(dest))
+      throw new java.io.IOException(s"shard publish: $destShard already exists")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dest))
+      throw new java.io.IOException(s"shard publish rename $staging -> $destShard failed")
+  }
+
   /** Replace `dest` with `staging` via the Hadoop filesystem of the
     * path (hdfs:// and s3a:// work like file://). The old index is
     * renamed ASIDE first, not deleted: a crash between the two renames

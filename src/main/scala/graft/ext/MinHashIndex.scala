@@ -49,53 +49,94 @@ object MinHashIndex {
     Dedup.minhashSignature(tokens, numHashes)
       .repartitionByRange(partitions, col("id"))
       .sortWithinPartitions("id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
     val sigStored = spark.read.parquet(s"$staging/signatures")
     bands(sigStored, numHashes, rowsPerBand)
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
     IndexIO.publish(spark, staging, path)
   }
 
+  /** MinHash width of a stored signature table (count of `mN` fields —
+    * schema-derived so the check survives the `shard` partition
+    * column). */
+  private def storedWidth(sig: DataFrame): Int =
+    sig.schema.fieldNames.count(_.matches("m\\d+"))
+
   /** Append new documents' signatures to a stored index WITHOUT a full
     * rebuild — the incremental-crawl refresh path (the [[VectorIndex.append]]
-    * twin). New (id, tok) rows are signed with the same hash family,
-    * their band keys derived identically, both tables re-laid-out and
-    * republished by one rename. Reading the old tables while writing to
-    * staging is safe — the destination is untouched until the rename.
+    * twin). New (id, tok) rows are signed with the same hash family and
+    * written as ONE NEW shard of each table (`signatures/shard=K`,
+    * `buckets/shard=K`): existing shard files are never read, rewritten,
+    * or moved — at 100 TB an append costs only the new crawl batch, not
+    * the corpus. Band keys for the new shard derive from its JUST-WRITTEN
+    * signatures, and bands(A ∪ B) = bands(A) ∪ bands(B) (the key is a
+    * pure per-row function), so the union-of-shards view is identical to
+    * a rebuild's.
     *
-    * Equivalence: append(write(A), B) ≡ write(A ∪ B) bit-for-bit for
-    * disjoint id sets (signatures are per-id aggregates; the layout
-    * re-sort makes union order immaterial) — spec-pinned. Appending ids
+    * Publish order is a correctness contract: the signature shard
+    * renames in FIRST. An orphan signature shard (crash before the
+    * bucket rename) generates no candidates — readers see the
+    * pre-append answer; the reverse order could surface bucket hits
+    * whose signature rows don't exist yet and silently DROP pairs at
+    * the scoring join.
+    *
+    * Equivalence: pairs after append(write(A), B) ≡ pairs after
+    * write(A ∪ B) for disjoint id sets — spec-pinned, along with
+    * pre-existing shard files staying byte-identical. Appending ids
     * already present would produce DUPLICATE signature rows, not merged
     * ones (MinHash of a doc's token set is not incrementally mergeable
     * from two partial token sets unless the split is exact) — callers
     * route re-crawled docs through [[Dedup.snapshotDiff]] and rebuild
-    * or retire those ids first. */
+    * or retire those ids first. Many tiny appends accumulate shards —
+    * [[compact]] folds them back to one. */
   def append(tokens: DataFrame, path: String, numHashes: Int,
              rowsPerBand: Int, partitions: Int = 8): Unit = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val spark = tokens.sparkSession
-    val staging = IndexIO.stagingFor(path)
-    val oldSig = spark.read.parquet(s"$path/signatures")
     // a numHashes that disagrees with the stored signature width would
-    // silently re-band the whole index with different keys; fail loudly
-    // against the stored schema instead (id + m0..m{n-1})
-    require(oldSig.schema.fieldNames.length - 1 == numHashes,
-      s"stored index at $path has ${oldSig.schema.fieldNames.length - 1} " +
-        s"minhashes, append called with numHashes=$numHashes")
+    // silently band the new shard with different keys; fail loudly
+    // against the stored schema instead (id + m0..m{n-1} + shard)
+    val stored = storedWidth(spark.read.parquet(s"$path/signatures"))
+    require(stored == numHashes,
+      s"stored index at $path has $stored minhashes, " +
+        s"append called with numHashes=$numHashes")
+    val next = IndexIO.shardIds(spark, s"$path/signatures").lastOption.getOrElse(-1) + 1
+    val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
     Dedup.minhashSignature(tokens, numHashes)
-      .unionByName(oldSig)
       .repartitionByRange(partitions, col("id"))
       .sortWithinPartitions("id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures")
-    val sigStored = spark.read.parquet(s"$staging/signatures")
-    bands(sigStored, numHashes, rowsPerBand)
+      .write.mode(SaveMode.Overwrite).parquet(sigStaging)
+    IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
+    val newSig = spark.read.parquet(s"$path/signatures/shard=$next")
+    val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
+    bands(newSig, numHashes, rowsPerBand)
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      .write.mode(SaveMode.Overwrite).parquet(bktStaging)
+    IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
+  }
+
+  /** Fold all shards of both tables back into one (`shard=0`) — the
+    * compaction counterpart to [[append]]'s accumulate-shards contract.
+    * Rewrites history, so it goes through the full staging +
+    * aside-protected rename ([[IndexIO.publish]]); pair results are
+    * unchanged, only layout (and the band self-join's file-read count)
+    * improves. */
+  def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
+    val staging = IndexIO.stagingFor(path)
+    val sig = spark.read.parquet(s"$path/signatures")
+    sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*)
+      .repartitionByRange(partitions, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
+    spark.read.parquet(s"$path/buckets")
+      .select("id", "band", "bucket")
+      .repartitionByRange(partitions, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
     IndexIO.publish(spark, staging, path)
   }
 

@@ -50,39 +50,60 @@ object VectorIndex {
       .select(col("cid"), col("cand_id"), col("c_emb"))
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
     IndexIO.publish(corpus.sparkSession, staging, path)
   }
 
   /** Append new vectors to a stored index WITHOUT a full rebuild: the
     * streaming-ingest path. New vectors are assigned against the STORED
     * centroids (no retrain — the coarse quantizer stays fixed, the
-    * standard IVF ingest contract), unioned with the existing postings,
-    * and re-laid-out; the result publishes by the same single rename as
-    * [[write]]. Reading the old postings while writing to staging is
-    * safe — the destination is untouched until the rename.
+    * standard IVF ingest contract) and written as ONE NEW posting
+    * shard (`postings/shard=K`, K = max existing + 1): existing shard
+    * files are never read, rewritten, or moved — at 100 TB an append
+    * costs only the new batch, not the index. The shard is staged in a
+    * hidden `_shard-staging-*` dir under the posting root and published
+    * by a single rename ([[IndexIO.publishShard]]); a crash mid-write
+    * leaves invisible garbage, never a partial shard.
     *
     * Equivalence: for the same final corpus and the same centroids,
-    * append(write(A), B) ≡ write(A ∪ B) bit-for-bit (assignment is a
-    * pure per-row function of the centroid table; the layout re-sort
-    * makes the union order immaterial) — `VectorIndexSpec` pins it.
-    * At 100 TB the union+re-sort rewrites only `partitions` output
-    * files of posting data; with date- or shard-partitioned posting
-    * roots the rewrite narrows to the touched shards. */
+    * topK over append(write(A), B) ≡ topK over write(A ∪ B)
+    * (assignment is a pure per-row function of the centroid table and
+    * the serving re-rank is order-free) — `VectorIndexSpec` pins result
+    * parity AND that pre-existing shard files stay byte-identical.
+    * Each shard is itself cid-range-laid-out, so a probe prunes row
+    * groups within every shard; many tiny appends accumulate shards
+    * (and per-probe file reads) — [[compact]] folds them back to one. */
   def append(newVectors: DataFrame, path: String, partitions: Int = 8): Unit = {
     val spark = newVectors.sparkSession
-    val staging = IndexIO.stagingFor(path)
     val centStored = spark.read.parquet(s"$path/centroids")
-    centStored.write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    val next = IndexIO.shardIds(spark, s"$path/postings").lastOption.getOrElse(-1) + 1
+    val staging = IndexIO.shardStagingFor(s"$path/postings")
     val q = newVectors.select(col("vec_id").as("cand_id"),
       Similarity.quantize(col("embedding")).as("c_emb"))
-    val appended = Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
+    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
       .select(col("cid"), col("cand_id"), col("c_emb"))
-    spark.read.parquet(s"$path/postings")
-      .unionByName(appended)
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
+  }
+
+  /** Fold all posting shards back into one (`shard=0`): the compaction
+    * counterpart to [[append]]'s accumulate-shards contract. Reads every
+    * shard, re-lays the union by cid, and republishes the WHOLE index
+    * (centroids copied unchanged) via the full staging rename — the one
+    * operation here that rewrites history, so it gets [[IndexIO.publish]]'s
+    * aside/restore protection. Serving results are unchanged; only the
+    * file layout (and per-probe file-read count) improves. */
+  def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
+    val staging = IndexIO.stagingFor(path)
+    spark.read.parquet(s"$path/centroids")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
+    spark.read.parquet(s"$path/postings")
+      .select(col("cid"), col("cand_id"), col("c_emb"))
+      .repartitionByRange(partitions, col("cid"))
+      .sortWithinPartitions("cid", "cand_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
     IndexIO.publish(spark, staging, path)
   }
 

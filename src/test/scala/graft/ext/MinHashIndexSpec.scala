@@ -53,7 +53,7 @@ class MinHashIndexSpec extends SparkSpec {
     assert(parent.listFiles.map(_.getName).filter(_.contains("staging")).isEmpty)
   }
 
-  test("append equals rebuild bit-for-bit for the same final corpus") {
+  test("append equals rebuild and never touches existing shard files") {
     val pA = java.nio.file.Files
       .createTempDirectory("graft-mhindex-app").toString + "/idx"
     val pB = java.nio.file.Files
@@ -61,15 +61,32 @@ class MinHashIndexSpec extends SparkSpec {
     def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
       docsDf.filter(pred), "doc_id", "text", distinct = false)
     MinHashIndex.write(toksOf(col("doc_id") <= 2), pA, NumHashes, rowsPerBand = 2)
+    val sigBefore = ShardFiles.snapshot(s"$pA/signatures/shard=0")
+    val bktBefore = ShardFiles.snapshot(s"$pA/buckets/shard=0")
+    assert(sigBefore.nonEmpty && bktBefore.nonEmpty)
     MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
+    // only NEW shards appeared; the original shard files are untouched
+    assert(ShardFiles.snapshot(s"$pA/signatures/shard=0") == sigBefore)
+    assert(ShardFiles.snapshot(s"$pA/buckets/shard=0") == bktBefore)
+    assert(IndexIO.shardIds(spark, s"$pA/signatures") == Seq(0, 1))
+    assert(IndexIO.shardIds(spark, s"$pA/buckets") == Seq(0, 1))
     MinHashIndex.write(toks, pB, NumHashes, rowsPerBand = 2)
     val a = MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
     val b = MinHashIndex.pairs(spark, pB, NumHashes).orderBy("a", "b").collect()
     assert(a.nonEmpty && a.sameElements(b))
-    // tables, not just answers
-    val sa = spark.read.parquet(s"$pA/signatures").orderBy("id").collect()
-    val sb = spark.read.parquet(s"$pB/signatures").orderBy("id").collect()
+    // signature ROWS equal the rebuild's (layout aside)
+    val mcols = (0 until NumHashes).map(i => s"m$i")
+    val sa = spark.read.parquet(s"$pA/signatures")
+      .select("id", mcols: _*).orderBy("id").collect()
+    val sb = spark.read.parquet(s"$pB/signatures")
+      .select("id", mcols: _*).orderBy("id").collect()
     assert(sa.sameElements(sb))
+    // compact folds shards back to one; pair results are unchanged
+    MinHashIndex.compact(spark, pA)
+    assert(IndexIO.shardIds(spark, s"$pA/signatures") == Seq(0))
+    assert(IndexIO.shardIds(spark, s"$pA/buckets") == Seq(0))
+    val c = MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
+    assert(c.sameElements(b))
   }
 
   test("band keys: persisted table matches the shared construction") {

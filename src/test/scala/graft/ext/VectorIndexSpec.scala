@@ -37,7 +37,7 @@ class VectorIndexSpec extends SparkSpec {
       s"cid IN filter not pushed to the postings scan:\n$plan")
   }
 
-  test("append equals rebuild bit-for-bit for the same final corpus") {
+  test("append equals rebuild and never touches existing shard files") {
     // initial corpus holds the nCentroids smallest ids, so the seed
     // centroids of the split build equal those of the full rebuild
     val first = emb.filter(col("vec_id") < 40)
@@ -45,7 +45,16 @@ class VectorIndexSpec extends SparkSpec {
     val pA = java.nio.file.Files.createTempDirectory("graft-vindex-app").toString + "/idx"
     val pB = java.nio.file.Files.createTempDirectory("graft-vindex-reb").toString + "/idx"
     VectorIndex.write(first, pA, nCentroids = 8)
+    val before = ShardFiles.snapshot(s"$pA/postings/shard=0")
+    assert(before.nonEmpty)
     VectorIndex.append(rest, pA)
+    // the append wrote ONLY a new shard: shard=0's files are
+    // byte-identical and the new rows live under shard=1
+    assert(ShardFiles.snapshot(s"$pA/postings/shard=0") == before)
+    assert(IndexIO.shardIds(spark, s"$pA/postings") == Seq(0, 1))
+    assert(spark.read.parquet(s"$pA/postings")
+      .filter(col("shard") === 1).select("cand_id").collect()
+      .forall(_.getLong(0) >= 40))
     VectorIndex.write(emb, pB, nCentroids = 8)
     val qs = emb.filter(col("vec_id") < 5)
     val a = VectorIndex.topK(spark, pA, qs, k = 5, nprobe = 2)
@@ -53,10 +62,19 @@ class VectorIndexSpec extends SparkSpec {
     val b = VectorIndex.topK(spark, pB, qs, k = 5, nprobe = 2)
       .orderBy("query_id", "rank").collect()
     assert(a.nonEmpty && a.sameElements(b))
-    // and the postings TABLES are identical, not just the answers
-    val ta = spark.read.parquet(s"$pA/postings").orderBy("cid", "cand_id").collect()
-    val tb = spark.read.parquet(s"$pB/postings").orderBy("cid", "cand_id").collect()
+    // the postings ROWS are identical to the rebuild's (layout aside)
+    val cols = Seq("cid", "cand_id", "c_emb")
+    val ta = spark.read.parquet(s"$pA/postings")
+      .select(cols.map(col): _*).orderBy("cid", "cand_id").collect()
+    val tb = spark.read.parquet(s"$pB/postings")
+      .select(cols.map(col): _*).orderBy("cid", "cand_id").collect()
     assert(ta.sameElements(tb))
+    // compact folds the two shards back to one; serving is unchanged
+    VectorIndex.compact(spark, pA)
+    assert(IndexIO.shardIds(spark, s"$pA/postings") == Seq(0))
+    val c = VectorIndex.topK(spark, pA, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(c.sameElements(b))
   }
 
   test("trained centroids drop in: write(iterations=2) serves and stays deterministic") {
