@@ -171,6 +171,22 @@ object StreamingQueries {
   private def bandsSqlOver(rel: String): String =
     DedupQueries.bandsSqlOver(rel, rowsPerBand = 2)
 
+  /** DuckDB twin of [[graft.ext.Dedup.minhashSignature]] over a doc_id
+    * predicate — shared by the two near-dup streaming oracles so the
+    * signature SQL cannot drift between them. */
+  private def mhSigSqlOf(pred: String): String = {
+    val toks =
+      s"""SELECT DISTINCT doc_id AS id,
+            unnest(list_filter(string_split(${TextQueries.canonSql}, ' '), x -> x <> '')) AS tok
+          FROM documents WHERE $pred"""
+    val mins = (0 until MhHashes).map(i =>
+      s"min((h * ${graft.ext.Dedup.minhashA(i)} + ${graft.ext.Dedup.minhashB(i)}) % ${graft.ext.Dedup.MinhashPrime}) AS m$i")
+      .mkString(", ")
+    s"""SELECT id, $mins FROM (
+          SELECT id, ${DedupQueries.portableHash("tok")} AS h FROM ($toks)
+        ) GROUP BY id"""
+  }
+
   /** Streaming near-dup PREFILTER against the persisted MinHash index
     * ([[graft.ext.MinHashIndex]]): docs 0–99 are indexed as the
     * "already-crawled corpus", docs 100–199 replay as the incoming
@@ -206,27 +222,79 @@ object StreamingQueries {
       }
       replayed.orderBy("doc_id")
     },
-    Some {
-      val toks = (pred: String) =>
-        s"""SELECT DISTINCT doc_id AS id,
-              unnest(list_filter(string_split(${TextQueries.canonSql}, ' '), x -> x <> '')) AS tok
-            FROM documents WHERE $pred"""
-      val mins = (0 until MhHashes).map(i =>
-        s"min((h * ${graft.ext.Dedup.minhashA(i)} + ${graft.ext.Dedup.minhashB(i)}) % ${graft.ext.Dedup.MinhashPrime}) AS m$i")
-        .mkString(", ")
-      def sigOf(pred: String) =
-        s"""SELECT id, $mins FROM (
-              SELECT id, ${DedupQueries.portableHash("tok")} AS h FROM (${toks(pred)})
-            ) GROUP BY id"""
-      s"""WITH sig_idx AS (${sigOf("doc_id < 100")}),
-            sig_q AS (${sigOf("doc_id >= 100 AND doc_id < 200")}),
+    Some(
+      s"""WITH sig_idx AS (${mhSigSqlOf("doc_id < 100")}),
+            sig_q AS (${mhSigSqlOf("doc_id >= 100 AND doc_id < 200")}),
             b_idx AS (${bandsSqlOver("sig_idx")}),
             b_q AS (${bandsSqlOver("sig_q")})
           SELECT q.id AS doc_id, count(*) AS n_hits
           FROM b_q q JOIN b_idx x ON q.band = x.band AND q.bucket = x.bucket
-          GROUP BY 1 ORDER BY doc_id"""
-    })
+          GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Index FRESHNESS in the crawl loop: the missing composition between
+    * [[stNearDupFilter]] (static index, one stream generation) and
+    * [[graft.ext.MinHashIndex.append]] (shard-local index growth).
+    * Docs 0–99 are indexed; generation 1 (docs 100–149) streams against
+    * that index; the generation-1 batch is then APPENDED (a new shard —
+    * no existing posting file is rewritten); generation 2 (docs
+    * 150–199) streams against the refreshed index and must collide
+    * with BOTH halves. Each generation re-opens the bucket table so the
+    * stream-static join sees the index as of its own start — the
+    * between-microbatch refresh a real crawl loop runs, here pinned at
+    * generation granularity where the oracle can recompute both joins
+    * exactly. */
+  val stNearDupRefresh = Q("st_neardup_refresh",
+    (s, dir) => {
+      val idxPath = graft.core.TempDirs.create("graft-mh-refresh-")
+      def toksOf(pred: org.apache.spark.sql.Column) = graft.ext.Dedup.docTokens(
+        Tables.table(s, dir, "documents").filter(pred),
+        "doc_id", "text", distinct = false)
+      graft.ext.MinHashIndex.write(
+        toksOf(col("doc_id") < 100), idxPath, MhHashes, rowsPerBand = 2)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def generation(lo: Int, hi: Int): org.apache.spark.sql.DataFrame = {
+        // re-open the bucket table NOW: the static side must reflect the
+        // index state at this generation's start, including shards
+        // appended since the previous one
+        val buckets = s.read.parquet(s"$idxPath/buckets")
+          .select(col("band"), col("bucket"), col("id").as("index_id"))
+        withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir)
+            .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
+            .join(buckets, Seq("band", "bucket"))
+            .groupBy(col("id").as("doc_id"))
+            .agg(count(lit(1)).as("n_hits"))
+          StreamOps.replayToTable(s, hits,
+            s"st_refresh_${lo}_${System.nanoTime()}", "complete")
+        }
+      }
+      val gen1 = generation(100, 150)
+      graft.ext.MinHashIndex.append(
+        toksOf(col("doc_id") >= 100 && col("doc_id") < 150),
+        idxPath, MhHashes, rowsPerBand = 2)
+      val gen2 = generation(150, 200)
+      gen1.unionByName(gen2).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH sig_idx1 AS (${mhSigSqlOf("doc_id < 100")}),
+            sig_idx2 AS (${mhSigSqlOf("doc_id < 150")}),
+            sig_q1 AS (${mhSigSqlOf("doc_id >= 100 AND doc_id < 150")}),
+            sig_q2 AS (${mhSigSqlOf("doc_id >= 150 AND doc_id < 200")}),
+            b_idx1 AS (${bandsSqlOver("sig_idx1")}),
+            b_idx2 AS (${bandsSqlOver("sig_idx2")}),
+            b_q1 AS (${bandsSqlOver("sig_q1")}),
+            b_q2 AS (${bandsSqlOver("sig_q2")})
+          SELECT doc_id, n_hits FROM (
+            SELECT q.id AS doc_id, count(*) AS n_hits FROM b_q1 q
+            JOIN b_idx1 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
+            UNION ALL
+            SELECT q.id AS doc_id, count(*) AS n_hits FROM b_q2 q
+            JOIN b_idx2 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
+          ) ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
-    stStreamDedup, stEnrich, stNearDupFilter)
+    stStreamDedup, stEnrich, stNearDupFilter, stNearDupRefresh)
 }
