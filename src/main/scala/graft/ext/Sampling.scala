@@ -32,12 +32,39 @@ object Sampling {
     * A self-pair (negative == its own query id) is excluded; an empty
     * probed bucket yields no row for that slot (both engines agree, so
     * this too is deterministic — size `nBuckets` ≪ corpus to make it
-    * rare). Output: (qid, slot, neg_id), slot 1-based. */
+    * rare). Output: (qid, slot, neg_id), slot 1-based.
+    *
+    * `nBuckets ≤ 0` (the default) AUTO-SIZES from the corpus:
+    * `max(16, corpusCount / 64)` — bucket size stays ~64 however the
+    * corpus grows, so per-slot candidate work is flat at 100 TB instead
+    * of inheriting a fixture-pinned constant (the
+    * [[Dedup.bloomDecontaminate]] count-don't-guess treatment; the
+    * count is one job over the corpus scan). The formula is integer
+    * arithmetic on the exact count, so an oracle replays it from the
+    * same relation. Pass an explicit `nBuckets` only to pin a layout
+    * (or skip the count when cardinality is known a priori). */
   def negativeSample(queryIds: DataFrame, corpus: DataFrame,
                      qidCol: String, docIdCol: String,
-                     k: Int, nBuckets: Int,
+                     k: Int, nBuckets: Int = -1,
                      salt: String = "neg"): DataFrame = {
-    require(k > 0 && nBuckets > 0, s"need k > 0 and nBuckets > 0, got $k, $nBuckets")
+    require(k > 0, s"need k > 0, got $k")
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else math.max(AutoMinBuckets, corpus.count() / AutoBucketSize).toInt
+    negativeSamplePinned(queryIds, corpus, qidCol, docIdCol, k, buckets, salt)
+  }
+
+  /** Auto-size constants for [[negativeSample]]: floor of 16 buckets,
+    * target bucket cardinality ~64 docs. Public so an external oracle
+    * can replay `max(AutoMinBuckets, count / AutoBucketSize)`. */
+  val AutoMinBuckets = 16L
+  val AutoBucketSize = 64L
+
+  private def negativeSamplePinned(queryIds: DataFrame, corpus: DataFrame,
+                                   qidCol: String, docIdCol: String,
+                                   k: Int, nBuckets: Int,
+                                   salt: String): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
     val cands = corpus.select(
       col(docIdCol).cast("long").as("neg_id"),
       pmod(Dedup.tokenHash(concat(lit(salt + ":"),

@@ -158,27 +158,33 @@ object CurationQueries {
 
   /** Contrastive negative sampling ([[Sampling.negativeSample]]): 3
     * deterministic negatives per query doc via hash-bucket probes — one
-    * equality join, no query × corpus product. The oracle replays the
-    * identical md5 draw arithmetic, so the sampled ids hash-match
-    * bit-for-bit. */
+    * equality join, no query × corpus product. Bucket count AUTO-SIZES
+    * from the corpus (`max(16, count/64)` — bucket cardinality stays
+    * ~64 at any scale, so per-slot work doesn't grow with the corpus);
+    * the oracle replays the same integer formula from the same relation
+    * plus the identical md5 draw arithmetic, so the sampled ids
+    * hash-match bit-for-bit at every scale factor. */
   val taNegatives = Q("ta_negatives",
     (s, dir) => {
       val d = docs(s, dir)
       Sampling.negativeSample(
         d.filter(col("doc_id") % 17 === 3), d,
-        "doc_id", "doc_id", k = 3, nBuckets = 16)
+        "doc_id", "doc_id", k = 3)
         .orderBy("qid", "slot")
     },
     Some {
+      val nbSql = s"greatest(${Sampling.AutoMinBuckets}, " +
+        s"(SELECT count(*) FROM documents) // ${Sampling.AutoBucketSize})"
       val bucketOf = (e: String) =>
-        s"(${hashSql(s"concat_ws(':', 'neg', $e)")} % 16)"
-      s"""WITH cands AS (
+        s"(${hashSql(s"concat_ws(':', 'neg', $e)")} % nb.n)"
+      s"""WITH nb AS (SELECT $nbSql AS n),
+          cands AS (
             SELECT doc_id AS neg_id, ${bucketOf("doc_id")} AS bucket
-            FROM documents),
+            FROM documents, nb),
           slots AS (
             SELECT doc_id AS qid, t.slot,
                    ${bucketOf("doc_id, t.slot")} AS bucket
-            FROM documents, generate_series(1, 3) AS t(slot)
+            FROM documents, generate_series(1, 3) AS t(slot), nb
             WHERE doc_id % 17 = 3),
           drawn AS (
             SELECT qid, slot, neg_id,
