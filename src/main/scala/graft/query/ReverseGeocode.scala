@@ -61,4 +61,52 @@ object ReverseGeocode {
       .filter(col("rk") === 1)
       .select(col("qid"), col("osm_id"), col("dist_km"))
   }
+
+  /** Density-derived cell size: a pinned `cellDeg` tuned for a sparse
+    * world map degrades on a dense-city POI cloud — every query in the
+    * city joins every POI in it (per-cell all-pairs), and per-query
+    * work grows with the corpus instead of staying flat. Here the cell
+    * edge is computed FROM the POI distribution so expected occupancy
+    * stays ~`targetPerCell` however dense the corpus:
+    * `cellDeg = sqrt(bbox_area * target / n)`, clamped to
+    * [minCellDeg, maxCellDeg].
+    *
+    * One tiny aggregate (count + lat/lon min/max — partial-agg, no
+    * shuffle of the corpus) feeds a driver-side scalar; min/max/count
+    * are exact and order-free, so the derived cell size — and therefore
+    * the result set — is deterministic for a given corpus. The
+    * bounded-radius contract now scales with density: hits are nearest
+    * within one DERIVED cell width, misses mean "nothing within ~a cell
+    * of typical POI spacing". A uniform-ish corpus derives one cell
+    * size; pathological skew (half the world sparse, one city dense)
+    * still bounds per-query work by the dense cells' occupancy — the
+    * bbox shrinks no further than the full spread, so extreme mixes
+    * deserve a per-region partition before this call (documented, not
+    * solved here). `tools/G12Probe` measures both shapes. */
+  def nearestAuto(points: DataFrame, pois: DataFrame,
+                  targetPerCell: Long = 64,
+                  minCellDeg: Double = 0.01,
+                  maxCellDeg: Double = 10.0): DataFrame = {
+    require(targetPerCell > 0 && minCellDeg > 0 && maxCellDeg >= minCellDeg,
+      s"bad auto-cell bounds: target=$targetPerCell, [$minCellDeg, $maxCellDeg]")
+    val st = pois.agg(
+      count(lit(1)).as("n"),
+      min(col("lat").cast("double")).as("lat0"),
+      max(col("lat").cast("double")).as("lat1"),
+      min(col("lon").cast("double")).as("lon0"),
+      max(col("lon").cast("double")).as("lon1")).head()
+    val n = st.getLong(0)
+    val cell =
+      if (n == 0) maxCellDeg // no POIs: any cell size yields zero rows
+      else {
+        val area = (st.getDouble(2) - st.getDouble(1)) *
+          (st.getDouble(4) - st.getDouble(3))
+        // zero-area corpus (single point / a line): fall to minCellDeg —
+        // co-located POIs share a cell at ANY size, no knob helps
+        if (area <= 0) minCellDeg
+        else math.min(maxCellDeg,
+          math.max(minCellDeg, math.sqrt(area * targetPerCell / n)))
+      }
+    nearest(points, pois, cell)
+  }
 }

@@ -49,6 +49,26 @@ class ReverseGeocodeSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 2L)
   }
 
+  test("auto cell size: dense cloud derives a small cell, same nearest") {
+    // 200 POIs packed into ~0.2 deg around KL — a 1-degree cell would
+    // hold them all; the derived cell targets ~64 per cell
+    val dense = spark.range(200).select(
+      (col("id") + 100).as("osm_id"),
+      (lit(3.0) + (col("id") * 37 % 100) / 500.0).as("lat"),
+      (lit(101.6) + (col("id") * 53 % 100) / 500.0).as("lon"))
+    val pts = Seq((10L, 3.1, 101.7)).toDF("qid", "lat", "lon")
+    val auto = ReverseGeocode.nearestAuto(pts, dense).collect()
+    // brute-force truth over the small fixture
+    val truth = ReverseGeocode.nearest(pts, dense, cellDeg = 1.0).collect()
+    assert(auto.length == 1 && auto.head == truth.head)
+    // empty corpus: no rows, no failure
+    assert(ReverseGeocode.nearestAuto(pts, dense.filter(col("osm_id") < 0)).isEmpty)
+    // zero-area corpus (all POIs one point): still answers
+    val point = Seq((1L, 3.1, 101.7)).toDF("osm_id", "lat", "lon")
+    assert(ReverseGeocode.nearestAuto(pts, point).collect()
+      .map(_.getLong(1)).sameElements(Array(1L)))
+  }
+
   test("plan: equality join on cells, no cartesian product") {
     val pts = Seq((1L, 3.0, 101.0)).toDF("qid", "lat", "lon")
     val plan = ReverseGeocode.nearest(pts, pois)
