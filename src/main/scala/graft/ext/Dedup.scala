@@ -85,19 +85,34 @@ object Dedup {
     * is the fraction of agreeing minhashes — the MinHash estimate of
     * Jaccard similarity.
     *
-    * BUILD-INLINE form: signatures are materialized with a local
-    * checkpoint, which lives in executor storage and dies with the
-    * executors. The durable serving path — signatures + band buckets
-    * persisted as sorted tables — is [[MinHashIndex]]; both derive
-    * band keys from the same [[MinHashIndex.bands]] so they cannot
-    * drift. */
-  def minhashLshPairs(sigIn: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    // materialized ONCE: the plan reads the signature relation 6 times
-    // (one per band branch + both sides of the score join); without the
-    // checkpoint the whole tokenize→min aggregate re-runs per read unless
-    // AQE exchange reuse happens to fire, and AQE re-planning can break
-    // that reuse (the round-2 driver bench measured 5.2s vs 0.75s on the
-    // same code depending on whether reuse kicked in)
+    * The signature relation must be MATERIALIZED once — the plan reads
+    * it 6 times (one per band branch + both sides of the score join),
+    * and without materialization the whole tokenize→min aggregate
+    * re-runs per read unless AQE exchange reuse happens to fire (the
+    * round-2 driver bench measured 5.2s vs 0.75s on the same code
+    * depending on whether reuse kicked in). Two routes:
+    *
+    *  - `indexPath = Some(p)`: signatures persist as a [[MinHashIndex]]
+    *    at `p` (staged write, single-rename publish) and pairs serve
+    *    from the STORED tables — durable, survives executor loss, and
+    *    leaves the index behind for later appends/serving. The route
+    *    for any long-lived cluster.
+    *  - `indexPath = None` (build-inline): a `localCheckpoint` in
+    *    executor-local storage — cheapest for a small one-shot corpus,
+    *    but the materialization dies with the executors.
+    *
+    * Both routes derive band keys from the same [[MinHashIndex.bands]]
+    * and produce identical pairs — spec-pinned. */
+  def minhashLshPairs(sigIn: DataFrame, numHashes: Int, rowsPerBand: Int,
+                      indexPath: Option[String] = None): DataFrame = indexPath match {
+    case Some(p) =>
+      MinHashIndex.writeFromSignatures(sigIn, p, numHashes, rowsPerBand)
+      MinHashIndex.pairs(sigIn.sparkSession, p, numHashes)
+    case None => minhashLshPairsInline(sigIn, numHashes, rowsPerBand)
+  }
+
+  private def minhashLshPairsInline(sigIn: DataFrame, numHashes: Int,
+                                    rowsPerBand: Int): DataFrame = {
     val sig = sigIn.localCheckpoint(true)
     val bands = MinHashIndex.bands(sig, numHashes, rowsPerBand)
     val l = bands.as("l")

@@ -41,12 +41,21 @@ object MinHashIndex {
     * the tokenize→min aggregate per band branch — the same trap the
     * inline form needs its checkpoint for). */
   def write(tokens: DataFrame, path: String, numHashes: Int,
-            rowsPerBand: Int, partitions: Int = 8): Unit = {
+            rowsPerBand: Int, partitions: Int = 8): Unit =
+    writeFromSignatures(Dedup.minhashSignature(tokens, numHashes),
+      path, numHashes, rowsPerBand, partitions)
+
+  /** [[write]] from an already-computed signature relation (id,
+    * m0..m{n-1}) — the entry point for callers that hold signatures
+    * rather than tokens ([[Dedup.minhashLshPairs]]'s durable route).
+    * Same staged layout, same single-rename publish. */
+  def writeFromSignatures(sig: DataFrame, path: String, numHashes: Int,
+                          rowsPerBand: Int, partitions: Int = 8): Unit = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
-    val spark = tokens.sparkSession
+    val spark = sig.sparkSession
     val staging = IndexIO.stagingFor(path)
-    Dedup.minhashSignature(tokens, numHashes)
+    sig
       .repartitionByRange(partitions, col("id"))
       .sortWithinPartitions("id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")

@@ -89,6 +89,22 @@ class MinHashIndexSpec extends SparkSpec {
     assert(c.sameElements(b))
   }
 
+  test("minhashLshPairs durable route equals inline and leaves a servable index") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mhpairs-route").toString + "/idx"
+    val sig = Dedup.minhashSignature(toks, NumHashes)
+    val inline = Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2)
+      .orderBy("a", "b").collect()
+    val durable = Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2,
+        indexPath = Some(p))
+      .orderBy("a", "b").collect()
+    assert(durable.nonEmpty && durable.sameElements(inline))
+    // the route's side effect IS the persisted index: servable + appendable
+    val served = MinHashIndex.pairs(spark, p, NumHashes).orderBy("a", "b").collect()
+    assert(served.sameElements(inline))
+    assert(IndexIO.shardIds(spark, s"$p/signatures") == Seq(0))
+  }
+
   test("band keys: persisted table matches the shared construction") {
     MinHashIndex.write(toks, path, NumHashes, rowsPerBand = 2)
     val sig = spark.read.parquet(s"$path/signatures")
