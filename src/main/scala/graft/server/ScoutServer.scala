@@ -20,12 +20,19 @@ import java.nio.charset.StandardCharsets
   * the Spark replacement for the reference's per-request read-only
   * connections (SURVEY.md §3.3).
   */
-class ScoutServer(engine: ScoutEngine, port: Int = 8000) {
+class ScoutServer(engine: ScoutEngine, port: Int = 8000, threads: Int = 8) {
 
   import Json._
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(null) // engine serializes on the SparkSession anyway
+  // Real request concurrency: SparkSession is thread-safe and concurrent
+  // collect()s schedule as concurrent jobs over the shared cached
+  // gazetteer (local[32] and any real cluster both overlap them), and
+  // the engine keeps no per-request mutable state (no temp views; the
+  // settings closure is immutable) — serializing on one dispatcher
+  // thread would queue every request behind the slowest one.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -90,5 +97,5 @@ class ScoutServer(engine: ScoutEngine, port: Int = 8000) {
   })
 
   def start(): ScoutServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

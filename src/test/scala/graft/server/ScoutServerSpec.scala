@@ -73,6 +73,37 @@ class ScoutServerSpec extends SparkSpec {
     assert(code == 405)
   }
 
+  test("concurrent forward requests: correct results, no cross-request bleed") {
+    // four distinguishable payloads — different filters and limits, so
+    // any cross-request state bleed (settings closure, a shared temp
+    // view, a swapped response) shows up as the WRONG body, not a flake
+    val payloads = Seq(
+      """{"candidates":[{"text":"Monograph Dining"}],"country":"malaysia","limit":3}""",
+      """{"candidates":[{"text":"Monograph Dining"}],"limit":1}""",
+      """{"candidates":[{"text":"zzz qqq"}],"limit":2}""",
+      """{"candidates":[]}""")
+    val expected = payloads.map(p => http("POST", "/v1/geocode/forward", p))
+    expected.foreach { case (code, body, _) => assert(code == 200, body) }
+    assert(Json.parse(expected.head._2).asObj("hits").asArr.nonEmpty)
+    assert(Json.parse(expected(2)._2).asObj("hits").asArr.isEmpty)
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
+      val storm = (0 until 32).map { i =>
+        Future((i % payloads.length, http("POST", "/v1/geocode/forward",
+          payloads(i % payloads.length))))
+      }
+      Await.result(Future.sequence(storm), 120.seconds).foreach {
+        case (pi, (code, body, _)) =>
+          assert(code == 200, body)
+          assert(body == expected(pi)._2,
+            s"response for payload $pi diverged under concurrency")
+      }
+    } finally exec.shutdown()
+  }
+
   test("json codec round-trips escapes") {
     val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
     val round = Json.parse(Json.write(v))
