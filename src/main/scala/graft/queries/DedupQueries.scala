@@ -118,6 +118,20 @@ object DedupQueries {
     },
     Some(minhashPairsOracle))
 
+  /** [[Dedup.minhashLshPairs]]' DURABLE route (`indexPath` supplied):
+    * the signature materialization is a persisted index write, not an
+    * executor-local checkpoint — the form a long-lived cluster runs.
+    * Same oracle as dd_minhash_pairs: the hash match pins both routes
+    * identical end-to-end. */
+  val ddMinhashPairsDurable = Q("dd_minhash_pairs_durable",
+    (s, dir) => {
+      val sig = Dedup.minhashSignature(minhashPairTokens(s, dir), NumHashes)
+      Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = 2,
+          indexPath = Some(graft.core.TempDirs.create("graft-mhroute-")))
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracle))
+
   /** The PERSISTED-index serving path ([[graft.ext.MinHashIndex]]):
     * signatures + band buckets written as sorted tables, candidate
     * pairs answered from the stored layout with no checkpoint and no
@@ -736,6 +750,7 @@ object DedupQueries {
            ORDER BY id"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
+    ddMinhashPairsDurable,
     ddMinhashPersisted, ddMinhashAppend, ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
