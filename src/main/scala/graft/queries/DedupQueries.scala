@@ -169,6 +169,27 @@ object DedupQueries {
     },
     Some(minhashPairsOracle))
 
+  /** The COMPACTION path ([[graft.ext.MinHashIndex.compact]]): build +
+    * append accumulate two shards, compact folds them back to one,
+    * serving answers from the compacted layout. Same oracle again —
+    * the hash match pins compact as a pure layout rewrite (results
+    * unchanged, fewer files per band probe). */
+  val ddMinhashCompact = Q("dd_minhash_compact",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-mhindex-cmp-")
+      def toks(pred: org.apache.spark.sql.Column) =
+        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
+          "doc_id", "text", distinct = false)
+      graft.ext.MinHashIndex.write(toks(col("doc_id") < 50), path,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.append(toks(col("doc_id") >= 50), path,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.compact(s, path)
+      graft.ext.MinHashIndex.pairs(s, path, NumHashes)
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracle))
+
   private val SimhashBits = 16
 
   val ddSimhash = Q("dd_simhash",
@@ -751,7 +772,8 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
     ddMinhashPairsDurable,
-    ddMinhashPersisted, ddMinhashAppend, ddSimhash, ddClusterRep, ddDrift,
+    ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact,
+    ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
     ddSpanDedup, ddSpanClean)

@@ -228,6 +228,26 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql))
 
+  /** The COMPACTION path ([[graft.ext.VectorIndex.compact]]): build +
+    * append accumulate two posting shards, compact folds them back to
+    * one, topK serves from the compacted layout. Same oracle as
+    * ann_ivf_topk — the hash match pins compact as a pure layout
+    * rewrite (results unchanged, fewer files per centroid probe). */
+  val annIvfCompact = Q("ann_ivf_compact",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-vindex-cmp-")
+      graft.ext.VectorIndex.write(
+        emb(s, dir).filter(col("vec_id") < 250), path, nCentroids = NCent)
+      graft.ext.VectorIndex.append(
+        emb(s, dir).filter(col("vec_id") >= 250), path)
+      graft.ext.VectorIndex.compact(s, path)
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSql))
+
   /** One unrolled Lloyd iteration `cent{k-1}` → `cent{k}` over quantized
     * components (cid, i, cv): bit-exact quantized-cosine assignment with
     * the (sim DESC, cid ASC) argmax tiebreak, then the per-position
@@ -495,5 +515,5 @@ object SimilarityQueries {
            ORDER BY s.query_id, s.rank"""))
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend)
+    ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend, annIvfCompact)
 }
