@@ -54,6 +54,31 @@ private[ext] object IndexIO {
       .sorted
   }
 
+  /** True when `tableRoot` holds non-hidden regular FILES — the
+    * pre-shard flat layout. Publishing a `shard=N` directory next to
+    * flat part-files would leave the table unreadable (Spark rejects
+    * leaf files at two depths as conflicting partition structures), so
+    * appends must refuse and route the caller through a migrating
+    * `compact()` (which reads either layout and republishes sharded). */
+  def hasFlatFiles(spark: SparkSession, tableRoot: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = fsOf(spark, tableRoot)
+    fs.exists(root) && fs.listStatus(root).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Recursive delete (shard-reconcile helper). Missing path is a
+    * no-op; a failed delete throws — leaving a half-reconciled index
+    * silent would defeat the repair. */
+  def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"delete $path failed")
+  }
+
   /** Hidden staging dir for a single-shard append: lives UNDER the
     * table root (same filesystem, one rename away) but starts with
     * `_`, which Spark's file listing skips — a crash mid-write leaves

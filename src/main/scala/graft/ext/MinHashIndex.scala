@@ -73,6 +73,28 @@ object MinHashIndex {
   private def storedWidth(sig: DataFrame): Int =
     sig.schema.fieldNames.count(_.matches("m\\d+"))
 
+  /** Drop orphan shards left by a crash between [[append]]'s two
+    * publishes. The publish order (signatures first) means the
+    * reachable crash state is a signature shard with no bucket twin —
+    * harmless to READ (it generates no candidates) but poisonous to
+    * retry (re-appending the same batch would duplicate those ids'
+    * signature rows, and [[pairs]]' scoring join would then emit
+    * duplicate rows) and to [[compact]] (which would bake the orphan
+    * into `shard=0` permanently). Deleting the orphan restores exactly
+    * the pre-append state, so a retried append is safe. The reverse
+    * orphan (bucket shard without signatures) is unreachable via this
+    * API; if found — external tampering — it is dropped too, since
+    * candidates without signature rows are silently LOST pairs, the
+    * worse failure. */
+  private def reconcileShards(spark: SparkSession, path: String): Unit = {
+    val sig = IndexIO.shardIds(spark, s"$path/signatures").toSet
+    val bkt = IndexIO.shardIds(spark, s"$path/buckets").toSet
+    (sig diff bkt).foreach(k =>
+      IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
+    (bkt diff sig).foreach(k =>
+      IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
+  }
+
   /** Append new documents' signatures to a stored index WITHOUT a full
     * rebuild — the incremental-crawl refresh path (the [[VectorIndex.append]]
     * twin). New (id, tok) rows are signed with the same hash family and
@@ -89,7 +111,9 @@ object MinHashIndex {
     * bucket rename) generates no candidates — readers see the
     * pre-append answer; the reverse order could surface bucket hits
     * whose signature rows don't exist yet and silently DROP pairs at
-    * the scoring join.
+    * the scoring join. Every append (and compact) first DROPS any such
+    * orphan, so a retry after a mid-append crash re-signs its batch
+    * into a fresh consistent shard pair instead of duplicating ids.
     *
     * Equivalence: pairs after append(write(A), B) ≡ pairs after
     * write(A ∪ B) for disjoint id sets — spec-pinned, along with
@@ -105,6 +129,14 @@ object MinHashIndex {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val spark = tokens.sparkSession
+    // an index written by the pre-shard flat layout cannot take shard
+    // dirs next to its part-files (unreadable mixed depths); compact()
+    // reads either layout and republishes sharded, so route through it
+    require(!IndexIO.hasFlatFiles(spark, s"$path/signatures") &&
+        !IndexIO.hasFlatFiles(spark, s"$path/buckets"),
+      s"index at $path uses the pre-shard flat layout; " +
+        "run MinHashIndex.compact(spark, path) once to migrate before appending")
+    reconcileShards(spark, path)
     // a numHashes that disagrees with the stored signature width would
     // silently band the new shard with different keys; fail loudly
     // against the stored schema instead (id + m0..m{n-1} + shard)
@@ -135,6 +167,10 @@ object MinHashIndex {
     * unchanged, only layout (and the band self-join's file-read count)
     * improves. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
+    // orphans (crash between append's two publishes) must not be baked
+    // into the compacted shard=0 — drop them first; flat pre-shard
+    // layouts have no shard dirs, so this is a no-op for migration
+    reconcileShards(spark, path)
     val staging = IndexIO.stagingFor(path)
     val sig = spark.read.parquet(s"$path/signatures")
     sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*)

@@ -48,9 +48,12 @@ object Sampling {
                      k: Int, nBuckets: Int = -1,
                      salt: String = "neg"): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    val buckets =
-      if (nBuckets > 0) nBuckets
-      else math.max(AutoMinBuckets, corpus.count() / AutoBucketSize).toInt
+    // stay in Long: a .toInt here would go negative (crash) or silently
+    // WRAP to a formula-divergent bucket count past ~2^31 corpus rows —
+    // exactly the scales the auto mode exists for
+    val buckets: Long =
+      if (nBuckets > 0) nBuckets.toLong
+      else math.max(AutoMinBuckets, corpus.count() / AutoBucketSize)
     negativeSamplePinned(queryIds, corpus, qidCol, docIdCol, k, buckets, salt)
   }
 
@@ -62,7 +65,7 @@ object Sampling {
 
   private def negativeSamplePinned(queryIds: DataFrame, corpus: DataFrame,
                                    qidCol: String, docIdCol: String,
-                                   k: Int, nBuckets: Int,
+                                   k: Int, nBuckets: Long,
                                    salt: String): DataFrame = {
     require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
     val cands = corpus.select(

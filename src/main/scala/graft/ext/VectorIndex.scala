@@ -75,7 +75,23 @@ object VectorIndex {
     * (and per-probe file reads) — [[compact]] folds them back to one. */
   def append(newVectors: DataFrame, path: String, partitions: Int = 8): Unit = {
     val spark = newVectors.sparkSession
+    // an index written by the pre-shard flat layout cannot take shard
+    // dirs next to its part-files (unreadable mixed depths); compact()
+    // reads either layout and republishes sharded, so route through it
+    require(!IndexIO.hasFlatFiles(spark, s"$path/postings"),
+      s"index at $path uses the pre-shard flat layout; " +
+        "run VectorIndex.compact(spark, path) once to migrate before appending")
     val centStored = spark.read.parquet(s"$path/centroids")
+    // a batch whose embedding dimension differs from the stored index
+    // would cosine to NULL against every centroid, tiebreak the WHOLE
+    // batch into the lowest cid's list, and serve null cosines — the
+    // MinHashIndex storedWidth treatment: fail loudly instead
+    val storedDim = centStored.select(size(col("cent_emb")).as("d")).head.getInt(0)
+    newVectors.select(size(col("embedding")).as("d")).take(1).foreach { r =>
+      require(r.getInt(0) == storedDim,
+        s"stored index at $path has dimension $storedDim, " +
+          s"append batch has dimension ${r.getInt(0)}")
+    }
     val next = IndexIO.shardIds(spark, s"$path/postings").lastOption.getOrElse(-1) + 1
     val staging = IndexIO.shardStagingFor(s"$path/postings")
     val q = newVectors.select(col("vec_id").as("cand_id"),

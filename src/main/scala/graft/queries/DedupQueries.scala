@@ -154,16 +154,28 @@ object DedupQueries {
     * half the doc window, append the other half against the stored
     * layout, serve pairs. The final corpus equals dd_minhash_pairs' —
     * the SAME oracle therefore pins append ≡ rebuild end-to-end. */
+  /** write(doc_id < 50) + append(doc_id >= 50) over the pair corpus —
+    * the shared prelude of the append and compact queries. ONE
+    * definition of the split so the two queries cannot drift onto
+    * different corpora while sharing one oracle (the final corpus must
+    * equal [[minhashPairTokens]]', and the split must stay inside the
+    * sf0.001 doc window so both halves are non-empty). */
+  private def splitMinhashIndex(s: SparkSession, dir: String,
+                                prefix: String): String = {
+    val path = graft.core.TempDirs.create(prefix)
+    def toks(pred: org.apache.spark.sql.Column) =
+      Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
+        "doc_id", "text", distinct = false)
+    graft.ext.MinHashIndex.write(toks(col("doc_id") < 50), path,
+      NumHashes, rowsPerBand = 2)
+    graft.ext.MinHashIndex.append(toks(col("doc_id") >= 50), path,
+      NumHashes, rowsPerBand = 2)
+    path
+  }
+
   val ddMinhashAppend = Q("dd_minhash_append",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-mhindex-app-")
-      def toks(pred: org.apache.spark.sql.Column) =
-        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
-          "doc_id", "text", distinct = false)
-      graft.ext.MinHashIndex.write(toks(col("doc_id") < 50), path,
-        NumHashes, rowsPerBand = 2)
-      graft.ext.MinHashIndex.append(toks(col("doc_id") >= 50), path,
-        NumHashes, rowsPerBand = 2)
+      val path = splitMinhashIndex(s, dir, "graft-mhindex-app-")
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")
     },
@@ -176,14 +188,7 @@ object DedupQueries {
     * unchanged, fewer files per band probe). */
   val ddMinhashCompact = Q("dd_minhash_compact",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-mhindex-cmp-")
-      def toks(pred: org.apache.spark.sql.Column) =
-        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
-          "doc_id", "text", distinct = false)
-      graft.ext.MinHashIndex.write(toks(col("doc_id") < 50), path,
-        NumHashes, rowsPerBand = 2)
-      graft.ext.MinHashIndex.append(toks(col("doc_id") >= 50), path,
-        NumHashes, rowsPerBand = 2)
+      val path = splitMinhashIndex(s, dir, "graft-mhindex-cmp-")
       graft.ext.MinHashIndex.compact(s, path)
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")

@@ -214,13 +214,25 @@ object SimilarityQueries {
     * NCent smallest vec_ids, so the split build's seed centroids equal
     * the full rebuild's — the SAME oracle as ann_ivf_topk therefore
     * pins append ≡ rebuild end-to-end. */
+  /** write(vec_id < 250) + append(vec_id >= 250) — the shared prelude
+    * of the append and compact queries. ONE definition of the split so
+    * the two cannot drift onto different corpora while sharing one
+    * oracle (the initial part must hold the NCent smallest vec_ids for
+    * seed-centroid parity, and 250 stays below the 500-vector sf0.001
+    * table so both halves are non-empty). */
+  private def splitIvfIndex(s: SparkSession, dir: String,
+                            prefix: String): String = {
+    val path = graft.core.TempDirs.create(prefix)
+    graft.ext.VectorIndex.write(
+      emb(s, dir).filter(col("vec_id") < 250), path, nCentroids = NCent)
+    graft.ext.VectorIndex.append(
+      emb(s, dir).filter(col("vec_id") >= 250), path)
+    path
+  }
+
   val annIvfAppend = Q("ann_ivf_append",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-vindex-app-")
-      graft.ext.VectorIndex.write(
-        emb(s, dir).filter(col("vec_id") < 250), path, nCentroids = NCent)
-      graft.ext.VectorIndex.append(
-        emb(s, dir).filter(col("vec_id") >= 250), path)
+      val path = splitIvfIndex(s, dir, "graft-vindex-app-")
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
         .select("query_id", "rank", "cand_id", "cosine")
@@ -235,11 +247,7 @@ object SimilarityQueries {
     * rewrite (results unchanged, fewer files per centroid probe). */
   val annIvfCompact = Q("ann_ivf_compact",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-vindex-cmp-")
-      graft.ext.VectorIndex.write(
-        emb(s, dir).filter(col("vec_id") < 250), path, nCentroids = NCent)
-      graft.ext.VectorIndex.append(
-        emb(s, dir).filter(col("vec_id") >= 250), path)
+      val path = splitIvfIndex(s, dir, "graft-vindex-cmp-")
       graft.ext.VectorIndex.compact(s, path)
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)

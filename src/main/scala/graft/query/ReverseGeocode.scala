@@ -89,7 +89,12 @@ object ReverseGeocode {
                   maxCellDeg: Double = 10.0): DataFrame = {
     require(targetPerCell > 0 && minCellDeg > 0 && maxCellDeg >= minCellDeg,
       s"bad auto-cell bounds: target=$targetPerCell, [$minCellDeg, $maxCellDeg]")
-    val st = pois.agg(
+    // gazetteer POI tables carry null lat/lon rows (nearest() tolerates
+    // them — null cells never join); counting them here while min/max
+    // skips them would overestimate density and undersize the cell, and
+    // an all-null corpus would crash the getDouble reads below
+    val located = pois.filter(col("lat").isNotNull && col("lon").isNotNull)
+    val st = located.agg(
       count(lit(1)).as("n"),
       min(col("lat").cast("double")).as("lat0"),
       max(col("lat").cast("double")).as("lat1"),

@@ -105,6 +105,54 @@ class MinHashIndexSpec extends SparkSpec {
     assert(IndexIO.shardIds(spark, s"$p/signatures") == Seq(0))
   }
 
+  test("append retry after a mid-append crash drops the orphan shard") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-crash").toString + "/idx"
+    val pB = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-crash-reb").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    MinHashIndex.write(toksOf(col("doc_id") <= 2), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
+    // simulate the reachable crash state: signature shard published,
+    // bucket shard not (publish order is signatures first)
+    IndexIO.deleteDir(spark, s"$pA/buckets/shard=1")
+    // readers on the crashed index see the PRE-append answer
+    val crashed = MinHashIndex.pairs(spark, pA, NumHashes).collect()
+    assert(!crashed.exists(r => r.getLong(0) > 2 || r.getLong(1) > 2))
+    // retry the same batch: the orphan must be dropped, not duplicated
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.write(toks, pB, NumHashes, rowsPerBand = 2)
+    val a = MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
+    val b = MinHashIndex.pairs(spark, pB, NumHashes).orderBy("a", "b").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // no duplicate signature rows survived the retry
+    val ids = spark.read.parquet(s"$pA/signatures").groupBy("id").count()
+      .filter(col("count") > 1).count()
+    assert(ids == 0)
+  }
+
+  test("append refuses the pre-shard flat layout; compact migrates it") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-flat").toString + "/idx"
+    // emulate an index written by the pre-shard layout: part-files
+    // directly under each table root, no shard= directories
+    val sig = Dedup.minhashSignature(toks, NumHashes)
+    sig.write.parquet(s"$p/signatures")
+    MinHashIndex.bands(sig, NumHashes, rowsPerBand = 2)
+      .write.parquet(s"$p/buckets")
+    val before = MinHashIndex.pairs(spark, p, NumHashes).orderBy("a", "b").collect()
+    val ex = intercept[IllegalArgumentException] {
+      MinHashIndex.append(toks, p, NumHashes, rowsPerBand = 2)
+    }
+    assert(ex.getMessage.contains("flat layout"))
+    MinHashIndex.compact(spark, p)
+    assert(IndexIO.shardIds(spark, s"$p/signatures") == Seq(0))
+    assert(IndexIO.shardIds(spark, s"$p/buckets") == Seq(0))
+    val after = MinHashIndex.pairs(spark, p, NumHashes).orderBy("a", "b").collect()
+    assert(after.sameElements(before))
+  }
+
   test("band keys: persisted table matches the shared construction") {
     MinHashIndex.write(toks, path, NumHashes, rowsPerBand = 2)
     val sig = spark.read.parquet(s"$path/signatures")

@@ -77,6 +77,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(c.sameElements(b))
   }
 
+  test("append rejects a batch whose embedding dimension differs") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-vindex-dim").toString + "/idx"
+    VectorIndex.write(emb.filter(col("vec_id") < 40), p, nCentroids = 8)
+    // same schema, wrong width: such a batch would cosine to NULL
+    // against every centroid and silently pile into the lowest cid
+    val narrow = emb.filter(col("vec_id") >= 40)
+      .withColumn("embedding", slice(col("embedding"), 1, 3))
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.append(narrow, p)
+    }
+    assert(ex.getMessage.contains("dimension"))
+    // the refused append left nothing behind: still one shard, servable
+    assert(IndexIO.shardIds(spark, s"$p/postings") == Seq(0))
+    assert(VectorIndex.topK(spark, p, emb.filter(col("vec_id") < 3),
+      k = 3, nprobe = 2).collect().nonEmpty)
+  }
+
+  test("append refuses the pre-shard flat posting layout") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-vindex-flat").toString + "/idx"
+    VectorIndex.write(emb.filter(col("vec_id") < 40), p, nCentroids = 8)
+    // emulate the pre-shard layout: move shard=0's files up to the root
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/postings/shard=0"))
+      .foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(s"$p/postings/${s.getPath.getName}"))
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/postings/shard=0"), true)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.append(emb.filter(col("vec_id") >= 40), p)
+    }
+    assert(ex.getMessage.contains("flat layout"))
+    // compact migrates the flat layout to sharded; serving unchanged
+    val before = VectorIndex.topK(spark, p, emb.filter(col("vec_id") < 3),
+      k = 3, nprobe = 2).orderBy("query_id", "rank").collect()
+    VectorIndex.compact(spark, p)
+    assert(IndexIO.shardIds(spark, s"$p/postings") == Seq(0))
+    val after = VectorIndex.topK(spark, p, emb.filter(col("vec_id") < 3),
+      k = 3, nprobe = 2).orderBy("query_id", "rank").collect()
+    assert(after.sameElements(before))
+  }
+
   test("trained centroids drop in: write(iterations=2) serves and stays deterministic") {
     VectorIndex.write(emb, path, nCentroids = 4, iterations = 2)
     val a = VectorIndex.topK(spark, path, emb.filter(col("vec_id") < 3),

@@ -67,6 +67,18 @@ class ReverseGeocodeSpec extends SparkSpec {
     val point = Seq((1L, 3.1, 101.7)).toDF("osm_id", "lat", "lon")
     assert(ReverseGeocode.nearestAuto(pts, point).collect()
       .map(_.getLong(1)).sameElements(Array(1L)))
+    // null-coordinate rows (real gazetteer tables have them) must not
+    // skew the density count — the derived cell, and so the result,
+    // equals the located-subset's
+    val withNulls = dense.unionByName(spark.range(500).select(
+      (col("id") + 9000).as("osm_id"),
+      lit(null).cast("double").as("lat"),
+      lit(null).cast("double").as("lon")))
+    val got = ReverseGeocode.nearestAuto(pts, withNulls).collect()
+    assert(got.length == 1 && got.head == auto.head)
+    // all-null corpus behaves like an empty one: no rows, no crash
+    assert(ReverseGeocode.nearestAuto(pts,
+      withNulls.filter(col("osm_id") >= 9000)).isEmpty)
   }
 
   test("plan: equality join on cells, no cartesian product") {
