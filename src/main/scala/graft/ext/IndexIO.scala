@@ -22,11 +22,15 @@ import org.apache.spark.sql.SparkSession
   * OBJECT STORES (s3a:// and friends) are weaker: a directory "rename"
   * is a non-atomic copy+delete, so a concurrent reader can observe a
   * partially-copied index and a crash mid-copy leaves a partial
-  * destination. Deployments serving from an object store need one
-  * more indirection this module deliberately leaves to the deployment:
-  * write each build to a fresh versioned directory and flip a small
-  * current-pointer file (a single-object PUT, which IS atomic) — the
-  * staged-write half of this pattern still applies unchanged.
+  * destination. The versioned-pointer layer below ([[publishVersioned]]
+  * / [[resolveCurrent]]) closes that gap: each build lands in a fresh
+  * `v{N}` directory that no reader looks at until a small CURRENT
+  * pointer file names it — the flip is a single-file replace (atomic
+  * rename here; a single-object PUT on a store), so a reader resolves
+  * either the old complete version or the new complete version, never
+  * a mix and never a partial copy. Old versions stay on disk until
+  * [[pruneVersions]], which also makes rollback a pointer flip
+  * ([[setCurrent]]) instead of a rebuild.
   */
 private[ext] object IndexIO {
 
@@ -122,5 +126,96 @@ private[ext] object IndexIO {
       throw new java.io.IOException(s"publish rename $staging -> $dest failed")
     }
     if (hadOld) fs.delete(aside, true)
+  }
+
+  // ---- versioned-pointer layout: root/v{N}/<tables>, root/CURRENT ----
+
+  private val VersionRe = "v(\\d{5})".r
+  private val Pointer = "CURRENT"
+
+  /** Version numbers present under a versioned root, ascending. */
+  def versionIds(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toInt }
+      .sorted
+  }
+
+  /** Publish a staged index build as the NEXT version under `root` and
+    * flip the CURRENT pointer to it. Two steps, each safe alone: the
+    * staging dir renames to a fresh `v{N}` that no reader resolves yet
+    * (a crash here leaves an unreferenced version dir — garbage, never
+    * served, reclaimed by [[pruneVersions]]), then the pointer file is
+    * replaced in one atomic rename (object-store deployments implement
+    * this step as a single-object PUT, also atomic). Readers therefore
+    * always resolve a COMPLETE version — the copy+delete window of a
+    * directory rename on s3a can at worst delay which complete version
+    * they see. Returns the published version path. */
+  def publishVersioned(spark: SparkSession, staging: String, root: String): String = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val next = versionIds(spark, root).lastOption.getOrElse(0) + 1
+    val vdir = f"$root/v$next%05d"
+    val vpath = new org.apache.hadoop.fs.Path(vdir)
+    if (fs.exists(vpath))
+      throw new java.io.IOException(s"versioned publish: $vdir already exists")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), vpath))
+      throw new java.io.IOException(s"versioned publish rename $staging -> $vdir failed")
+    setCurrent(spark, root, f"v$next%05d")
+    vdir
+  }
+
+  /** Point CURRENT at an existing version (the publish flip, and the
+    * instant-rollback path). The pointer is written to a hidden temp
+    * file and renamed over CURRENT via [[org.apache.hadoop.fs.FileContext]]
+    * with OVERWRITE — atomic on file:// and HDFS; the one primitive an
+    * object-store deployment swaps for a plain PUT. */
+  def setCurrent(spark: SparkSession, root: String, version: String): Unit = {
+    require(VersionRe.matches(version), s"bad version name '$version'")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$version")))
+      throw new java.io.IOException(s"setCurrent: $root/$version does not exist")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/_$Pointer-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$root/$Pointer"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The path of the version CURRENT names — the read-side entry point.
+    * Fails loudly on a missing root/pointer (an index that was never
+    * [[publishVersioned]]) or a tampered pointer value. */
+  def resolveCurrent(spark: SparkSession, root: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/$Pointer")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(ptr))
+      throw new java.io.IOException(s"no $Pointer pointer under $root")
+    val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+    val in = fs.open(ptr)
+    try in.readFully(0, buf) finally in.close()
+    val version = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+    if (!VersionRe.matches(version))
+      throw new java.io.IOException(s"corrupt $Pointer under $root: '$version'")
+    s"$root/$version"
+  }
+
+  /** Delete all version dirs except the newest `keepLast` and (always)
+    * the one CURRENT names — crash-orphaned unreferenced versions and
+    * rolled-past history are reclaimed here, never during publish (a
+    * publish that also deletes would re-open the torn-read window the
+    * pointer exists to close). */
+  def pruneVersions(spark: SparkSession, root: String, keepLast: Int = 2): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val current = resolveCurrent(spark, root).split('/').last
+    val ids = versionIds(spark, root)
+    val keep = ids.takeRight(keepLast).toSet + current.stripPrefix("v").toInt
+    ids.filterNot(keep).foreach(n => deleteDir(spark, f"$root/v$n%05d"))
   }
 }

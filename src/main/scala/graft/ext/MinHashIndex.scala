@@ -51,10 +51,19 @@ object MinHashIndex {
     * Same staged layout, same single-rename publish. */
   def writeFromSignatures(sig: DataFrame, path: String, numHashes: Int,
                           rowsPerBand: Int, partitions: Int = 8): Unit = {
+    val staging = IndexIO.stagingFor(path)
+    buildStaged(sig, staging, numHashes, rowsPerBand, partitions)
+    IndexIO.publish(sig.sparkSession, staging, path)
+  }
+
+  /** Both tables of a fresh index written under `staging` — the shared
+    * build step of the in-place ([[writeFromSignatures]]) and versioned
+    * ([[writeVersioned]]) publish routes. */
+  private def buildStaged(sig: DataFrame, staging: String, numHashes: Int,
+                          rowsPerBand: Int, partitions: Int): Unit = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val spark = sig.sparkSession
-    val staging = IndexIO.stagingFor(path)
     sig
       .repartitionByRange(partitions, col("id"))
       .sortWithinPartitions("id")
@@ -64,8 +73,32 @@ object MinHashIndex {
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
-    IndexIO.publish(spark, staging, path)
   }
+
+  /** Build and publish a NEW VERSION of the index under a versioned
+    * root ([[IndexIO.publishVersioned]]): the object-store-safe serving
+    * layout. Where [[write]] republishes in place (correct on
+    * rename-atomic filesystems), this route gives every rebuild a fresh
+    * immutable `v{N}` directory and flips a one-line CURRENT pointer —
+    * readers ([[pairsCurrent]]) can never observe a partially-copied
+    * index even where directory renames are copy+delete, and rollback
+    * is [[IndexIO.setCurrent]] instead of a rebuild. Returns the
+    * published version path (callers needing shard [[append]] target it
+    * directly — appends stay within one version). */
+  def writeVersioned(tokens: DataFrame, root: String, numHashes: Int,
+                     rowsPerBand: Int, partitions: Int = 8): String = {
+    val staging = IndexIO.stagingFor(root)
+    buildStaged(Dedup.minhashSignature(tokens, numHashes), staging,
+      numHashes, rowsPerBand, partitions)
+    IndexIO.publishVersioned(tokens.sparkSession, staging, root)
+  }
+
+  /** [[pairs]] over whichever version CURRENT names — the read side of
+    * [[writeVersioned]]. Resolution is one small-file read per query
+    * (not per row); a publish that lands mid-query is invisible to it
+    * (the resolved version dir is immutable). */
+  def pairsCurrent(spark: SparkSession, root: String, numHashes: Int): DataFrame =
+    pairs(spark, IndexIO.resolveCurrent(spark, root), numHashes)
 
   /** MinHash width of a stored signature table (count of `mN` fields —
     * schema-derived so the check survives the `shard` partition

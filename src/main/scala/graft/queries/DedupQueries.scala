@@ -195,6 +195,32 @@ object DedupQueries {
     },
     Some(minhashPairsOracle))
 
+  /** The VERSIONED-POINTER publish route
+    * ([[graft.ext.MinHashIndex.writeVersioned]]): two successive builds
+    * land as immutable v00001/v00002 under one root, a one-line CURRENT
+    * pointer flips between them, and serving resolves the pointer — the
+    * object-store-safe layout (a directory rename on s3a is a
+    * copy+delete a reader can catch mid-copy; a pointer flip is a
+    * single-object replace it cannot). The v1 build covers only half
+    * the doc window, so a reader left on v1 — or resolving mid-publish
+    * — would return a DIFFERENT (strictly smaller) pair set: the oracle
+    * hash therefore certifies the pointer really flipped to the full
+    * rebuild, not just that some index exists. */
+  val ddMinhashVersioned = Q("dd_minhash_versioned",
+    (s, dir) => {
+      val root = graft.core.TempDirs.create("graft-mhindex-ver-")
+      def toks(pred: org.apache.spark.sql.Column) =
+        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
+          "doc_id", "text", distinct = false)
+      graft.ext.MinHashIndex.writeVersioned(toks(col("doc_id") < 50), root,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.writeVersioned(toks(lit(true)), root,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.pairsCurrent(s, root, NumHashes)
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracle))
+
   private val SimhashBits = 16
 
   val ddSimhash = Q("dd_simhash",
@@ -777,7 +803,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
     ddMinhashPairsDurable,
-    ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact,
+    ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact, ddMinhashVersioned,
     ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,

@@ -411,5 +411,73 @@ object GeocodeQueries {
             FROM joined)
           WHERE rk = 1 ORDER BY qid"""))
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
+  /** G13 — the DENSITY-DERIVED cell size of
+    * [[graft.query.ReverseGeocode.nearestAuto]] pinned cross-engine
+    * (g12 pins a hand-chosen 10° cell; production corpora don't come
+    * with one). The oracle replays the whole derivation in SQL —
+    * count + bbox from the POI table, `cell = clamp(sqrt(area·64/n))`
+    * — so the pin covers the formula, not just the join: at sf0.01
+    * the derived cell is ≈51°, at sf0.1 ≈16°, and a drifted formula
+    * changes cell boundaries and flips empty-neighborhood rows.
+    * `maxCellDeg = 90` keeps the clamp from binding at either scale
+    * (the default 10° cap would hide the formula behind a constant);
+    * every double step (min/max, `(lat1-lat0)*(lon1-lon0)`, `·64/n`,
+    * correctly-rounded sqrt, clamp) is IEEE-identical in both
+    * engines, so `floor(lat/cell)` bins cannot drift. */
+  val g13 = Q("g13_reverse_auto",
+    (s, dir) => {
+      val pois = poiLatLon(t(s, dir, "customer"))
+        .select(col("c_custkey").cast("long").as("osm_id"), col("lat"), col("lon"))
+      val pts = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("qid"),
+        (lit(-85.0) + (col("s_suppkey") * 41 % 17000) / 100.0).as("lat"),
+        (lit(-180.0) + (col("s_suppkey") * 79 % 36000) / 100.0).as("lon"))
+      graft.query.ReverseGeocode.nearestAuto(pts, pois,
+        targetPerCell = 64, minCellDeg = 0.01, maxCellDeg = 90.0)
+        .orderBy("qid")
+    },
+    Some(s"""WITH pois AS (SELECT c_custkey AS osm_id, lat, lon FROM ($poiLatLonSql)),
+          pts AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS qid,
+                   (-85.0 + ((s_suppkey * 41) % 17000) / 100.0)::DOUBLE AS lat,
+                   (-180.0 + ((s_suppkey * 79) % 36000) / 100.0)::DOUBLE AS lon
+            FROM supplier),
+          stats AS (
+            SELECT count(*)::BIGINT AS n,
+                   min(lat) AS lat0, max(lat) AS lat1,
+                   min(lon) AS lon0, max(lon) AS lon1
+            FROM pois WHERE lat IS NOT NULL AND lon IS NOT NULL),
+          cellv AS (
+            SELECT CASE
+                     WHEN n = 0 THEN 90.0::DOUBLE
+                     WHEN ((lat1 - lat0) * (lon1 - lon0)) <= 0 THEN 0.01::DOUBLE
+                     ELSE least(90.0::DOUBLE, greatest(0.01::DOUBLE,
+                       sqrt(((lat1 - lat0) * (lon1 - lon0)) * 64 / n)))
+                   END AS cell
+            FROM stats),
+          pcell AS (
+            SELECT CAST(osm_id AS BIGINT) AS osm_id, lat AS p_lat, lon AS p_lon,
+                   CAST(floor(lat / cell) AS BIGINT) AS cell_lat,
+                   CAST(floor(lon / cell) AS BIGINT) AS cell_lon
+            FROM pois CROSS JOIN cellv),
+          probes AS (
+            SELECT qid, lat AS q_lat, lon AS q_lon,
+                   CAST(floor(lat / cell) AS BIGINT) + dx.x AS cell_lat,
+                   CAST(floor(lon / cell) AS BIGINT) + dy.y AS cell_lon
+            FROM pts CROSS JOIN cellv,
+                 unnest([-1, 0, 1]) AS dx(x), unnest([-1, 0, 1]) AS dy(y)),
+          joined AS (
+            SELECT qid, osm_id,
+                   round(2 * 6371.0088 * asin(sqrt(
+                     pow(sin(radians(p_lat - q_lat) / 2), 2) +
+                     cos(radians(q_lat)) * cos(radians(p_lat)) *
+                     pow(sin(radians(p_lon - q_lon) / 2), 2))), 6) AS dist_km
+            FROM probes JOIN pcell USING (cell_lat, cell_lon))
+          SELECT qid, osm_id, dist_km FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY dist_km ASC, osm_id ASC) AS rk
+            FROM joined)
+          WHERE rk = 1 ORDER BY qid"""))
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13)
 }

@@ -153,6 +153,63 @@ class MinHashIndexSpec extends SparkSpec {
     assert(after.sameElements(before))
   }
 
+  test("versioned publish: pointer flip, immutable history, rollback, prune") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-ver").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    val v1 = MinHashIndex.writeVersioned(toksOf(col("doc_id") <= 2), root,
+      NumHashes, rowsPerBand = 2)
+    assert(v1.endsWith("/v00001"))
+    assert(IndexIO.resolveCurrent(spark, root) == v1)
+    val v1Sig = ShardFiles.snapshot(s"$v1/signatures/shard=0")
+    val v2 = MinHashIndex.writeVersioned(toks, root, NumHashes, rowsPerBand = 2)
+    // pointer flipped to the new COMPLETE version; v1 is untouched history
+    assert(IndexIO.resolveCurrent(spark, root) == v2)
+    assert(ShardFiles.snapshot(s"$v1/signatures/shard=0") == v1Sig)
+    val cur = MinHashIndex.pairsCurrent(spark, root, NumHashes)
+      .orderBy("a", "b").collect()
+    val inline = Dedup.minhashLshPairs(
+        Dedup.minhashSignature(toks, NumHashes), NumHashes, rowsPerBand = 2)
+      .orderBy("a", "b").collect()
+    assert(cur.nonEmpty && cur.sameElements(inline))
+    // rollback is a pointer flip, no rebuild: serving returns to v1's corpus
+    IndexIO.setCurrent(spark, root, "v00001")
+    val rolled = MinHashIndex.pairsCurrent(spark, root, NumHashes).collect()
+    assert(!rolled.exists(r => r.getLong(0) > 2L || r.getLong(1) > 2L))
+    // prune keeps the newest keepLast and always the current version
+    IndexIO.pruneVersions(spark, root, keepLast = 1)
+    assert(IndexIO.versionIds(spark, root).contains(1))
+    IndexIO.setCurrent(spark, root, "v00002")
+    IndexIO.pruneVersions(spark, root, keepLast = 1)
+    assert(IndexIO.versionIds(spark, root) == Seq(2))
+    // a pointer at a pruned/missing version fails loudly
+    intercept[java.io.IOException] {
+      IndexIO.setCurrent(spark, root, "v00001")
+    }
+  }
+
+  test("a version dir without a pointer flip is never served; a later publish skips past and prune reclaims it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-crash").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    val v1 = MinHashIndex.writeVersioned(toksOf(col("doc_id") <= 2), root,
+      NumHashes, rowsPerBand = 2)
+    // simulate a crash BETWEEN the version-dir rename and the pointer
+    // flip: a complete build lands as v00002 but CURRENT still names v1
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-orphan").toString + "/idx"
+    MinHashIndex.write(toks, tmp, NumHashes, rowsPerBand = 2)
+    assert(new java.io.File(tmp).renameTo(new java.io.File(s"$root/v00002")))
+    assert(IndexIO.resolveCurrent(spark, root) == v1) // reader unaffected
+    // the retried publish takes the NEXT slot and flips past the orphan
+    val v3 = MinHashIndex.writeVersioned(toks, root, NumHashes, rowsPerBand = 2)
+    assert(v3.endsWith("/v00003") && IndexIO.resolveCurrent(spark, root) == v3)
+    IndexIO.pruneVersions(spark, root, keepLast = 1)
+    assert(IndexIO.versionIds(spark, root) == Seq(3)) // orphan reclaimed
+  }
+
   test("band keys: persisted table matches the shared construction") {
     MinHashIndex.write(toks, path, NumHashes, rowsPerBand = 2)
     val sig = spark.read.parquet(s"$path/signatures")
