@@ -801,11 +801,37 @@ object DedupQueries {
            FROM t LEFT JOIN removed r ON t.doc_id = r.id
            ORDER BY id"""))
 
+  /** URL-keyed exact dedup ([[graft.ext.Urls.canonicalUrl]] as the
+    * groupBy key) — the cheapest dedup pass a crawl pipeline runs,
+    * BEFORE any content hashing: the canonicalization is a narrow
+    * codegen'd map, the dedup one partial-aggregated groupBy, and at
+    * 100 TB nothing else is touched. Keeps the lowest doc_id per
+    * canonical URL (first-crawled wins); NULL canons (non-absolute
+    * inputs) are excluded — they have no URL identity to merge on.
+    * The oracle re-derives both the messy fixture and the whole
+    * canonicalization chain in SQL, so a drifted rule changes keys and
+    * breaks the hash. */
+  val ddUrlDedup = Q("dd_url_dedup",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextQueries3.urlFixture.as("url"))
+      .withColumn("canon_url", graft.ext.Urls.canonicalUrl(col("url")))
+      .filter(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+      .orderBy("canon_url"),
+    Some(s"""SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_docs
+             FROM (SELECT doc_id,
+                          ${graft.ext.Urls.canonicalUrlSql("url")} AS canon_url
+                   FROM (SELECT doc_id, ${TextQueries3.urlFixtureSql} AS url
+                         FROM documents))
+             WHERE canon_url IS NOT NULL
+             GROUP BY canon_url ORDER BY canon_url"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
     ddMinhashPairsDurable,
     ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact, ddMinhashVersioned,
     ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
-    ddSpanDedup, ddSpanClean)
+    ddSpanDedup, ddSpanClean, ddUrlDedup)
 }

@@ -184,6 +184,67 @@ object TextQueries3 {
           FROM s2 JOIN s3 USING (id) ORDER BY id"""
     })
 
+  /** Deterministic messy-URL fixture over the documents table — the
+    * same page identity arrives under five surface variants keyed by
+    * `doc_id % 5` (mixed-case scheme/host + www + default port +
+    * tracking param + trailing slash; plain http with a fragment;
+    * https with `:443` and duplicate slashes; the clean form; a
+    * non-URL line that must canonicalize to NULL). Page identity uses
+    * moduli coprime with 5 (site `%3`, path `%7`, id-param `%4`) so
+    * canonical COLLISIONS genuinely occur across variants at every
+    * scale factor. Spark and SQL forms sit together so they cannot
+    * drift. */
+  private[queries] def urlFixture: org.apache.spark.sql.Column = {
+    val site = concat(lit("site"), (col("doc_id") % 3).cast("string"))
+    val pb = (col("doc_id") % 7).cast("string")
+    val idp = (col("doc_id") % 4).cast("string")
+    when(col("doc_id") % 5 === 0,
+      concat(lit("HTTP://WWW."), site, lit(".example.org:80/a/"), pb,
+        lit("/?utm_source=feed&id="), idp))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("http://"), site, lit(".example.org/a/"), pb,
+          lit("?id="), idp, lit("&utm_campaign=x#frag")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://"), site, lit(".Example.org:443/b/"), pb, lit("//c/")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://"), site, lit(".example.org/b/"), pb, lit("/c")))
+      .otherwise(concat(lit("doc "), col("doc_id").cast("string"),
+        lit(" has no url")))
+  }
+
+  // a def, NOT a val: DedupQueries reads this during ITS init, which
+  // taClassifierScore's DedupQueries.portableHash reference can trigger
+  // while THIS object is still mid-init — a val would read back null
+  // (Scala object-cycle semantics); a literal-only def cannot.
+  private[queries] def urlFixtureSql: String =
+    """CASE
+         WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.site' || CAST(doc_id % 3 AS VARCHAR)
+           || '.example.org:80/a/' || CAST(doc_id % 7 AS VARCHAR)
+           || '/?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR)
+         WHEN doc_id % 5 = 1 THEN 'http://site' || CAST(doc_id % 3 AS VARCHAR)
+           || '.example.org/a/' || CAST(doc_id % 7 AS VARCHAR)
+           || '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x#frag'
+         WHEN doc_id % 5 = 2 THEN 'https://site' || CAST(doc_id % 3 AS VARCHAR)
+           || '.Example.org:443/b/' || CAST(doc_id % 7 AS VARCHAR) || '//c/'
+         WHEN doc_id % 5 = 3 THEN 'https://site' || CAST(doc_id % 3 AS VARCHAR)
+           || '.example.org/b/' || CAST(doc_id % 7 AS VARCHAR) || '/c'
+         ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' has no url'
+       END"""
+
+  /** URL canonicalization pinned cross-engine ([[graft.ext.Urls]]):
+    * the full rule chain (case, www, default ports, duplicate/trailing
+    * slashes, fragment, tracking-param drop, param sort, NULL for
+    * non-absolute input) re-derived independently in DuckDB SQL over
+    * the same fixture — the g1_canon treatment for URLs. */
+  val taUrlCanon = Q("ta_url_canon",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), urlFixture.as("url"))
+      .withColumn("canon_url", graft.ext.Urls.canonicalUrl(col("url")))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, url, ${graft.ext.Urls.canonicalUrlSql("url")} AS canon_url
+             FROM (SELECT doc_id, $urlFixtureSql AS url FROM documents)
+             ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(taPhraseSearch, taDomainCap, taClassifierScore,
-    taRepetition)
+    taRepetition, taUrlCanon)
 }
