@@ -136,15 +136,19 @@ object Similarity {
     * (cid, cent_emb); returns one row per input id: (idCol, cid,
     * embCol). */
   private[ext] def nearestCentroid(vecs: DataFrame, cent: DataFrame,
-                                   idCol: String, embCol: String): DataFrame =
+                                   idCol: String, embCol: String,
+                                   carryCols: Seq[String] = Nil): DataFrame = {
+    // embCol and every carryCol are group-constant (the row's own
+    // values replicated across centroids) — any_value is deterministic
+    val aggs = max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid") +:
+      (embCol +: carryCols).map(c => any_value(col(c)).as(c))
     vecs.crossJoin(broadcast(cent))
-      .select(col(idCol), col(embCol), col("cid"),
-        cosineQ(col(embCol), col("cent_emb")).as("csim"))
+      .select((col(idCol) +: col(embCol) +: col("cid") +:
+        cosineQ(col(embCol), col("cent_emb")).as("csim") +:
+        carryCols.map(col)): _*)
       .groupBy(idCol)
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        // embCol is group-constant (the row's own embedding replicated
-        // across centroids) — any_value is deterministic here
-        any_value(col(embCol)).as(embCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int,
                         iterations: Int): DataFrame = {

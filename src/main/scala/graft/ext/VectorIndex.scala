@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   /** Build and persist the index: `centroids` (cid, cent_emb) and
-    * `postings` (cid, cand_id, c_emb) sorted by cid. `iterations` > 0
-    * Lloyd-refines the deterministic seed centroids
+    * `postings` (cid, cand_id, c_emb, metaCols*) sorted by cid.
+    * `iterations` > 0 Lloyd-refines the deterministic seed centroids
     * ([[Similarity.trainIvfCentroids]]).
+    *
+    * `metaCols` names corpus columns to CO-LOCATE in the posting rows
+    * (label, language, license …) — the filtered-search design every
+    * vector store uses: a metadata predicate at serve time
+    * ([[topK]]'s `candFilter`) then pushes to the SAME parquet scan as
+    * the cid probe instead of forcing a corpus-wide join against the
+    * raw table. Cost is posting-row width, paid once at build.
     *
     * Both tables are written under a staging directory and published by
     * ONE rename ([[IndexIO]]): a failure mid-build leaves the previous
@@ -31,7 +38,10 @@ object VectorIndex {
     * return wrong neighbors — the rename makes the race fail loudly or
     * not at all). */
   def write(corpus: DataFrame, path: String, nCentroids: Int,
-            iterations: Int = 0, partitions: Int = 8): Unit = {
+            iterations: Int = 0, partitions: Int = 8,
+            metaCols: Seq[String] = Nil): Unit = {
+    require(!metaCols.exists(Seq("cid", "cand_id", "c_emb").contains),
+      s"metaCols collide with index columns: $metaCols")
     val staging = IndexIO.stagingFor(path)
     val cent =
       if (iterations > 0)
@@ -44,15 +54,25 @@ object VectorIndex {
     // `cent` plan would re-run its full-corpus TakeOrdered a second time,
     // and reading back also guarantees postings match the persisted table
     val centStored = corpus.sparkSession.read.parquet(s"$staging/centroids")
-    val q = corpus.select(col("vec_id").as("cand_id"),
-      Similarity.quantize(col("embedding")).as("c_emb"))
-    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
-      .select(col("cid"), col("cand_id"), col("c_emb"))
+    val q = corpus.select(
+      (col("vec_id").as("cand_id") +:
+        Similarity.quantize(col("embedding")).as("c_emb") +:
+        metaCols.map(col)): _*)
+    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb", metaCols)
+      .select((Seq("cid", "cand_id", "c_emb") ++ metaCols).map(col): _*)
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
     IndexIO.publish(corpus.sparkSession, staging, path)
   }
+
+  /** Metadata columns a stored posting table carries (everything past
+    * the fixed index triple and the shard partition column) — schema-
+    * derived so append/compact preserve them without a caller knowing
+    * the build-time `metaCols`. */
+  private def storedMetaCols(postings: DataFrame): Seq[String] =
+    postings.schema.fieldNames.toSeq
+      .filterNot(Seq("cid", "cand_id", "c_emb", "shard").contains)
 
   /** Append new vectors to a stored index WITHOUT a full rebuild: the
     * streaming-ingest path. New vectors are assigned against the STORED
@@ -94,10 +114,18 @@ object VectorIndex {
     }
     val next = IndexIO.shardIds(spark, s"$path/postings").lastOption.getOrElse(-1) + 1
     val staging = IndexIO.shardStagingFor(s"$path/postings")
-    val q = newVectors.select(col("vec_id").as("cand_id"),
-      Similarity.quantize(col("embedding")).as("c_emb"))
-    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb")
-      .select(col("cid"), col("cand_id"), col("c_emb"))
+    // the stored schema dictates which metadata columns the batch must
+    // carry — a shard missing them would serve NULLs into candFilter
+    // predicates and silently drop (or keep) the wrong candidates
+    val meta = storedMetaCols(spark.read.parquet(s"$path/postings"))
+    meta.foreach(c => require(newVectors.columns.contains(c),
+      s"stored index at $path carries metadata column '$c'; append batch lacks it"))
+    val q = newVectors.select(
+      (col("vec_id").as("cand_id") +:
+        Similarity.quantize(col("embedding")).as("c_emb") +:
+        meta.map(col)): _*)
+    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb", meta)
+      .select((Seq("cid", "cand_id", "c_emb") ++ meta).map(col): _*)
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(staging)
@@ -115,8 +143,10 @@ object VectorIndex {
     val staging = IndexIO.stagingFor(path)
     spark.read.parquet(s"$path/centroids")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
-    spark.read.parquet(s"$path/postings")
-      .select(col("cid"), col("cand_id"), col("c_emb"))
+    val postings = spark.read.parquet(s"$path/postings")
+    postings
+      .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(postings))
+        .map(col): _*)
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
@@ -138,8 +168,20 @@ object VectorIndex {
     * a broadcast semi-join on the probed cids, which reads more row
     * groups but keeps plan size and driver memory flat however large
     * the query batch × nprobe product grows. */
+  /** `candFilter`: an optional predicate over the posting rows'
+    * metadata columns (stored via `write(..., metaCols)`) — FILTERED
+    * vector search ("top-k nearest with license = permissive"). The
+    * predicate lands on the posting scan ITSELF, next to the cid
+    * probe, so parquet row-group pruning applies to both and no join
+    * against the raw corpus happens at serve time. Filtering runs
+    * BEFORE the re-rank (the standard IVF post-filter semantics:
+    * k survivors of the probed lists, not k-then-filter, which could
+    * return fewer than k for no reason) — but NOT before probing:
+    * a very selective filter with tiny nprobe still bounds recall by
+    * the probed lists, the documented IVF trade. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-           k: Int, nprobe: Int, maxLiteralCids: Int = 10000): DataFrame = {
+           k: Int, nprobe: Int, maxLiteralCids: Int = 10000,
+           candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cent = broadcast(spark.read.parquet(s"$path/centroids"))
     val probes = queries
       .select(col("vec_id").as("query_id"),
@@ -160,7 +202,8 @@ object VectorIndex {
     val cids = probes.select("cid").distinct()
       .limit(math.min(maxLiteralCids.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = candFilter.foldLeft(
+      spark.read.parquet(s"$path/postings"))(_ filter _)
     val probed =
       if (cids.length <= maxLiteralCids)
         postings.filter(col("cid").isInCollection(cids))

@@ -127,7 +127,18 @@ object SimilarityQueries {
 
   /** Shared IVF oracle (seeded centroids, NCent lists, NProbe probes):
     * [[annIvf]] and the persisted-index [[annIvfPersisted]] compute the
-    * SAME result by contract, so one twin pins both. */
+    * SAME result by contract, so one twin pins both.
+    * [[ivfOracleSqlWhere]] adds a candidate metadata predicate at the
+    * same point the engine applies `candFilter` — after probing,
+    * before the re-rank. */
+  private def ivfOracleSqlWhere(candCond: Option[String]): String = {
+    val extra = candCond
+      .map(c => s" AND cand_id IN (SELECT vec_id FROM embeddings WHERE $c)")
+      .getOrElse("")
+    ivfOracleSql.replace("WHERE query_id <> cand_id)",
+      s"WHERE query_id <> cand_id$extra)")
+  }
+
   private lazy val ivfOracleSql: String =
     s"""WITH qv AS (${qvSql()}),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
@@ -245,6 +256,29 @@ object SimilarityQueries {
     * one, topK serves from the compacted layout. Same oracle as
     * ann_ivf_topk — the hash match pins compact as a pure layout
     * rewrite (results unchanged, fewer files per centroid probe). */
+  /** FILTERED vector search: top-k under a candidate metadata
+    * predicate ([[graft.ext.VectorIndex.topK]]'s `candFilter` over a
+    * `metaCols`-carrying index — the label rides IN the posting rows,
+    * so the predicate pushes to the same parquet scan as the cid
+    * probe; no corpus join at serve time). Post-filter semantics: the
+    * k nearest SURVIVORS of the probed lists, which the oracle
+    * replays by restricting the candidate CTE with the same
+    * condition. Result differs from ann_ivf_persisted_topk wherever
+    * an odd-label neighbor held a top-5 slot, so the hash certifies
+    * the filter actually reached the candidate set. */
+  val annIvfFiltered = Q("ann_ivf_filtered",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-vindex-fil-")
+      graft.ext.VectorIndex.write(emb(s, dir), path, nCentroids = NCent,
+        metaCols = Seq("label"))
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe,
+          candFilter = Some(col("label") % 2 === 0))
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSqlWhere(Some("label % 2 = 0"))))
+
   val annIvfCompact = Q("ann_ivf_compact",
     (s, dir) => {
       val path = splitIvfIndex(s, dir, "graft-vindex-cmp-")
@@ -523,5 +557,6 @@ object SimilarityQueries {
            ORDER BY s.query_id, s.rank"""))
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend, annIvfCompact)
+    ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend, annIvfCompact,
+    annIvfFiltered)
 }

@@ -37,6 +37,40 @@ class VectorIndexSpec extends SparkSpec {
       s"cid IN filter not pushed to the postings scan:\n$plan")
   }
 
+  test("filtered search: metadata rides in postings, predicate pushes to the scan, appends keep it") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-vindex-meta").toString + "/idx"
+    VectorIndex.write(emb.filter(col("vec_id") < 400), p, nCentroids = 8,
+      metaCols = Seq("label"))
+    // an append lacking the stored metadata column fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.append(emb.filter(col("vec_id") >= 400).drop("label"), p)
+    }
+    assert(ex.getMessage.contains("label"))
+    VectorIndex.append(emb.filter(col("vec_id") >= 400), p)
+    val filtered = VectorIndex.topK(spark, p,
+      emb.filter(col("vec_id") < 5), k = 5, nprobe = 2,
+      candFilter = Some(col("label") % 2 === 0))
+    // every served candidate satisfies the predicate (checked against
+    // the raw corpus, which the serve path itself never joins)
+    val evenIds = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = filtered.select("query_id", "cand_id").collect()
+    assert(got.nonEmpty && got.forall(r => evenIds.contains(r.getLong(1))))
+    // the label predicate reaches the SAME parquet scan as the cid probe
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*[Ii]n\\(cid".r.findFirstIn(plan).isDefined)
+    assert(plan.contains("label"), s"label predicate missing from plan:\n$plan")
+    // compact preserves the metadata column and the filtered answer
+    val before = filtered.orderBy("query_id", "rank").collect()
+    VectorIndex.compact(spark, p)
+    val after = VectorIndex.topK(spark, p,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2,
+        candFilter = Some(col("label") % 2 === 0))
+      .orderBy("query_id", "rank").collect()
+    assert(after.sameElements(before))
+  }
+
   test("append equals rebuild and never touches existing shard files") {
     // initial corpus holds the nCentroids smallest ids, so the seed
     // centroids of the split build equal those of the full rebuild
