@@ -40,9 +40,41 @@ object VectorIndex {
   def write(corpus: DataFrame, path: String, nCentroids: Int,
             iterations: Int = 0, partitions: Int = 8,
             metaCols: Seq[String] = Nil): Unit = {
+    val staging = IndexIO.stagingFor(path)
+    buildStaged(corpus, staging, nCentroids, iterations, partitions, metaCols)
+    IndexIO.publish(corpus.sparkSession, staging, path)
+  }
+
+  /** Build and publish a NEW VERSION under a versioned root — the
+    * object-store-safe twin of [[write]] (the
+    * [[MinHashIndex.writeVersioned]] treatment): every rebuild lands in
+    * an immutable `v{N}` directory and a one-line CURRENT pointer flips
+    * to it, so a reader ([[topKCurrent]]) can never observe a
+    * partially-copied index even where directory renames are
+    * copy+delete. Returns the published version path ([[append]]
+    * targets it directly — appends stay within one version). */
+  def writeVersioned(corpus: DataFrame, root: String, nCentroids: Int,
+                     iterations: Int = 0, partitions: Int = 8,
+                     metaCols: Seq[String] = Nil): String = {
+    val staging = IndexIO.stagingFor(root)
+    buildStaged(corpus, staging, nCentroids, iterations, partitions, metaCols)
+    IndexIO.publishVersioned(corpus.sparkSession, staging, root)
+  }
+
+  /** [[topK]] over whichever version CURRENT names — one small-file
+    * pointer read per query batch, then the resolved immutable version
+    * serves the whole batch (a publish landing mid-batch is invisible). */
+  def topKCurrent(spark: SparkSession, root: String, queries: DataFrame,
+                  k: Int, nprobe: Int, maxLiteralCids: Int = 10000,
+                  candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    topK(spark, IndexIO.resolveCurrent(spark, root), queries, k, nprobe,
+      maxLiteralCids, candFilter)
+
+  private def buildStaged(corpus: DataFrame, staging: String, nCentroids: Int,
+                          iterations: Int, partitions: Int,
+                          metaCols: Seq[String]): Unit = {
     require(!metaCols.exists(Seq("cid", "cand_id", "c_emb").contains),
       s"metaCols collide with index columns: $metaCols")
-    val staging = IndexIO.stagingFor(path)
     val cent =
       if (iterations > 0)
         Similarity.trainIvfCentroids(corpus, nCentroids, iterations)
@@ -63,7 +95,6 @@ object VectorIndex {
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
-    IndexIO.publish(corpus.sparkSession, staging, path)
   }
 
   /** Metadata columns a stored posting table carries (everything past

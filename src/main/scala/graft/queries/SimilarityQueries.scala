@@ -279,6 +279,25 @@ object SimilarityQueries {
     },
     Some(ivfOracleSqlWhere(Some("label % 2 = 0"))))
 
+  /** The VERSIONED-POINTER publish route for the vector index
+    * ([[graft.ext.VectorIndex.writeVersioned]] — the dd_minhash_versioned
+    * twin): a half-corpus v00001 then a full rebuild v00002 under one
+    * root, serving resolves the CURRENT pointer. The half-corpus v1
+    * returns different neighbors, so the shared oracle's hash
+    * certifies the pointer really flipped to the full rebuild. */
+  val annIvfVersioned = Q("ann_ivf_versioned",
+    (s, dir) => {
+      val root = graft.core.TempDirs.create("graft-vindex-ver-")
+      graft.ext.VectorIndex.writeVersioned(
+        emb(s, dir).filter(col("vec_id") < 250), root, nCentroids = NCent)
+      graft.ext.VectorIndex.writeVersioned(emb(s, dir), root, nCentroids = NCent)
+      graft.ext.VectorIndex.topKCurrent(s, root,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSql))
+
   val annIvfCompact = Q("ann_ivf_compact",
     (s, dir) => {
       val path = splitIvfIndex(s, dir, "graft-vindex-cmp-")
@@ -558,5 +577,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend, annIvfCompact,
-    annIvfFiltered)
+    annIvfFiltered, annIvfVersioned)
 }

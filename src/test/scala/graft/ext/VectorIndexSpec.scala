@@ -71,6 +71,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(after.sameElements(before))
   }
 
+  test("versioned publish serves the pointed-at version; rollback is a pointer flip") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vindex-ver").toString + "/idx"
+    VectorIndex.writeVersioned(emb.filter(col("vec_id") < 100), root, nCentroids = 8)
+    val v2 = VectorIndex.writeVersioned(emb, root, nCentroids = 8)
+    assert(IndexIO.resolveCurrent(spark, root) == v2)
+    val cur = VectorIndex.topKCurrent(spark, root,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+    val inline = Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, k = 5, nCentroids = 8, nprobe = 2)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+    assert(cur.nonEmpty && cur.sameElements(inline))
+    // rollback: candidates beyond v1's corpus disappear without a rebuild
+    IndexIO.setCurrent(spark, root, "v00001")
+    val rolled = VectorIndex.topKCurrent(spark, root,
+      emb.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+    assert(rolled.filter(col("cand_id") >= 100).count() == 0)
+  }
+
   test("append equals rebuild and never touches existing shard files") {
     // initial corpus holds the nCentroids smallest ids, so the seed
     // centroids of the split build equal those of the full rebuild
