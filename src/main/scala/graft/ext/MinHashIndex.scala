@@ -193,9 +193,45 @@ object MinHashIndex {
     IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
   }
 
+  /** TOMBSTONE a set of documents (retired crawls, takedowns — at
+    * 100 TB removal must not cost a rebuild): `ids` (an `id` column,
+    * the token-relation naming) lands as ONE NEW shard under
+    * `deletes/` via the [[append]] mechanics (staged hidden dir,
+    * single publish rename, existing files untouched). [[pairs]]
+    * anti-joins the tombstone set out of the bucket table BEFORE the
+    * self-join, so a deleted doc contributes no candidate pairs —
+    * identical results to an index built without those docs
+    * (oracle-pinned). Tombstones are INDEX-WIDE, not sequenced
+    * against shards: a deleted id stays invisible even if a later
+    * [[append]] re-ingests it, until [[compact]] — which physically
+    * drops tombstoned rows and clears the set — resets the index.
+    * This is also the sanctioned route for RE-CRAWLED docs (the
+    * duplicate-id hazard in [[append]]'s contract): delete the stale
+    * id, compact, append the fresh crawl. */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    require(ids.columns.contains("id"),
+      s"delete ids need an id column, got ${ids.columns.mkString(", ")}")
+    val next = IndexIO.shardIds(spark, s"$path/deletes").lastOption.getOrElse(-1) + 1
+    val staging = IndexIO.shardStagingFor(s"$path/deletes")
+    ids.select("id").distinct()
+      .coalesce(1) // tombstone batches are id lists — tiny next to the corpus
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
+  }
+
+  /** The stored tombstone set, if any shard exists — None keeps the
+    * no-deletes serving plan free of an empty-relation join. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
+      Some(spark.read.parquet(s"$path/deletes").select("id"))
+    else None
+
   /** Fold all shards of both tables back into one (`shard=0`) — the
     * compaction counterpart to [[append]]'s accumulate-shards contract.
-    * Rewrites history, so it goes through the full staging +
+    * Tombstoned rows ([[delete]]) are dropped for good from BOTH tables
+    * and the tombstone set is cleared (the staging dir carries no
+    * `deletes/`). Rewrites history, so it goes through the full staging +
     * aside-protected rename ([[IndexIO.publish]]); pair results are
     * unchanged, only layout (and the band self-join's file-read count)
     * improves. */
@@ -205,13 +241,17 @@ object MinHashIndex {
     // layouts have no shard dirs, so this is a no-op for migration
     reconcileShards(spark, path)
     val staging = IndexIO.stagingFor(path)
+    val dels = tombstones(spark, path)
     val sig = spark.read.parquet(s"$path/signatures")
-    sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*)
+    dels.foldLeft(
+        sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*))(
+        _.join(_, Seq("id"), "left_anti"))
       .repartitionByRange(partitions, col("id"))
       .sortWithinPartitions("id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
-    spark.read.parquet(s"$path/buckets")
-      .select("id", "band", "bucket")
+    dels.foldLeft(
+        spark.read.parquet(s"$path/buckets").select("id", "band", "bucket"))(
+        _.join(_, Seq("id"), "left_anti"))
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
@@ -225,7 +265,11 @@ object MinHashIndex {
     * (band, bucket) layout; nothing re-tokenizes, nothing checkpoints. */
   def pairs(spark: SparkSession, path: String, numHashes: Int): DataFrame = {
     val sig = spark.read.parquet(s"$path/signatures")
-    val bk = spark.read.parquet(s"$path/buckets")
+    // tombstones cut BEFORE the self-join: a deleted doc contributes no
+    // candidates from either side, so one anti-join covers both
+    val bk = tombstones(spark, path)
+      .foldLeft(spark.read.parquet(s"$path/buckets"))(
+        _.join(_, Seq("id"), "left_anti"))
     val cand = bk.as("l").join(bk.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))

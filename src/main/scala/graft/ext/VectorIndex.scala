@@ -163,11 +163,50 @@ object VectorIndex {
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
   }
 
+  /** TOMBSTONE a set of vectors ("right to be forgotten" at 100 TB:
+    * removing rows from a sorted multi-TB posting layout must not cost
+    * a rebuild). `ids` (a `vec_id` column, the [[write]] input naming)
+    * is written as ONE NEW shard under `deletes/` — the [[append]]
+    * mechanics exactly: staged hidden dir, single publish rename,
+    * existing files untouched. Serving ([[topK]]) anti-joins the
+    * tombstone set AFTER the cid probe (only the probed lists pay the
+    * join) and BEFORE the re-rank, so survivors back-fill the top-k —
+    * identical semantics to a `candFilter` excluding the ids, and the
+    * same position the oracle replays.
+    *
+    * Tombstones are INDEX-WIDE, not sequenced against shards: a
+    * deleted id stays invisible even if a later [[append]] re-ingests
+    * it, until [[compact]] — which physically drops tombstoned rows
+    * and clears the tombstone set — resets the index (spec-pinned).
+    * Callers re-ingesting a retired id compact first. Large tombstone
+    * sets degrade every serve (an extra join side that never shrinks);
+    * compaction is the remedy, same as shard accumulation. */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    require(ids.columns.contains("vec_id"),
+      s"delete ids need a vec_id column, got ${ids.columns.mkString(", ")}")
+    val next = IndexIO.shardIds(spark, s"$path/deletes").lastOption.getOrElse(-1) + 1
+    val staging = IndexIO.shardStagingFor(s"$path/deletes")
+    ids.select(col("vec_id").as("cand_id")).distinct()
+      .coalesce(1) // tombstone batches are id lists — tiny next to postings
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
+  }
+
+  /** The stored tombstone set, if any shard exists — None keeps the
+    * no-deletes serving plan free of an empty-relation join. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
+      Some(spark.read.parquet(s"$path/deletes").select("cand_id"))
+    else None
+
   /** Fold all posting shards back into one (`shard=0`): the compaction
     * counterpart to [[append]]'s accumulate-shards contract. Reads every
-    * shard, re-lays the union by cid, and republishes the WHOLE index
-    * (centroids copied unchanged) via the full staging rename — the one
-    * operation here that rewrites history, so it gets [[IndexIO.publish]]'s
+    * shard, drops tombstoned rows ([[delete]]) for good, re-lays the
+    * union by cid, and republishes the WHOLE index (centroids copied
+    * unchanged, tombstone set cleared — the staging dir simply carries
+    * no `deletes/`) via the full staging rename — the one operation
+    * here that rewrites history, so it gets [[IndexIO.publish]]'s
     * aside/restore protection. Serving results are unchanged; only the
     * file layout (and per-probe file-read count) improves. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
@@ -175,7 +214,8 @@ object VectorIndex {
     spark.read.parquet(s"$path/centroids")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     val postings = spark.read.parquet(s"$path/postings")
-    postings
+    tombstones(spark, path)
+      .foldLeft(postings)(_.join(_, Seq("cand_id"), "left_anti"))
       .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(postings))
         .map(col): _*)
       .repartitionByRange(partitions, col("cid"))
@@ -240,6 +280,10 @@ object VectorIndex {
         postings.filter(col("cid").isInCollection(cids))
       else postings.join(
         broadcast(probes.select("cid").distinct()), Seq("cid"), "left_semi")
-    Similarity.exactReRank(probed.join(probes, Seq("cid")), k)
+    // tombstones last: only the probed (already cid- and candFilter-
+    // pruned) rows pay the anti-join, and survivors back-fill the top-k
+    val alive = tombstones(spark, path)
+      .foldLeft(probed)(_.join(_, Seq("cand_id"), "left_anti"))
+    Similarity.exactReRank(alive.join(probes, Seq("cid")), k)
   }
 }

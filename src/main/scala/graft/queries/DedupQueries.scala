@@ -93,11 +93,18 @@ object DedupQueries {
   /** Shared oracle for the inline (dd_minhash_pairs) and persisted
     * (dd_minhash_persisted) LSH pair paths — both must reproduce the
     * same (a, b, est_sim) set over the same doc window. */
-  private def minhashPairsOracle: String = {
+  private def minhashPairsOracle: String =
+    minhashPairsOracleWhere("WHERE doc_id < 100")
+
+  /** [[minhashPairsOracle]] over an arbitrary doc window — the delete
+    * query narrows the window to the surviving ids (tombstoned docs
+    * contribute no pairs, so the index-after-delete must equal an
+    * index never built over them). */
+  private def minhashPairsOracleWhere(where: String): String = {
     val agree = (0 until NumHashes)
       .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH sig AS (${minhashSigSql(toksSql("WHERE doc_id < 100"))}),
+    s"""WITH sig AS (${minhashSigSql(toksSql(where))}),
           $lshCandSql
         SELECT a, b, round(($agree)::DOUBLE / $NumHashes, 6) AS est_sim
         FROM cand
@@ -220,6 +227,25 @@ object DedupQueries {
         .orderBy("a", "b")
     },
     Some(minhashPairsOracle))
+
+  /** The TOMBSTONE-DELETE path ([[graft.ext.MinHashIndex.delete]]):
+    * index the full doc window, tombstone every fifth doc, serve pairs.
+    * The engine never rebuilds — serving anti-joins the stored delete
+    * shard out of the bucket table — while the oracle builds its index
+    * over the SURVIVING docs only: the hash match certifies
+    * delete-without-rebuild ≡ never-indexed, the takedown contract. */
+  val ddMinhashDelete = Q("dd_minhash_delete",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-mhindex-del-")
+      graft.ext.MinHashIndex.write(minhashPairTokens(s, dir), path,
+        NumHashes, rowsPerBand = 2)
+      graft.ext.MinHashIndex.delete(
+        docs(s, dir).filter(col("doc_id") < 100 && col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id")), path)
+      graft.ext.MinHashIndex.pairs(s, path, NumHashes)
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracleWhere("WHERE doc_id < 100 AND doc_id % 5 <> 0")))
 
   private val SimhashBits = 16
 
@@ -830,6 +856,7 @@ object DedupQueries {
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
     ddMinhashPairsDurable,
     ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact, ddMinhashVersioned,
+    ddMinhashDelete,
     ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,

@@ -298,6 +298,27 @@ object SimilarityQueries {
     },
     Some(ivfOracleSql))
 
+  /** The TOMBSTONE-DELETE path ([[graft.ext.VectorIndex.delete]]):
+    * index the full corpus, tombstone every seventh vector, serve the
+    * query batch. The engine never rebuilds — topK anti-joins the
+    * stored delete shard out of the probed lists, after the cid probe
+    * and before the re-rank — while the oracle excludes the tombstoned
+    * ids at exactly that point ([[ivfOracleSqlWhere]], the candFilter
+    * position): the hash match certifies delete-without-rebuild ≡
+    * candidate-excluded, survivors back-filling the top-k. */
+  val annIvfDelete = Q("ann_ivf_delete",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-vindex-del-")
+      graft.ext.VectorIndex.write(emb(s, dir), path, nCentroids = NCent)
+      graft.ext.VectorIndex.delete(
+        emb(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"), path)
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSqlWhere(Some("vec_id % 7 <> 0"))))
+
   val annIvfCompact = Q("ann_ivf_compact",
     (s, dir) => {
       val path = splitIvfIndex(s, dir, "graft-vindex-cmp-")
@@ -577,5 +598,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend, annIvfCompact,
-    annIvfFiltered, annIvfVersioned)
+    annIvfFiltered, annIvfVersioned, annIvfDelete)
 }

@@ -89,6 +89,42 @@ class MinHashIndexSpec extends SparkSpec {
     assert(c.sameElements(b))
   }
 
+  test("tombstone delete kills pairs through re-append; compact resets the index") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-del").toString + "/idx"
+    def toks4 = Dedup.docTokens(
+      docsDf.filter(col("doc_id") === 4L), "doc_id", "text", distinct = false)
+    MinHashIndex.write(toks, p, NumHashes, rowsPerBand = 2)
+    val sigBefore = ShardFiles.snapshot(s"$p/signatures/shard=0")
+    MinHashIndex.delete(Seq(4L).toDF("id"), p)
+    // delete is a pure shard publish: stored tables untouched
+    assert(ShardFiles.snapshot(s"$p/signatures/shard=0") == sigBefore)
+    def pairsWith4() = MinHashIndex.pairs(spark, p, NumHashes).collect()
+      .exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L)
+    assert(!pairsWith4())
+    // served pairs equal an index NEVER built over the deleted doc
+    val pReb = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-del-reb").toString + "/idx"
+    MinHashIndex.write(Dedup.docTokens(docsDf.filter(col("doc_id") =!= 4L),
+      "doc_id", "text", distinct = false), pReb, NumHashes, rowsPerBand = 2)
+    assert(MinHashIndex.pairs(spark, p, NumHashes).orderBy("a", "b").collect()
+      .sameElements(
+        MinHashIndex.pairs(spark, pReb, NumHashes).orderBy("a", "b").collect()))
+    // tombstones are index-wide: a re-appended deleted id stays dead
+    MinHashIndex.append(toks4, p, NumHashes, rowsPerBand = 2)
+    assert(!pairsWith4())
+    // compact drops tombstoned rows (including the re-appended shard's)
+    // and clears the set; a fresh append then serves the id again
+    MinHashIndex.compact(spark, p)
+    assert(IndexIO.shardIds(spark, s"$p/deletes").isEmpty)
+    assert(spark.read.parquet(s"$p/signatures")
+      .filter(col("id") === 4L).count() == 0)
+    MinHashIndex.append(toks4, p, NumHashes, rowsPerBand = 2)
+    val revived = MinHashIndex.pairs(spark, p, NumHashes).collect()
+      .filter(r => r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(revived.length == 1 && revived.head.getDouble(2) == 1.0)
+  }
+
   test("minhashLshPairs durable route equals inline and leaves a servable index") {
     val p = java.nio.file.Files
       .createTempDirectory("graft-mhpairs-route").toString + "/idx"

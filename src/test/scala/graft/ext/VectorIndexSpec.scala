@@ -93,6 +93,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(rolled.filter(col("cand_id") >= 100).count() == 0)
   }
 
+  test("tombstone delete: no rebuild, candFilter-identical results, compact clears the set") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-vindex-del").toString + "/idx"
+    VectorIndex.write(emb, p, nCentroids = 8)
+    val postingsDir = s"$p/postings/shard=0"
+    val before = ShardFiles.snapshot(postingsDir)
+    VectorIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), p)
+    // delete is a pure shard publish: existing posting files untouched
+    assert(ShardFiles.snapshot(postingsDir) == before)
+    def serve() = VectorIndex.topK(spark, p,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+    val served = serve()
+    assert(served.nonEmpty && served.forall(_.getLong(2) % 7 != 0))
+    // identical to excluding the same ids via candFilter (the
+    // oracle-pinned position: after probing, before the re-rank)
+    val viaFilter = VectorIndex.topK(spark, p,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2,
+        candFilter = Some(col("cand_id") % 7 =!= 0))
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+    assert(served.sameElements(viaFilter))
+    // compact physically drops the rows and clears the tombstone set;
+    // serving is unchanged
+    VectorIndex.compact(spark, p)
+    assert(IndexIO.shardIds(spark, s"$p/deletes").isEmpty)
+    assert(spark.read.parquet(s"$p/postings")
+      .filter(col("cand_id") % 7 === 0).count() == 0)
+    assert(serve().sameElements(served))
+  }
+
   test("append equals rebuild and never touches existing shard files") {
     // initial corpus holds the nCentroids smallest ids, so the seed
     // centroids of the split build equal those of the full rebuild
