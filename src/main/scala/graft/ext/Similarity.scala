@@ -109,6 +109,71 @@ object Similarity {
         coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
 
+  /** 1-bit binary quantization: the sign bits of the quantized
+    * components packed 32 per INT64 word (32, not 64, so the packed
+    * word is always a non-negative sum of distinct powers of two —
+    * the same `sum(CASE WHEN v > 0 THEN 1 << j END)` expression stays
+    * overflow-free in any engine's signed 64-bit SQL). dim=64 packs to
+    * TWO longs: 16 bytes per vector versus 256 for the float32 row —
+    * the deepest compression tier before PQ ([[pqTopK]]). Bit j of
+    * word w is set iff component (32·w + j) of the quantized vector is
+    * strictly positive. Pure when/shiftleft column arithmetic — no
+    * lambda HOFs, stays inside whole-stage codegen. */
+  def packBits(qemb: Column, dim: Int): Column = {
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val base = w * 32
+      val n = math.min(32, dim - base)
+      (0 until n).map { j =>
+        when(element_at(qemb, base + j + 1) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed-bit arrays of `words` words:
+    * popcount of the XOR, summed across words. Unrolled per word (the
+    * word count is a compile-time constant of the call site), so the
+    * whole distance is one codegen'd integer expression. */
+  def hammingPacked(a: Column, b: Column, words: Int): Column =
+    (0 until words).map { w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+    }.reduce(_ + _)
+
+  /** Binary-quantization ANN: Hamming prefilter over packed sign bits,
+    * exact re-rank of the top-`nCandidates` survivors. The memory-tier
+    * contract at 100 TB: the prefilter scans ONLY the packed relation
+    * (cand_id + 16 bytes of bits per vector — 16× less I/O than the
+    * float rows, all integer XOR/popcount inside one codegen stage),
+    * and the full-precision embeddings are fetched by an equality join
+    * for just |queries|·nCandidates survivors before the shared
+    * [[exactReRank]] tail. Prefilter ties break to the lowest cand_id,
+    * so the candidate set — hence the result — is engine-portable.
+    * Returns (query_id, rank, cand_id, cosine). */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             nCandidates: Int): DataFrame = {
+    val words = (dim + 31) / 32
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q_emb"))
+      .withColumn("q_bits", packBits(col("q_emb"), dim)))
+    val cBits = corpus.select(
+      col("vec_id").as("cand_id"),
+      packBits(quantize(col("embedding")), dim).as("c_bits"))
+    val survivors = q.select(col("query_id"), col("q_bits")).crossJoin(cBits)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingPacked(col("q_bits"), col("c_bits"), words).as("ham"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ham").asc, col("cand_id").asc)))
+      .filter(col("crank") <= nCandidates)
+      .select("query_id", "cand_id")
+    val withVecs = survivors
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        quantize(col("embedding")).as("c_emb")), Seq("cand_id"))
+      .join(q.select(col("query_id"), col("q_emb")), Seq("query_id"))
+    exactReRank(withVecs, k)
+  }
+
   /** Deterministic integer hyperplane `p` for sign-LSH (no RNG: derived
     * from Knuth's multiplicative constant so any engine reproduces it). */
   def hyperplane(p: Int, dim: Int): Array[Long] =

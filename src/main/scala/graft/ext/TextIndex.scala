@@ -1,0 +1,260 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index serving BM25 retrieval — the keyword
+  * twin of [[VectorIndex]] (vectors) and [[MinHashIndex]] (dedup): the
+  * corpus is tokenized ONCE at build, and every query after that is a
+  * probe of stored postings, never a re-scan of document text.
+  * (Reference counterpart: scout serves its text predicates by
+  * re-scanning the corpus per query — SURVEY §1.3; the index replaces
+  * that with the standard retrieval-system layout.)
+  *
+  * Layout (all tables `shard=K`-partitioned, see the commit protocol
+  * below):
+  *  - `postings` (term, doc_id, dl, tf) range-laid and sorted by term —
+  *    a probe of q query terms reads q term-clustered row-group slices
+  *    (the [[graft.etl.TrigramIndex]] sorted-postings lever), never the
+  *    corpus. At 100 TB the postings relation is ~1% of the text it
+  *    indexes and only the probed slivers of it are read.
+  *  - `doclens` (doc_id, dl) sorted by doc_id — the doc spine, kept so
+  *    tombstoned docs' length mass can be subtracted exactly at serve
+  *    time ([[delete]]).
+  *  - `stats` one row per shard (n_docs, sum_dl) — corpus-level BM25
+  *    constants pre-aggregated so serving never scans doclens; shard
+  *    rows sum exactly (INT64) to the rebuild's values.
+  *
+  * Shard-commit protocol: [[MinHashIndex.append]]'s two-table publish
+  * admits a benign-but-visible orphan between its renames. With THREE
+  * tables no publish order is benign (a postings shard without its
+  * stats shard mis-scores every query against stale corpus constants),
+  * so appends here are transactional: all table shards publish first
+  * (each an atomic staged rename), then a one-row `commits/shard=K`
+  * marker publishes LAST, and every reader prunes each table to
+  * committed shard ids (a partition-column `IN` — directory pruning,
+  * no data read). A crash anywhere before the marker leaves invisible
+  * garbage that the next [[append]]/[[compact]] reconciles away; a
+  * reader can never observe a partially-appended index. This is the
+  * manifest-pointer design object-store table formats use, scoped to
+  * one marker file per shard.
+  */
+object TextIndex {
+
+  /** (doc_id, dl, toks) doc spine — one tokenize pass per doc, shared
+    * by the postings explode and the stats aggregate. */
+  def docSpine(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", TextAnalysis.tokensCol(col("text")))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+
+  /** BM25 scoring + ranking tail shared by the persisted serving path
+    * ([[bm25TopK]]) and the inline corpus-scan form
+    * (`ta_bm25`, [[graft.queries.TextQueries2]]) — ONE body for the
+    * log-free rational idf, the integer-micros order-free per-doc sum,
+    * and the (score desc, doc_id asc) tie contract their shared DuckDB
+    * oracle pins. `tf` carries (doc_id, dl, term, tf); `dfreq`
+    * (term, df); `stats` one row (n_docs, avgdl). */
+  def bm25Rank(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+               k1: Double, b: Double, k: Int): DataFrame = {
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val perDoc = scored
+      .select(col("doc_id"),
+        round((idf * tfn) * lit(1000000.0)).cast("long").as("micro"))
+      .groupBy("doc_id").agg(sum(col("micro")).as("score_micro"))
+    TopK.perGroupTopK(perDoc, Seq.empty,
+        struct((-col("score_micro")).as("negs"), col("doc_id"), col("score_micro")), k)
+      .select(col("col.doc_id").as("doc_id"),
+        col("col.score_micro").as("score_micro"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("rank")
+  }
+
+  /** Build and publish the index from a (doc_id, text) relation. The
+    * whole first build stages under a hidden sibling and lands with ONE
+    * directory rename ([[IndexIO.publish]]) — same as its siblings. */
+  def write(docs: DataFrame, path: String, partitions: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val staging = IndexIO.stagingFor(path)
+    writeShardTables(docs, staging, 0, partitions)
+    commitShard(spark, staging, 0)
+    IndexIO.publish(spark, staging, path)
+  }
+
+  /** One shard of all three tables under `root`. The spine (with its
+    * token arrays) is materialized to a hidden temp dir so the
+    * regex-heavy tokenize runs ONCE for the two derived writes (the
+    * cluster-safe form of the inline query's localCheckpoint), then
+    * removed. */
+  private def writeShardTables(docs: DataFrame, root: String, shard: Int,
+                               partitions: Int): Unit = {
+    val spark = docs.sparkSession
+    val spinePath = s"$root/.spine-tmp"
+    docSpine(docs).write.mode(SaveMode.Overwrite).parquet(spinePath)
+    val spine = spark.read.parquet(spinePath)
+    spine.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(partitions, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/postings/shard=$shard")
+    spine.select("doc_id", "dl")
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/doclens/shard=$shard")
+    spine.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
+    IndexIO.deleteDir(spark, spinePath)
+  }
+
+  private val Tables = Seq("postings", "doclens", "stats")
+
+  /** Publish the commit marker for shard `k` — the LAST rename of an
+    * append; its arrival is what makes the shard visible. */
+  private def commitShard(spark: SparkSession, root: String, k: Int): Unit = {
+    val staging = IndexIO.shardStagingFor(s"$root/commits")
+    spark.range(1).select(lit(k).as("committed"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    IndexIO.publishShard(spark, staging, s"$root/commits/shard=$k")
+  }
+
+  /** Drop table shards with no commit marker (crash before the marker
+    * rename) and markers with missing table shards (external tampering
+    * — serving would silently mis-score against partial state, the
+    * worse failure). Restores exactly the last committed state, so a
+    * retried append is safe. */
+  private def reconcileShards(spark: SparkSession, path: String): Unit = {
+    val perTable = Tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
+    val committed = IndexIO.shardIds(spark, s"$path/commits").toSet
+    val complete = perTable.reduce(_ intersect _)
+    for ((t, ids) <- Tables.zip(perTable); k <- ids diff committed)
+      IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
+    for (k <- committed diff complete)
+      IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+  }
+
+  /** Append a new document batch as ONE NEW committed shard of each
+    * table — existing shard files are never read, rewritten, or moved
+    * (spec-pinned byte-identical), so at 100 TB an append costs only
+    * the new batch. Postings/df/stats all sum across shards exactly,
+    * so serve-after-append ≡ serve-after-rebuild for disjoint doc ids
+    * (oracle-pinned). Re-ingesting an existing doc_id would double its
+    * postings — route re-crawls through [[delete]] + [[compact]]
+    * first, as with [[MinHashIndex.append]]. */
+  def append(docs: DataFrame, path: String, partitions: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    reconcileShards(spark, path)
+    val next = IndexIO.shardIds(spark, s"$path/commits").lastOption.getOrElse(-1) + 1
+    // stage all three table shards under one hidden dir inside the index
+    // root (same filesystem, invisible to readers), publish each with an
+    // atomic per-dir rename, marker last
+    val stage =
+      s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeShardTables(docs, stage, next, partitions)
+    for (t <- Tables)
+      IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
+    IndexIO.deleteDir(spark, stage)
+    commitShard(spark, path, next)
+  }
+
+  /** Tombstone a set of doc_ids (takedowns, re-crawls): one tiny
+    * atomic shard under `deletes/`, index-wide like its
+    * [[MinHashIndex.delete]] twin. Serving subtracts the tombstoned
+    * docs EXACTLY — postings anti-joined out, their doc count and
+    * length mass removed from the BM25 corpus constants via the stored
+    * doclens — so results equal an index never containing them
+    * (oracle-pinned). [[compact]] physically drops them and clears the
+    * set. */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    require(ids.columns.contains("doc_id"),
+      s"delete ids need a doc_id column, got ${ids.columns.mkString(", ")}")
+    val next = IndexIO.shardIds(spark, s"$path/deletes").lastOption.getOrElse(-1) + 1
+    val staging = IndexIO.shardStagingFor(s"$path/deletes")
+    ids.select("doc_id").distinct()
+      .coalesce(1) // tombstone batches are id lists — tiny next to the corpus
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
+      Some(spark.read.parquet(s"$path/deletes").select("doc_id"))
+    else None
+
+  /** Fold all committed shards back to one (`shard=0`), dropping
+    * tombstoned docs for good and re-deriving stats from the compacted
+    * spine; full staging + single publish rename. Results unchanged;
+    * probe file counts and the tombstone anti-join disappear. */
+  def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
+    reconcileShards(spark, path)
+    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
+    val dels = tombstones(spark, path)
+    def live(table: String, cols: Seq[String]) =
+      dels.foldLeft(
+          spark.read.parquet(s"$path/$table")
+            .filter(col("shard").isin(committed: _*))
+            .select(cols.map(col): _*))(
+          _.join(_, Seq("doc_id"), "left_anti"))
+    val staging = IndexIO.stagingFor(path)
+    live("postings", Seq("term", "doc_id", "dl", "tf"))
+      .repartitionByRange(partitions, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
+    val doclens = live("doclens", Seq("doc_id", "dl"))
+    doclens
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclens/shard=0")
+    spark.read.parquet(s"$staging/doclens")
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats/shard=0")
+    commitShard(spark, staging, 0)
+    IndexIO.publish(spark, staging, path)
+  }
+
+  /** BM25 top-k for a term set, served ENTIRELY from the stored
+    * layout: the postings probe is a term-`IN` over term-sorted row
+    * groups pruned to committed shards; df comes from the probed rows;
+    * the corpus constants come from the stats table minus the exact
+    * tombstone mass. Identical output (and oracle) to the inline
+    * corpus-scan form over the same live docs. */
+  def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
+               k: Int, k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one probe term")
+    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
+    def tbl(name: String) =
+      spark.read.parquet(s"$path/$name").filter(col("shard").isin(committed: _*))
+    val dels = tombstones(spark, path)
+    val tf = dels.foldLeft(
+        tbl("postings").filter(col("term").isin(terms: _*)))(
+        _.join(_, Seq("doc_id"), "left_anti"))
+      .select("doc_id", "dl", "term", "tf")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val base = tbl("stats")
+      .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sdl"))
+    val stats = dels match {
+      case Some(d) =>
+        val removed = tbl("doclens").join(d, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("rnd"), coalesce(sum(col("dl")), lit(0L)).as("rsdl"))
+        base.crossJoin(removed).select(
+          (col("nd") - col("rnd")).as("n_docs"),
+          ((col("sdl") - col("rsdl")).cast("double") /
+            (col("nd") - col("rnd")).cast("double")).as("avgdl"))
+      case None =>
+        base.select(col("nd").as("n_docs"),
+          (col("sdl").cast("double") / col("nd").cast("double")).as("avgdl"))
+    }
+    bm25Rank(tf, dfreq, stats, k1, b, k)
+  }
+}

@@ -542,6 +542,56 @@ object SimilarityQueries {
     * Every ranked score is an INT64 dot over engine-portable int8
     * codes; the oracle rebuilds the quantization (per-vector max-abs
     * scale, round half away from zero) and both rankings in SQL. */
+  /** Binary-quantization ANN: sign bits packed 32/word (two INT64
+    * words at dim=64 — 16 bytes/vector, the deepest compression tier),
+    * Hamming prefilter to 50 candidates, exact re-rank to top-10. The
+    * oracle rebuilds the identical packed words (`v > 0` on the same
+    * quantized components, 32-bit-safe shifts), XOR+popcount Hamming,
+    * and the shared (cosine desc, cand_id asc) re-rank contract. */
+  val annBq = Q("ann_bq_topk",
+    (s, dir) => Similarity.bqTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 10, dim = Dim, nCandidates = 50)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH qv AS (${qvSql()}),
+               bits AS (
+                 SELECT vec_id,
+                        sum(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS b0,
+                        sum(CASE WHEN v > 0 AND i > 32 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS b1
+                 FROM qv GROUP BY 1),
+               pre AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                        bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS ham
+                 FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5),
+               cand AS (
+                 SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY ham ASC, cand_id ASC) AS crank
+                   FROM pre) WHERE crank <= 50),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               dots AS (
+                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
+                 FROM cand
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2),
+               scored AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               ranked AS (
+                 SELECT query_id, cand_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM scored)
+             SELECT query_id, rank, cand_id, cosine FROM ranked
+             WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val annSq = Q("ann_sq_topk",
     (s, dir) => Similarity.sqTopK(
       emb(s, dir).filter(col("vec_id") < 5), emb(s, dir), k = 10)
@@ -597,6 +647,6 @@ object SimilarityQueries {
            ORDER BY s.query_id, s.rank"""))
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
-    ddSemDedup, annPq, annSq, annIvfPersisted, annIvfAppend, annIvfCompact,
+    ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
     annIvfFiltered, annIvfVersioned, annIvfDelete)
 }

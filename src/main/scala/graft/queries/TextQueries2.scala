@@ -263,32 +263,23 @@ object TextQueries2 {
       val stats = toks.agg(
         count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-      val scored = tf
-        .join(broadcast(dfreq), Seq("term"))
-        .crossJoin(broadcast(stats))
-      val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val tfn = (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
-        (col("tf").cast("double") + lit(Bm25K1) *
-          (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
-      val perDoc = scored
-        .select(col("doc_id"),
-          round((idf * tfn) * lit(1000000.0)).cast("long").as("micro"))
-        .groupBy("doc_id").agg(sum(col("micro")).as("score_micro"))
-      graft.ext.TopK.perGroupTopK(perDoc, Seq.empty,
-          struct((-col("score_micro")).as("negs"), col("doc_id"), col("score_micro")), 20)
-        .select(col("col.doc_id").as("doc_id"),
-          col("col.score_micro").as("score_micro"),
-          (col("pos") + 1).cast("int").as("rank"))
-        .orderBy("rank")
+      // scoring + ranking tail shared with the persisted-index serving
+      // path (graft.ext.TextIndex.bm25TopK) — one body for the idf/tf
+      // arithmetic and tie contract their common oracle pins
+      graft.ext.TextIndex.bm25Rank(tf, dfreq, stats, Bm25K1, Bm25B, 20)
     },
-    Some {
+    Some(bm25Sql()))
+
+  /** The BM25 oracle SQL, templated on a corpus predicate so the
+    * persisted-index journeys (append, tombstone delete) can pin their
+    * final live-doc set with the SAME arithmetic/tie contract. */
+  def bm25Sql(corpusWhere: String = ""): String = {
       val canon = TextQueries.canonSql
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (
             SELECT doc_id,
                    list_filter(string_split($canon, ' '), x -> x <> '') AS t
-            FROM documents),
+            FROM documents $corpusWhere),
           sized AS (SELECT doc_id, len(t) AS dl, t FROM toks),
           tf AS (
             SELECT doc_id, dl, term, count(*) AS tf
@@ -316,7 +307,36 @@ object TextQueries2 {
             FROM perdoc)
           SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= 20
           ORDER BY rank"""
-    })
+  }
+
+  /** BM25 served from the persisted inverted index
+    * ([[graft.ext.TextIndex]]): build → probe stored postings → rank,
+    * never re-scanning document text at query time. Same oracle as
+    * `ta_bm25` — the hash match pins the index as lossless. */
+  val taBm25Persisted = Q("ta_bm25_persisted",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-tindex-")
+      graft.ext.TextIndex.write(docs(s, dir), path)
+      graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+    },
+    Some(bm25Sql()))
+
+  /** The full index-evolution journey: build over the even doc_ids,
+    * [[graft.ext.TextIndex.append]] the odd ones as a second committed
+    * shard, tombstone-[[graft.ext.TextIndex.delete]] every doc_id
+    * ≡ 3 (mod 7), serve. The oracle recomputes BM25 over exactly the
+    * surviving corpus — pinning shard-summed df/stats AND the exact
+    * subtraction of tombstoned doc-count and length mass. */
+  val taBm25Evolve = Q("ta_bm25_evolve",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-tindex-ev-")
+      val d = docs(s, dir)
+      graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), path)
+      graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path)
+      graft.ext.TextIndex.delete(d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
+      graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+    },
+    Some(bm25Sql("WHERE doc_id % 7 <> 3")))
 
   // ------------------------------------------------------- gopher rules
 
@@ -471,5 +491,6 @@ object TextQueries2 {
           ORDER BY d.doc_id"""
     })
 
-  val all: Seq[Q] = Seq(taRedact, taPiiAudit, taNgrams, taBm25, taGopher, taRarity)
+  val all: Seq[Q] = Seq(taRedact, taPiiAudit, taNgrams, taBm25, taBm25Persisted,
+    taBm25Evolve, taGopher, taRarity)
 }

@@ -130,6 +130,41 @@ class ExtOpsSpec extends SparkSpec {
   private def Tables_embeddings() =
     spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
 
+  test("ANN: packed sign bits set exactly the positive components' bits") {
+    val e = Seq((0L, Array.tabulate(64)(j =>
+      if (j == 0 || j == 31 || j == 32 || j == 63) 1.0f
+      else if (j == 5) -1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val words = e.select(
+        Similarity.packBits(Similarity.quantize(col("embedding")), 64).as("w"))
+      .collect().head.getSeq[Long](0)
+    assert(words == Seq((1L << 0) + (1L << 31), (1L << 0) + (1L << 31)),
+      s"got $words") // zero and negative components contribute no bits
+  }
+
+  test("ANN: BQ with a full-width prefilter equals brute force; narrow prefilter keeps exact scores") {
+    val emb = Tables_embeddings()
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "rank", "cand_id", "cosine").orderBy("query_id", "rank")
+      .collect()
+    val full = Similarity.bqTopK(q, emb, k = 5, dim = 64, nCandidates = 1000)
+      .select("query_id", "rank", "cand_id", "cosine").orderBy("query_id", "rank")
+      .collect()
+    assert(full.sameElements(brute),
+      "prefilter wider than the corpus must change nothing")
+    val narrowed = Similarity.bqTopK(q, emb, k = 5, dim = 64, nCandidates = 30)
+      .select("query_id", "cand_id", "cosine").collect()
+    val bruteScores = Similarity.bruteForceTopK(q, emb, 500)
+      .select("query_id", "cand_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(narrowed.nonEmpty)
+    narrowed.foreach { r =>
+      assert(bruteScores((r.getLong(0), r.getLong(1))) == r.getDouble(2),
+        "survivor scores are the exact re-rank values")
+    }
+  }
+
   test("embedding near-dup: exact + perturbed dups found, dissimilar vectors not paired") {
     def vec(f: Int => Float) = Array.tabulate(64)(f)
     val base = vec(j => math.sin(j * 1.7).toFloat)

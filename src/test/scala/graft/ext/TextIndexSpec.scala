@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted inverted text index (ext/TextIndex): BM25 serving
+  * parity with a from-scratch rebuild through append/delete/compact,
+  * the commit-marker shard protocol (uncommitted shards invisible,
+  * reconciled on the next write), and the untouched-files append
+  * contract.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val Terms = Seq("fox", "spark", "jugs")
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox likes another fox"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "spark plans and spark stages and spark tasks"),
+    (4L, ""), // zero tokens: counts in n_docs, adds nothing to sum_dl
+    (5L, "fox and jugs and spark all at once"),
+    (6L, "nothing relevant here at all"),
+    (7L, "spark spark spark spark fox")
+  ).toDF("doc_id", "text")
+
+  private def freshPath(tag: String) = java.nio.file.Files
+    .createTempDirectory(s"graft-tindex-$tag").toString + "/idx"
+
+  private def serve(path: String) =
+    TextIndex.bm25TopK(spark, path, Terms, 10, K1, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  test("served ranking matches expectations on a crafted corpus") {
+    val path = freshPath("basic")
+    TextIndex.write(corpus, path)
+    val got = serve(path)
+    // doc 5 holds all three probe terms; doc 7 is term-dense but
+    // single-term; every returned doc must actually contain a term
+    assert(got.map(_._1).contains(5L) && got.map(_._1).contains(7L))
+    assert(!got.map(_._1).exists(Set(4L, 6L)), "no termless docs")
+    // rank column is 1..n dense in score order
+    assert(got.map(_._3) == (1 to got.length))
+    val scores = got.map(_._2)
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("append equals rebuild and never rewrites existing shard files") {
+    val pApp = freshPath("app")
+    val pReb = freshPath("reb")
+    TextIndex.write(corpus.filter(col("doc_id") < 4), pApp)
+    val before = Seq("postings", "doclens", "stats", "commits")
+      .map(t => t -> ShardFiles.snapshot(s"$pApp/$t/shard=0")).toMap
+    TextIndex.append(corpus.filter(col("doc_id") >= 4), pApp)
+    val after = Seq("postings", "doclens", "stats", "commits")
+      .map(t => t -> ShardFiles.snapshot(s"$pApp/$t/shard=0")).toMap
+    assert(before == after, "append must not touch shard=0 files")
+    TextIndex.write(corpus, pReb)
+    assert(serve(pApp) == serve(pReb),
+      "shard-summed df/stats must equal the rebuild's")
+  }
+
+  test("delete serves as if the docs never existed; compact makes it physical") {
+    val pDel = freshPath("del")
+    val pReb = freshPath("delreb")
+    TextIndex.write(corpus, pDel)
+    TextIndex.delete(Seq(1L, 7L).toDF("doc_id"), pDel)
+    TextIndex.write(corpus.filter(!col("doc_id").isin(1L, 7L)), pReb)
+    assert(serve(pDel) == serve(pReb),
+      "tombstone serving must subtract doc count and length mass exactly")
+    TextIndex.compact(spark, pDel)
+    assert(serve(pDel) == serve(pReb), "compaction must not change results")
+    assert(IndexIO.shardIds(spark, s"$pDel/postings") == Seq(0)
+      && IndexIO.shardIds(spark, s"$pDel/deletes").isEmpty,
+      "compact folds to one shard and clears tombstones")
+    val stored = spark.read.parquet(s"$pDel/postings")
+    assert(stored.filter(col("doc_id").isin(1L, 7L)).count() == 0,
+      "tombstoned rows physically dropped")
+  }
+
+  test("a shard without its commit marker is invisible and reconciled away") {
+    val path = freshPath("crash")
+    TextIndex.write(corpus.filter(col("doc_id") < 4), path)
+    val baseline = serve(path)
+    // simulate a crash after the table-shard publishes but before the
+    // marker: append, then remove the commit marker it wrote
+    TextIndex.append(corpus.filter(col("doc_id") >= 4), path)
+    IndexIO.deleteDir(spark, s"$path/commits/shard=1")
+    assert(serve(path) == baseline, "uncommitted shard must not serve")
+    // the next append reconciles the orphan and lands cleanly
+    TextIndex.append(corpus.filter(col("doc_id") >= 4), path)
+    assert(IndexIO.shardIds(spark, s"$path/postings") == Seq(0, 1))
+    val pReb = freshPath("crashreb")
+    TextIndex.write(corpus, pReb)
+    assert(serve(path) == serve(pReb))
+  }
+
+  test("zero-token docs count toward the corpus constants") {
+    val pWith = freshPath("empty")
+    val pWithout = freshPath("noempty")
+    TextIndex.write(corpus, pWith)
+    TextIndex.write(corpus.filter(col("doc_id") =!= 4L), pWithout)
+    // doc 4 changes n_docs (hence avgdl, hence every tfn) — the two
+    // indexes must NOT serve identical score_micro values
+    val a = serve(pWith).map(t => t._1 -> t._2).toMap
+    val b = serve(pWithout).map(t => t._1 -> t._2).toMap
+    assert(a.keySet == b.keySet && a != b,
+      "corpus constants must include termless docs")
+  }
+}
