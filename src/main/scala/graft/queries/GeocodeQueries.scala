@@ -479,5 +479,27 @@ object GeocodeQueries {
             FROM joined)
           WHERE rk = 1 ORDER BY qid"""))
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13)
+  /** G14 — the Z-ORDER layout twin of g4's bbox scan: the POI table is
+    * written Morton-clustered ([[graft.ext.ZOrder.layout]]: zp
+    * partition dirs + z-sorted row groups) and the bbox is served
+    * through the zp/z key covers plus the exact bounds. The oracle is
+    * the plain bbox SQL — pinning that the key covers prune without
+    * ever cutting a row. ZOrderSpec pins the pruning itself (fewer
+    * files listed than the table holds). */
+  val g14 = Q("g14_zorder_bbox",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-zorder-")
+      graft.ext.ZOrder.layout(poiLatLon(t(s, dir, "customer")), path)
+      graft.ext.ZOrder.bboxFilter(s.read.parquet(path),
+          minLat = -80.0, maxLat = -40.0, minLon = -160.0, maxLon = -90.0)
+        .select("c_custkey", "lat", "lon")
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH pois AS ($poiLatLonSql)
+             SELECT c_custkey, lat, lon FROM pois
+             WHERE lat BETWEEN -80.0 AND -40.0 AND lon BETWEEN -160.0 AND -90.0
+             ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13,
+    g14)
 }
