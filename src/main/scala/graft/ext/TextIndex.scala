@@ -78,11 +78,15 @@ object TextIndex {
 
   /** Build and publish the index from a (doc_id, text) relation. The
     * whole first build stages under a hidden sibling and lands with ONE
-    * directory rename ([[IndexIO.publish]]) — same as its siblings. */
-  def write(docs: DataFrame, path: String, partitions: Int = 8): Unit = {
+    * directory rename ([[IndexIO.publish]]) — same as its siblings.
+    * `withPositions` adds a term-sorted positional-postings table
+    * (id, pos, term) for exact phrase search ([[phraseHits]]) — the
+    * standard size-for-capability trade, so it is opt-in. */
+  def write(docs: DataFrame, path: String, partitions: Int = 8,
+            withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val staging = IndexIO.stagingFor(path)
-    writeShardTables(docs, staging, 0, partitions)
+    writeShardTables(docs, staging, 0, partitions, withPositions)
     commitShard(spark, staging, 0)
     IndexIO.publish(spark, staging, path)
   }
@@ -93,7 +97,7 @@ object TextIndex {
     * cluster-safe form of the inline query's localCheckpoint), then
     * removed. */
   private def writeShardTables(docs: DataFrame, root: String, shard: Int,
-                               partitions: Int): Unit = {
+                               partitions: Int, withPositions: Boolean): Unit = {
     val spark = docs.sparkSession
     val spinePath = s"$root/.spine-tmp"
     docSpine(docs).write.mode(SaveMode.Overwrite).parquet(spinePath)
@@ -110,10 +114,25 @@ object TextIndex {
     spine.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
+    if (withPositions)
+      // the (id, pos, term) contract of TextAnalysis.positionalPostings,
+      // derived from the SAME spine tokenization (1-based positions)
+      spine.select(col("doc_id").as("id"), posexplode(col("toks")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("term"))
+        .repartitionByRange(partitions, col("term"))
+        .sortWithinPartitions("term", "id", "pos")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/positions/shard=$shard")
     IndexIO.deleteDir(spark, spinePath)
   }
 
   private val Tables = Seq("postings", "doclens", "stats")
+
+  /** The table set of a stored index — `positions` joins the commit
+    * protocol iff the index was written with it. */
+  private def tablesOf(spark: SparkSession, path: String): Seq[String] =
+    Tables ++ (if (IndexIO.shardIds(spark, s"$path/positions").nonEmpty)
+      Seq("positions") else Nil)
 
   /** Publish the commit marker for shard `k` — the LAST rename of an
     * append; its arrival is what makes the shard visible. */
@@ -131,10 +150,11 @@ object TextIndex {
     * worse failure). Restores exactly the last committed state, so a
     * retried append is safe. */
   private def reconcileShards(spark: SparkSession, path: String): Unit = {
-    val perTable = Tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
+    val tables = tablesOf(spark, path)
+    val perTable = tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
     val committed = IndexIO.shardIds(spark, s"$path/commits").toSet
     val complete = perTable.reduce(_ intersect _)
-    for ((t, ids) <- Tables.zip(perTable); k <- ids diff committed)
+    for ((t, ids) <- tables.zip(perTable); k <- ids diff committed)
       IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
     for (k <- committed diff complete)
       IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
@@ -151,14 +171,16 @@ object TextIndex {
   def append(docs: DataFrame, path: String, partitions: Int = 8): Unit = {
     val spark = docs.sparkSession
     reconcileShards(spark, path)
+    val tables = tablesOf(spark, path)
     val next = IndexIO.shardIds(spark, s"$path/commits").lastOption.getOrElse(-1) + 1
-    // stage all three table shards under one hidden dir inside the index
+    // stage all table shards under one hidden dir inside the index
     // root (same filesystem, invisible to readers), publish each with an
     // atomic per-dir rename, marker last
     val stage =
       s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
-    writeShardTables(docs, stage, next, partitions)
-    for (t <- Tables)
+    writeShardTables(docs, stage, next, partitions,
+      withPositions = tables.contains("positions"))
+    for (t <- tables)
       IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
     IndexIO.deleteDir(spark, stage)
     commitShard(spark, path, next)
@@ -218,6 +240,16 @@ object TextIndex {
       .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats/shard=0")
+    if (tablesOf(spark, path).contains("positions")) {
+      val pos = spark.read.parquet(s"$path/positions")
+        .filter(col("shard").isin(committed: _*))
+        .select("id", "pos", "term")
+      dels.foldLeft(pos)((p, d) =>
+          p.join(d.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
+        .repartitionByRange(partitions, col("term"))
+        .sortWithinPartitions("term", "id", "pos")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/positions/shard=0")
+    }
     commitShard(spark, staging, 0)
     IndexIO.publish(spark, staging, path)
   }
@@ -256,5 +288,28 @@ object TextIndex {
           (col("sdl").cast("double") / col("nd").cast("double")).as("avgdl"))
     }
     bm25Rank(tf, dfreq, stats, k1, b, k)
+  }
+
+  /** Exact phrase occurrences served from the stored positional
+    * postings (an index written with `withPositions = true`): the probe
+    * reads ONLY the phrase terms' term-sorted slivers (pruned to
+    * committed shards, tombstones anti-joined), then runs the same
+    * position-adjacency join chain as the corpus-scan form
+    * ([[TextAnalysis.phraseSearch]] — one body, shared). Returns one
+    * row per occurrence (id, pos of the anchor term). */
+  def phraseHits(spark: SparkSession, path: String,
+                 phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseHits needs a non-empty phrase")
+    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
+    require(tablesOf(spark, path).contains("positions"),
+      s"index at $path was written without positions (write(withPositions = true))")
+    val pos = spark.read.parquet(s"$path/positions")
+      .filter(col("shard").isin(committed: _*))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select("id", "pos", "term")
+    val live = tombstones(spark, path).foldLeft(pos)((p, d) =>
+      p.join(d.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
+    TextAnalysis.phraseSearch(live, phrase)
   }
 }

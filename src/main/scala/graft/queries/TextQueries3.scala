@@ -52,6 +52,22 @@ object TextQueries3 {
              AND p2.term = '${Phrase(2)}'
            GROUP BY p0.id ORDER BY 1"""))
 
+  /** Phrase search served from the persisted positional index
+    * ([[graft.ext.TextIndex.phraseHits]]): build with positions, probe
+    * only the phrase terms' stored slivers, same adjacency-join body as
+    * the corpus-scan form — and the SAME oracle, so the hash pins the
+    * stored positional postings as lossless. */
+  val taPhrasePersisted = Q("ta_phrase_persisted",
+    (s, dir) => {
+      val path = graft.core.TempDirs.create("graft-tindex-pos-")
+      graft.ext.TextIndex.write(docs(s, dir), path, withPositions = true)
+      graft.ext.TextIndex.phraseHits(s, path, Phrase)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+        .orderBy("id")
+    },
+    taPhraseSearch.oracle)
+
   private val DomainCap = 10
 
   /** Per-domain document cap — keep the top `DomainCap` docs per source
@@ -245,6 +261,6 @@ object TextQueries3 {
              FROM (SELECT doc_id, $urlFixtureSql AS url FROM documents)
              ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(taPhraseSearch, taDomainCap, taClassifierScore,
-    taRepetition, taUrlCanon)
+  val all: Seq[Q] = Seq(taPhraseSearch, taPhrasePersisted, taDomainCap,
+    taClassifierScore, taRepetition, taUrlCanon)
 }

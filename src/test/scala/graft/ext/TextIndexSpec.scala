@@ -99,6 +99,36 @@ class TextIndexSpec extends SparkSpec {
     assert(serve(path) == serve(pReb))
   }
 
+  test("positional index serves exact phrase hits through append, delete, compact") {
+    val path = freshPath("pos")
+    val phrase = Seq("quick", "brown", "fox")
+    TextIndex.write(corpus.filter(col("doc_id") < 4), path, withPositions = true)
+    TextIndex.append(corpus.filter(col("doc_id") >= 4), path)
+    def hits() = TextIndex.phraseHits(spark, path, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // docs 0 and 1 contain "quick brown fox" (anchor pos 2); the inline
+    // corpus-scan form must agree exactly
+    val inline = TextAnalysis.phraseSearch(
+        TextAnalysis.positionalPostings(corpus, "doc_id", "text"), phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hits() == inline && inline.nonEmpty)
+    TextIndex.delete(Seq(0L).toDF("doc_id"), path)
+    assert(hits() == inline.filterNot(_._1 == 0L), "tombstoned doc must not hit")
+    TextIndex.compact(spark, path)
+    assert(hits() == inline.filterNot(_._1 == 0L), "compaction keeps results")
+    assert(IndexIO.shardIds(spark, s"$path/positions") == Seq(0),
+      "positions table folds with the rest")
+  }
+
+  test("an index written without positions refuses phrase serving loudly") {
+    val path = freshPath("nopos")
+    TextIndex.write(corpus, path)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.phraseHits(spark, path, Seq("fox"))
+    }
+    assert(e.getMessage.contains("without positions"))
+  }
+
   test("zero-token docs count toward the corpus constants") {
     val pWith = freshPath("empty")
     val pWithout = freshPath("noempty")
