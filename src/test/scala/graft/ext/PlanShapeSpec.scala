@@ -23,6 +23,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"$what plan has a nested-loop join")
   }
 
+  test("BM25 index serving pushes the term probe to the postings scan and joins nothing quadratic") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-tindex").toString + "/idx"
+    TextIndex.write(Seq((1L, "spark scan merge"), (2L, "window scan"))
+      .toDF("doc_id", "text"), path)
+    val served = TextIndex.bm25TopK(spark, path, Seq("spark", "scan"), 10, 1.2, 0.75)
+    val plan = physical(served)
+    assert(!plan.contains("CartesianProduct"), "bm25TopK plan has a cartesian product")
+    // exactly ONE nested-loop join is by design: the one-row corpus-stats
+    // scalar broadcast; anything more would be a real product join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      "bm25TopK plan has a non-scalar nested-loop join")
+    // the term IN probe must reach the postings parquet scan
+    assert(plan.contains("In(term, [scan,spark]") || plan.contains("In(term, [spark,scan]"),
+      s"term probe not pushed:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("phrase serving is a chain of (id,pos) equality joins over the pushed term probe") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-phrase").toString + "/idx"
+    TextIndex.write(Seq((1L, "big order scan now"), (2L, "order scan"))
+      .toDF("doc_id", "text"), path, withPositions = true)
+    val plan = physical(TextIndex.phraseHits(spark, path, Seq("big", "order", "scan")))
+    assertNoProductJoin(plan, "phraseHits")
+    assert(plan.contains("In(term, [big,order,scan]"),
+      "phrase term probe not pushed to the positions scan")
+  }
+
   test("bulk trigram candidate generation never degenerates to a product join") {
     val pois = Seq((1L, "monograph dining", ""), (2L, "dining hall", ""))
       .toDF("osm_id", "name_local_norm", "name_en_norm")
