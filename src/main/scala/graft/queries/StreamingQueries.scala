@@ -14,17 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** The replayed events file-source: nanos-as-long (the fixture's
-    * TIMESTAMP(NANOS) encoding), schema from a batch read, micros
-    * conversion — the shared front-end of every streaming query here
-    * (one body, so a fix to the nanos handling reaches all of them). */
+  /** The replayed events file-source: raw schema from a batch probe read
+    * (encoding-agnostic — `Tables.rawEvents` handles both the legacy
+    * TIMESTAMP(NANOS)-as-BIGINT and plain TIMESTAMP(MICROS) fixture
+    * generations), then the same `ts` normalization as the batch loader —
+    * the shared front-end of every streaming query here (one body, so a
+    * fix to the encoding handling reaches all of them). */
   private def eventsStream(s: SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = Tables.rawEvents(s, s"$dir/events.parquet").schema
+    Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` (one

@@ -1,16 +1,20 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated fixture corpus (TESTDATA.md /
   * FIXTURES.md §1). One parquet file per table under the sf directory.
   *
-  * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects; we read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to micros —
-  * sub-microsecond precision is irrelevant to every declared query
-  * (they truncate to hours/days).
+  * `events.ts` has shipped in two Parquet encodings across fixture
+  * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+  * rejects unless `spark.sql.legacy.parquet.nanosAsLong` reads it as a
+  * raw BIGINT of epoch-nanos) and plain TIMESTAMP(MICROS) (read as
+  * TIMESTAMP_NTZ / TIMESTAMP directly). [[normalizeTs]] branches on the
+  * *loaded* type, so either encoding lands as session-TZ TIMESTAMP with
+  * identical values (sessions run UTC; sub-microsecond precision is
+  * irrelevant to every declared query — they truncate to hours/days).
   */
 object Tables {
 
@@ -22,11 +26,41 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, NOT `/`: double division loses sub-microsecond
-    // precision at 2024-era nano magnitudes (~1.7e18, double ulp 256ns)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(rawEvents(spark, s"$sfDir/events.parquet"))
+
+  /** Read the events file with whatever ts encoding it carries, leaving
+    * `ts` in its raw loaded type (BIGINT epoch-nanos for NANOS files,
+    * timestamp for MICROS files). The legacy nanosAsLong flag is only
+    * flipped on when a plain read actually rejects the footer — and must
+    * then stay on for the lazy scan (Spark re-reads the footer schema at
+    * execution), so a NANOS fixture leaves it set; the common MICROS
+    * path never mutates session conf.
+    */
+  def rawEvents(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException | _: UnsupportedOperationException =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  /** Normalize a raw-loaded `ts` column to session-TZ TIMESTAMP:
+    * BIGINT epoch-nanos → integral `div` 1000 (NOT `/`: double division
+    * loses sub-microsecond precision at 2024-era nano magnitudes,
+    * ~1.7e18, double ulp 256ns) → `timestamp_micros`; TIMESTAMP_NTZ →
+    * cast (value-preserving under the UTC session TZ every entrypoint
+    * pins); TIMESTAMP → pass through. Works on batch and streaming
+    * frames alike — the streaming loader shares it.
+    */
+  def normalizeTs[T](df: Dataset[T]): DataFrame = {
+    val raw: DataType = df.schema("ts").dataType
+    raw match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df.toDF()
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other (expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 }
