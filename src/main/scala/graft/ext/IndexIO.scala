@@ -105,6 +105,28 @@ private[ext] object IndexIO {
       throw new java.io.IOException(s"shard publish rename $staging -> $destShard failed")
   }
 
+  /** Publish the commit marker for shard `k` of the index at `root` —
+    * the LAST rename of a transactional multi-table append; its arrival
+    * is what makes the shard visible to marker-aware readers
+    * ([[committedIds]]). One tiny one-row parquet per shard — the
+    * manifest-pointer design object-store table formats use, scoped to
+    * one marker file per shard. Shared by all three persisted indexes
+    * ([[TextIndex]], [[MinHashIndex]], [[VectorIndex]]). */
+  def commitShard(spark: SparkSession, root: String, k: Int): Unit = {
+    val staging = shardStagingFor(s"$root/commits")
+    spark.range(1).selectExpr(s"$k as committed")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    publishShard(spark, staging, s"$root/commits/shard=$k")
+  }
+
+  /** Shard ids with a published commit marker. Empty means either a
+    * legacy pre-marker index (no `commits/` table was ever written — the
+    * caller decides how to read it) or an index whose first commit never
+    * landed. */
+  def committedIds(spark: SparkSession, root: String): Seq[Int] =
+    shardIds(spark, s"$root/commits")
+
   /** Replace `dest` with `staging` via the Hadoop filesystem of the
     * path (hdfs:// and s3a:// work like file://). The old index is
     * renamed ASIDE first, not deleted: a crash between the two renames

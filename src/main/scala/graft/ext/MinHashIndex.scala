@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * a targeted bucket probe prunes row groups (the [[graft.etl.TrigramIndex]]
   * gram-sorted-postings lever). Publication is one directory rename
   * ([[IndexIO]]) — readers never see signatures from one build paired
-  * with buckets from another.
+  * with buckets from another — and incremental [[append]]s follow the
+  * [[TextIndex]] shard-commit protocol: table shards publish first, a
+  * `commits/shard=K` marker publishes LAST, and [[pairs]] prunes both
+  * tables to committed shard ids, so a mid-append crash is invisible
+  * to readers and safe to retry.
   */
 object MinHashIndex {
 
@@ -73,6 +77,9 @@ object MinHashIndex {
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
+    // the shard-commit marker ships with the build (whole staging dir
+    // publishes in one rename), so every index born here is marker-aware
+    IndexIO.commitShard(spark, staging, 0)
   }
 
   /** Build and publish a NEW VERSION of the index under a versioned
@@ -106,26 +113,43 @@ object MinHashIndex {
   private def storedWidth(sig: DataFrame): Int =
     sig.schema.fieldNames.count(_.matches("m\\d+"))
 
-  /** Drop orphan shards left by a crash between [[append]]'s two
-    * publishes. The publish order (signatures first) means the
-    * reachable crash state is a signature shard with no bucket twin —
-    * harmless to READ (it generates no candidates) but poisonous to
-    * retry (re-appending the same batch would duplicate those ids'
-    * signature rows, and [[pairs]]' scoring join would then emit
-    * duplicate rows) and to [[compact]] (which would bake the orphan
-    * into `shard=0` permanently). Deleting the orphan restores exactly
-    * the pre-append state, so a retried append is safe. The reverse
-    * orphan (bucket shard without signatures) is unreachable via this
-    * API; if found — external tampering — it is dropped too, since
-    * candidates without signature rows are silently LOST pairs, the
-    * worse failure. */
+  /** Restore exactly the last committed state after a crash anywhere in
+    * [[append]] (the [[TextIndex]] commit-marker reconcile, round-8
+    * ported here): drop table shards with no commit marker (crash
+    * before the marker rename — invisible to marker-aware readers but
+    * poisonous to a retry, which would duplicate those ids' signature
+    * rows and make [[pairs]]' scoring join emit duplicate rows, and to
+    * [[compact]], which would bake the orphan into `shard=0`
+    * permanently) and markers with missing table shards (external
+    * tampering — serving a bucket hit without its signature rows
+    * silently LOSES pairs, the worse failure). A retried append after
+    * any crash re-signs its batch into a fresh consistent shard.
+    *
+    * Legacy pre-marker indexes (no `commits/` table) keep the old
+    * pairwise reconcile: the old publish order (signatures first) makes
+    * sig-without-bucket the only reachable crash orphan. */
   private def reconcileShards(spark: SparkSession, path: String): Unit = {
     val sig = IndexIO.shardIds(spark, s"$path/signatures").toSet
     val bkt = IndexIO.shardIds(spark, s"$path/buckets").toSet
-    (sig diff bkt).foreach(k =>
-      IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
-    (bkt diff sig).foreach(k =>
-      IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
+    val committed = IndexIO.committedIds(spark, path).toSet
+    if (committed.isEmpty) {
+      (sig diff bkt).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
+      (bkt diff sig).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
+    } else {
+      // keep only committed-AND-complete shards: an uncommitted table
+      // shard is a crash leftover; a committed-but-incomplete one is
+      // tampering whose surviving table shards must ALSO go, or they
+      // would collide with the retry's shard id at publish
+      val keep = committed intersect (sig intersect bkt)
+      (sig diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
+      (bkt diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
+      (committed diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
+    }
   }
 
   /** Append new documents' signatures to a stored index WITHOUT a full
@@ -139,14 +163,18 @@ object MinHashIndex {
     * pure per-row function), so the union-of-shards view is identical to
     * a rebuild's.
     *
-    * Publish order is a correctness contract: the signature shard
-    * renames in FIRST. An orphan signature shard (crash before the
-    * bucket rename) generates no candidates — readers see the
-    * pre-append answer; the reverse order could surface bucket hits
-    * whose signature rows don't exist yet and silently DROP pairs at
-    * the scoring join. Every append (and compact) first DROPS any such
-    * orphan, so a retry after a mid-append crash re-signs its batch
-    * into a fresh consistent shard pair instead of duplicating ids.
+    * Publish protocol (the [[TextIndex.append]] commit-marker design,
+    * shared via [[IndexIO.commitShard]]): both table shards rename in
+    * first, then a one-row `commits/shard=K` marker renames in LAST —
+    * its arrival is what makes the shard visible, since every reader
+    * prunes both tables to committed shard ids (a partition-column
+    * filter — directory pruning, no data read). A crash anywhere before
+    * the marker leaves garbage that is invisible to readers and that
+    * the next append/compact [[reconcileShards]] away, so a retry
+    * re-signs its batch into a fresh consistent shard instead of
+    * duplicating ids; a reader can never observe a partially-appended
+    * index — not even the benign-but-visible orphan window the
+    * pre-marker two-rename publish admitted.
     *
     * Equivalence: pairs after append(write(A), B) ≡ pairs after
     * write(A ∪ B) for disjoint id sets — spec-pinned, along with
@@ -169,6 +197,12 @@ object MinHashIndex {
         !IndexIO.hasFlatFiles(spark, s"$path/buckets"),
       s"index at $path uses the pre-shard flat layout; " +
         "run MinHashIndex.compact(spark, path) once to migrate before appending")
+    // marker-aware appends need a commits table to sequence against; an
+    // index written before the marker layout migrates the same way the
+    // flat layout did — one compact republishes it marker-aware
+    require(IndexIO.committedIds(spark, path).nonEmpty,
+      s"index at $path predates the commit-marker layout; " +
+        "run MinHashIndex.compact(spark, path) once to migrate before appending")
     reconcileShards(spark, path)
     // a numHashes that disagrees with the stored signature width would
     // silently band the new shard with different keys; fail loudly
@@ -177,7 +211,7 @@ object MinHashIndex {
     require(stored == numHashes,
       s"stored index at $path has $stored minhashes, " +
         s"append called with numHashes=$numHashes")
-    val next = IndexIO.shardIds(spark, s"$path/signatures").lastOption.getOrElse(-1) + 1
+    val next = IndexIO.committedIds(spark, path).lastOption.getOrElse(-1) + 1
     val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
     Dedup.minhashSignature(tokens, numHashes)
       .repartitionByRange(partitions, col("id"))
@@ -191,6 +225,8 @@ object MinHashIndex {
       .sortWithinPartitions("band", "bucket", "id")
       .write.mode(SaveMode.Overwrite).parquet(bktStaging)
     IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
+    // marker LAST: this rename is the commit point
+    IndexIO.commitShard(spark, path, next)
   }
 
   /** TOMBSTONE a set of documents (retired crawls, takedowns — at
@@ -255,6 +291,10 @@ object MinHashIndex {
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
+    // compact is also the pre-marker → marker-layout migration (the
+    // flat-layout precedent): the republished index always carries its
+    // commit marker, so appends work on it afterwards
+    IndexIO.commitShard(spark, staging, 0)
     IndexIO.publish(spark, staging, path)
   }
 
@@ -264,11 +304,23 @@ object MinHashIndex {
     * tokens. The bucket self-join is an equality join on the stored
     * (band, bucket) layout; nothing re-tokenizes, nothing checkpoints. */
   def pairs(spark: SparkSession, path: String, numHashes: Int): DataFrame = {
-    val sig = spark.read.parquet(s"$path/signatures")
+    // committed-shard pruning (partition-column filter — directory
+    // pruning, no data read): an appended shard is invisible until its
+    // commit marker lands. Legacy pre-marker indexes (flat or sharded,
+    // no commits table) read whole, as before.
+    val committed = IndexIO.committedIds(spark, path)
+    def pruned(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$path/$table")
+      // the schema guard covers a commits table next to flat tables
+      // (hand-migrated layouts): nothing to prune there either
+      if (committed.isEmpty || !df.columns.contains("shard")) df
+      else df.filter(col("shard").isin(committed: _*))
+    }
+    val sig = pruned("signatures")
     // tombstones cut BEFORE the self-join: a deleted doc contributes no
     // candidates from either side, so one anti-join covers both
     val bk = tombstones(spark, path)
-      .foldLeft(spark.read.parquet(s"$path/buckets"))(
+      .foldLeft(pruned("buckets"))(
         _.join(_, Seq("id"), "left_anti"))
     val cand = bk.as("l").join(bk.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

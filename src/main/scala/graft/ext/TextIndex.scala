@@ -25,11 +25,11 @@ import org.apache.spark.sql.functions._
   *    constants pre-aggregated so serving never scans doclens; shard
   *    rows sum exactly (INT64) to the rebuild's values.
   *
-  * Shard-commit protocol: [[MinHashIndex.append]]'s two-table publish
-  * admits a benign-but-visible orphan between its renames. With THREE
-  * tables no publish order is benign (a postings shard without its
-  * stats shard mis-scores every query against stale corpus constants),
-  * so appends here are transactional: all table shards publish first
+  * Shard-commit protocol (shared by all three indexes via
+  * [[IndexIO.commitShard]]; it originated here because with THREE
+  * tables no publish order is benign — a postings shard without its
+  * stats shard mis-scores every query against stale corpus constants):
+  * appends are transactional — all table shards publish first
   * (each an atomic staged rename), then a one-row `commits/shard=K`
   * marker publishes LAST, and every reader prunes each table to
   * committed shard ids (a partition-column `IN` — directory pruning,
@@ -135,14 +135,11 @@ object TextIndex {
       Seq("positions") else Nil)
 
   /** Publish the commit marker for shard `k` — the LAST rename of an
-    * append; its arrival is what makes the shard visible. */
-  private def commitShard(spark: SparkSession, root: String, k: Int): Unit = {
-    val staging = IndexIO.shardStagingFor(s"$root/commits")
-    spark.range(1).select(lit(k).as("committed"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    IndexIO.publishShard(spark, staging, s"$root/commits/shard=$k")
-  }
+    * append; its arrival is what makes the shard visible. (Shared
+    * implementation: [[IndexIO.commitShard]], since round 8 also the
+    * protocol of [[MinHashIndex]] and [[VectorIndex]].) */
+  private def commitShard(spark: SparkSession, root: String, k: Int): Unit =
+    IndexIO.commitShard(spark, root, k)
 
   /** Drop table shards with no commit marker (crash before the marker
     * rename) and markers with missing table shards (external tampering
@@ -153,10 +150,13 @@ object TextIndex {
     val tables = tablesOf(spark, path)
     val perTable = tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
     val committed = IndexIO.shardIds(spark, s"$path/commits").toSet
-    val complete = perTable.reduce(_ intersect _)
-    for ((t, ids) <- tables.zip(perTable); k <- ids diff committed)
+    // keep only committed-AND-complete shards: dropping just the marker
+    // of an incomplete shard would leave its surviving table shards to
+    // collide with the retry's shard id at publish
+    val keep = committed intersect perTable.reduce(_ intersect _)
+    for ((t, ids) <- tables.zip(perTable); k <- ids diff keep)
       IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
-    for (k <- committed diff complete)
+    for (k <- committed diff keep)
       IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
   }
 

@@ -95,6 +95,9 @@ object VectorIndex {
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
+    // the shard-commit marker ships with the build (whole staging dir
+    // publishes in one rename), so every index born here is marker-aware
+    IndexIO.commitShard(corpus.sparkSession, staging, 0)
   }
 
   /** Metadata columns a stored posting table carries (everything past
@@ -105,6 +108,28 @@ object VectorIndex {
     postings.schema.fieldNames.toSeq
       .filterNot(Seq("cid", "cand_id", "c_emb", "shard").contains)
 
+  /** Restore exactly the last committed state after a crash anywhere in
+    * [[append]] (the [[TextIndex]] commit-marker reconcile): drop
+    * posting shards with no commit marker — invisible to marker-aware
+    * readers, but a stale uncommitted shard would be baked permanently
+    * into `shard=0` by [[compact]] and would collide with the next
+    * append's shard id — and markers with no posting shard (external
+    * tampering). A retried append after any crash re-assigns its batch
+    * into a fresh consistent shard. Legacy pre-marker indexes (no
+    * `commits/` table) have nothing to reconcile: their single-rename
+    * posting-shard publish was already atomic. */
+  private def reconcileShards(spark: SparkSession, path: String): Unit = {
+    val committed = IndexIO.committedIds(spark, path).toSet
+    if (committed.nonEmpty) {
+      val post = IndexIO.shardIds(spark, s"$path/postings").toSet
+      val keep = committed intersect post
+      (post diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/postings/shard=$k"))
+      (committed diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
+    }
+  }
+
   /** Append new vectors to a stored index WITHOUT a full rebuild: the
     * streaming-ingest path. New vectors are assigned against the STORED
     * centroids (no retrain — the coarse quantizer stays fixed, the
@@ -112,9 +137,13 @@ object VectorIndex {
     * shard (`postings/shard=K`, K = max existing + 1): existing shard
     * files are never read, rewritten, or moved — at 100 TB an append
     * costs only the new batch, not the index. The shard is staged in a
-    * hidden `_shard-staging-*` dir under the posting root and published
-    * by a single rename ([[IndexIO.publishShard]]); a crash mid-write
-    * leaves invisible garbage, never a partial shard.
+    * hidden `_shard-staging-*` dir under the posting root, published by
+    * a single rename ([[IndexIO.publishShard]]), and made visible by a
+    * `commits/shard=K` marker published LAST (the [[TextIndex]]
+    * protocol via [[IndexIO.commitShard]]): readers ([[topK]]) prune to
+    * committed shard ids, so a crash anywhere mid-append leaves only
+    * invisible garbage that [[reconcileShards]] clears on the next
+    * append/compact — never a partial or uncommitted shard in results.
     *
     * Equivalence: for the same final corpus and the same centroids,
     * topK over append(write(A), B) ≡ topK over write(A ∪ B)
@@ -132,6 +161,13 @@ object VectorIndex {
     require(!IndexIO.hasFlatFiles(spark, s"$path/postings"),
       s"index at $path uses the pre-shard flat layout; " +
         "run VectorIndex.compact(spark, path) once to migrate before appending")
+    // marker-aware appends need a commits table to sequence against; an
+    // index written before the marker layout migrates the same way the
+    // flat layout did — one compact republishes it marker-aware
+    require(IndexIO.committedIds(spark, path).nonEmpty,
+      s"index at $path predates the commit-marker layout; " +
+        "run VectorIndex.compact(spark, path) once to migrate before appending")
+    reconcileShards(spark, path)
     val centStored = spark.read.parquet(s"$path/centroids")
     // a batch whose embedding dimension differs from the stored index
     // would cosine to NULL against every centroid, tiebreak the WHOLE
@@ -143,7 +179,7 @@ object VectorIndex {
         s"stored index at $path has dimension $storedDim, " +
           s"append batch has dimension ${r.getInt(0)}")
     }
-    val next = IndexIO.shardIds(spark, s"$path/postings").lastOption.getOrElse(-1) + 1
+    val next = IndexIO.committedIds(spark, path).lastOption.getOrElse(-1) + 1
     val staging = IndexIO.shardStagingFor(s"$path/postings")
     // the stored schema dictates which metadata columns the batch must
     // carry — a shard missing them would serve NULLs into candFilter
@@ -161,6 +197,9 @@ object VectorIndex {
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(staging)
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
+    // marker LAST: this rename is the commit point ([[TextIndex]]
+    // protocol, shared via IndexIO.commitShard)
+    IndexIO.commitShard(spark, path, next)
   }
 
   /** TOMBSTONE a set of vectors ("right to be forgotten" at 100 TB:
@@ -210,6 +249,8 @@ object VectorIndex {
     * aside/restore protection. Serving results are unchanged; only the
     * file layout (and per-probe file-read count) improves. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
+    // uncommitted crash leftovers must not be baked into shard=0
+    reconcileShards(spark, path)
     val staging = IndexIO.stagingFor(path)
     spark.read.parquet(s"$path/centroids")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
@@ -221,6 +262,10 @@ object VectorIndex {
       .repartitionByRange(partitions, col("cid"))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
+    // compact is also the pre-marker → marker-layout migration (the
+    // flat-layout precedent): the republished index always carries its
+    // commit marker, so appends work on it afterwards
+    IndexIO.commitShard(spark, staging, 0)
     IndexIO.publish(spark, staging, path)
   }
 
@@ -273,8 +318,17 @@ object VectorIndex {
     val cids = probes.select("cid").distinct()
       .limit(math.min(maxLiteralCids.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect().map(_.getLong(0)).toSeq
+    // committed-shard pruning (partition-column filter — directory
+    // pruning, no data read): an appended shard is invisible until its
+    // commit marker lands. Legacy pre-marker indexes (flat or sharded,
+    // no commits table) read whole, as before.
+    val committed = IndexIO.committedIds(spark, path)
+    val stored = spark.read.parquet(s"$path/postings")
+    // the schema guard covers a commits table next to flat postings
+    // (hand-migrated layouts): nothing to prune there either
     val postings = candFilter.foldLeft(
-      spark.read.parquet(s"$path/postings"))(_ filter _)
+      if (committed.isEmpty || !stored.columns.contains("shard")) stored
+      else stored.filter(col("shard").isin(committed: _*)))(_ filter _)
     val probed =
       if (cids.length <= maxLiteralCids)
         postings.filter(col("cid").isInCollection(cids))

@@ -150,8 +150,8 @@ class MinHashIndexSpec extends SparkSpec {
       docsDf.filter(pred), "doc_id", "text", distinct = false)
     MinHashIndex.write(toksOf(col("doc_id") <= 2), pA, NumHashes, rowsPerBand = 2)
     MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
-    // simulate the reachable crash state: signature shard published,
-    // bucket shard not (publish order is signatures first)
+    // simulate a committed-but-incomplete shard (external tampering: the
+    // marker landed, a table shard vanished) — the harder reconcile case
     IndexIO.deleteDir(spark, s"$pA/buckets/shard=1")
     // readers on the crashed index see the PRE-append answer
     val crashed = MinHashIndex.pairs(spark, pA, NumHashes).collect()
@@ -166,6 +166,51 @@ class MinHashIndexSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$pA/signatures").groupBy("id").count()
       .filter(col("count") > 1).count()
     assert(ids == 0)
+  }
+
+  test("a shard without its commit marker is invisible and reconciled away") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-marker").toString + "/idx"
+    val pB = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-marker-reb").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    MinHashIndex.write(toksOf(col("doc_id") <= 2), pA, NumHashes, rowsPerBand = 2)
+    val baseline = MinHashIndex.pairs(spark, pA, NumHashes)
+      .orderBy("a", "b").collect().toSeq
+    // simulate the canonical crash: BOTH table shards published, marker
+    // not — remove the marker the append wrote
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
+    IndexIO.deleteDir(spark, s"$pA/commits/shard=1")
+    assert(MinHashIndex.pairs(spark, pA, NumHashes)
+      .orderBy("a", "b").collect().toSeq == baseline,
+      "uncommitted shard must not serve")
+    // the retry reconciles the uncommitted table shards and lands cleanly
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
+    assert(IndexIO.committedIds(spark, pA) == Seq(0, 1))
+    MinHashIndex.write(toks, pB, NumHashes, rowsPerBand = 2)
+    assert(MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
+      .sameElements(
+        MinHashIndex.pairs(spark, pB, NumHashes).orderBy("a", "b").collect()))
+  }
+
+  test("append refuses a pre-marker sharded index; compact migrates it") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-premarker").toString + "/idx"
+    // emulate a round-7 index: sharded tables, no commits/ — build one
+    // normally and strip its marker table
+    MinHashIndex.write(toks, p, NumHashes, rowsPerBand = 2)
+    IndexIO.deleteDir(spark, s"$p/commits")
+    val before = MinHashIndex.pairs(spark, p, NumHashes).orderBy("a", "b").collect()
+    assert(before.nonEmpty, "legacy index must stay readable")
+    val ex = intercept[IllegalArgumentException] {
+      MinHashIndex.append(toks, p, NumHashes, rowsPerBand = 2)
+    }
+    assert(ex.getMessage.contains("commit-marker"))
+    MinHashIndex.compact(spark, p)
+    assert(IndexIO.committedIds(spark, p) == Seq(0))
+    assert(MinHashIndex.pairs(spark, p, NumHashes).orderBy("a", "b").collect()
+      .sameElements(before))
   }
 
   test("append refuses the pre-shard flat layout; compact migrates it") {

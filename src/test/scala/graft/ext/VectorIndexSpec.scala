@@ -165,6 +165,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(c.sameElements(b))
   }
 
+  test("a posting shard without its commit marker is invisible and reconciled away") {
+    val first = emb.filter(col("vec_id") < 40)
+    val rest = emb.filter(col("vec_id") >= 40)
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-vindex-marker").toString + "/idx"
+    val pB = java.nio.file.Files
+      .createTempDirectory("graft-vindex-marker-reb").toString + "/idx"
+    VectorIndex.write(first, pA, nCentroids = 8)
+    val qs = emb.filter(col("vec_id") < 5)
+    def serve(p: String) = VectorIndex.topK(spark, p, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val baseline = serve(pA)
+    // simulate the canonical crash: posting shard published, marker not
+    VectorIndex.append(rest, pA)
+    IndexIO.deleteDir(spark, s"$pA/commits/shard=1")
+    assert(serve(pA) == baseline, "uncommitted shard must not serve")
+    // the retry reconciles the uncommitted shard and lands cleanly
+    VectorIndex.append(rest, pA)
+    assert(IndexIO.committedIds(spark, pA) == Seq(0, 1))
+    VectorIndex.write(emb, pB, nCentroids = 8)
+    assert(serve(pA) == serve(pB))
+    // no duplicate posting rows survived the retry
+    assert(spark.read.parquet(s"$pA/postings").groupBy("cand_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("append refuses a pre-marker sharded index; compact migrates it") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-vindex-premarker").toString + "/idx"
+    // emulate a round-7 index: sharded postings, no commits/ — build one
+    // normally and strip its marker table
+    VectorIndex.write(emb, p, nCentroids = 8)
+    IndexIO.deleteDir(spark, s"$p/commits")
+    val qs = emb.filter(col("vec_id") < 5)
+    def serve() = VectorIndex.topK(spark, p, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = serve()
+    assert(before.nonEmpty, "legacy index must stay readable")
+    val ex = intercept[IllegalArgumentException] { VectorIndex.append(emb, p) }
+    assert(ex.getMessage.contains("commit-marker"))
+    VectorIndex.compact(spark, p)
+    assert(IndexIO.committedIds(spark, p) == Seq(0))
+    assert(serve() == before)
+  }
+
   test("append rejects a batch whose embedding dimension differs") {
     val p = java.nio.file.Files
       .createTempDirectory("graft-vindex-dim").toString + "/idx"
@@ -196,6 +241,8 @@ class VectorIndexSpec extends SparkSpec {
           new org.apache.hadoop.fs.Path(s"$p/postings/${s.getPath.getName}"))
       }
     fs.delete(new org.apache.hadoop.fs.Path(s"$p/postings/shard=0"), true)
+    // a real pre-shard index predates the commits table too
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/commits"), true)
     val ex = intercept[IllegalArgumentException] {
       VectorIndex.append(emb.filter(col("vec_id") >= 40), p)
     }
