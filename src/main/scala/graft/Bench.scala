@@ -73,15 +73,22 @@ object Bench {
     val headline = results.filter(r => Headline(r._1)).map(_._2).sum
     // a failed query must be visible in the JSON, not silently deflate it
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // The driver captures only the tail of stdout, which truncates the
-    // per-query map past ~60 entries; persist the full line so every
-    // round's per-query history stays machine-readable.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // The full line (135-query map) blows past the driver's 2000-char
+    // stdout tail capture, which left two rounds of BENCH_r*.json at
+    // `parsed: null`. Persist the full artifact to a file and print a
+    // COMPACT line — totals + failed list, no per-query map — as the
+    // LAST stdout line so the tail capture always holds one complete,
+    // parseable JSON object. Partial (BENCH_ONLY) runs write a separate
+    // file so a targeted repro can never clobber the round's full
+    // 135-query record.
+    val defaultOut = if (only.isDefined) "target/bench_partial.json" else "target/bench.json"
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"per_query_file":"$outPath","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

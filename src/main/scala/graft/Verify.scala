@@ -20,18 +20,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = graft.server.Json.quote(s)
+    // Completeness manifest, written BEFORE any query runs: the full
+    // registry the compare step must account for. A query that errors
+    // here leaves no parquet dump; without this manifest the downstream
+    // compare silently omits it (round 7 lost 15 queries that way —
+    // nothing failed loudly). tools/selfcheck.py fails any name listed
+    // here that produced no verdict.
+    val selected = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      selected.map(q).mkString("[", ",", "]"))
+    val failed = scala.collection.mutable.ListBuffer[(String, String)]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name)))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name -> String.valueOf(e.getMessage)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = graft.server.Json.quote(s)
+    // Loud end-of-run failure recap (single scan of stderr finds it) +
+    // machine-readable record next to the dumps.
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

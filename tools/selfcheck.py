@@ -86,6 +86,23 @@ def main(sf_dir: str, out_dir: str) -> int:
         if n not in results:
             results[n] = "ENGINE-OUTPUT-MISSING (query failed in Verify?)"
 
+    # Completeness guard (round-7 lesson: 15 erroring queries were simply
+    # absent from the report — nothing failed loudly). Every name Verify
+    # declared in registry.json must have produced a verdict; absentees
+    # are hard failures. verify_failures.json carries the engine-side
+    # error message when Verify caught one.
+    reg_path = Path(out_dir) / "registry.json"
+    if reg_path.exists():
+        registry = json.loads(reg_path.read_text())
+        fail_path = Path(out_dir) / "verify_failures.json"
+        errs = json.loads(fail_path.read_text()) if fail_path.exists() else {}
+        for n in registry:
+            if n not in results:
+                results[n] = f"NO-VERDICT engine-error: {errs.get(n, 'no dump written')[:160]}"
+    else:
+        print("WARN: no registry.json in out dir (old Verify?) — "
+              "completeness guard skipped", file=sys.stderr)
+
     fails = 0
     for name in sorted(results):
         r = results[name]
