@@ -108,16 +108,23 @@ private[ext] object IndexIO {
   /** Publish the commit marker for shard `k` of the index at `root` —
     * the LAST rename of a transactional multi-table append; its arrival
     * is what makes the shard visible to marker-aware readers
-    * ([[committedIds]]). One tiny one-row parquet per shard — the
+    * ([[committedIds]]). One tiny marker file per shard — the
     * manifest-pointer design object-store table formats use, scoped to
-    * one marker file per shard. Shared by all three persisted indexes
+    * one marker per shard. Shared by all three persisted indexes
     * ([[TextIndex]], [[MinHashIndex]], [[VectorIndex]]). */
   def commitShard(spark: SparkSession, root: String, k: Int): Unit = {
-    val staging = shardStagingFor(s"$root/commits")
-    spark.range(1).selectExpr(s"$k as committed")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    publishShard(spark, staging, s"$root/commits/shard=$k")
+    // markers are pure DIRECTORY facts — every consumer is a listing
+    // ([[committedIds]]) and nothing ever reads marker content — so the
+    // publish is driver-side filesystem I/O, not a Spark job (the
+    // marker job was a measurable fixed cost on every append when the
+    // indexed batch itself is small). Same staged-rename protocol as a
+    // data shard: write under a hidden staging dir, one atomic rename.
+    val fs = fsOf(spark, root)
+    val staging = new org.apache.hadoop.fs.Path(shardStagingFor(s"$root/commits"))
+    fs.mkdirs(staging)
+    val f = fs.create(new org.apache.hadoop.fs.Path(staging, "MARKER"), false)
+    try f.writeBytes(s"$k\n") finally f.close()
+    publishShard(spark, staging.toString, s"$root/commits/shard=$k")
   }
 
   /** Shard ids with a published commit marker. Empty means either a

@@ -165,7 +165,7 @@ object MinHashIndex {
     *
     * Publish protocol (the [[TextIndex.append]] commit-marker design,
     * shared via [[IndexIO.commitShard]]): both table shards rename in
-    * first, then a one-row `commits/shard=K` marker renames in LAST —
+    * first, then a `commits/shard=K` marker renames in LAST —
     * its arrival is what makes the shard visible, since every reader
     * prunes both tables to committed shard ids (a partition-column
     * filter — directory pruning, no data read). A crash anywhere before

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * tables no publish order is benign — a postings shard without its
   * stats shard mis-scores every query against stale corpus constants):
   * appends are transactional — all table shards publish first
-  * (each an atomic staged rename), then a one-row `commits/shard=K`
+  * (each an atomic staged rename), then a `commits/shard=K`
   * marker publishes LAST, and every reader prunes each table to
   * committed shard ids (a partition-column `IN` — directory pruning,
   * no data read). A crash anywhere before the marker leaves invisible
@@ -55,7 +55,8 @@ object TextIndex {
     * oracle pins. `tf` carries (doc_id, dl, term, tf); `dfreq`
     * (term, df); `stats` one row (n_docs, avgdl). */
   def bm25Rank(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
-               k1: Double, b: Double, k: Int): DataFrame = {
+               k1: Double, b: Double, k: Int,
+               groupCols: Seq[String] = Seq.empty): DataFrame = {
     val scored = tf
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -64,16 +65,21 @@ object TextIndex {
     val tfn = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    // `groupCols` (e.g. query_id for the batch-serving form) ride
+    // through the per-doc sum and scope the top-k — empty means the
+    // single-query global ranking
     val perDoc = scored
-      .select(col("doc_id"),
-        round((idf * tfn) * lit(1000000.0)).cast("long").as("micro"))
-      .groupBy("doc_id").agg(sum(col("micro")).as("score_micro"))
-    TopK.perGroupTopK(perDoc, Seq.empty,
+      .select(groupCols.map(col) :+ col("doc_id") :+
+        round((idf * tfn) * lit(1000000.0)).cast("long").as("micro"): _*)
+      .groupBy((groupCols :+ "doc_id").map(col): _*)
+      .agg(sum(col("micro")).as("score_micro"))
+    TopK.perGroupTopK(perDoc, groupCols,
         struct((-col("score_micro")).as("negs"), col("doc_id"), col("score_micro")), k)
-      .select(col("col.doc_id").as("doc_id"),
+      .select(groupCols.map(col) ++ Seq(
+        col("col.doc_id").as("doc_id"),
         col("col.score_micro").as("score_micro"),
-        (col("pos") + 1).cast("int").as("rank"))
-      .orderBy("rank")
+        (col("pos") + 1).cast("int").as("rank")): _*)
+      .orderBy((groupCols :+ "rank").map(col): _*)
   }
 
   /** Build and publish the index from a (doc_id, text) relation. The
@@ -263,13 +269,63 @@ object TextIndex {
   def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
                k: Int, k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one probe term")
+    val (tf, dfreq, stats) = probe(spark, path, terms)
+    bm25Rank(tf, dfreq, stats, k1, b, k)
+  }
+
+  /** Bulk BM25 retrieval for a QUERY RELATION — the text-retrieval twin
+    * of the bulk geocode join (g11 serves a geocode per query ROW; this
+    * serves a ranked doc list per query row). `queries` carries
+    * (query_id, term) rows; the postings probe is ONE term-`IN` over the
+    * UNION of all query vocabularies (the per-term tf/df/stats work is
+    * shared across every query that mentions the term — per-query
+    * serving would re-read the same slivers |queries| times), then the
+    * tiny query relation broadcast-joins in and the per-(query, doc)
+    * sum + per-query top-k run as one distributed job. The probed term
+    * set is collected bounded (`maxLiteralTerms`, the
+    * [[VectorIndex.topK]] literal-route treatment): below the cap the
+    * filter pushes to the term-sorted scan as a literal `IN`; above it
+    * a broadcast semi-join keeps driver memory and plan size flat
+    * however large the query batch grows. */
+  def bm25TopKBatch(spark: SparkSession, path: String, queries: DataFrame,
+                    k: Int, k1: Double, b: Double,
+                    maxLiteralTerms: Int = 10000): DataFrame = {
+    require(queries.columns.contains("query_id") && queries.columns.contains("term"),
+      s"queries need (query_id, term) columns, got ${queries.columns.mkString(", ")}")
+    val qterms = queries.select("query_id", "term").distinct()
+      .localCheckpoint(true) // read twice: term collect + the scoring join
+    val terms = qterms.select("term").distinct()
+      .limit(math.min(maxLiteralTerms.toLong + 1, Int.MaxValue.toLong).toInt)
+      .collect().map(_.getString(0)).toSeq
+    val (tf, dfreq, stats) =
+      if (terms.length <= maxLiteralTerms) probe(spark, path, terms)
+      else probeJoin(spark, path, qterms.select("term").distinct())
+    bm25Rank(tf.join(broadcast(qterms), Seq("term")), dfreq, stats,
+      k1, b, k, groupCols = Seq("query_id"))
+  }
+
+  /** The stored-layout probe shared by the serving entry points: the
+    * live (doc_id, dl, term, tf) rows for `terms` (committed shards
+    * only, tombstones anti-joined), their corpus df, and the corpus
+    * BM25 constants minus the exact tombstone mass. */
+  private def probe(spark: SparkSession, path: String,
+                    terms: Seq[String]): (DataFrame, DataFrame, DataFrame) =
+    probeWith(spark, path, _.filter(col("term").isin(terms: _*)))
+
+  /** [[probe]] with the term restriction as a broadcast semi-join —
+    * the above-the-literal-cap route of [[bm25TopKBatch]]. */
+  private def probeJoin(spark: SparkSession, path: String,
+                        terms: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    probeWith(spark, path, _.join(broadcast(terms), Seq("term"), "left_semi"))
+
+  private def probeWith(spark: SparkSession, path: String,
+                        restrict: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val committed = IndexIO.shardIds(spark, s"$path/commits")
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     def tbl(name: String) =
       spark.read.parquet(s"$path/$name").filter(col("shard").isin(committed: _*))
     val dels = tombstones(spark, path)
-    val tf = dels.foldLeft(
-        tbl("postings").filter(col("term").isin(terms: _*)))(
+    val tf = dels.foldLeft(restrict(tbl("postings")))(
         _.join(_, Seq("doc_id"), "left_anti"))
       .select("doc_id", "dl", "term", "tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -287,7 +343,7 @@ object TextIndex {
         base.select(col("nd").as("n_docs"),
           (col("sdl").cast("double") / col("nd").cast("double")).as("avgdl"))
     }
-    bm25Rank(tf, dfreq, stats, k1, b, k)
+    (tf, dfreq, stats)
   }
 
   /** Exact phrase occurrences served from the stored positional

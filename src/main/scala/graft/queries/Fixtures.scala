@@ -105,6 +105,24 @@ object Fixtures {
     }
   }
 
+  /** Long-lived engine with the trigram name index ATTACHED — the
+    * indexed serving tier ([[graft.tools.ServeProfile]] compares its
+    * request latencies against [[gazEngine]]'s scan tier). Same pois,
+    * same admin; only the candidate-fetch path differs. */
+  def gazEngineIndexed(s: SparkSession, dir: String): ScoutEngine = {
+    val pois = gazPois(s, dir, withWikidata = true) // outside the memo: see above
+    // the index gets its own memo entry so clear() unpersists it (the
+    // engine's close() only owns its internal admin cache)
+    val ix = memo(s, dir, "nameIndex") {
+      TrigramIndex.build(pois).repartition(width(s), col("gram")).persist()
+    }
+    memo(s, dir, "engineIndexed") {
+      new ScoutEngine(s, pois,
+        GazetteerBuilder.buildAdmin(derivedRaw(s, dir, withWikidata = true)),
+        nameIndex = Some(ix))
+    }
+  }
+
   /** Trigram index over the (no-wikidata) gazetteer for the bulk
     * indexed geocode join (g11). */
   def gazIndex(s: SparkSession, dir: String): DataFrame = {

@@ -296,6 +296,48 @@ object StreamingQueries {
             JOIN b_idx2 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
           ) ORDER BY doc_id"""))
 
+  /** Streaming ingest into the persisted BM25 text index — the
+    * text-retrieval twin of [[stNearDupRefresh]]'s crawl loop, driven
+    * by the REAL Structured Streaming sink surface: each micro-batch
+    * lands via `writeStream.foreachBatch → TextIndex.append`, i.e. one
+    * transactional marker-committed shard per batch (postings + doclens
+    * + stats publish first, the commit marker last), so a crash between
+    * micro-batches leaves the index serving exactly the last committed
+    * batch boundary. Two replay drains (the corpus thirds with
+    * `doc_id % 3 = 1` then `= 2`) append two shards onto the `% 3 = 0`
+    * base build — shard count is deterministic at every SF. The oracle
+    * recomputes BM25 over the WHOLE corpus from scratch: the hash match
+    * pins that stream-appended shards sum df/doclen/stats exactly like
+    * a single batch build (nothing about the stream path may leak into
+    * the scores). */
+  val stBm25Refresh = Q("st_bm25_refresh",
+    (s, dir) => {
+      import graft.ext.TextIndex
+      val idxPath = graft.core.TempDirs.create("graft-tindex-stream-")
+      TextIndex.write(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 3 === 0), idxPath)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def ingest(residue: Int): Unit = withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .filter(col("doc_id") % 3 === residue)
+        val q = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            TextIndex.append(batch.select("doc_id", "text"), idxPath)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ingest(1)
+      ingest(2)
+      TextIndex.bm25TopK(s, idxPath, TextQueries2.Bm25Terms, 20,
+        TextQueries2.Bm25K1, TextQueries2.Bm25B)
+    },
+    Some(TextQueries2.bm25Sql()))
+
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
-    stStreamDedup, stEnrich, stNearDupFilter, stNearDupRefresh)
+    stStreamDedup, stEnrich, stNearDupFilter, stNearDupRefresh,
+    stBm25Refresh)
 }

@@ -338,6 +338,72 @@ object TextQueries2 {
     },
     Some(bm25Sql("WHERE doc_id % 7 <> 3")))
 
+  /** The standing query batch for `ta_bm25_batch`: three queries over
+    * the fixture vocabulary, overlapping terms on purpose (the shared
+    * postings probe is the point of the batch form). */
+  val Bm25Batch: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "scan", 2L -> "merge", 2L -> "window",
+    3L -> "spark", 3L -> "window")
+
+  /** BULK BM25 retrieval from the persisted index
+    * ([[graft.ext.TextIndex.bm25TopKBatch]]): a (query_id, term) batch
+    * served by ONE postings probe over the union vocabulary + a
+    * broadcast query join + per-query top-k — the text twin of the g11
+    * bulk geocode join. The oracle replays the same per-query ranking
+    * over a VALUES query relation with the shared-corpus df/stats —
+    * pinning that batch serving is score-identical to running
+    * `ta_bm25_persisted` per query. */
+  val taBm25Batch = Q("ta_bm25_batch",
+    (s, dir) => {
+      import s.implicits._
+      val path = graft.core.TempDirs.create("graft-tindex-batch-")
+      graft.ext.TextIndex.write(docs(s, dir), path)
+      graft.ext.TextIndex.bm25TopKBatch(s, path,
+        Bm25Batch.toDF("query_id", "term"), 20, Bm25K1, Bm25B)
+    },
+    Some {
+      val canon = TextQueries.canonSql
+      val termList = Bm25Batch.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val valuesRows = Bm25Batch.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split($canon, ' '), x -> x <> '') AS t
+            FROM documents),
+          sized AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+          qterms(query_id, term) AS (VALUES $valuesRows),
+          tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(t) AS term FROM sized)
+            WHERE term IN ($termList)
+            GROUP BY 1, 2, 3),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                    FROM sized),
+          scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(round((((CAST(s.n_docs - d.df AS DOUBLE) + 0.5::DOUBLE)
+                                / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+                               * ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0}::DOUBLE)
+                                  / (CAST(tf.tf AS DOUBLE) + ${Bm25K1}::DOUBLE
+                                     * (${1.0 - Bm25B}::DOUBLE + ${Bm25B}::DOUBLE
+                                        * (CAST(tf.dl AS DOUBLE) / s.avgdl)))))
+                              * 1000000.0::DOUBLE) AS BIGINT) AS micro
+            FROM tf, dfreq d, stats s WHERE tf.term = d.term),
+          perdoc AS (
+            SELECT q.query_id, sc.doc_id,
+                   CAST(sum(sc.micro) AS BIGINT) AS score_micro
+            FROM scored sc JOIN qterms q ON sc.term = q.term
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT query_id, doc_id, score_micro,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_micro DESC, doc_id ASC) AS rank
+            FROM perdoc)
+          SELECT query_id, doc_id, score_micro, rank FROM ranked
+          WHERE rank <= 20 ORDER BY query_id, rank"""
+    })
+
   // ------------------------------------------------------- gopher rules
 
   /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
@@ -492,5 +558,5 @@ object TextQueries2 {
     })
 
   val all: Seq[Q] = Seq(taRedact, taPiiAudit, taNgrams, taBm25, taBm25Persisted,
-    taBm25Evolve, taGopher, taRarity)
+    taBm25Evolve, taBm25Batch, taGopher, taRarity)
 }

@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.query.{ForwardCandidate, ForwardReq}
+import graft.queries.Fixtures
+import org.apache.spark.sql.SparkSession
+
+/** Serving-path latency profile (VERDICT r7 task 8): per-request
+  * wall-clock distributions for `ScoutEngine.forward` on the SCAN tier
+  * (token-containment filter over the cached gazetteer) vs the INDEXED
+  * tier (trigram posting intersection + re-verify) at a given SF dir.
+  *
+  * `runMain graft.tools.ServeProfile [sfDir] [nRequests]` — prints a
+  * p50/p95/mean table and one JSON line for the record in SCALE.md.
+  * The workload is REAL gazetteer names (sampled deterministically by
+  * osm_id) issued as full-text and first-token requests — the two
+  * request shapes the reference's own test corpus exercises — after a
+  * one-pass warmup so the numbers measure serving, not fixture build
+  * or codegen.
+  */
+object ServeProfile {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nReq = if (args.length > 1) args(1).toInt else 60
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scanEngine = Fixtures.gazEngine(spark, sfDir)
+    val indexedEngine = Fixtures.gazEngineIndexed(spark, sfDir)
+
+    // deterministic request mix from the corpus itself: every 7th
+    // gazetteer name (full text) and its first token (partial match —
+    // the harder, wider-candidate shape)
+    val names = Fixtures.gazPois(spark, sfDir, withWikidata = true)
+      .select("osm_id", "name_local").orderBy("osm_id")
+      .collect().map(_.getString(1)).filter(_ != null)
+    val sampled = names.indices.collect { case i if i % 7 == 0 => names(i) }
+    val texts = (sampled.map(identity) ++ sampled.map(_.split("\\s+").head))
+      .filter(_.nonEmpty).distinct.take(nReq).toSeq
+    require(texts.nonEmpty, s"no usable names under $sfDir")
+
+    def measure(tag: String, run: String => Int): Seq[Double] = {
+      texts.foreach(run) // warmup: fixture build + codegen paid here
+      val lat = texts.map { t =>
+        val t0 = System.nanoTime()
+        val n = run(t)
+        ((System.nanoTime() - t0) / 1e6, n)
+      }
+      val ms = lat.map(_._1).sorted
+      def pct(p: Double) = ms(math.min(ms.size - 1, (p * ms.size).toInt))
+      println(f"$tag%-8s n=${ms.size} p50=${pct(0.50)}%.1f ms  " +
+        f"p95=${pct(0.95)}%.1f ms  max=${ms.last}%.1f ms  " +
+        f"mean=${ms.sum / ms.size}%.1f ms  hits=${lat.map(_._2).sum}")
+      ms
+    }
+
+    def request(t: String) = ForwardReq(Seq(ForwardCandidate(t)), limit = 5)
+    val scan = measure("scan", t => scanEngine.forward(request(t)).size)
+    val indexed = measure("indexed", t => indexedEngine.forward(request(t)).size)
+
+    def pct(ms: Seq[Double], p: Double) =
+      ms(math.min(ms.size - 1, (p * ms.size).toInt))
+    println(s"""{"metric":"serve_latency_ms","sf":"$sfDir","n":${scan.size},""" +
+      f""""scan_p50":${pct(scan, 0.5)}%.1f,"scan_p95":${pct(scan, 0.95)}%.1f,""" +
+      f""""indexed_p50":${pct(indexed, 0.5)}%.1f,"indexed_p95":${pct(indexed, 0.95)}%.1f}""")
+    spark.stop()
+  }
+}

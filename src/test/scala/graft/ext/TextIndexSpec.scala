@@ -120,6 +120,29 @@ class TextIndexSpec extends SparkSpec {
       "positions table folds with the rest")
   }
 
+  test("batch serving equals per-query serving on both probe routes") {
+    import spark.implicits._
+    val path = freshPath("batch")
+    TextIndex.write(corpus, path)
+    val queries = Seq(
+      10L -> "fox", 10L -> "jugs", 20L -> "spark", 20L -> "fox", 30L -> "jugs")
+      .toDF("query_id", "term")
+    def perQuery(qid: Long, terms: Seq[String]) =
+      TextIndex.bm25TopK(spark, path, terms, 10, K1, B)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val expected = perQuery(10L, Seq("fox", "jugs")) ++
+      perQuery(20L, Seq("spark", "fox")) ++ perQuery(30L, Seq("jugs"))
+    def batch(maxLiteralTerms: Int) =
+      TextIndex.bm25TopKBatch(spark, path, queries, 10, K1, B, maxLiteralTerms)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // literal-IN route (terms under the cap) and the broadcast
+    // semi-join route (cap forced below the term count) must agree
+    // with per-query serving exactly
+    assert(batch(maxLiteralTerms = 10000) == expected)
+    assert(batch(maxLiteralTerms = 1) == expected)
+  }
+
   test("an index written without positions refuses phrase serving loudly") {
     val path = freshPath("nopos")
     TextIndex.write(corpus, path)

@@ -82,8 +82,12 @@ def main(sf_dir: str, out_dir: str) -> int:
                 break
         results[name] = mismatch or f"OK rows={len(eng)}"
 
+    # Scope: oracle_sql.json always carries EVERY declared query, but a
+    # name-filtered Verify run only dumps the selection (registry.json).
+    reg_path = Path(out_dir) / "registry.json"
+    scope = set(json.loads(reg_path.read_text())) if reg_path.exists() else None
     for n in oracle:
-        if n not in results:
+        if n not in results and (scope is None or n in scope):
             results[n] = "ENGINE-OUTPUT-MISSING (query failed in Verify?)"
 
     # Completeness guard (round-7 lesson: 15 erroring queries were simply
@@ -91,9 +95,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     # declared in registry.json must have produced a verdict; absentees
     # are hard failures. verify_failures.json carries the engine-side
     # error message when Verify caught one.
-    reg_path = Path(out_dir) / "registry.json"
     if reg_path.exists():
-        registry = json.loads(reg_path.read_text())
+        registry = sorted(scope)
         fail_path = Path(out_dir) / "verify_failures.json"
         errs = json.loads(fail_path.read_text()) if fail_path.exists() else {}
         for n in registry:
