@@ -98,38 +98,39 @@ object TextIndex {
   }
 
   /** One shard of all three tables under `root`. The spine (with its
-    * token arrays) is materialized to a hidden temp dir so the
-    * regex-heavy tokenize runs ONCE for the two derived writes (the
-    * cluster-safe form of the inline query's localCheckpoint), then
-    * removed. */
+    * token arrays) is `persist`ed so the regex-heavy tokenize runs ONCE
+    * for the derived writes — lineage is KEPT (unlike localCheckpoint),
+    * so an executor loss on a real cluster recomputes the lost
+    * partitions instead of failing the build, and locally it saves the
+    * former write-out/read-back of the full token arrays (a measurable
+    * fixed cost per build/append). */
   private def writeShardTables(docs: DataFrame, root: String, shard: Int,
                                partitions: Int, withPositions: Boolean): Unit = {
-    val spark = docs.sparkSession
-    val spinePath = s"$root/.spine-tmp"
-    docSpine(docs).write.mode(SaveMode.Overwrite).parquet(spinePath)
-    val spine = spark.read.parquet(spinePath)
-    spine.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .repartitionByRange(partitions, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/postings/shard=$shard")
-    spine.select("doc_id", "dl")
-      .repartitionByRange(partitions, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/doclens/shard=$shard")
-    spine.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
-    if (withPositions)
-      // the (id, pos, term) contract of TextAnalysis.positionalPostings,
-      // derived from the SAME spine tokenization (1-based positions)
-      spine.select(col("doc_id").as("id"), posexplode(col("toks")))
-        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("term"))
+    val spine = docSpine(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      spine.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
         .repartitionByRange(partitions, col("term"))
-        .sortWithinPartitions("term", "id", "pos")
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/positions/shard=$shard")
-    IndexIO.deleteDir(spark, spinePath)
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/postings/shard=$shard")
+      spine.select("doc_id", "dl")
+        .repartitionByRange(partitions, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/doclens/shard=$shard")
+      spine.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
+      if (withPositions)
+        // the (id, pos, term) contract of TextAnalysis.positionalPostings,
+        // derived from the SAME spine tokenization (1-based positions)
+        spine.select(col("doc_id").as("id"), posexplode(col("toks")))
+          .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("term"))
+          .repartitionByRange(partitions, col("term"))
+          .sortWithinPartitions("term", "id", "pos")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/positions/shard=$shard")
+    } finally spine.unpersist(false)
   }
 
   private val Tables = Seq("postings", "doclens", "stats")
@@ -293,7 +294,10 @@ object TextIndex {
     require(queries.columns.contains("query_id") && queries.columns.contains("term"),
       s"queries need (query_id, term) columns, got ${queries.columns.mkString(", ")}")
     val qterms = queries.select("query_id", "term").distinct()
-      .localCheckpoint(true) // read twice: term collect + the scoring join
+      // read twice (term collect + the scoring join): persist — the
+      // VectorIndex.topK treatment (materializes inside the collect,
+      // lineage kept for executor-loss recompute)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val terms = qterms.select("term").distinct()
       .limit(math.min(maxLiteralTerms.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect().map(_.getString(0)).toSeq

@@ -310,7 +310,11 @@ object VectorIndex {
           .orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crank") <= nprobe)
       .select("query_id", "q_emb", "cid")
-      .localCheckpoint(true) // read twice: cid collect + the probe join
+      // read twice (cid collect + the probe join): persist instead of
+      // localCheckpoint — it materializes INSIDE the collect job (no
+      // separate eager job per serve) and keeps lineage, so an executor
+      // loss recomputes the probe ranking instead of failing the query
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded collect: limit(max+1) caps the driver transfer at the
     // threshold even when the probe set is huge (saturating add — a
     // caller pinning the literal route with Int.MaxValue must not
