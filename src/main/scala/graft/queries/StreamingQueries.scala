@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** Streaming file-source for a fixture table, layout-agnostic: the
+    * driver writes each table as ONE FILE (`events.parquet`), while
+    * Spark-written copies (ScaleUp's 10× fixture) are DIRECTORIES of
+    * part-files. A dir + `pathGlobFilter` source silently matches ZERO
+    * files against the directory layout (the filter tests leaf file
+    * names — found by the r8 10× sanity run reading empty streams), and
+    * a direct file path fails the source's basePath-must-be-a-directory
+    * check — so branch on what is actually on disk. */
+  private[queries] def tableStream(s: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val reader = s.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory) reader.parquet(path.toString)
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** The replayed events file-source: raw schema from a batch probe read
     * (encoding-agnostic — `Tables.rawEvents` handles both the legacy
     * TIMESTAMP(NANOS)-as-BIGINT and plain TIMESTAMP(MICROS) fixture
@@ -22,10 +39,7 @@ object StreamingQueries {
     * fix to the encoding handling reaches all of them). */
   private def eventsStream(s: SparkSession, dir: String) = {
     val schema = Tables.rawEvents(s, s"$dir/events.parquet").schema
-    Tables.normalizeTs(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    Tables.normalizeTs(tableStream(s, dir, "events", schema))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` (one
@@ -153,9 +167,7 @@ object StreamingQueries {
     (s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val replayed = withShufflePartitions(s, 8) {
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
+        val stream = tableStream(s, dir, "documents", schema)
         val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
         StreamOps.replayToTable(s, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
       }
@@ -210,9 +222,7 @@ object StreamingQueries {
         .select(col("band"), col("bucket"), col("id").as("index_id"))
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val replayed = withShufflePartitions(s, 8) {
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
+        val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") >= 100 && col("doc_id") < 200)
         val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
           .join(buckets, Seq("band", "bucket"))
@@ -260,9 +270,7 @@ object StreamingQueries {
         val buckets = s.read.parquet(s"$idxPath/buckets")
           .select(col("band"), col("bucket"), col("id").as("index_id"))
         withShufflePartitions(s, 8) {
-          val stream = s.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(dir)
+          val stream = tableStream(s, dir, "documents", schema)
             .filter(col("doc_id") >= lo && col("doc_id") < hi)
           val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
             .join(buckets, Seq("band", "bucket"))
@@ -318,9 +326,7 @@ object StreamingQueries {
         Tables.table(s, dir, "documents").filter(col("doc_id") % 3 === 0), idxPath)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       def ingest(residue: Int): Unit = withShufflePartitions(s, 8) {
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
+        val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") % 3 === residue)
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

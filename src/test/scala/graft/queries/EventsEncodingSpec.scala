@@ -76,8 +76,7 @@ class EventsEncodingSpec extends SparkSpec {
       val schema = Tables.rawEvents(spark, s"$dir/events.parquet").schema
       val stream = Tables.normalizeTs(
         spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir))
+          .parquet(s"$dir/events.parquet"))
       assert(stream.isStreaming)
       assert(stream.schema("ts").dataType == TimestampType)
       val name = s"enc_probe_${System.nanoTime()}"
