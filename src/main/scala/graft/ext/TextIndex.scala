@@ -97,6 +97,32 @@ object TextIndex {
     IndexIO.publish(spark, staging, path)
   }
 
+  /** Build and publish a NEW VERSION under a versioned root — the
+    * object-store-safe twin of [[write]], completing the three-index
+    * parity with [[MinHashIndex.writeVersioned]] /
+    * [[VectorIndex.writeVersioned]]: every rebuild lands in an
+    * immutable `v{N}` directory and a one-line CURRENT pointer flips to
+    * it, so a reader ([[bm25TopKCurrent]]) can never observe a
+    * partially-copied index even where directory renames are
+    * copy+delete, and rollback is [[IndexIO.setCurrent]] instead of a
+    * rebuild. Returns the published version path ([[append]] targets it
+    * directly — appends stay within one version). */
+  def writeVersioned(docs: DataFrame, root: String, partitions: Int = 8,
+                     withPositions: Boolean = false): String = {
+    val spark = docs.sparkSession
+    val staging = IndexIO.stagingFor(root)
+    writeShardTables(docs, staging, 0, partitions, withPositions)
+    commitShard(spark, staging, 0)
+    IndexIO.publishVersioned(spark, staging, root)
+  }
+
+  /** [[bm25TopK]] over whichever version CURRENT names — one
+    * small-file pointer read per query, then the resolved immutable
+    * version serves it (a publish landing mid-query is invisible). */
+  def bm25TopKCurrent(spark: SparkSession, root: String, terms: Seq[String],
+                      k: Int, k1: Double, b: Double): DataFrame =
+    bm25TopK(spark, IndexIO.resolveCurrent(spark, root), terms, k, k1, b)
+
   /** One shard of all three tables under `root`. The spine (with its
     * token arrays) is `persist`ed so the regex-heavy tokenize runs ONCE
     * for the derived writes — lineage is KEPT (unlike localCheckpoint),

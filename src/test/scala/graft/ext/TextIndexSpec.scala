@@ -143,6 +143,30 @@ class TextIndexSpec extends SparkSpec {
     assert(batch(maxLiteralTerms = 1) == expected)
   }
 
+  test("versioned publish: pointer flip, immutable v1, rollback") {
+    val root = freshPath("ver")
+    val v1 = TextIndex.writeVersioned(corpus.filter(col("doc_id") < 4), root)
+    assert(v1.endsWith("/v00001"))
+    val served1 = TextIndex.bm25TopKCurrent(spark, root, Terms, 10, K1, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(served1 == serve(v1))
+    val v1Files = Seq("postings", "doclens", "stats", "commits")
+      .map(t => t -> ShardFiles.snapshot(s"$v1/$t/shard=0")).toMap
+    // v2 full rebuild: CURRENT flips, v1 stays byte-identical
+    val v2 = TextIndex.writeVersioned(corpus, root)
+    assert(v2.endsWith("/v00002"))
+    val served2 = TextIndex.bm25TopKCurrent(spark, root, Terms, 10, K1, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(served2 == serve(v2) && served2 != served1)
+    assert(Seq("postings", "doclens", "stats", "commits")
+      .map(t => t -> ShardFiles.snapshot(s"$v1/$t/shard=0")).toMap == v1Files,
+      "published versions are immutable")
+    // rollback is a pointer flip, not a rebuild
+    IndexIO.setCurrent(spark, root, "v00001")
+    assert(TextIndex.bm25TopKCurrent(spark, root, Terms, 10, K1, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == served1)
+  }
+
   test("an index written without positions refuses phrase serving loudly") {
     val path = freshPath("nopos")
     TextIndex.write(corpus, path)

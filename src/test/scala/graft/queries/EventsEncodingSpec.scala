@@ -70,13 +70,13 @@ class EventsEncodingSpec extends SparkSpec {
 
   test("streaming front-end loads both encodings (schema probe + normalize)") {
     // eventsStream is private; exercise its building blocks on both
-    // fixtures: raw schema probe then normalizeTs on a stream frame.
+    // fixtures: raw schema probe, the layout-agnostic source, then
+    // normalizeTs on the stream frame.
     for (res <- Seq("events_nanos.parquet", "events_micros.parquet")) {
       val dir = stage(res)
       val schema = Tables.rawEvents(spark, s"$dir/events.parquet").schema
       val stream = Tables.normalizeTs(
-        spark.readStream.schema(schema)
-          .parquet(s"$dir/events.parquet"))
+        StreamingQueries.tableStream(spark, dir, "events", schema))
       assert(stream.isStreaming)
       assert(stream.schema("ts").dataType == TimestampType)
       val name = s"enc_probe_${System.nanoTime()}"
