@@ -143,6 +143,40 @@ class TextIndexSpec extends SparkSpec {
     assert(batch(maxLiteralTerms = 1) == expected)
   }
 
+  test("every serve during concurrent appends returns a committed-boundary answer") {
+    import org.apache.spark.sql.functions.col
+    val path = freshPath("race")
+    // boundary answers: serving after k committed batches must equal a
+    // rebuild over the first k prefixes (append ≡ rebuild is pinned
+    // above) — so the set of LEGAL reader observations is exactly the
+    // per-prefix rebuild answers
+    val prefixes = (1 to 7).map(hi => corpus.filter(col("doc_id") < hi))
+    val legal = prefixes.zipWithIndex.map { case (d, i) =>
+      val p = freshPath(s"race-b$i")
+      TextIndex.write(d, p)
+      serve(p)
+    }.toSet
+    TextIndex.write(prefixes.head, path)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit =
+        (1 until 7).foreach(hi => TextIndex.append(
+          corpus.filter(col("doc_id") === hi.toLong), path))
+    })
+    try {
+      while (!appender.isDone) {
+        val got = serve(path)
+        assert(legal.contains(got),
+          s"reader observed a non-boundary (partially appended) answer: $got")
+      }
+      appender.get() // surface appender-side failures
+      assert(serve(path) == serve({ // final state ≡ full rebuild
+        val p = freshPath("race-full")
+        TextIndex.write(corpus.filter(col("doc_id") < 7), p); p
+      }))
+    } finally pool.shutdownNow()
+  }
+
   test("versioned publish: pointer flip, immutable v1, rollback") {
     val root = freshPath("ver")
     val v1 = TextIndex.writeVersioned(corpus.filter(col("doc_id") < 4), root)
