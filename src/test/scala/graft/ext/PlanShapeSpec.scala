@@ -40,6 +40,29 @@ class PlanShapeSpec extends SparkSpec {
       s"term probe not pushed:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
   }
 
+  test("batch BM25 serving keeps the single-probe shape: pushed union-vocabulary IN, no product joins") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-tbatch").toString + "/idx"
+    TextIndex.write(Seq((1L, "spark scan merge"), (2L, "window scan"))
+      .toDF("doc_id", "text"), path)
+    val queries = Seq(10L -> "spark", 10L -> "scan", 20L -> "scan")
+      .toDF("query_id", "term")
+    val served = TextIndex.bm25TopKBatch(spark, path, queries, 10, 1.2, 0.75)
+    val plan = physical(served)
+    assert(!plan.contains("CartesianProduct"), "bm25TopKBatch plan has a cartesian product")
+    // same scalar-stats allowance as the single-query form
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      "bm25TopKBatch plan has a non-scalar nested-loop join")
+    // the whole batch probes with ONE pushed union-vocabulary IN — not
+    // one scan per query: exactly TWO pruned probe scans total (the df
+    // aggregate's broadcast side + the scoring side), a count that is
+    // independent of how many queries ride the batch
+    assert(plan.contains("In(term, [scan,spark]") || plan.contains("In(term, [spark,scan]"),
+      s"union-vocabulary probe not pushed:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+    assert("In\\(term, \\[".r.findAllIn(plan).size == 2,
+      "batch serving probes the postings twice (df + scoring), regardless of batch size")
+  }
+
   test("phrase serving is a chain of (id,pos) equality joins over the pushed term probe") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-plan-phrase").toString + "/idx"
