@@ -87,7 +87,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"per_query_file":"$outPath","sf":"$sfDir"}"""
+    // cap the compact line's failed list: a mass-failure run (bad
+    // fixture dir) would otherwise push the line back over the tail
+    // capture exactly when visibility matters most; the full list is in
+    // the file artifact
+    val failedCompact = failed.take(20).map(n => s""""$n"""").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedCompact,"per_query_file":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

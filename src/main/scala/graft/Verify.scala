@@ -41,6 +41,12 @@ object Verify {
         catch { case e: Throwable =>
           failed += name -> String.valueOf(e.getMessage)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a STALE dump from a previous run into the same outDir would
+          // otherwise pass the compare on old data, masking the failure
+          // — exactly the silent-miss class the manifest exists to stop
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
         }
     }
     // Loud end-of-run failure recap (single scan of stderr finds it) +

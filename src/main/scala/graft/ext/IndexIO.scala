@@ -134,6 +134,22 @@ private[ext] object IndexIO {
   def committedIds(spark: SparkSession, root: String): Seq[Int] =
     shardIds(spark, s"$root/commits")
 
+  /** Read a shard table pruned to the committed shard ids (the ONE
+    * reader idiom of the commit-marker protocol, shared by all three
+    * indexes): a partition-column `IN` — directory pruning, no data
+    * read. An empty `committed` (legacy pre-marker index) or a missing
+    * `shard` column (flat layout, possibly with a hand-placed commits
+    * dir next to it) reads the table whole, as pre-marker readers did.
+    * `committed` is passed in so a multi-table reader lists the commits
+    * dir once per query, not once per table. */
+  def readCommitted(spark: SparkSession, root: String, table: String,
+                    committed: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(s"$root/$table")
+    if (committed.isEmpty || !df.columns.contains("shard")) df
+    else df.filter(org.apache.spark.sql.functions.col("shard")
+      .isInCollection(committed))
+  }
+
   /** Replace `dest` with `staging` via the Hadoop filesystem of the
     * path (hdfs:// and s3a:// work like file://). The old index is
     * renamed ASIDE first, not deleted: a crash between the two renames

@@ -141,14 +141,17 @@ object MinHashIndex {
       // keep only committed-AND-complete shards: an uncommitted table
       // shard is a crash leftover; a committed-but-incomplete one is
       // tampering whose surviving table shards must ALSO go, or they
-      // would collide with the retry's shard id at publish
+      // would collide with the retry's shard id at publish. Markers
+      // delete FIRST (publish order mirrored: marker last in, first
+      // out) so a crash mid-reconcile can never leave a committed id
+      // with missing table shards for readers to serve.
       val keep = committed intersect (sig intersect bkt)
+      (committed diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
       (sig diff keep).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
       (bkt diff keep).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
-      (committed diff keep).foreach(k =>
-        IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
     }
   }
 
@@ -304,18 +307,12 @@ object MinHashIndex {
     * tokens. The bucket self-join is an equality join on the stored
     * (band, bucket) layout; nothing re-tokenizes, nothing checkpoints. */
   def pairs(spark: SparkSession, path: String, numHashes: Int): DataFrame = {
-    // committed-shard pruning (partition-column filter — directory
-    // pruning, no data read): an appended shard is invisible until its
-    // commit marker lands. Legacy pre-marker indexes (flat or sharded,
-    // no commits table) read whole, as before.
+    // committed-shard pruning: an appended shard is invisible until its
+    // commit marker lands; legacy pre-marker indexes read whole
+    // ([[IndexIO.readCommitted]] — the shared reader idiom)
     val committed = IndexIO.committedIds(spark, path)
-    def pruned(table: String): DataFrame = {
-      val df = spark.read.parquet(s"$path/$table")
-      // the schema guard covers a commits table next to flat tables
-      // (hand-migrated layouts): nothing to prune there either
-      if (committed.isEmpty || !df.columns.contains("shard")) df
-      else df.filter(col("shard").isin(committed: _*))
-    }
+    def pruned(table: String): DataFrame =
+      IndexIO.readCommitted(spark, path, table, committed)
     val sig = pruned("signatures")
     // tombstones cut BEFORE the self-join: a deleted doc contributes no
     // candidates from either side, so one anti-join covers both

@@ -185,12 +185,16 @@ object TextIndex {
     val committed = IndexIO.shardIds(spark, s"$path/commits").toSet
     // keep only committed-AND-complete shards: dropping just the marker
     // of an incomplete shard would leave its surviving table shards to
-    // collide with the retry's shard id at publish
+    // collide with the retry's shard id at publish. Markers delete
+    // FIRST (the publish order mirrored: marker last in, first out) —
+    // deleting a table shard of a still-committed id first would let a
+    // crash mid-reconcile manufacture a committed-but-tableless state
+    // that readers then serve mis-scored against its stats mass.
     val keep = committed intersect perTable.reduce(_ intersect _)
-    for ((t, ids) <- tables.zip(perTable); k <- ids diff keep)
-      IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
     for (k <- committed diff keep)
       IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+    for ((t, ids) <- tables.zip(perTable); k <- ids diff keep)
+      IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
   }
 
   /** Append a new document batch as ONE NEW committed shard of each
@@ -255,8 +259,7 @@ object TextIndex {
     val dels = tombstones(spark, path)
     def live(table: String, cols: Seq[String]) =
       dels.foldLeft(
-          spark.read.parquet(s"$path/$table")
-            .filter(col("shard").isin(committed: _*))
+          IndexIO.readCommitted(spark, path, table, committed)
             .select(cols.map(col): _*))(
           _.join(_, Seq("doc_id"), "left_anti"))
     val staging = IndexIO.stagingFor(path)
@@ -274,8 +277,7 @@ object TextIndex {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats/shard=0")
     if (tablesOf(spark, path).contains("positions")) {
-      val pos = spark.read.parquet(s"$path/positions")
-        .filter(col("shard").isin(committed: _*))
+      val pos = IndexIO.readCommitted(spark, path, "positions", committed)
         .select("id", "pos", "term")
       dels.foldLeft(pos)((p, d) =>
           p.join(d.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
@@ -352,8 +354,7 @@ object TextIndex {
                         restrict: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val committed = IndexIO.shardIds(spark, s"$path/commits")
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
-    def tbl(name: String) =
-      spark.read.parquet(s"$path/$name").filter(col("shard").isin(committed: _*))
+    def tbl(name: String) = IndexIO.readCommitted(spark, path, name, committed)
     val dels = tombstones(spark, path)
     val tf = dels.foldLeft(restrict(tbl("postings")))(
         _.join(_, Seq("doc_id"), "left_anti"))
@@ -390,8 +391,7 @@ object TextIndex {
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     require(tablesOf(spark, path).contains("positions"),
       s"index at $path was written without positions (write(withPositions = true))")
-    val pos = spark.read.parquet(s"$path/positions")
-      .filter(col("shard").isin(committed: _*))
+    val pos = IndexIO.readCommitted(spark, path, "positions", committed)
       .filter(col("term").isin(phrase.distinct: _*))
       .select("id", "pos", "term")
     val live = tombstones(spark, path).foldLeft(pos)((p, d) =>

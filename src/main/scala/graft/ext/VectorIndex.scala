@@ -123,10 +123,12 @@ object VectorIndex {
     if (committed.nonEmpty) {
       val post = IndexIO.shardIds(spark, s"$path/postings").toSet
       val keep = committed intersect post
-      (post diff keep).foreach(k =>
-        IndexIO.deleteDir(spark, s"$path/postings/shard=$k"))
+      // markers delete FIRST (publish order mirrored) — see the
+      // TextIndex reconcile note
       (committed diff keep).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
+      (post diff keep).foreach(k =>
+        IndexIO.deleteDir(spark, s"$path/postings/shard=$k"))
     }
   }
 
@@ -313,7 +315,11 @@ object VectorIndex {
       // read twice (cid collect + the probe join): persist instead of
       // localCheckpoint — it materializes INSIDE the collect job (no
       // separate eager job per serve) and keeps lineage, so an executor
-      // loss recomputes the probe ranking instead of failing the query
+      // loss recomputes the probe ranking instead of failing the query.
+      // Lifecycle: the cached blocks are reclaimed by the ContextCleaner
+      // once the returned plan is GC'd (same as the checkpoint RDDs this
+      // replaced) — a long-lived server reuses sessions, it does not
+      // accumulate serves faster than GC
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded collect: limit(max+1) caps the driver transfer at the
     // threshold even when the probe set is huge (saturating add — a
@@ -322,17 +328,12 @@ object VectorIndex {
     val cids = probes.select("cid").distinct()
       .limit(math.min(maxLiteralCids.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect().map(_.getLong(0)).toSeq
-    // committed-shard pruning (partition-column filter — directory
-    // pruning, no data read): an appended shard is invisible until its
-    // commit marker lands. Legacy pre-marker indexes (flat or sharded,
-    // no commits table) read whole, as before.
-    val committed = IndexIO.committedIds(spark, path)
-    val stored = spark.read.parquet(s"$path/postings")
-    // the schema guard covers a commits table next to flat postings
-    // (hand-migrated layouts): nothing to prune there either
+    // committed-shard pruning: an appended shard is invisible until its
+    // commit marker lands; legacy pre-marker indexes read whole
+    // ([[IndexIO.readCommitted]] — the shared reader idiom)
     val postings = candFilter.foldLeft(
-      if (committed.isEmpty || !stored.columns.contains("shard")) stored
-      else stored.filter(col("shard").isin(committed: _*)))(_ filter _)
+      IndexIO.readCommitted(spark, path, "postings",
+        IndexIO.committedIds(spark, path)))(_ filter _)
     val probed =
       if (cids.length <= maxLiteralCids)
         postings.filter(col("cid").isInCollection(cids))

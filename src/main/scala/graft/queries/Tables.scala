@@ -40,9 +40,24 @@ object Tables {
   def rawEvents(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case _: org.apache.spark.sql.AnalysisException | _: UnsupportedOperationException =>
+      case e @ (_: org.apache.spark.sql.AnalysisException | _: UnsupportedOperationException) =>
+        // only a footer-rejection on an EXISTING file justifies the
+        // legacy-flag retry — a missing path (also an AnalysisException)
+        // must rethrow untouched, or the flag flip would silently change
+        // how every later read in the session decodes NANOS columns
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) throw e
+        val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path)
+        try spark.read.parquet(path)
+        catch { case retryFailure: Throwable =>
+          // the failure wasn't the nanos encoding: undo the flag flip
+          prev match {
+            case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
+          throw retryFailure
+        }
     }
 
   /** Normalize a raw-loaded `ts` column to session-TZ TIMESTAMP:

@@ -41,9 +41,17 @@ object ServeProfile {
       .select("osm_id", "name_local").orderBy("osm_id")
       .collect().map(_.getString(1)).filter(_ != null)
     val sampled = names.indices.collect { case i if i % 7 == 0 => names(i) }
-    val texts = (sampled.map(identity) ++ sampled.map(_.split("\\s+").head))
+    // INTERLEAVE the two shapes so take(nReq) keeps the mix — appending
+    // the partial-token shape after all full names would profile only
+    // the easy narrow-candidate shape at any realistic corpus size
+    val texts = sampled.flatMap(n => Seq(n, n.split("\\s+").head))
       .filter(_.nonEmpty).distinct.take(nReq).toSeq
     require(texts.nonEmpty, s"no usable names under $sfDir")
+
+    // nearest-rank percentile: ceil(p*n)-th smallest (the (p*n).toInt
+    // form overstates the tail — p95 of 60 is rank 57, not 58)
+    def pct(ms: Seq[Double], p: Double) =
+      ms(math.min(ms.size - 1, math.max(0, math.ceil(p * ms.size).toInt - 1)))
 
     def measure(tag: String, run: String => Int): Seq[Double] = {
       texts.foreach(run) // warmup: fixture build + codegen paid here
@@ -53,9 +61,8 @@ object ServeProfile {
         ((System.nanoTime() - t0) / 1e6, n)
       }
       val ms = lat.map(_._1).sorted
-      def pct(p: Double) = ms(math.min(ms.size - 1, (p * ms.size).toInt))
-      println(f"$tag%-8s n=${ms.size} p50=${pct(0.50)}%.1f ms  " +
-        f"p95=${pct(0.95)}%.1f ms  max=${ms.last}%.1f ms  " +
+      println(f"$tag%-8s n=${ms.size} p50=${pct(ms, 0.50)}%.1f ms  " +
+        f"p95=${pct(ms, 0.95)}%.1f ms  max=${ms.last}%.1f ms  " +
         f"mean=${ms.sum / ms.size}%.1f ms  hits=${lat.map(_._2).sum}")
       ms
     }
@@ -64,8 +71,6 @@ object ServeProfile {
     val scan = measure("scan", t => scanEngine.forward(request(t)).size)
     val indexed = measure("indexed", t => indexedEngine.forward(request(t)).size)
 
-    def pct(ms: Seq[Double], p: Double) =
-      ms(math.min(ms.size - 1, (p * ms.size).toInt))
     println(s"""{"metric":"serve_latency_ms","sf":"$sfDir","n":${scan.size},""" +
       f""""scan_p50":${pct(scan, 0.5)}%.1f,"scan_p95":${pct(scan, 0.95)}%.1f,""" +
       f""""indexed_p50":${pct(indexed, 0.5)}%.1f,"indexed_p95":${pct(indexed, 0.95)}%.1f}""")

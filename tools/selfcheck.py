@@ -102,6 +102,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         for n in registry:
             if n not in results:
                 results[n] = f"NO-VERDICT engine-error: {errs.get(n, 'no dump written')[:160]}"
+        # belt-and-braces: a name Verify RECORDED as failed must fail here
+        # even if a (stale) dump compared clean
+        for n, msg in errs.items():
+            if n in results and not results[n].startswith("NO-VERDICT"):
+                results[n] = f"ENGINE-ERRORED (stale dump ignored): {msg[:160]}"
     else:
         print("WARN: no registry.json in out dir (old Verify?) — "
               "completeness guard skipped", file=sys.stderr)
