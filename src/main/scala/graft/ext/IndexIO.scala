@@ -134,6 +134,37 @@ private[ext] object IndexIO {
   def committedIds(spark: SparkSession, root: String): Seq[Int] =
     shardIds(spark, s"$root/commits")
 
+  /** Delete crash-leftover STAGING directories of the index at `root`:
+    * sibling `<name>-staging-*` dirs (a full build/compact that died
+    * before its publish rename) and hidden `_shard-staging-*` /
+    * `_append-staging-*` dirs under the root and its table dirs (an
+    * append that died mid-write). All are invisible to readers — this
+    * reclaims disk, nothing else — but at 100 TB an abandoned compact
+    * staging is a full index copy, so the writers that already rewrite
+    * history ([[TextIndex.compact]] and twins) sweep them. `dest-old-*`
+    * asides are NOT touched: a crash inside [[publish]]'s two renames
+    * leaves the previous index there for recovery. Single-writer by
+    * contract, like every mutation here. */
+  def gcStaging(spark: SparkSession, root: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, root)
+    def sweep(dir: org.apache.hadoop.fs.Path, pred: String => Boolean): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory && pred(st.getPath.getName))
+            if (!fs.delete(st.getPath, true))
+              throw new java.io.IOException(s"gc of ${st.getPath} failed")
+        }
+    Option(rootPath.getParent).foreach(
+      sweep(_, _.startsWith(rootPath.getName + "-staging-")))
+    val hidden = (n: String) =>
+      n.startsWith("_shard-staging-") || n.startsWith("_append-staging-")
+    sweep(rootPath, hidden)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).filter(_.isDirectory)
+        .foreach(st => sweep(st.getPath, hidden))
+  }
+
   /** Read a shard table pruned to the committed shard ids (the ONE
     * reader idiom of the commit-marker protocol, shared by all three
     * indexes): a partition-column `IN` — directory pruning, no data

@@ -279,6 +279,7 @@ object MinHashIndex {
     // into the compacted shard=0 — drop them first; flat pre-shard
     // layouts have no shard dirs, so this is a no-op for migration
     reconcileShards(spark, path)
+    IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
     val staging = IndexIO.stagingFor(path)
     val dels = tombstones(spark, path)
     val sig = spark.read.parquet(s"$path/signatures")

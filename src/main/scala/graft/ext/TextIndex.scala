@@ -254,6 +254,7 @@ object TextIndex {
     * probe file counts and the tombstone anti-join disappear. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
     reconcileShards(spark, path)
+    IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
     val committed = IndexIO.shardIds(spark, s"$path/commits")
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     val dels = tombstones(spark, path)

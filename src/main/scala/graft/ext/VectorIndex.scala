@@ -253,6 +253,7 @@ object VectorIndex {
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
     // uncommitted crash leftovers must not be baked into shard=0
     reconcileShards(spark, path)
+    IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
     val staging = IndexIO.stagingFor(path)
     spark.read.parquet(s"$path/centroids")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")

@@ -177,6 +177,30 @@ class TextIndexSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("compact sweeps crashed-build staging leftovers, asides survive") {
+    val path = freshPath("gc")
+    TextIndex.write(corpus, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant every leftover class a crash can leave: a sibling full-build
+    // staging, a hidden append staging under the root, a hidden shard
+    // staging under a table dir — and a recovery aside that must SURVIVE
+    val leftovers = Seq(
+      s"$path-staging-deadbeef",
+      s"$path/_append-staging-deadbeef",
+      s"$path/postings/_shard-staging-deadbeef")
+    val aside = s"$path-old-deadbeef"
+    (leftovers :+ aside).foreach(d =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(d)))
+    val before = serve(path)
+    TextIndex.compact(spark, path)
+    leftovers.foreach(d => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(d)), s"$d not swept"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(aside)),
+      "recovery aside must not be garbage-collected")
+    assert(serve(path) == before, "gc must not change results")
+  }
+
   test("versioned publish: pointer flip, immutable v1, rollback") {
     val root = freshPath("ver")
     val v1 = TextIndex.writeVersioned(corpus.filter(col("doc_id") < 4), root)
