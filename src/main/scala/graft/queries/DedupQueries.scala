@@ -147,11 +147,13 @@ object DedupQueries {
     * the hash match certifies persisted ≡ inline end-to-end. */
   val ddMinhashPersisted = Q("dd_minhash_persisted",
     (s, dir) => {
-      // per-invocation unique dir (cleaned at JVM exit): a shared
-      // hash-keyed path would race concurrent Verify/Bench JVMs
-      val path = graft.core.TempDirs.create("graft-mhindex-")
-      graft.ext.MinHashIndex.write(minhashPairTokens(s, dir), path,
-        NumHashes, rowsPerBand = 2)
+      // built ONCE per (session, sf dir) — the bench measures the
+      // serving probe, not a rebuild per invocation; the lifecycle
+      // queries below keep building inline (Fixtures.indexPath)
+      val path = Fixtures.indexPath(s, dir, "mhindex") { p =>
+        graft.ext.MinHashIndex.write(minhashPairTokens(s, dir), p,
+          NumHashes, rowsPerBand = 2)
+      }
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")
     },

@@ -123,6 +123,23 @@ object Fixtures {
     }
   }
 
+  /** Memoized PERSISTED-INDEX path for the pure index-SERVING queries —
+    * the [[gazEngine]] treatment extended to the ext indexes: production
+    * builds an index once and serves many queries, so the bench should
+    * measure the PROBE, not a rebuild per invocation (the same round-5
+    * reasoning that moved the gazetteer ETL out of g8's measured path).
+    * `build` runs ONCE per (session, sfDir, key) into a fresh TempDirs
+    * path (unique per JVM — concurrent Verify/Bench processes cannot
+    * race each other's files; cleaned at JVM exit). The index LIFECYCLE
+    * queries (append/delete/compact/evolve/versioned/refresh) do NOT use
+    * this — building is their subject, and they keep paying it. */
+  def indexPath(s: SparkSession, dir: String, key: String)(build: String => Unit): String =
+    memo(s, dir, s"indexPath:$key") {
+      val p = graft.core.TempDirs.create(s"graft-$key-")
+      build(p)
+      p
+    }
+
   /** Trigram index over the (no-wikidata) gazetteer for the bulk
     * indexed geocode join (g11). */
   def gazIndex(s: SparkSession, dir: String): DataFrame = {

@@ -58,14 +58,14 @@ object TextQueries3 {
     * the corpus-scan form — and the SAME oracle, so the hash pins the
     * stored positional postings as lossless. */
   val taPhrasePersisted = Q("ta_phrase_persisted",
-    (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-tindex-pos-")
-      graft.ext.TextIndex.write(docs(s, dir), path, withPositions = true)
-      graft.ext.TextIndex.phraseHits(s, path, Phrase)
+    (s, dir) =>
+      // probes the shared built-once positional index (the serving-vs-
+      // build split of Fixtures.indexPath; positions ride the same build)
+      graft.ext.TextIndex.phraseHits(
+          s, TextQueries2.builtTextIndex(s, dir), Phrase)
         .groupBy("id")
         .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
-        .orderBy("id")
-    },
+        .orderBy("id"),
     taPhraseSearch.oracle)
 
   private val DomainCap = 10
