@@ -83,8 +83,16 @@ object Bench {
     // file so a targeted repro can never clobber the round's full
     // 135-query record.
     val defaultOut = if (only.isDefined) "target/bench_partial.json" else "target/bench.json"
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
+    // a BENCH_ONLY run may never overwrite a named full-run artifact:
+    // with both env vars set, the partial result lands under a derived
+    // .partial name instead of clobbering the round's 13x-query record
+    val named = sys.env.get("SPARK_GRAFT_BENCH_OUT").map { p =>
+      if (only.isDefined) {
+        System.err.println(s"[bench] partial run (BENCH_ONLY): writing $p.partial, not $p")
+        s"$p.partial"
+      } else p
+    }
+    val outPath = java.nio.file.Paths.get(named.getOrElse(defaultOut))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     // cap the compact line's failed list: a mass-failure run (bad

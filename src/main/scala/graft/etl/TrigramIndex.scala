@@ -59,21 +59,40 @@ object TrigramIndex {
   /** ids of rows where SOME name column contains every gram of EVERY
     * token — the candidate superset for the P5 predicate. Tokens shorter
     * than the gram size can't be indexed; None → caller falls back to
-    * the scan path. */
+    * the scan path.
+    *
+    * ONE aggregation pass for the whole probe (the serving-latency
+    * lever: the former per-token groupBy→filter→distinct chains joined
+    * pairwise cost 2 shuffles + a join PER TOKEN of fixed scheduling
+    * latency per request). The token set is request literals, so every
+    * token×column containment check compiles to a conditional count in
+    * a single `groupBy(osm_id)` — and because the index is DISTINCT by
+    * construction (one row per (gram, col_id, osm_id)), plain `count`
+    * equals `countDistinct(gram)` with no Expand. A row is a candidate
+    * iff for EVERY token SOME column counted all of the token's grams —
+    * the same set the per-token form produced (column may differ per
+    * token there too, via its per-(osm_id, col_id) check then
+    * id-distinct union). Map-side partial aggregation absorbs the
+    * posting fan-out; the downstream semi-join sees a relation tiny
+    * enough to broadcast. */
   def candidateIds(index: DataFrame, tokens: Seq[String]): Option[DataFrame] = {
     val indexable = tokens.filter(_.length >= N)
     if (indexable.isEmpty || indexable.size != tokens.size) return None
-    val perToken = indexable.map { t =>
-      val gs = grams(t)
-      index
-        .filter(col("gram").isInCollection(gs))
-        .groupBy(col("osm_id"), col("col_id"))
-        .agg(countDistinct(col("gram")).as("hit"))
-        .filter(col("hit") === gs.distinct.size)
-        .select("osm_id")
-        .distinct()
+    val gramSets = indexable.map(t => grams(t).distinct)
+    val allGrams = gramSets.flatten.distinct
+    val aggs = gramSets.zipWithIndex.flatMap { case (gs, i) => Seq(
+      count(when(col("col_id") === 0 && col("gram").isInCollection(gs), 1)).as(s"l$i"),
+      count(when(col("col_id") === 1 && col("gram").isInCollection(gs), 1)).as(s"e$i"))
     }
-    Some(perToken.reduce((a, b) => a.join(b, "osm_id")))
+    val everyTokenSomeColumn = gramSets.zipWithIndex.map { case (gs, i) =>
+      col(s"l$i") === gs.size || col(s"e$i") === gs.size
+    }.reduce(_ && _)
+    Some(index
+      .filter(col("gram").isInCollection(allGrams))
+      .groupBy(col("osm_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(everyTokenSomeColumn)
+      .select("osm_id"))
   }
 
   /** Bulk form of [[candidateIds]] for COLUMN-VALUED tokens: `queryToks`

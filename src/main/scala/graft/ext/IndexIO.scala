@@ -111,19 +111,32 @@ private[ext] object IndexIO {
     * ([[committedIds]]). One tiny marker file per shard — the
     * manifest-pointer design object-store table formats use, scoped to
     * one marker per shard. Shared by all three persisted indexes
-    * ([[TextIndex]], [[MinHashIndex]], [[VectorIndex]]). */
-  def commitShard(spark: SparkSession, root: String, k: Int): Unit = {
+    * ([[TextIndex]], [[MinHashIndex]], [[VectorIndex]]).
+    *
+    * `replaces` non-empty makes this a COMPACTION marker: the named
+    * shard ids are superseded by `k` — [[liveCommittedIds]] subtracts
+    * them the instant this marker lands, which is what makes an
+    * incremental compaction's swap (one new folded shard in, several
+    * old shards out) a single atomic rename instead of a
+    * one-in-then-each-out sequence a reader could observe doubled. */
+  def commitShard(spark: SparkSession, root: String, k: Int,
+                  replaces: Seq[Int] = Nil): Unit = {
     // markers are pure DIRECTORY facts — every consumer is a listing
-    // ([[committedIds]]) and nothing ever reads marker content — so the
-    // publish is driver-side filesystem I/O, not a Spark job (the
-    // marker job was a measurable fixed cost on every append when the
-    // indexed batch itself is small). Same staged-rename protocol as a
-    // data shard: write under a hidden staging dir, one atomic rename.
+    // ([[committedIds]]; compaction markers add one small REPLACES file
+    // read) — so the publish is driver-side filesystem I/O, not a Spark
+    // job (the marker job was a measurable fixed cost on every append
+    // when the indexed batch itself is small). Same staged-rename
+    // protocol as a data shard: write under a hidden staging dir, one
+    // atomic rename.
     val fs = fsOf(spark, root)
     val staging = new org.apache.hadoop.fs.Path(shardStagingFor(s"$root/commits"))
     fs.mkdirs(staging)
     val f = fs.create(new org.apache.hadoop.fs.Path(staging, "MARKER"), false)
     try f.writeBytes(s"$k\n") finally f.close()
+    if (replaces.nonEmpty) {
+      val rf = fs.create(new org.apache.hadoop.fs.Path(staging, "REPLACES"), false)
+      try rf.writeBytes(replaces.sorted.mkString("\n") + "\n") finally rf.close()
+    }
     publishShard(spark, staging.toString, s"$root/commits/shard=$k")
   }
 
@@ -133,6 +146,140 @@ private[ext] object IndexIO {
     * landed. */
   def committedIds(spark: SparkSession, root: String): Seq[Int] =
     shardIds(spark, s"$root/commits")
+
+  /** Committed shard ids MINUS those superseded by a compaction
+    * marker's REPLACES set — the id set serving must read. One
+    * recursive listing of the (tiny) commits table plus one small read
+    * per compaction marker; ordinary appends stay pure directory
+    * facts. */
+  def liveCommittedIds(spark: SparkSession, root: String): Seq[Int] = {
+    val all = shardIds(spark, s"$root/commits")
+    if (all.isEmpty) return all
+    val fs = fsOf(spark, root)
+    val replaced = scala.collection.mutable.Set[Int]()
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/commits"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName == "REPLACES") {
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\\s+").filter(_.nonEmpty).foreach(s => replaced += s.toInt)
+      }
+    }
+    all.filterNot(replaced)
+  }
+
+  /** Serving guard for an EMPTY committed set: legitimate only for a
+    * legacy pre-marker index, and appends have always REQUIRED markers —
+    * so a legacy index can only ever hold `shard=0`. Multi-shard tables
+    * with no commit markers mean the commits table was lost or tampered
+    * with; reading the table whole would silently serve crash orphans
+    * and uncommitted shards, so fail loudly instead. */
+  def requireCommittedOrLegacy(spark: SparkSession, root: String,
+                               table: String, committed: Seq[Int]): Unit =
+    if (committed.isEmpty) {
+      val ids = shardIds(spark, s"$root/$table")
+      require(ids.forall(_ == 0),
+        s"index at $root has shards [${ids.mkString(",")}] under $table but no " +
+          "commit markers — commits table lost or tampered; refusing to serve " +
+          "possibly-uncommitted shards")
+    }
+
+  /** Atomically claim the next free shard id under `root` — the
+    * writer-side mutual exclusion for concurrent appenders. Each claim
+    * is a `claims/shard=N` directory landed by the same
+    * dest-must-not-exist staged rename as a data shard
+    * ([[publishShard]]); two appenders racing the same id see exactly
+    * one rename win, and the loser retries at the next id. Because a
+    * claimed id is NEVER reused (a crashed append just leaves a gap in
+    * the id sequence — readers only follow commit markers), a retry
+    * after any crash lands in a fresh shard with no reconcile needed,
+    * which is also what makes appends safe to run concurrently: nobody
+    * deletes anybody else's in-flight uncommitted shards.
+    *
+    * The rename is the atomic arbiter on HDFS; on a local filesystem
+    * the dest-exists check plus the POSIX refusal to rename onto a
+    * non-empty directory narrow the race to microseconds, and the nonce
+    * read-back below closes even that: the claim file carries a UUID,
+    * and a winner is only whoever reads back its OWN nonce. Object-store
+    * deployments swap the rename for a conditional PUT (If-None-Match),
+    * the same single primitive [[setCurrent]] documents.
+    *
+    * `tables` are the index's data tables: their existing shard ids
+    * join the floor computation so a claim never collides with a
+    * pre-claims crash orphan that published table shards without a
+    * marker. */
+  def claimShardId(spark: SparkSession, root: String, tables: Seq[String]): Int = {
+    val fs = fsOf(spark, root)
+    var attempts = 0
+    while (attempts < 64) {
+      val floor = (shardIds(spark, s"$root/claims") ++
+        shardIds(spark, s"$root/commits") ++
+        tables.flatMap(t => shardIds(spark, s"$root/$t"))).foldLeft(-1)(math.max)
+      val n = floor + 1
+      val nonce = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(shardStagingFor(s"$root/claims"))
+      fs.mkdirs(staging)
+      val f = fs.create(new org.apache.hadoop.fs.Path(staging, "CLAIM"), false)
+      try f.writeBytes(s"$nonce\n") finally f.close()
+      val won =
+        try {
+          publishShard(spark, staging.toString, s"$root/claims/shard=$n")
+          // ownership verify: a filesystem whose rename fell back to a
+          // copy-merge could have "succeeded" for both racers — only the
+          // one whose nonce is in the claim file owns the id
+          val cf = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$n/CLAIM")
+          val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
+          val in = fs.open(cf)
+          try in.readFully(0, buf) finally in.close()
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim == nonce
+        } catch {
+          case _: java.io.IOException => fs.delete(staging, true); false
+        }
+      if (won) return n
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"claimShardId under $root: lost $attempts consecutive claim races")
+  }
+
+  /** Drop committed-but-INCOMPLETE shards (marker present, some table
+    * shard missing): external tampering, a partial restore, or a
+    * compaction cleanup that crashed mid-delete. Serving such a shard
+    * silently mis-scores against partial state, so appends repair it
+    * eagerly — and SAFELY under concurrency: a marker only ever lands
+    * AFTER every table shard ([[commitShard]] is the last rename), so a
+    * committed-but-incomplete shard can never be another appender's
+    * in-flight work. Commits are listed BEFORE tables so a shard that
+    * commits mid-check always has its tables visible to the later
+    * listing. Uncommitted table shards are NOT touched here (they may
+    * be a concurrent appender mid-publish) — full reconcile of those
+    * runs only from compact, the single-writer maintenance op. */
+  def dropIncompleteCommitted(spark: SparkSession, root: String,
+                              tables: Seq[String]): Unit = {
+    val committed = shardIds(spark, s"$root/commits").toSet
+    if (committed.isEmpty) return
+    val perTable = tables.map(t => shardIds(spark, s"$root/$t").toSet)
+    val complete = perTable.reduce(_ intersect _)
+    val bad = committed diff complete
+    // markers delete first (publish order mirrored: marker last in,
+    // first out) so a crash mid-repair cannot re-manufacture a
+    // committed-but-tableless shard
+    for (k <- bad) deleteDir(spark, s"$root/commits/shard=$k")
+    for ((t, ids) <- tables.zip(perTable); k <- bad intersect ids)
+      deleteDir(spark, s"$root/$t/shard=$k")
+  }
+
+  /** Total bytes under a path (0 if missing) — the size input to
+    * size-tiered compaction. One driver-side content summary, no data
+    * read. */
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
 
   /** Delete crash-leftover STAGING directories of the index at `root`:
     * sibling `<name>-staging-*` dirs (a full build/compact that died

@@ -138,14 +138,19 @@ object MinHashIndex {
       (bkt diff sig).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
     } else {
-      // keep only committed-AND-complete shards: an uncommitted table
-      // shard is a crash leftover; a committed-but-incomplete one is
-      // tampering whose surviving table shards must ALSO go, or they
-      // would collide with the retry's shard id at publish. Markers
-      // delete FIRST (publish order mirrored: marker last in, first
-      // out) so a crash mid-reconcile can never leave a committed id
-      // with missing table shards for readers to serve.
-      val keep = committed intersect (sig intersect bkt)
+      // keep only live-committed-AND-complete shards: an uncommitted
+      // table shard is a crash leftover; a committed-but-incomplete one
+      // is tampering whose surviving table shards must ALSO go (they are
+      // permanent orphans — ids are claimed once, never reused); a
+      // committed-but-REPLACED one is a [[compactSmall]] whose
+      // post-commit cleanup crashed. Markers delete FIRST (publish order
+      // mirrored: marker last in, first out) so a crash mid-reconcile
+      // can never leave a committed id with missing table shards for
+      // readers to serve. Runs ONLY from compact (single-writer
+      // maintenance) — an append must not reconcile, or it would delete
+      // a CONCURRENT appender's in-flight uncommitted shards.
+      val live = IndexIO.liveCommittedIds(spark, path).toSet
+      val keep = live intersect (sig intersect bkt)
       (committed diff keep).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
       (sig diff keep).foreach(k =>
@@ -206,7 +211,6 @@ object MinHashIndex {
     require(IndexIO.committedIds(spark, path).nonEmpty,
       s"index at $path predates the commit-marker layout; " +
         "run MinHashIndex.compact(spark, path) once to migrate before appending")
-    reconcileShards(spark, path)
     // a numHashes that disagrees with the stored signature width would
     // silently band the new shard with different keys; fail loudly
     // against the stored schema instead (id + m0..m{n-1} + shard)
@@ -214,7 +218,16 @@ object MinHashIndex {
     require(stored == numHashes,
       s"stored index at $path has $stored minhashes, " +
         s"append called with numHashes=$numHashes")
-    val next = IndexIO.committedIds(spark, path).lastOption.getOrElse(-1) + 1
+    // committed-but-incomplete shards (tampering) are repaired eagerly —
+    // safe under concurrency, unlike the full reconcile (compact-only)
+    IndexIO.dropIncompleteCommitted(spark, path, Seq("signatures", "buckets"))
+    // atomic shard-id claim ([[IndexIO.claimShardId]]): concurrent
+    // appenders each win a distinct id (losers retry), ids are never
+    // reused, and no full reconcile runs here — so parallel ingest jobs
+    // cannot clobber each other's staging or delete each other's
+    // in-flight shards; crash garbage stays reader-invisible until the
+    // next compact reclaims it
+    val next = IndexIO.claimShardId(spark, path, Seq("signatures", "buckets"))
     val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
     Dedup.minhashSignature(tokens, numHashes)
       .repartitionByRange(partitions, col("id"))
@@ -302,6 +315,67 @@ object MinHashIndex {
     IndexIO.publish(spark, staging, path)
   }
 
+  /** SIZE-TIERED incremental compaction (the [[TextIndex.compactSmall]]
+    * protocol): fold ONLY shards that are small (both tables' bytes ≤
+    * `maxShardBytes`) or tombstone-heavy (≥ `tombstoneFrac` of the
+    * shard's signature rows deleted) into one new shard, committed with
+    * a REPLACES marker — one atomic rename swaps the fold set out of
+    * the live id set; every other shard's files stay byte-identical.
+    * Tombstones inside folded shards drop physically; the tombstone SET
+    * clears only on a full [[compact]]. Returns the folded shard ids
+    * (empty = nothing worth folding). */
+  def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
+                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] = {
+    reconcileShards(spark, path)
+    IndexIO.gcStaging(spark, path)
+    val tables = Seq("signatures", "buckets")
+    val live = IndexIO.liveCommittedIds(spark, path)
+    require(live.nonEmpty,
+      s"index at $path has no committed shards; compactSmall needs the marker layout")
+    val dels = tombstones(spark, path)
+    val small = live.filter(k =>
+      tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= maxShardBytes)
+    val heavy: Seq[Int] = dels match {
+      case Some(d) =>
+        IndexIO.readCommitted(spark, path, "signatures", live)
+          .select(col("shard"), col("id"))
+          .join(d.withColumn("t", lit(1)), Seq("id"), "left")
+          .groupBy("shard").agg(count(lit(1)).as("total"),
+            sum(coalesce(col("t"), lit(0))).as("dead"))
+          .filter(col("dead").cast("double") >=
+            lit(tombstoneFrac) * col("total").cast("double"))
+          .select("shard").collect().map(_.getInt(0)).toSeq
+      case None => Nil
+    }
+    val fold = (small ++ heavy).distinct.sorted
+    if (fold.length < 2 && heavy.isEmpty) return Nil
+    val next = IndexIO.claimShardId(spark, path, tables)
+    def liveRows(table: String, cols: Seq[String]) =
+      dels.foldLeft(
+          IndexIO.readCommitted(spark, path, table, fold)
+            .select(cols.map(col): _*))(
+          _.join(_, Seq("id"), "left_anti"))
+    val sigCols = spark.read.parquet(s"$path/signatures")
+      .columns.filterNot(_ == "shard").toSeq
+    val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
+    liveRows("signatures", sigCols)
+      .repartitionByRange(partitions, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite).parquet(sigStaging)
+    IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
+    val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
+    liveRows("buckets", Seq("id", "band", "bucket"))
+      .repartitionByRange(partitions, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "id")
+      .write.mode(SaveMode.Overwrite).parquet(bktStaging)
+    IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
+    // the commit point: one rename swaps the fold set for the new shard
+    IndexIO.commitShard(spark, path, next, replaces = fold)
+    for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+    for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
+    fold
+  }
+
   /** All candidate pairs from the stored index: docs sharing any band
     * bucket, scored by agreeing-minhash fraction — identical semantics
     * (and identical output) to [[Dedup.minhashLshPairs]] over the same
@@ -309,9 +383,14 @@ object MinHashIndex {
     * (band, bucket) layout; nothing re-tokenizes, nothing checkpoints. */
   def pairs(spark: SparkSession, path: String, numHashes: Int): DataFrame = {
     // committed-shard pruning: an appended shard is invisible until its
-    // commit marker lands; legacy pre-marker indexes read whole
-    // ([[IndexIO.readCommitted]] — the shared reader idiom)
-    val committed = IndexIO.committedIds(spark, path)
+    // commit marker lands (compaction REPLACES markers subtract their
+    // folded shards); legacy pre-marker indexes read whole — but ONLY
+    // the single-shard layout a legacy index can actually have; a
+    // multi-shard table with no markers means the commits table was
+    // lost, and serving it whole would include crash orphans
+    val committed = IndexIO.liveCommittedIds(spark, path)
+    IndexIO.requireCommittedOrLegacy(spark, path, "signatures", committed)
+    IndexIO.requireCommittedOrLegacy(spark, path, "buckets", committed)
     def pruned(table: String): DataFrame =
       IndexIO.readCommitted(spark, path, table, committed)
     val sig = pruned("signatures")

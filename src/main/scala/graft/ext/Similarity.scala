@@ -171,7 +171,17 @@ object Similarity {
       .join(corpus.select(col("vec_id").as("cand_id"),
         quantize(col("embedding")).as("c_emb")), Seq("cand_id"))
       .join(q.select(col("query_id"), col("q_emb")), Seq("query_id"))
+    // recall accounting vs the full-precision top-k (the [[sqTopK]]
+    // acceptance measurement, extended to the deepest compression tier:
+    // what the 16-byte bit codes COST in recall is measured in the
+    // output, not asserted). At corpus scale a tier is accepted on a
+    // query SAMPLE — the brute-force leg is per-call, not persisted.
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
     exactReRank(withVecs, k)
+      .join(exact, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
 
   /** Deterministic integer hyperplane `p` for sign-LSH (no RNG: derived
@@ -400,7 +410,7 @@ object Similarity {
       .select(col("query_id"), col("s"), col("code"),
         d2(col("qv"), col("cw")).as("d2"))
 
-    codes.join(broadcast(table), Seq("s", "code"))
+    val ranked = codes.join(broadcast(table), Seq("s", "code"))
       .groupBy("query_id", "cand_id")
       .agg(sum("d2").as("adist"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -408,6 +418,14 @@ object Similarity {
         Window.partitionBy("query_id")
           .orderBy(col("adist").asc, col("cand_id").asc)))
       .filter(col("rank") <= k)
+    // recall accounting vs the full-precision top-k (the [[sqTopK]] /
+    // [[bqTopK]] acceptance measurement): the compression-vs-recall
+    // trade is reported per hit, not asserted. Sampled at corpus scale.
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
+    ranked.join(exact, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adist"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
   }
 
   /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH — the

@@ -140,13 +140,11 @@ object TextIndex {
         .repartitionByRange(partitions, col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/postings/shard=$shard")
-      spine.select("doc_id", "dl")
-        .repartitionByRange(partitions, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/doclens/shard=$shard")
-      spine.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
+      // the stats row rides the doclens write as observed metrics — the
+      // former separate spine-scan aggregate was one whole Spark job per
+      // build/append (a fixed cost that dominates small streaming-ingest
+      // batches); the one-row stats table then lands as a local write
+      writeDoclensAndStats(spine.select("doc_id", "dl"), root, shard, partitions)
       if (withPositions)
         // the (id, pos, term) contract of TextAnalysis.positionalPostings,
         // derived from the SAME spine tokenization (1-based positions)
@@ -157,6 +155,33 @@ object TextIndex {
           .sortWithinPartitions("term", "id", "pos")
           .write.mode(SaveMode.Overwrite).parquet(s"$root/positions/shard=$shard")
     } finally spine.unpersist(false)
+  }
+
+  /** Write the doclens shard with an [[org.apache.spark.sql.Observation]]
+    * computing (n_docs, sum_dl) during the SAME job, then publish the
+    * one-row stats shard from the driver-held result (a 1-task local
+    * write — no second scan). Metric identities: `count(1)` and the
+    * null-coalesced `sum(dl)` match the former standalone aggregate
+    * bit-for-bit (both INT64), so shard stats still sum exactly. */
+  private def writeDoclensAndStats(doclens: DataFrame, root: String,
+                                   shard: Int, partitions: Int): Unit = {
+    val spark = doclens.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    doclens
+      .repartitionByRange(partitions, col("doc_id"))
+      // observe ABOVE the range exchange: repartitionByRange runs a
+      // sampling pass over its child, which would execute a below-the-
+      // exchange CollectMetrics twice and double-count the corpus
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/doclens/shard=$shard")
+    val m = obs.get
+    spark.range(1)
+      .select(lit(m("n_docs").asInstanceOf[Long]).as("n_docs"),
+        lit(m("sum_dl").asInstanceOf[Long]).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
   }
 
   private val Tables = Seq("postings", "doclens", "stats")
@@ -175,22 +200,29 @@ object TextIndex {
     IndexIO.commitShard(spark, root, k)
 
   /** Drop table shards with no commit marker (crash before the marker
-    * rename) and markers with missing table shards (external tampering
+    * rename), markers with missing table shards (external tampering
     * — serving would silently mis-score against partial state, the
-    * worse failure). Restores exactly the last committed state, so a
-    * retried append is safe. */
+    * worse failure), and shards superseded by a compaction marker whose
+    * post-commit cleanup crashed ([[compactSmall]] deletes its folded
+    * shards after the REPLACES marker lands — a crash in between leaves
+    * them as reader-invisible garbage). Restores exactly the last
+    * committed state. Runs ONLY from [[compact]]/[[compactSmall]]
+    * (single-writer maintenance by contract) — an append must NOT
+    * reconcile, or it would delete a CONCURRENT appender's published-
+    * but-not-yet-committed table shards mid-flight. */
   private def reconcileShards(spark: SparkSession, path: String): Unit = {
     val tables = tablesOf(spark, path)
     val perTable = tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
     val committed = IndexIO.shardIds(spark, s"$path/commits").toSet
-    // keep only committed-AND-complete shards: dropping just the marker
-    // of an incomplete shard would leave its surviving table shards to
-    // collide with the retry's shard id at publish. Markers delete
-    // FIRST (the publish order mirrored: marker last in, first out) —
-    // deleting a table shard of a still-committed id first would let a
-    // crash mid-reconcile manufacture a committed-but-tableless state
-    // that readers then serve mis-scored against its stats mass.
-    val keep = committed intersect perTable.reduce(_ intersect _)
+    val live = IndexIO.liveCommittedIds(spark, path).toSet
+    // keep only live-committed-AND-complete shards: dropping just the
+    // marker of an incomplete shard would leave its surviving table
+    // shards as permanent orphans. Markers delete FIRST (the publish
+    // order mirrored: marker last in, first out) — deleting a table
+    // shard of a still-committed id first would let a crash
+    // mid-reconcile manufacture a committed-but-tableless state that
+    // readers then serve mis-scored against its stats mass.
+    val keep = live intersect perTable.reduce(_ intersect _)
     for (k <- committed diff keep)
       IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for ((t, ids) <- tables.zip(perTable); k <- ids diff keep)
@@ -204,12 +236,24 @@ object TextIndex {
     * so serve-after-append ≡ serve-after-rebuild for disjoint doc ids
     * (oracle-pinned). Re-ingesting an existing doc_id would double its
     * postings — route re-crawls through [[delete]] + [[compact]]
-    * first, as with [[MinHashIndex.append]]. */
+    * first, as with [[MinHashIndex.append]].
+    *
+    * CONCURRENT appenders are safe: each claims its shard id through
+    * [[IndexIO.claimShardId]]'s atomic create-fails-if-exists rename
+    * (losers retry at the next id), ids are never reused, and nothing
+    * here deletes other writers' in-flight shards — a parallel-ingest
+    * crawl pipeline can append from many jobs at once, each batch
+    * landing under its own marker (spec-pinned: concurrent appends ≡
+    * some sequential order). Crash garbage (a claimed id whose marker
+    * never landed) stays invisible to readers and is reclaimed by the
+    * next [[compact]]/[[compactSmall]]. */
   def append(docs: DataFrame, path: String, partitions: Int = 8): Unit = {
     val spark = docs.sparkSession
-    reconcileShards(spark, path)
     val tables = tablesOf(spark, path)
-    val next = IndexIO.shardIds(spark, s"$path/commits").lastOption.getOrElse(-1) + 1
+    // committed-but-incomplete shards (tampering) are repaired eagerly —
+    // safe under concurrency, unlike the full reconcile (compact-only)
+    IndexIO.dropIncompleteCommitted(spark, path, tables)
+    val next = IndexIO.claimShardId(spark, path, tables)
     // stage all table shards under one hidden dir inside the index
     // root (same filesystem, invisible to readers), publish each with an
     // atomic per-dir rename, marker last
@@ -255,7 +299,7 @@ object TextIndex {
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
-    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    val committed = IndexIO.liveCommittedIds(spark, path)
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     val dels = tombstones(spark, path)
     def live(table: String, cols: Seq[String]) =
@@ -268,15 +312,7 @@ object TextIndex {
       .repartitionByRange(partitions, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
-    val doclens = live("doclens", Seq("doc_id", "dl"))
-    doclens
-      .repartitionByRange(partitions, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclens/shard=0")
-    spark.read.parquet(s"$staging/doclens")
-      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/stats/shard=0")
+    writeDoclensAndStats(live("doclens", Seq("doc_id", "dl")), staging, 0, partitions)
     if (tablesOf(spark, path).contains("positions")) {
       val pos = IndexIO.readCommitted(spark, path, "positions", committed)
         .select("id", "pos", "term")
@@ -288,6 +324,83 @@ object TextIndex {
     }
     commitShard(spark, staging, 0)
     IndexIO.publish(spark, staging, path)
+  }
+
+  /** SIZE-TIERED incremental compaction — the 100 TB answer to "daily
+    * appends accumulate shards, but [[compact]] rewrites the WHOLE
+    * index to reclaim a 1% tombstone set". Folds ONLY shards that are
+    * small (total table bytes ≤ `maxShardBytes`) or tombstone-heavy
+    * (≥ `tombstoneFrac` of the shard's docs deleted — per-shard doc
+    * counts come from the stats table, dead counts from one tiny
+    * doclens⋉deletes probe) into ONE new shard; every other shard's
+    * files are untouched (spec-pinned byte-identical), so the bytes
+    * rewritten are proportional to the small/dead tail, not the index.
+    *
+    * Swap atomicity: the folded shard commits with a REPLACES marker
+    * ([[IndexIO.commitShard]]) — the single rename that makes the new
+    * shard visible AND the folded ones invisible to readers
+    * ([[IndexIO.liveCommittedIds]]); the superseded shards are
+    * physically deleted after, and a crash mid-cleanup leaves only
+    * reader-invisible garbage that [[reconcileShards]] reclaims.
+    * Tombstones falling inside folded shards are dropped for good
+    * (their doclens rows vanish, so serving stops subtracting them —
+    * exact by construction); the tombstone SET only clears on a full
+    * [[compact]], since unfolded shards may still hold listed ids.
+    *
+    * Returns the folded shard ids (empty = nothing worth folding:
+    * fewer than two small shards and no tombstone-heavy one). */
+  def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
+                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] = {
+    reconcileShards(spark, path)
+    IndexIO.gcStaging(spark, path)
+    val tables = tablesOf(spark, path)
+    val live = IndexIO.liveCommittedIds(spark, path)
+    require(live.nonEmpty, s"no committed shards under $path — not a TextIndex?")
+    val dels = tombstones(spark, path)
+    val small = live.filter(k =>
+      tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= maxShardBytes)
+    val heavy: Seq[Int] = dels match {
+      case Some(d) =>
+        val dead = IndexIO.readCommitted(spark, path, "doclens", live)
+          .join(d, Seq("doc_id"), "left_semi")
+          .groupBy("shard").agg(count(lit(1)).as("dead"))
+        IndexIO.readCommitted(spark, path, "stats", live)
+          .select(col("shard"), col("n_docs"))
+          .join(dead, Seq("shard"))
+          .filter(col("dead").cast("double") >=
+            lit(tombstoneFrac) * col("n_docs").cast("double"))
+          .select("shard").collect().map(_.getInt(0)).toSeq
+      case None => Nil
+    }
+    val fold = (small ++ heavy).distinct.sorted
+    if (fold.length < 2 && heavy.isEmpty) return Nil
+    val next = IndexIO.claimShardId(spark, path, tables)
+    val stage =
+      s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    def liveRows(table: String, cols: Seq[String], idCol: String = "doc_id") =
+      dels.foldLeft(
+          IndexIO.readCommitted(spark, path, table, fold)
+            .select(cols.map(col): _*))((p, d) =>
+          p.join(d.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti"))
+    liveRows("postings", Seq("term", "doc_id", "dl", "tf"))
+      .repartitionByRange(partitions, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$stage/postings/shard=$next")
+    writeDoclensAndStats(liveRows("doclens", Seq("doc_id", "dl")),
+      stage, next, partitions)
+    if (tables.contains("positions"))
+      liveRows("positions", Seq("id", "pos", "term"), idCol = "id")
+        .repartitionByRange(partitions, col("term"))
+        .sortWithinPartitions("term", "id", "pos")
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/positions/shard=$next")
+    for (t <- tables)
+      IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
+    IndexIO.deleteDir(spark, stage)
+    // the commit point: one rename swaps the fold set for the new shard
+    IndexIO.commitShard(spark, path, next, replaces = fold)
+    for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+    for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
+    fold
   }
 
   /** BM25 top-k for a term set, served ENTIRELY from the stored
@@ -325,7 +438,12 @@ object TextIndex {
     val qterms = queries.select("query_id", "term").distinct()
       // read twice (term collect + the scoring join): persist — the
       // VectorIndex.topK treatment (materializes inside the collect,
-      // lineage kept for executor-loss recompute)
+      // lineage kept for executor-loss recompute). Lifecycle: no
+      // explicit unpersist — the scoring join in the RETURNED plan still
+      // reads these blocks, so eager unpersist would recompute them; the
+      // ContextCleaner reclaims them once the returned plan is GC'd,
+      // same as the checkpoint RDDs this pattern replaced. A long-lived
+      // server reuses sessions; it does not batch-serve faster than GC.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val terms = qterms.select("term").distinct()
       .limit(math.min(maxLiteralTerms.toLong + 1, Int.MaxValue.toLong).toInt)
@@ -353,7 +471,7 @@ object TextIndex {
 
   private def probeWith(spark: SparkSession, path: String,
                         restrict: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    val committed = IndexIO.liveCommittedIds(spark, path)
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     def tbl(name: String) = IndexIO.readCommitted(spark, path, name, committed)
     val dels = tombstones(spark, path)
@@ -388,7 +506,7 @@ object TextIndex {
   def phraseHits(spark: SparkSession, path: String,
                  phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseHits needs a non-empty phrase")
-    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    val committed = IndexIO.liveCommittedIds(spark, path)
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     require(tablesOf(spark, path).contains("positions"),
       s"index at $path was written without positions (write(withPositions = true))")

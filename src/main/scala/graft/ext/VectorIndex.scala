@@ -122,9 +122,12 @@ object VectorIndex {
     val committed = IndexIO.committedIds(spark, path).toSet
     if (committed.nonEmpty) {
       val post = IndexIO.shardIds(spark, s"$path/postings").toSet
-      val keep = committed intersect post
-      // markers delete FIRST (publish order mirrored) — see the
-      // TextIndex reconcile note
+      // keep only live-committed-AND-complete: uncommitted shards are
+      // crash leftovers, REPLACED ones a compactSmall whose post-commit
+      // cleanup crashed. Markers delete FIRST (publish order mirrored)
+      // — see the TextIndex reconcile note. Runs ONLY from compact
+      // (single-writer maintenance); appends claim fresh ids instead.
+      val keep = IndexIO.liveCommittedIds(spark, path).toSet intersect post
       (committed diff keep).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
       (post diff keep).foreach(k =>
@@ -169,7 +172,6 @@ object VectorIndex {
     require(IndexIO.committedIds(spark, path).nonEmpty,
       s"index at $path predates the commit-marker layout; " +
         "run VectorIndex.compact(spark, path) once to migrate before appending")
-    reconcileShards(spark, path)
     val centStored = spark.read.parquet(s"$path/centroids")
     // a batch whose embedding dimension differs from the stored index
     // would cosine to NULL against every centroid, tiebreak the WHOLE
@@ -181,7 +183,15 @@ object VectorIndex {
         s"stored index at $path has dimension $storedDim, " +
           s"append batch has dimension ${r.getInt(0)}")
     }
-    val next = IndexIO.committedIds(spark, path).lastOption.getOrElse(-1) + 1
+    // committed-but-incomplete shards (tampering) are repaired eagerly —
+    // safe under concurrency, unlike the full reconcile (compact-only)
+    IndexIO.dropIncompleteCommitted(spark, path, Seq("postings"))
+    // atomic shard-id claim ([[IndexIO.claimShardId]]): concurrent
+    // appenders each win a distinct id (losers retry), ids are never
+    // reused, and no full reconcile runs here — parallel ingest jobs
+    // cannot delete each other's in-flight shards; crash garbage stays
+    // reader-invisible until the next compact reclaims it
+    val next = IndexIO.claimShardId(spark, path, Seq("postings"))
     val staging = IndexIO.shardStagingFor(s"$path/postings")
     // the stored schema dictates which metadata columns the batch must
     // carry — a shard missing them would serve NULLs into candFilter
@@ -272,6 +282,57 @@ object VectorIndex {
     IndexIO.publish(spark, staging, path)
   }
 
+  /** SIZE-TIERED incremental compaction (the [[TextIndex.compactSmall]]
+    * protocol): fold ONLY posting shards that are small (bytes ≤
+    * `maxShardBytes`) or tombstone-heavy (≥ `tombstoneFrac` of the
+    * shard's rows deleted) into one new cid-sorted shard, committed
+    * with a REPLACES marker — one atomic rename swaps the fold set out
+    * of the live id set; every other shard (and the centroid table)
+    * stays byte-identical, so daily small appends compact without
+    * rewriting the multi-TB tail. Tombstones inside folded shards drop
+    * physically; the tombstone SET clears only on a full [[compact]].
+    * Returns the folded shard ids (empty = nothing worth folding). */
+  def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
+                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] = {
+    reconcileShards(spark, path)
+    IndexIO.gcStaging(spark, path)
+    val live = IndexIO.liveCommittedIds(spark, path)
+    require(live.nonEmpty,
+      s"index at $path has no committed shards; compactSmall needs the marker layout")
+    val dels = tombstones(spark, path)
+    val small = live.filter(k =>
+      IndexIO.dirBytes(spark, s"$path/postings/shard=$k") <= maxShardBytes)
+    val heavy: Seq[Int] = dels match {
+      case Some(d) =>
+        IndexIO.readCommitted(spark, path, "postings", live)
+          .select(col("shard"), col("cand_id"))
+          .join(d.withColumn("t", lit(1)), Seq("cand_id"), "left")
+          .groupBy("shard").agg(count(lit(1)).as("total"),
+            sum(coalesce(col("t"), lit(0))).as("dead"))
+          .filter(col("dead").cast("double") >=
+            lit(tombstoneFrac) * col("total").cast("double"))
+          .select("shard").collect().map(_.getInt(0)).toSeq
+      case None => Nil
+    }
+    val fold = (small ++ heavy).distinct.sorted
+    if (fold.length < 2 && heavy.isEmpty) return Nil
+    val next = IndexIO.claimShardId(spark, path, Seq("postings"))
+    val folded = IndexIO.readCommitted(spark, path, "postings", fold)
+    val staging = IndexIO.shardStagingFor(s"$path/postings")
+    dels.foldLeft(folded)(_.join(_, Seq("cand_id"), "left_anti"))
+      .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(folded))
+        .map(col): _*)
+      .repartitionByRange(partitions, col("cid"))
+      .sortWithinPartitions("cid", "cand_id")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
+    // the commit point: one rename swaps the fold set for the new shard
+    IndexIO.commitShard(spark, path, next, replaces = fold)
+    for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+    for (k <- fold) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+    fold
+  }
+
   /** Serve a (small) query batch from the stored index: assign each
     * query to its `nprobe` nearest centroids, then read ONLY those
     * posting lists — the probed cids are collected to a LITERAL `IN`
@@ -330,11 +391,16 @@ object VectorIndex {
       .limit(math.min(maxLiteralCids.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect().map(_.getLong(0)).toSeq
     // committed-shard pruning: an appended shard is invisible until its
-    // commit marker lands; legacy pre-marker indexes read whole
-    // ([[IndexIO.readCommitted]] — the shared reader idiom)
+    // commit marker lands (compaction REPLACES markers subtract their
+    // folded shards); legacy pre-marker indexes read whole — but only
+    // the single-shard layout a legacy index can actually have
+    // ([[IndexIO.requireCommittedOrLegacy]]: a multi-shard table with
+    // no markers means the commits table was lost, and serving it whole
+    // would silently include crash orphans)
+    val committed = IndexIO.liveCommittedIds(spark, path)
+    IndexIO.requireCommittedOrLegacy(spark, path, "postings", committed)
     val postings = candFilter.foldLeft(
-      IndexIO.readCommitted(spark, path, "postings",
-        IndexIO.committedIds(spark, path)))(_ filter _)
+      IndexIO.readCommitted(spark, path, "postings", committed))(_ filter _)
     val probed =
       if (cids.length <= maxLiteralCids)
         postings.filter(col("cid").isInCollection(cids))

@@ -114,7 +114,11 @@ object Fixtures {
     // the index gets its own memo entry so clear() unpersists it (the
     // engine's close() only owns its internal admin cache)
     val ix = memo(s, dir, "nameIndex") {
-      TrigramIndex.build(pois).repartition(width(s), col("gram")).persist()
+      // gram-sorted within partitions: cached columnar batches keep
+      // min/max stats, so a per-request gram-IN probe prunes whole
+      // batches instead of filtering every cached row
+      TrigramIndex.build(pois).repartition(width(s), col("gram"))
+        .sortWithinPartitions("gram").persist()
     }
     memo(s, dir, "engineIndexed") {
       new ScoutEngine(s, pois,
@@ -145,7 +149,8 @@ object Fixtures {
   def gazIndex(s: SparkSession, dir: String): DataFrame = {
     val pois = gazPois(s, dir, withWikidata = false) // outside the memo
     memo(s, dir, "gazIndex") {
-      TrigramIndex.build(pois).repartition(width(s), col("gram")).persist()
+      TrigramIndex.build(pois).repartition(width(s), col("gram"))
+        .sortWithinPartitions("gram").persist()
     }
   }
 

@@ -507,7 +507,7 @@ object SimilarityQueries {
     (s, dir) => Similarity.pqTopK(
       emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
       k = 5, m = PqM, ks = PqKs, dim = Dim)
-      .select("query_id", "rank", "cand_id", "adist")
+      .select("query_id", "rank", "cand_id", "adist", "in_exact")
       .orderBy("query_id", "rank"),
     Some(s"""WITH qv AS (${qvSql()}),
                seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs),
@@ -536,9 +536,26 @@ object SimilarityQueries {
                  SELECT query_id, cand_id, adist,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY adist ASC, cand_id ASC) AS rank
-                 FROM adc WHERE query_id <> cand_id)
-             SELECT query_id, rank, cand_id, adist FROM ranked
-             WHERE rank <= 5 ORDER BY query_id, rank"""))
+                 FROM adc WHERE query_id <> cand_id),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               edots AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
+                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5 GROUP BY 1, 2),
+               eranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
+                                   cand_id ASC) AS rank
+                 FROM edots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id)
+             SELECT r.query_id, r.rank, r.cand_id, r.adist,
+                    (e.cand_id IS NOT NULL) AS in_exact
+             FROM ranked r
+             LEFT JOIN (SELECT query_id, cand_id FROM eranked WHERE rank <= 5) e
+               ON r.query_id = e.query_id AND r.cand_id = e.cand_id
+             WHERE r.rank <= 5 ORDER BY r.query_id, r.rank"""))
 
   /** int8 scalar-quantized ANN with a per-hit `in_exact` recall flag
     * against the full-precision top-10 ([[Similarity.sqTopK]]) — the
@@ -556,7 +573,7 @@ object SimilarityQueries {
     (s, dir) => Similarity.bqTopK(
       emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
       k = 10, dim = Dim, nCandidates = 50)
-      .select("query_id", "rank", "cand_id", "cosine")
+      .select("query_id", "rank", "cand_id", "cosine", "in_exact")
       .orderBy("query_id", "rank"),
     Some(s"""WITH qv AS (${qvSql()}),
                bits AS (
@@ -592,9 +609,25 @@ object SimilarityQueries {
                  SELECT query_id, cand_id, cosine,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, cand_id ASC) AS rank
-                 FROM scored)
-             SELECT query_id, rank, cand_id, cosine FROM ranked
-             WHERE rank <= 10 ORDER BY query_id, rank"""))
+                 FROM scored),
+               edots AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
+                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5 GROUP BY 1, 2),
+               eranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
+                                   cand_id ASC) AS rank
+                 FROM edots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id)
+             SELECT r.query_id, r.rank, r.cand_id, r.cosine,
+                    (e.cand_id IS NOT NULL) AS in_exact
+             FROM ranked r
+             LEFT JOIN (SELECT query_id, cand_id FROM eranked WHERE rank <= 10) e
+               ON r.query_id = e.query_id AND r.cand_id = e.cand_id
+             WHERE r.rank <= 10 ORDER BY r.query_id, r.rank"""))
 
   val annSq = Q("ann_sq_topk",
     (s, dir) => Similarity.sqTopK(

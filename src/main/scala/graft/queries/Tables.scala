@@ -37,11 +37,24 @@ object Tables {
     * execution), so a NANOS fixture leaves it set; the common MICROS
     * path never mutates session conf.
     */
+  /** True when the read failure is the vectorized reader rejecting a
+    * TIMESTAMP(NANOS) footer — the ONE condition the legacy-flag retry
+    * answers. Matched against the message chain so an unrelated
+    * analysis error (bad schema merge, corrupt footer, permissions)
+    * rethrows untouched instead of being masked behind a confusing
+    * second failure with the flag left flipped session-wide. */
+  private def isNanosRejection(e: Throwable): Boolean = {
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    msgs.contains("Illegal Parquet type") || msgs.toLowerCase.contains("nanos")
+  }
+
   def rawEvents(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case e @ (_: org.apache.spark.sql.AnalysisException | _: UnsupportedOperationException) =>
-        // only a footer-rejection on an EXISTING file justifies the
+      case e @ (_: org.apache.spark.sql.AnalysisException | _: UnsupportedOperationException)
+          if isNanosRejection(e) =>
+        // only a NANOS footer-rejection on an EXISTING file justifies the
         // legacy-flag retry — a missing path (also an AnalysisException)
         // must rethrow untouched, or the flag flip would silently change
         // how every later read in the session decodes NANOS columns

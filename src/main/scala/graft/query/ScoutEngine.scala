@@ -86,6 +86,58 @@ class ScoutEngine(
   def forward(req: ForwardReq, limitScan: Int = 10000): Seq[Hit] =
     forwardDS(req, limitScan).collect().toIndexedSeq
 
+  /** BULK forward geocode: a whole list of place-name texts served as
+    * ONE distributed job ([[GeocodeJoin.topK]] over the same poiView +
+    * settings the per-request path uses), amortizing the per-job floor
+    * the serving profile measured (~200-450 ms per request) across the
+    * batch — the shape the reference cannot express (one HTTP request
+    * at a time, `app.py:86`). Rides the trigram index when the engine
+    * carries one. No per-query area hints (the bulk contract): results
+    * per text equal a hint-less [[forward]] request with that single
+    * candidate — proximity contributes zero to both scores, and the
+    * spec pins the parity. The returned hits carry the full per-request
+    * [[Hit]] surface: the ranked rows broadcast-join back to the poi
+    * view for the admin columns (country/state/city). */
+  def bulkDF(texts: Seq[String], limit: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val queries = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    ).toDF("qid", "text")
+    val ranked = nameIndex match {
+      case Some(ix) =>
+        GeocodeJoin.topKIndexed(queries, poiView, ix, settings, limit)
+      case None => GeocodeJoin.topK(queries, poiView, settings, limit)
+    }
+    // the ranked rows are ≤ |texts| × k — broadcast them back onto the
+    // poi view for the admin columns instead of shuffling the gazetteer
+    poiView.select(col("osm_id"), col("country"), col("state"), col("city"))
+      .join(broadcast(ranked), Seq("osm_id"))
+      .select(col("qid"), col("text"), col("rank"), col("name"),
+        col("lat"), col("lon"), col("country"), col("state"), col("city"),
+        col("osm_id"), col("kind"), col("score"))
+  }
+
+  /** Materialized bulk hits, grouped per input text in request order —
+    * the `/v1/geocode/bulk` response shape. */
+  def bulk(texts: Seq[String], limit: Int = 5): Seq[Seq[Hit]] = {
+    val rows = bulkDF(texts, limit).collect()
+    val byQid = rows.groupBy(_.getAs[Long]("qid")).map { case (qid, rs) =>
+      qid -> rs.sortBy(_.getAs[Int]("rank")).map { r =>
+        Hit(
+          name = r.getAs[String]("name"),
+          lat = r.getAs[Double]("lat"),
+          lon = r.getAs[Double]("lon"),
+          country = Option(r.getAs[String]("country")),
+          state = Option(r.getAs[String]("state")),
+          city = Option(r.getAs[String]("city")),
+          osmId = r.getAs[Long]("osm_id"),
+          kind = r.getAs[String]("kind"),
+          score = r.getAs[Double]("score"))
+      }.toIndexedSeq
+    }
+    texts.indices.map(i => byQid.getOrElse(i.toLong, IndexedSeq.empty))
+  }
+
   /** `GET /healthz` analogue (`app.py:116-118`). */
   def healthy: Boolean = spark.range(1).count() == 1
 

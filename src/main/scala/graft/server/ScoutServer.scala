@@ -96,6 +96,37 @@ class ScoutServer(engine: ScoutEngine, port: Int = 8000, threads: Int = 8) {
     }
   })
 
+  /** BULK endpoint: the reference's forward request shape, list-valued —
+    * `{queries:[{text}], limit?}` → `{results:[{text, hits:[...]}]}`,
+    * results in request order. One distributed job serves the whole
+    * list ([[ScoutEngine.bulk]]), amortizing the per-request job floor
+    * the serving profile measured; each entry's hits equal a hint-less
+    * single-candidate `/v1/geocode/forward` call (spec-pinned). */
+  server.createContext("/v1/geocode/bulk", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"detail": "Method Not Allowed"}""", t0)
+        return
+      }
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val o = Json.parse(body).asObj
+        val texts = o("queries").asArr.map(q => q.asObj("text").asStr)
+        val limit = o.get("limit").collect { case Num(d) => d.toInt }.getOrElse(5)
+        val results = engine.bulk(texts, limit)
+        respond(ex, 200, write(Obj(Map("results" -> Arr(
+          texts.zip(results).map { case (t, hits) =>
+            Obj(Map("text" -> Str(t), "hits" -> Arr(hits.map(hitJson))))
+          })))), t0)
+      } catch {
+        case e: Exception =>
+          respond(ex, 422, write(Obj(Map("detail" -> Str(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))), t0)
+      }
+    }
+  })
+
   def start(): ScoutServer = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -185,13 +185,48 @@ class MinHashIndexSpec extends SparkSpec {
     assert(MinHashIndex.pairs(spark, pA, NumHashes)
       .orderBy("a", "b").collect().toSeq == baseline,
       "uncommitted shard must not serve")
-    // the retry reconciles the uncommitted table shards and lands cleanly
+    // the retry lands under a FRESH claimed id (ids are never reused —
+    // the concurrent-append contract); the orphan stays reader-invisible
     MinHashIndex.append(toksOf(col("doc_id") > 2), pA, NumHashes, rowsPerBand = 2)
-    assert(IndexIO.committedIds(spark, pA) == Seq(0, 1))
+    assert(IndexIO.committedIds(spark, pA) == Seq(0, 2),
+      "retry must claim a fresh shard id, not reuse the orphan's")
     MinHashIndex.write(toks, pB, NumHashes, rowsPerBand = 2)
     assert(MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
       .sameElements(
         MinHashIndex.pairs(spark, pB, NumHashes).orderBy("a", "b").collect()))
+  }
+
+  test("compactSmall folds small shards, leaves the big one, and guards lost commits") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-tiered").toString + "/idx"
+    val pB = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-tiered-reb").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    MinHashIndex.write(toksOf(col("doc_id") <= 3), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toksOf(col("doc_id") === 4L), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toksOf(col("doc_id") === 5L), pA, NumHashes, rowsPerBand = 2)
+    val bigBytes = Seq("signatures", "buckets")
+      .map(t => IndexIO.dirBytes(spark, s"$pA/$t/shard=0")).sum
+    val before = Seq("signatures", "buckets")
+      .map(t => t -> ShardFiles.snapshot(s"$pA/$t/shard=0")).toMap
+    val folded = MinHashIndex.compactSmall(spark, pA, maxShardBytes = bigBytes - 1)
+    assert(folded == Seq(1, 2), s"expected the two small shards, got $folded")
+    assert(Seq("signatures", "buckets")
+      .map(t => t -> ShardFiles.snapshot(s"$pA/$t/shard=0")).toMap == before,
+      "size-tiered compaction must not rewrite the big shard")
+    assert(IndexIO.liveCommittedIds(spark, pA) == Seq(0, 3))
+    MinHashIndex.write(toks, pB, NumHashes, rowsPerBand = 2)
+    assert(MinHashIndex.pairs(spark, pA, NumHashes).orderBy("a", "b").collect()
+      .sameElements(
+        MinHashIndex.pairs(spark, pB, NumHashes).orderBy("a", "b").collect()))
+    // lost-commits guard: a multi-shard table with no markers must fail
+    // loudly rather than silently serve possibly-uncommitted shards
+    IndexIO.deleteDir(spark, s"$pA/commits")
+    val ex = intercept[IllegalArgumentException] {
+      MinHashIndex.pairs(spark, pA, NumHashes).collect()
+    }
+    assert(ex.getMessage.contains("no commit markers"))
   }
 
   test("append refuses a pre-marker sharded index; compact migrates it") {

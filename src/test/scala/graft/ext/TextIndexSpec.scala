@@ -91,11 +91,18 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.append(corpus.filter(col("doc_id") >= 4), path)
     IndexIO.deleteDir(spark, s"$path/commits/shard=1")
     assert(serve(path) == baseline, "uncommitted shard must not serve")
-    // the next append reconciles the orphan and lands cleanly
+    // the retry lands under a FRESH claimed id (ids are never reused —
+    // the concurrent-append contract); the orphan stays reader-invisible
     TextIndex.append(corpus.filter(col("doc_id") >= 4), path)
-    assert(IndexIO.shardIds(spark, s"$path/postings") == Seq(0, 1))
+    assert(IndexIO.shardIds(spark, s"$path/postings") == Seq(0, 1, 2),
+      "retry must claim a fresh shard id, not reuse the orphan's")
+    assert(IndexIO.liveCommittedIds(spark, path) == Seq(0, 2))
     val pReb = freshPath("crashreb")
     TextIndex.write(corpus, pReb)
+    assert(serve(path) == serve(pReb))
+    // compact (the single-writer maintenance op) reclaims the orphan
+    TextIndex.compact(spark, path)
+    assert(IndexIO.shardIds(spark, s"$path/postings") == Seq(0))
     assert(serve(path) == serve(pReb))
   }
 
@@ -175,6 +182,84 @@ class TextIndexSpec extends SparkSpec {
         TextIndex.write(corpus.filter(col("doc_id") < 7), p); p
       }))
     } finally pool.shutdownNow()
+  }
+
+  test("two concurrent appenders commit distinct shards; serve equals sequential") {
+    val path = freshPath("writers")
+    val pSeq = freshPath("writers-seq")
+    TextIndex.write(corpus.filter(col("doc_id") < 4), path)
+    val batchA = corpus.filter(col("doc_id") >= 4 && col("doc_id") < 6)
+    val batchB = corpus.filter(col("doc_id") >= 6)
+    // both appenders released simultaneously: they race the shard-id
+    // claim; exactly one wins each id and the loser retries at the next
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def task(b: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { barrier.await(); TextIndex.append(b, path) }
+      })
+    val (fa, fb) = (task(batchA), task(batchB))
+    try { fa.get(); fb.get() } finally pool.shutdownNow()
+    // both batches committed under DISTINCT fresh ids — neither clobbered
+    // or double-committed the other
+    assert(IndexIO.liveCommittedIds(spark, path).sorted == Seq(0, 1, 2))
+    TextIndex.write(corpus.filter(col("doc_id") < 4), pSeq)
+    TextIndex.append(batchA, pSeq)
+    TextIndex.append(batchB, pSeq)
+    assert(serve(path) == serve(pSeq),
+      "concurrent appends must serve exactly like a sequential order")
+  }
+
+  test("compactSmall folds only small shards and leaves the big one byte-identical") {
+    val path = freshPath("tiered")
+    val pReb = freshPath("tiered-reb")
+    // shard 0 carries most of the corpus (big); two one-doc appends
+    // leave small shards 1 and 2
+    TextIndex.write(corpus.filter(col("doc_id") < 6), path)
+    TextIndex.append(corpus.filter(col("doc_id") === 6), path)
+    TextIndex.append(corpus.filter(col("doc_id") === 7), path)
+    val bigBytes = Seq("postings", "doclens", "stats")
+      .map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=0")).sum
+    val before = Seq("postings", "doclens", "stats", "commits")
+      .map(t => t -> ShardFiles.snapshot(s"$path/$t/shard=0")).toMap
+    // threshold below the big shard's size: only 1 and 2 qualify
+    val folded = TextIndex.compactSmall(spark, path, maxShardBytes = bigBytes - 1)
+    assert(folded == Seq(1, 2), s"expected to fold the two small shards, got $folded")
+    assert(Seq("postings", "doclens", "stats", "commits")
+      .map(t => t -> ShardFiles.snapshot(s"$path/$t/shard=0")).toMap == before,
+      "size-tiered compaction must not rewrite the big shard")
+    // the fold set is superseded atomically: live ids are {0, merged}
+    assert(IndexIO.liveCommittedIds(spark, path) == Seq(0, 3))
+    assert(IndexIO.shardIds(spark, s"$path/postings") == Seq(0, 3),
+      "folded shards physically reclaimed")
+    TextIndex.write(corpus, pReb)
+    assert(serve(path) == serve(pReb), "folding must not change results")
+    // nothing left under the threshold worth folding twice
+    assert(TextIndex.compactSmall(spark, path, maxShardBytes = 1).isEmpty)
+  }
+
+  test("compactSmall folds a tombstone-heavy shard regardless of size and drops its dead docs") {
+    val path = freshPath("tombheavy")
+    val pReb = freshPath("tombheavy-reb")
+    TextIndex.write(corpus.filter(col("doc_id") < 4), path)
+    TextIndex.append(corpus.filter(col("doc_id") >= 4), path)
+    // tombstone 3 of shard 1's 4 docs (75% dead) — folds even with a
+    // zero-byte size threshold
+    TextIndex.delete(Seq(4L, 5L, 6L).toDF("doc_id"), path)
+    val folded = TextIndex.compactSmall(spark, path, maxShardBytes = 0L,
+      tombstoneFrac = 0.5)
+    assert(folded == Seq(1), s"expected the tombstone-heavy shard, got $folded")
+    TextIndex.write(corpus.filter(!col("doc_id").isin(4L, 5L, 6L)), pReb)
+    assert(serve(path) == serve(pReb))
+    // the folded shard's dead docs are physically gone; the tombstone
+    // set itself only clears on a full compact
+    val foldedShard = IndexIO.liveCommittedIds(spark, path).filterNot(_ == 0)
+    assert(foldedShard.length == 1)
+    assert(spark.read.parquet(s"$path/doclens")
+      .filter(col("shard") === foldedShard.head)
+      .filter(col("doc_id").isin(4L, 5L, 6L)).count() == 0,
+      "tombstoned docs physically dropped from the folded shard")
+    assert(IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
   }
 
   test("compact sweeps crashed-build staging leftovers, asides survive") {

@@ -181,14 +181,60 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.append(rest, pA)
     IndexIO.deleteDir(spark, s"$pA/commits/shard=1")
     assert(serve(pA) == baseline, "uncommitted shard must not serve")
-    // the retry reconciles the uncommitted shard and lands cleanly
+    // the retry lands under a FRESH claimed id (ids are never reused —
+    // the concurrent-append contract); the orphan stays reader-invisible
     VectorIndex.append(rest, pA)
-    assert(IndexIO.committedIds(spark, pA) == Seq(0, 1))
+    assert(IndexIO.committedIds(spark, pA) == Seq(0, 2),
+      "retry must claim a fresh shard id, not reuse the orphan's")
     VectorIndex.write(emb, pB, nCentroids = 8)
     assert(serve(pA) == serve(pB))
-    // no duplicate posting rows survived the retry
+    // no duplicate posting rows are SERVED (the on-disk orphan shard is
+    // reader-invisible until compact reclaims it)
+    assert(IndexIO.readCommitted(spark, pA, "postings",
+        IndexIO.liveCommittedIds(spark, pA))
+      .groupBy("cand_id").count().filter(col("count") > 1).count() == 0)
+    VectorIndex.compact(spark, pA)
+    assert(IndexIO.shardIds(spark, s"$pA/postings") == Seq(0))
     assert(spark.read.parquet(s"$pA/postings").groupBy("cand_id").count()
       .filter(col("count") > 1).count() == 0)
+    assert(serve(pA) == serve(pB))
+  }
+
+  test("compactSmall folds small posting shards and the tombstone-heavy case") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-vindex-tiered").toString + "/idx"
+    val pB = java.nio.file.Files
+      .createTempDirectory("graft-vindex-tiered-reb").toString + "/idx"
+    VectorIndex.write(emb.filter(col("vec_id") < 400), pA, nCentroids = 8)
+    VectorIndex.append(emb.filter(col("vec_id") >= 400 && col("vec_id") < 430), pA)
+    VectorIndex.append(emb.filter(col("vec_id") >= 430 && col("vec_id") < 460), pA)
+    val bigBytes = IndexIO.dirBytes(spark, s"$pA/postings/shard=0")
+    val before = ShardFiles.snapshot(s"$pA/postings/shard=0")
+    val folded = VectorIndex.compactSmall(spark, pA, maxShardBytes = bigBytes - 1)
+    assert(folded == Seq(1, 2), s"expected the two small shards, got $folded")
+    assert(ShardFiles.snapshot(s"$pA/postings/shard=0") == before,
+      "size-tiered compaction must not rewrite the big shard")
+    assert(IndexIO.liveCommittedIds(spark, pA) == Seq(0, 3))
+    val qs = emb.filter(col("vec_id") < 5)
+    def serve(p: String) = VectorIndex.topK(spark, p, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    // parity against an append-built twin over the same corpus and the
+    // same stored centroids (a fresh write would train different ones)
+    VectorIndex.write(emb.filter(col("vec_id") < 400), pB, nCentroids = 8)
+    VectorIndex.append(emb.filter(col("vec_id") >= 400 && col("vec_id") < 460), pB)
+    assert(serve(pA) == serve(pB), "folding must not change results")
+    // tombstone-heavy: kill most of the folded shard's rows; it folds
+    // even with a zero-byte threshold, physically dropping the dead rows
+    import spark.implicits._
+    VectorIndex.delete((400L until 455L).toDF("vec_id"), pA)
+    val folded2 = VectorIndex.compactSmall(spark, pA, maxShardBytes = 0L,
+      tombstoneFrac = 0.5)
+    assert(folded2 == Seq(3), s"expected the tombstone-heavy shard, got $folded2")
+    val live = IndexIO.liveCommittedIds(spark, pA)
+    assert(live == Seq(0, 4))
+    assert(IndexIO.readCommitted(spark, pA, "postings", Seq(4))
+      .filter(col("cand_id") < 455).count() == 0,
+      "tombstoned rows physically dropped from the folded shard")
   }
 
   test("append refuses a pre-marker sharded index; compact migrates it") {

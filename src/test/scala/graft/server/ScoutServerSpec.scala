@@ -104,6 +104,35 @@ class ScoutServerSpec extends SparkSpec {
     } finally exec.shutdown()
   }
 
+  test("bulk geocode equals a per-request loop, in request order") {
+    val texts = Seq("Monograph Dining", "zzz qqq", "Monograph Dining")
+    val (code, body, headers) = http("POST", "/v1/geocode/bulk",
+      s"""{"queries":[${texts.map(t => s"""{"text":"$t"}""").mkString(",")}],"limit":3}""")
+    assert(code == 200, body)
+    assert(headers.contains("Server-Timing"))
+    val results = Json.parse(body).asObj("results").asArr.map(_.asObj)
+    assert(results.map(_("text").asStr) == texts, "results ride in request order")
+    // parity: each entry's hits equal a hint-less single-candidate
+    // forward request for the same text
+    texts.zip(results).foreach { case (t, r) =>
+      val (fc, fb, _) = http("POST", "/v1/geocode/forward",
+        s"""{"candidates":[{"text":"$t"}],"limit":3}""")
+      assert(fc == 200, fb)
+      assert(Json.write(Json.Arr(r("hits").asArr)) ==
+        Json.write(Json.Arr(Json.parse(fb).asObj("hits").asArr)),
+        s"bulk hits for '$t' diverge from the per-request path")
+    }
+    assert(results.head("hits").asArr.nonEmpty)
+    assert(results(1)("hits").asArr.isEmpty)
+  }
+
+  test("bulk malformed body -> 422; wrong method -> 405") {
+    val (code, body, _) = http("POST", "/v1/geocode/bulk", """{"nope": []}""")
+    assert(code == 422 && body.contains("detail"))
+    val (mcode, _, _) = http("GET", "/v1/geocode/bulk")
+    assert(mcode == 405)
+  }
+
   test("json codec round-trips escapes") {
     val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
     val round = Json.parse(Json.write(v))

@@ -20,9 +20,105 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Fixture contract (rounds 7 and 8 were each bitten by a silent driver
+# fixture regeneration — ts re-encoded NANOS->MICROS, layout flipped
+# file<->directory): the expected DuckDB-visible schema per table, plus
+# the accepted parquet encodings for events.ts. A regeneration that
+# violates any of this fails HERE, loudly, at verify time — not as 15
+# red queries with no explanation.
+EXPECTED_SCHEMA = {
+    "region": {"r_regionkey": "INTEGER", "r_name": "VARCHAR"},
+    "nation": {"n_nationkey": "INTEGER", "n_name": "VARCHAR",
+               "n_regionkey": "INTEGER"},
+    "customer": {"c_custkey": "BIGINT", "c_name": "VARCHAR",
+                 "c_nationkey": "INTEGER", "c_acctbal": "DOUBLE",
+                 "c_mktsegment": "VARCHAR"},
+    "supplier": {"s_suppkey": "BIGINT", "s_name": "VARCHAR",
+                 "s_nationkey": "INTEGER", "s_acctbal": "DOUBLE"},
+    "part": {"p_partkey": "BIGINT", "p_name": "VARCHAR", "p_brand": "VARCHAR",
+             "p_type": "VARCHAR", "p_size": "INTEGER",
+             "p_retailprice": "DOUBLE"},
+    "orders": {"o_orderkey": "BIGINT", "o_custkey": "BIGINT",
+               "o_orderstatus": "VARCHAR", "o_totalprice": "DOUBLE",
+               "o_orderdate": "TIMESTAMP", "o_orderpriority": "VARCHAR"},
+    "lineitem": {"l_orderkey": "BIGINT", "l_partkey": "BIGINT",
+                 "l_suppkey": "BIGINT", "l_linenumber": "INTEGER",
+                 "l_quantity": "DOUBLE", "l_extendedprice": "DOUBLE",
+                 "l_discount": "DOUBLE", "l_tax": "DOUBLE",
+                 "l_returnflag": "VARCHAR", "l_linestatus": "VARCHAR",
+                 "l_shipdate": "TIMESTAMP"},
+    # ts: BIGINT is the NANOS-era encoding DuckDB surfaces as INT64; the
+    # engine loader accepts both (Tables.rawEvents), so both pass here
+    "events": {"event_id": "BIGINT", "ts": ("TIMESTAMP", "TIMESTAMP_NS", "BIGINT"),
+               "user_id": "BIGINT", "event_type": "VARCHAR",
+               "value": "DOUBLE", "props": "VARCHAR"},
+    "documents": {"doc_id": "BIGINT", "text": "VARCHAR", "lang": "VARCHAR",
+                  "source": "VARCHAR", "n_chars": "BIGINT"},
+    "embeddings": {"vec_id": "BIGINT", "embedding": "FLOAT[]",
+                   "label": "INTEGER"},
+}
+
+# parquet-level encodings of events.ts the engine loader handles: the
+# MICROS/NANOS timestamp units. Anything else (MILLIS, INT32 seconds,
+# strings) is a NEW fixture generation the loader has never seen.
+EVENTS_TS_ACCEPTED = ("MicroSeconds", "NanoSeconds")
+
+
+def check_fixture_contract(con, sf_dir: str) -> list:
+    """Schema/encoding assertions over the fixture tables; returns a
+    list of violation strings (empty = contract holds)."""
+    bad = []
+    for t, expected in EXPECTED_SCHEMA.items():
+        p = Path(sf_dir) / f"{t}.parquet"
+        glob = f"{p}/*.parquet" if p.is_dir() else str(p)
+        if not p.exists():
+            bad.append(f"{t}: fixture missing at {p} (file OR directory layout)")
+            continue
+        try:
+            got = dict(con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{glob}')").df()
+                [["column_name", "column_type"]].itertuples(index=False, name=None))
+        except Exception as e:
+            bad.append(f"{t}: unreadable fixture: {str(e)[:160]}")
+            continue
+        for c, want in expected.items():
+            allowed = want if isinstance(want, tuple) else (want,)
+            if c not in got:
+                bad.append(f"{t}.{c}: column missing (regenerated fixture dropped it?)")
+            elif got[c] not in allowed:
+                bad.append(f"{t}.{c}: type {got[c]}, contract allows {allowed}")
+        for c in got:
+            if c not in expected:
+                bad.append(f"{t}.{c}: unexpected new column (contract update needed)")
+    # events.ts parquet logical type: the loader branches on MICROS vs
+    # NANOS; any other unit would silently mis-decode every time query
+    p = Path(sf_dir) / "events.parquet"
+    if p.exists():
+        glob = f"{p}/*.parquet" if p.is_dir() else str(p)
+        try:
+            rows = con.execute(
+                "SELECT DISTINCT logical_type FROM parquet_schema("
+                f"'{glob}') WHERE name = 'ts'").fetchall()
+            for (lt,) in rows:
+                lt = str(lt)
+                if "Timestamp" in lt and not any(u in lt for u in EVENTS_TS_ACCEPTED):
+                    bad.append(f"events.ts: parquet logical type {lt} — loader only "
+                               f"handles units {EVENTS_TS_ACCEPTED}")
+        except Exception as e:
+            bad.append(f"events.ts: parquet_schema probe failed: {str(e)[:160]}")
+    return bad
+
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    violations = check_fixture_contract(con, sf_dir)
+    for v in violations:
+        print(f"FAIL  FIXTURE-CONTRACT {v}")
+    if violations:
+        print(f"\nfixture contract violated ({len(violations)} findings) — "
+              "the driver regenerated fixtures outside the loader's contract; "
+              "fix the loader (Tables.scala) and EXPECTED_SCHEMA together")
+        return 1
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.is_dir():  # Spark-written table (e.g. a ScaleUp output)
@@ -123,4 +219,11 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--contract":
+        # standalone fixture-contract check: selfcheck.py --contract <sfDir>
+        vs = check_fixture_contract(duckdb.connect(), sys.argv[2])
+        for v in vs:
+            print(f"FAIL  FIXTURE-CONTRACT {v}")
+        print("contract OK" if not vs else f"{len(vs)} violations")
+        sys.exit(1 if vs else 0)
     sys.exit(main(sys.argv[1], sys.argv[2]))
