@@ -159,10 +159,10 @@ object TextIndex {
 
   /** Write the doclens shard with an [[org.apache.spark.sql.Observation]]
     * computing (n_docs, sum_dl) during the SAME job, then publish the
-    * one-row stats shard from the driver-held result (a 1-task local
-    * write — no second scan). Metric identities: `count(1)` and the
-    * null-coalesced `sum(dl)` match the former standalone aggregate
-    * bit-for-bit (both INT64), so shard stats still sum exactly. */
+    * one-row stats shard from the driver-held result. Metric identities:
+    * `count(1)` and the null-coalesced `sum(dl)` match the former
+    * standalone aggregate bit-for-bit (both INT64), so shard stats still
+    * sum exactly. */
   private def writeDoclensAndStats(doclens: DataFrame, root: String,
                                    shard: Int, partitions: Int): Unit = {
     val spark = doclens.sparkSession
@@ -177,11 +177,83 @@ object TextIndex {
       .sortWithinPartitions("doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$root/doclens/shard=$shard")
     val m = obs.get
-    spark.range(1)
-      .select(lit(m("n_docs").asInstanceOf[Long]).as("n_docs"),
-        lit(m("sum_dl").asInstanceOf[Long]).as("sum_dl"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/stats/shard=$shard")
+    writeStatsShard(spark, s"$root/stats/shard=$shard",
+      m("n_docs").asInstanceOf[Long], m("sum_dl").asInstanceOf[Long])
+  }
+
+  private lazy val StatsSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message stats { required int64 n_docs; required int64 sum_dl; }")
+
+  /** One-row stats shard, written DRIVER-SIDE with the parquet Group
+    * API: the values are already driver-held (the doclens write's
+    * Observation), so launching a whole Spark job to persist 16 bytes
+    * was a fixed scheduling cost on every build/append — measurable
+    * exactly where batches are smallest (streaming ingest). The layout
+    * is unchanged (a one-file `shard=K` dir of the same INT64 columns),
+    * so `spark.read.parquet` and every directory-level protocol check
+    * read it exactly like the former one-task Spark write. */
+  private def writeStatsShard(spark: SparkSession, dir: String,
+                              nDocs: Long, sumDl: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true) // Overwrite semantics
+    fs.mkdirs(dirPath)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dirPath, "part-00000.parquet"), conf))
+      .withType(StatsSchema).withConf(conf).build()
+    val g = new org.apache.parquet.example.data.simple.SimpleGroup(StatsSchema)
+    g.add("n_docs", nDocs)
+    g.add("sum_dl", sumDl)
+    try w.write(g) finally w.close()
+  }
+
+  /** Driver-side per-shard (n_docs, sum_dl) over the committed stats
+    * shards — stats rows are one per shard, so serving reads them the
+    * way it reads commit markers (small-file driver I/O), not as a
+    * Spark scan + aggregate + broadcast: two fewer plan legs on every
+    * probe, and the corpus constants become literals in the scoring
+    * expression. Files of either generation (the former one-task Spark
+    * writes, or [[writeStatsShard]]) parse identically. An empty
+    * `committed` set is the legacy single-shard layout — read whatever
+    * stats shards exist, as [[IndexIO.readCommitted]] would. */
+  private def statsPerShard(spark: SparkSession, path: String,
+                            committed: Seq[Int]): Map[Int, (Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ids =
+      if (committed.nonEmpty) committed
+      else IndexIO.shardIds(spark, s"$path/stats")
+    ids.map { k =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/stats/shard=$k")
+      val fs = dir.getFileSystem(conf)
+      var n = 0L
+      var sdl = 0L
+      for (st <- fs.listStatus(dir)
+           if st.isFile && !st.getPath.getName.startsWith("_") &&
+             !st.getPath.getName.startsWith(".")) {
+        val r = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            st.getPath)
+          .withConf(conf).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            n += g.getLong("n_docs", 0)
+            sdl += g.getLong("sum_dl", 0)
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      k -> ((n, sdl))
+    }.toMap
+  }
+
+  private def statsTotals(spark: SparkSession, path: String,
+                          committed: Seq[Int]): (Long, Long) = {
+    val per = statsPerShard(spark, path, committed)
+    (per.values.map(_._1).sum, per.values.map(_._2).sum)
   }
 
   private val Tables = Seq("postings", "doclens", "stats")
@@ -361,15 +433,18 @@ object TextIndex {
       tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= maxShardBytes)
     val heavy: Seq[Int] = dels match {
       case Some(d) =>
+        // per-shard doc counts come from the driver-side stats read;
+        // only the dead counts need a (tiny) doclens⋉deletes probe
+        val perShard = statsPerShard(spark, path, live)
         val dead = IndexIO.readCommitted(spark, path, "doclens", live)
           .join(d, Seq("doc_id"), "left_semi")
           .groupBy("shard").agg(count(lit(1)).as("dead"))
-        IndexIO.readCommitted(spark, path, "stats", live)
-          .select(col("shard"), col("n_docs"))
-          .join(dead, Seq("shard"))
-          .filter(col("dead").cast("double") >=
-            lit(tombstoneFrac) * col("n_docs").cast("double"))
-          .select("shard").collect().map(_.getInt(0)).toSeq
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        live.filter { k =>
+          val dk = dead.getOrElse(k, 0L)
+          dk > 0L && dk.toDouble >=
+            tombstoneFrac * perShard.get(k).map(_._1).getOrElse(0L).toDouble
+        }
       case None => Nil
     }
     val fold = (small ++ heavy).distinct.sorted
@@ -479,19 +554,22 @@ object TextIndex {
         _.join(_, Seq("doc_id"), "left_anti"))
       .select("doc_id", "dl", "term", "tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val base = tbl("stats")
-      .agg(sum(col("n_docs")).as("nd"), sum(col("sum_dl")).as("sdl"))
+    // corpus totals from the driver-side stats read ([[statsPerShard]]):
+    // literal BM25 constants, no stats scan leg in the probe plan
+    val (nd, sdl) = statsTotals(spark, path, committed)
     val stats = dels match {
       case Some(d) =>
         val removed = tbl("doclens").join(d, Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("rnd"), coalesce(sum(col("dl")), lit(0L)).as("rsdl"))
-        base.crossJoin(removed).select(
-          (col("nd") - col("rnd")).as("n_docs"),
-          ((col("sdl") - col("rsdl")).cast("double") /
-            (col("nd") - col("rnd")).cast("double")).as("avgdl"))
+        removed.select(
+          (lit(nd) - col("rnd")).as("n_docs"),
+          ((lit(sdl) - col("rsdl")).cast("double") /
+            (lit(nd) - col("rnd")).cast("double")).as("avgdl"))
       case None =>
-        base.select(col("nd").as("n_docs"),
-          (col("sdl").cast("double") / col("nd").cast("double")).as("avgdl"))
+        // a one-row LocalRelation: broadcasting it collects driver-side
+        // rows — no scan job at all for the tombstone-free serving path
+        import spark.implicits._
+        Seq((nd, sdl.toDouble / nd.toDouble)).toDF("n_docs", "avgdl")
     }
     (tf, dfreq, stats)
   }

@@ -163,28 +163,30 @@ object DedupQueries {
     * half the doc window, append the other half against the stored
     * layout, serve pairs. The final corpus equals dd_minhash_pairs' —
     * the SAME oracle therefore pins append ≡ rebuild end-to-end. */
-  /** write(doc_id < 50) + append(doc_id >= 50) over the pair corpus —
-    * the shared prelude of the append and compact queries. ONE
-    * definition of the split so the two queries cannot drift onto
+  /** Tokens of a sub-window of the pair corpus — ONE definition of the
+    * split the append/compact queries use, so they cannot drift onto
     * different corpora while sharing one oracle (the final corpus must
     * equal [[minhashPairTokens]]', and the split must stay inside the
     * sf0.001 doc window so both halves are non-empty). */
-  private def splitMinhashIndex(s: SparkSession, dir: String,
-                                prefix: String): String = {
-    val path = graft.core.TempDirs.create(prefix)
-    def toks(pred: org.apache.spark.sql.Column) =
-      Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
-        "doc_id", "text", distinct = false)
-    graft.ext.MinHashIndex.write(toks(col("doc_id") < 50), path,
-      NumHashes, rowsPerBand = 2)
-    graft.ext.MinHashIndex.append(toks(col("doc_id") >= 50), path,
-      NumHashes, rowsPerBand = 2)
-    path
-  }
+  private def windowToks(s: SparkSession, dir: String,
+                         pred: org.apache.spark.sql.Column) =
+    Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
+      "doc_id", "text", distinct = false)
+
+  /** A private clone of the half-window base index
+    * ([[Fixtures.clonedIndex]]): the append/compact queries measure
+    * their MUTATION protocol on top of it, not the base build. */
+  private def halfMinhashIndex(s: SparkSession, dir: String): String =
+    Fixtures.clonedIndex(s, dir, "mhindex-half") { p =>
+      graft.ext.MinHashIndex.write(windowToks(s, dir, col("doc_id") < 50), p,
+        NumHashes, rowsPerBand = 2)
+    }
 
   val ddMinhashAppend = Q("dd_minhash_append",
     (s, dir) => {
-      val path = splitMinhashIndex(s, dir, "graft-mhindex-app-")
+      val path = halfMinhashIndex(s, dir)
+      graft.ext.MinHashIndex.append(windowToks(s, dir, col("doc_id") >= 50),
+        path, NumHashes, rowsPerBand = 2)
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")
     },
@@ -197,7 +199,15 @@ object DedupQueries {
     * unchanged, fewer files per band probe). */
   val ddMinhashCompact = Q("dd_minhash_compact",
     (s, dir) => {
-      val path = splitMinhashIndex(s, dir, "graft-mhindex-cmp-")
+      // the compacted-from state (base + one appended shard) is the
+      // FIXTURE here; compact + serve are the measured subject (the
+      // append protocol itself is dd_minhash_append's subject)
+      val path = Fixtures.clonedIndex(s, dir, "mhindex-split") { p =>
+        graft.ext.MinHashIndex.write(windowToks(s, dir, col("doc_id") < 50), p,
+          NumHashes, rowsPerBand = 2)
+        graft.ext.MinHashIndex.append(windowToks(s, dir, col("doc_id") >= 50),
+          p, NumHashes, rowsPerBand = 2)
+      }
       graft.ext.MinHashIndex.compact(s, path)
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")
@@ -217,13 +227,14 @@ object DedupQueries {
     * rebuild, not just that some index exists. */
   val ddMinhashVersioned = Q("dd_minhash_versioned",
     (s, dir) => {
-      val root = graft.core.TempDirs.create("graft-mhindex-ver-")
-      def toks(pred: org.apache.spark.sql.Column) =
-        Dedup.docTokens(docs(s, dir).filter(col("doc_id") < 100).filter(pred),
-          "doc_id", "text", distinct = false)
-      graft.ext.MinHashIndex.writeVersioned(toks(col("doc_id") < 50), root,
-        NumHashes, rowsPerBand = 2)
-      graft.ext.MinHashIndex.writeVersioned(toks(lit(true)), root,
+      // v1 (the half-window stale version) is the fixture; the measured
+      // subject is the v2 rebuild + pointer flip + pointer-resolved
+      // serve — the publish route the docstring above pins
+      val root = Fixtures.clonedIndex(s, dir, "mhindex-ver-base") { p =>
+        graft.ext.MinHashIndex.writeVersioned(
+          windowToks(s, dir, col("doc_id") < 50), p, NumHashes, rowsPerBand = 2)
+      }
+      graft.ext.MinHashIndex.writeVersioned(windowToks(s, dir, lit(true)), root,
         NumHashes, rowsPerBand = 2)
       graft.ext.MinHashIndex.pairsCurrent(s, root, NumHashes)
         .orderBy("a", "b")
@@ -238,9 +249,12 @@ object DedupQueries {
     * delete-without-rebuild ≡ never-indexed, the takedown contract. */
   val ddMinhashDelete = Q("dd_minhash_delete",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-mhindex-del-")
-      graft.ext.MinHashIndex.write(minhashPairTokens(s, dir), path,
-        NumHashes, rowsPerBand = 2)
+      // the full-window base is the same build dd_minhash_persisted
+      // memoizes; the measured subject is tombstone + serve-with-deletes
+      val path = Fixtures.clonedIndex(s, dir, "mhindex") { p =>
+        graft.ext.MinHashIndex.write(minhashPairTokens(s, dir), p,
+          NumHashes, rowsPerBand = 2)
+      }
       graft.ext.MinHashIndex.delete(
         docs(s, dir).filter(col("doc_id") < 100 && col("doc_id") % 5 === 0)
           .select(col("doc_id").as("id")), path)

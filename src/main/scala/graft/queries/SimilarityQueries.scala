@@ -226,25 +226,23 @@ object SimilarityQueries {
     * NCent smallest vec_ids, so the split build's seed centroids equal
     * the full rebuild's — the SAME oracle as ann_ivf_topk therefore
     * pins append ≡ rebuild end-to-end. */
-  /** write(vec_id < 250) + append(vec_id >= 250) — the shared prelude
-    * of the append and compact queries. ONE definition of the split so
-    * the two cannot drift onto different corpora while sharing one
-    * oracle (the initial part must hold the NCent smallest vec_ids for
+  /** A private clone of the half-corpus base index (vec_id < 250 —
+    * the initial part must hold the NCent smallest vec_ids for
     * seed-centroid parity, and 250 stays below the 500-vector sf0.001
-    * table so both halves are non-empty). */
-  private def splitIvfIndex(s: SparkSession, dir: String,
-                            prefix: String): String = {
-    val path = graft.core.TempDirs.create(prefix)
-    graft.ext.VectorIndex.write(
-      emb(s, dir).filter(col("vec_id") < 250), path, nCentroids = NCent)
-    graft.ext.VectorIndex.append(
-      emb(s, dir).filter(col("vec_id") >= 250), path)
-    path
-  }
+    * table so both halves are non-empty). The append/compact queries
+    * measure their MUTATION protocol on top of it
+    * ([[Fixtures.clonedIndex]]), not the base build. */
+  private def halfIvfIndex(s: SparkSession, dir: String): String =
+    Fixtures.clonedIndex(s, dir, "vindex-half") { p =>
+      graft.ext.VectorIndex.write(
+        emb(s, dir).filter(col("vec_id") < 250), p, nCentroids = NCent)
+    }
 
   val annIvfAppend = Q("ann_ivf_append",
     (s, dir) => {
-      val path = splitIvfIndex(s, dir, "graft-vindex-app-")
+      val path = halfIvfIndex(s, dir)
+      graft.ext.VectorIndex.append(
+        emb(s, dir).filter(col("vec_id") >= 250), path)
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
         .select("query_id", "rank", "cand_id", "cosine")
@@ -291,9 +289,12 @@ object SimilarityQueries {
     * certifies the pointer really flipped to the full rebuild. */
   val annIvfVersioned = Q("ann_ivf_versioned",
     (s, dir) => {
-      val root = graft.core.TempDirs.create("graft-vindex-ver-")
-      graft.ext.VectorIndex.writeVersioned(
-        emb(s, dir).filter(col("vec_id") < 250), root, nCentroids = NCent)
+      // v1 (the half-corpus stale version) is the fixture; the measured
+      // subject is the v2 rebuild + pointer flip + pointer-resolved serve
+      val root = Fixtures.clonedIndex(s, dir, "vindex-ver-base") { p =>
+        graft.ext.VectorIndex.writeVersioned(
+          emb(s, dir).filter(col("vec_id") < 250), p, nCentroids = NCent)
+      }
       graft.ext.VectorIndex.writeVersioned(emb(s, dir), root, nCentroids = NCent)
       graft.ext.VectorIndex.topKCurrent(s, root,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
@@ -312,8 +313,11 @@ object SimilarityQueries {
     * candidate-excluded, survivors back-filling the top-k. */
   val annIvfDelete = Q("ann_ivf_delete",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-vindex-del-")
-      graft.ext.VectorIndex.write(emb(s, dir), path, nCentroids = NCent)
+      // the full-corpus base is the same build ann_ivf_persisted_topk
+      // memoizes; the measured subject is tombstone + serve-with-deletes
+      val path = Fixtures.clonedIndex(s, dir, "vindex") { p =>
+        graft.ext.VectorIndex.write(emb(s, dir), p, nCentroids = NCent)
+      }
       graft.ext.VectorIndex.delete(
         emb(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"), path)
       graft.ext.VectorIndex.topK(s, path,
@@ -325,7 +329,15 @@ object SimilarityQueries {
 
   val annIvfCompact = Q("ann_ivf_compact",
     (s, dir) => {
-      val path = splitIvfIndex(s, dir, "graft-vindex-cmp-")
+      // the compacted-from state (base + one appended shard) is the
+      // fixture; compact + serve are the measured subject (the append
+      // protocol itself is ann_ivf_append's subject)
+      val path = Fixtures.clonedIndex(s, dir, "vindex-split") { p =>
+        graft.ext.VectorIndex.write(
+          emb(s, dir).filter(col("vec_id") < 250), p, nCentroids = NCent)
+        graft.ext.VectorIndex.append(
+          emb(s, dir).filter(col("vec_id") >= 250), p)
+      }
       graft.ext.VectorIndex.compact(s, path)
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)

@@ -335,9 +335,12 @@ object TextQueries2 {
     * subtraction of tombstoned doc-count and length mass. */
   val taBm25Evolve = Q("ta_bm25_evolve",
     (s, dir) => {
-      val path = graft.core.TempDirs.create("graft-tindex-ev-")
       val d = docs(s, dir)
-      graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), path)
+      // the even-half base build is the fixture ([[Fixtures.clonedIndex]]);
+      // the measured subject is the append + tombstone + serve journey
+      val path = Fixtures.clonedIndex(s, dir, "tindex-even") { p =>
+        graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), p)
+      }
       graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path)
       graft.ext.TextIndex.delete(d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
       graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
