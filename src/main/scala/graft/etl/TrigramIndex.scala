@@ -206,4 +206,83 @@ object TrigramIndex {
       val base = poiView.join(ids, Seq("osm_id"), "left_semi").filter(verify)
       bboxPred.fold(base)(base.filter).limit(limitScan)
     }
+
+  /** PACKED per-gram posting arrays `(gram, col_id, ids)` — the
+    * low-latency SERVING layout: a probe reads ~|query grams| rows
+    * instead of their exploded posting rows, collects them driver-side
+    * (they are the request's working set — the classic retrieval-server
+    * shape, posting lists intersected in-process), and the main job
+    * then runs with the candidate set as a literal `InSet`, so a
+    * request is ONE aux collect with no shuffle plus the ranking job.
+    * `maxDf` bounds every array for the 100 TB case: an over-cap
+    * (ubiquitous) gram keeps its row with `ids = NULL` — a marker the
+    * probe reads as "skip this constraint" — which is distinguishable
+    * from an ABSENT gram (no postings → the token matches nothing).
+    * Dropping constraints only widens the superset; the caller's exact
+    * re-verify restores precision. */
+  def packed(index: DataFrame, maxDf: Long = Long.MaxValue): DataFrame =
+    index.groupBy(col("gram"), col("col_id"))
+      .agg(collect_list(col("osm_id")).as("all_ids"))
+      .select(col("gram"), col("col_id"),
+        when(size(col("all_ids")) <= lit(maxDf), col("all_ids")).as("ids"))
+
+  /** Driver-side probe of a [[packed]] index: candidate osm_ids where
+    * some name column contains every gram of EVERY token — the same
+    * superset contract as [[candidateIds]], intersected in-process from
+    * the collected posting arrays. None routes the caller to the scan
+    * path: a sub-gram-size token (unindexable, as in [[candidateIds]]),
+    * or a token whose every gram is ubiquity-marked in some column
+    * (nothing left to constrain that column — its candidate set would
+    * be the whole corpus, which is the scan path by definition). */
+  def probeIds(packedIx: DataFrame, tokens: Seq[String]): Option[Array[Long]] = {
+    val indexable = tokens.filter(_.length >= N)
+    if (indexable.isEmpty || indexable.size != tokens.size) return None
+    val gramSets = indexable.map(t => grams(t).distinct)
+    val allGrams = gramSets.flatten.distinct
+    val post: Map[(String, Int), Option[Array[Long]]] =
+      packedIx.filter(col("gram").isInCollection(allGrams))
+        .collect()
+        .map(r => (r.getAs[String]("gram"), r.getAs[Int]("col_id")) ->
+          Option(r.getAs[scala.collection.Seq[Long]]("ids")).map(_.toArray))
+        .toMap
+    // per (token, column): intersect the grams' posting sets (absent
+    // gram → empty set; NULL marker → constraint skipped); per token:
+    // union over columns ("some column holds every gram"); overall:
+    // intersect over tokens ("every token")
+    def colSet(gs: Seq[String], c: Int): Option[Set[Long]] = {
+      val constraints = gs.flatMap(g => post.get((g, c)) match {
+        case None => Some(Set.empty[Long]) // gram absent from the index
+        case Some(None) => None            // ubiquitous: skip
+        case Some(Some(ids)) => Some(ids.toSet)
+      })
+      if (constraints.isEmpty) None // every gram ubiquitous: unconstrained
+      else Some(constraints.reduceLeft(_ intersect _))
+    }
+    val perToken = gramSets.map { gs =>
+      (colSet(gs, 0), colSet(gs, 1)) match {
+        case (Some(a), Some(b)) => Some(a union b)
+        case _ => None // an unconstrained column widens to the corpus
+      }
+    }
+    if (perToken.exists(_.isEmpty)) return None
+    Some(perToken.flatten.reduceLeft(_ intersect _).toArray.sorted)
+  }
+
+  /** [[fetchCandidates]] over a [[packed]] index: the candidate set is
+    * intersected driver-side ([[probeIds]]) and pushed into the poi
+    * scan as an `InSet` literal — no aux shuffle, no broadcast
+    * exchange; same verify + bbox + cap tail as the row-layout path.
+    * Identical results to `Repo.fetchCandidates` up to the
+    * engine-order-dependent cap (P8), like [[fetchCandidates]]. */
+  def fetchCandidatesPacked(poiView: DataFrame, packedIx: DataFrame,
+                            nameTokens: Seq[String], bboxPred: Option[Column],
+                            limitScan: Int = 10000): Option[DataFrame] =
+    probeIds(packedIx, nameTokens).map { ids =>
+      val verify = graft.query.Repo.likePredicate(
+        nameTokens, Seq(col("name_local_norm"), col("name_en_norm")))
+      val base = poiView
+        .filter(col("osm_id").isInCollection(ids.toSeq))
+        .filter(verify)
+      bboxPred.fold(base)(base.filter).limit(limitScan)
+    }
 }

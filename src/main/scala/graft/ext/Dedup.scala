@@ -43,32 +43,34 @@ object Dedup {
     * copies of regexp_replace); per-row imperative tokenization with the
     * column-parity-tested [[Norm.canonStr]] is narrow, shuffle-free and
     * evaluates the regex exactly once per document. */
+  /** The shared canon-token array — column-side (split → filter), so
+    * every shingling/tokenizing front-end below stays inside
+    * whole-stage codegen; the former typed flatMap paid Row↔object
+    * serialization plus a per-doc regex pass outside codegen on every
+    * corpus scan of the dedup family. `Norm.canon` (column) ≡
+    * `Norm.canonStr` (the flatMap's form) is pinned by NormSpec. */
+  private def tokArray(textCol: String): Column =
+    filter(split(Norm.canon(col(textCol)), " "), t => t =!= lit(""))
+
   def docTokens(df: DataFrame, idCol: String, textCol: String,
                 distinct: Boolean = true): DataFrame = {
-    val t = flatMapTokens(df, idCol, textCol)(toks => toks.iterator)
+    val t = df.select(col(idCol).cast("long").as("id"),
+      explode(tokArray(textCol)).as("tok"))
     if (distinct) t.distinct() else t
   }
 
   /** Word n-gram shingles (n consecutive tokens joined by space) —
-    * the shingling front-end for MinHash near-dup detection. */
+    * the shingling front-end for MinHash near-dup detection. Windows
+    * built column-side (sequence → slice → concat_ws), the
+    * [[spanHashes]] construction. */
   def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
                   distinct: Boolean = true): DataFrame = {
-    val t = flatMapTokens(df, idCol, textCol)(toks =>
-      toks.sliding(n).filter(_.length == n).map(_.mkString(" ")))
+    val t = df.select(col(idCol).cast("long").as("id"), tokArray(textCol).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("t")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("tok"))
     if (distinct) t.distinct() else t
-  }
-
-  private def flatMapTokens(df: DataFrame, idCol: String, textCol: String)(
-      f: Array[String] => Iterator[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = Norm.canonStr(text).split(' ').filter(_.nonEmpty)
-        f(toks).map(tok => (id, tok))
-      }
-      .toDF("id", "tok")
   }
 
   /** MinHash signature: one min per affine permutation over the doc's
@@ -174,24 +176,79 @@ object Dedup {
     // propagation join + the convergence check), and without the
     // checkpoint every action re-executes the whole upstream pair
     // generation (e.g. the LSH pipeline) per round
+    val spark = nodes.sparkSession
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    val edgeCount = sym.count() // one cheap job over the checkpointed edges
+    // SMALL-GRAPH fast path: a near-dup edge list that fits on the
+    // driver (bounded — 1M edges ≈ 16 MB) resolves by in-process
+    // union-find instead of paying rounds × (join + checkpoint +
+    // convergence check) of per-JOB scheduling floor. Same contract,
+    // exact: roots always link toward the SMALLER id, so each root is
+    // its component's min — identical labels to the converged
+    // propagation. Nodes outside every edge stay their own component
+    // via the left join. The distributed loop below remains the 100 TB
+    // path; this is the maxLiteralTerms bounded-driver-state treatment
+    // applied to the curation graphs, which are tiny AFTER LSH pruning
+    // even when the corpus is not.
+    if (edgeCount <= 1000000L) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path-halving; pointers only ever decrease
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val es = sym.collect()
+      es.foreach { r =>
+        val ra = find(r.getLong(0))
+        val rb = find(r.getLong(1))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val endpoints = es.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      import spark.implicits._
+      val compDF = endpoints.map(i => (i, find(i))).toSeq.toDF("id", "comp")
+      return nodes.select(col("id"))
+        .join(org.apache.spark.sql.functions.broadcast(compDF), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("comp"), col("id")).as("comp"))
+    }
+    // iteration width sized to the MATERIALIZED edge list — the AQE
+    // coalescing treatment applied to a loop AQE cannot see across
+    // (every round is its own job over checkpointed inputs): label
+    // propagation shuffles ~|edges| rows per round, so a small edge set
+    // converges in narrow rounds instead of paying rounds × stages ×
+    // near-empty tasks at session width; a 100 TB edge list drives the
+    // width right back to the session default.
+    val width = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      edgeCount / 250000L + 1)).toInt
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     var it = 0
     var converged = false
-    while (!converged && it < maxIters) {
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr"))
-      val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
-        .localCheckpoint(true)
-      converged = next.filter(col("comp2") < col("comp")).isEmpty
-      labels = next.select(col("id"), col("comp2").as("comp"))
-      it += 1
-    }
+    try {
+      while (!converged && it < maxIters) {
+        val nbrMin = sym.join(labels, sym("src") === labels("id"))
+          .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr"))
+        val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
+          .localCheckpoint(true)
+        converged = next.filter(col("comp2") < col("comp")).isEmpty
+        labels = next.select(col("id"), col("comp2").as("comp"))
+        it += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
     // silent non-convergence would report one real cluster as several —
     // and the keep-one dedup policy downstream would then KEEP duplicates
     require(converged,
@@ -389,17 +446,17 @@ object Dedup {
     * [[tokenHash]], so a SQL oracle recomputes it bit-for-bit. */
   def spanHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"spanHashes needs k > 0, got $k")
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = Norm.canonStr(text).split(' ').filter(_.nonEmpty)
-        toks.sliding(k).filter(_.length == k).zipWithIndex
-          .map { case (w, i) => (id, i + 1L, w.mkString(" ")) }
-      }
-      .toDF("id", "pos", "gram")
-      .select(col("id"), col("pos"), tokenHash(col("gram")).as("whash"))
+    // column-side window construction (split → sequence → slice →
+    // concat_ws), all inside whole-stage codegen: the former typed
+    // flatMap paid Row↔object serialization plus a per-doc regex pass
+    // OUTSIDE codegen — measured ~2x slower on the span-dedup profile.
+    df.select(col(idCol).cast("long").as("id"), tokArray(textCol).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - lit(k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        tokenHash(col("col")).as("whash"))
   }
 
   /** The REMOVAL accounting of exact-substring dedup: for every doc,
@@ -411,7 +468,11 @@ object Dedup {
     * no duplicated span are absent (join back against the corpus for
     * zeros). */
   def spanRemovalCounts(spans: DataFrame, k: Int): DataFrame = {
-    val s = spans.localCheckpoint(true) // read 2x: count + join-back
+    // read 2x (count + join-back): persist, not eager localCheckpoint —
+    // lineage kept for executor-loss recompute, and no extra up-front
+    // materialization pass; the ContextCleaner reclaims the blocks once
+    // the returned plan is GC'd
+    val s = spans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = s.groupBy("whash").agg(count(lit(1)).as("n_occ"))
     s.join(cnt.filter(col("n_occ") > 1).select("whash"), "whash")
       .select(col("id"),
@@ -429,8 +490,11 @@ object Dedup {
     * by doc. The count>1 spans are exactly the removal set of
     * exact-substring dedup. */
   def spanDupProfile(spans: DataFrame): DataFrame = {
-    val cnt = spans.groupBy("whash").agg(count(lit(1)).as("n_occ"))
-    spans.join(cnt, "whash")
+    // read 2x (count + join-back): persist — without it the whole
+    // tokenize→window→hash subtree re-executes on both join inputs
+    val s = spans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = s.groupBy("whash").agg(count(lit(1)).as("n_occ"))
+    s.join(cnt, "whash")
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))

@@ -153,22 +153,38 @@ private[ext] object IndexIO {
     * per compaction marker; ordinary appends stay pure directory
     * facts. */
   def liveCommittedIds(spark: SparkSession, root: String): Seq[Int] = {
-    val all = shardIds(spark, s"$root/commits")
-    if (all.isEmpty) return all
     val fs = fsOf(spark, root)
-    val replaced = scala.collection.mutable.Set[Int]()
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/commits"), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName == "REPLACES") {
-        val buf = new Array[Byte](st.getLen.toInt)
-        val in = fs.open(st.getPath)
-        try in.readFully(0, buf) finally in.close()
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\\s+").filter(_.nonEmpty).foreach(s => replaced += s.toInt)
+    var attempts = 0
+    while (true) {
+      try {
+        val all = shardIds(spark, s"$root/commits")
+        if (all.isEmpty) return all
+        val replaced = scala.collection.mutable.Set[Int]()
+        // per-shard-dir reads, NOT a recursive listing of commits/: a
+        // recursive walk descends into a CONCURRENT appender's
+        // `_shard-staging-*` dir and can hit its files mid-rename
+        // (observed as a FileNotFound inside the listing iterator);
+        // committed shard dirs are immutable once published, so reading
+        // them directly never races an appender
+        for (k <- all) {
+          val rp = new org.apache.hadoop.fs.Path(s"$root/commits/shard=$k/REPLACES")
+          if (fs.exists(rp)) {
+            val buf = new Array[Byte](fs.getFileStatus(rp).getLen.toInt)
+            val in = fs.open(rp)
+            try in.readFully(0, buf) finally in.close()
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\\s+").filter(_.nonEmpty).foreach(s => replaced += s.toInt)
+          }
+        }
+        return all.filterNot(replaced)
+      } catch {
+        // a compact's post-commit cleanup (single-writer) may delete a
+        // superseded marker between our listing and read — re-list and
+        // resolve against the post-cleanup state
+        case _: java.io.FileNotFoundException if attempts < 3 => attempts += 1
       }
     }
-    all.filterNot(replaced)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Serving guard for an EMPTY committed set: legitimate only for a

@@ -114,10 +114,14 @@ object Fixtures {
     // the index gets its own memo entry so clear() unpersists it (the
     // engine's close() only owns its internal admin cache)
     val ix = memo(s, dir, "nameIndex") {
-      // gram-sorted within partitions: cached columnar batches keep
-      // min/max stats, so a per-request gram-IN probe prunes whole
-      // batches instead of filtering every cached row
-      TrigramIndex.build(pois).repartition(width(s), col("gram"))
+      // PACKED per-gram posting arrays ([[TrigramIndex.packed]]): a
+      // request probes ~|query grams| rows driver-side and ranks with
+      // the candidate set as an InSet literal — no aux shuffle or
+      // broadcast per request. Gram-sorted within partitions: cached
+      // columnar batches keep min/max stats, so the gram-IN probe
+      // prunes whole batches instead of filtering every cached row
+      TrigramIndex.packed(TrigramIndex.build(pois))
+        .repartition(width(s), col("gram"))
         .sortWithinPartitions("gram").persist()
     }
     memo(s, dir, "engineIndexed") {

@@ -65,10 +65,18 @@ class ScoutEngine(
     val bbox = Repo.resolveAreaBbox(adminCached, req.cityHint, req.country)
     // trigram-index path when one is attached and every token is
     // indexable; identical results (TrigramIndexSpec) — falls back to
-    // the scan path otherwise
+    // the scan path otherwise. A PACKED index (per-gram posting arrays,
+    // `ids` column — [[graft.etl.TrigramIndex.packed]]) probes
+    // driver-side and skips the aux shuffle + broadcast the row layout
+    // pays per request.
     val candidates = nameIndex
-      .flatMap(ix => graft.etl.TrigramIndex.fetchCandidates(
-        poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan))
+      .flatMap { ix =>
+        if (ix.columns.contains("ids"))
+          graft.etl.TrigramIndex.fetchCandidatesPacked(
+            poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan)
+        else graft.etl.TrigramIndex.fetchCandidates(
+          poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan)
+      }
       .getOrElse(Repo.fetchCandidates(poiView, nameTokens, bbox, limitScan))
     Ranking.rank(candidates, texts, bbox, settings, req.limit)
   }
@@ -104,9 +112,11 @@ class ScoutEngine(
       texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     ).toDF("qid", "text")
     val ranked = nameIndex match {
-      case Some(ix) =>
+      // the bulk join needs the ROW posting layout; a packed serving
+      // index (`ids` arrays) routes to the scan join instead
+      case Some(ix) if !ix.columns.contains("ids") =>
         GeocodeJoin.topKIndexed(queries, poiView, ix, settings, limit)
-      case None => GeocodeJoin.topK(queries, poiView, settings, limit)
+      case _ => GeocodeJoin.topK(queries, poiView, settings, limit)
     }
     // the ranked rows are ≤ |texts| × k — broadcast them back onto the
     // poi view for the admin columns instead of shuffling the gazetteer

@@ -203,13 +203,27 @@ object StreamOps {
     * drains everything then stops — deterministic, oracle-checkable. */
   def replayToTable(spark: SparkSession, streamed: DataFrame,
                     name: String, outputMode: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // a COMPLETE-mode drain never benefits from the trailing NO-DATA
+    // micro-batch: complete mode re-emits the whole aggregate state
+    // every batch, so the extra batch re-runs the aggregate + sink
+    // write for identical output — a full batch of fixed cost per
+    // replay. APPEND mode is the opposite: watermark-gated operators
+    // (windowed aggregates, dedup) only FLUSH closed groups when the
+    // watermark advances, which for a drain IS the trailing no-data
+    // batch — disabling it there silently drops the final results
+    // (pinned by the chained-stateful StreamOpsSpec case).
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(noDataKey)
+    if (outputMode == "complete") spark.conf.set(noDataKey, "false")
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set(noDataKey, prev)
   }
 }

@@ -106,6 +106,44 @@ class TrigramIndexSpec extends SparkSpec {
     dfs.unpersist()
   }
 
+  private lazy val packedIx = TrigramIndex.packed(index)
+
+  private def packedIds(tokens: Seq[String]): Option[Set[Long]] =
+    TrigramIndex.fetchCandidatesPacked(pois, packedIx, tokens, None)
+      .map(_.select("osm_id").as[Long].collect().toSet)
+
+  test("packed probe returns exactly the scan-path results") {
+    for (tokens <- Seq(
+        Seq("dining"), Seq("mono"), Seq("mono", "dining"),
+        Seq("market"), Seq("zzz"), Seq("ing", "hall"),
+        Seq("central"), Seq("ph din"))) {
+      assert(packedIds(tokens).contains(scanIds(tokens)), s"tokens=$tokens")
+    }
+  }
+
+  test("packed probe: short tokens fall back to the scan path (None)") {
+    assert(TrigramIndex.fetchCandidatesPacked(pois, packedIx, Seq("ab"), None).isEmpty)
+    assert(TrigramIndex.fetchCandidatesPacked(pois, packedIx, Seq("abc", "x"), None).isEmpty)
+  }
+
+  test("packed maxDf markers: cut grams skip their constraint (superset), " +
+      "fully-ubiquitous tokens bail to the scan path") {
+    // df=2 marks the most common grams NULL; the probe must still return
+    // a SUPERSET of the scan result for every query (re-verify narrows)
+    val cut = TrigramIndex.packed(index, maxDf = 2L)
+    for (tokens <- Seq(Seq("dining"), Seq("mono", "dining"), Seq("market"))) {
+      TrigramIndex.probeIds(cut, tokens) match {
+        case Some(ids) => assert(scanIds(tokens).subsetOf(ids.toSet), s"tokens=$tokens")
+        case None => () // every gram of some (token, column) cut: scan-path bail is legal
+      }
+    }
+    // an absent gram still kills the token: zzz matches nothing
+    assert(TrigramIndex.probeIds(cut, Seq("zzz")).exists(_.isEmpty))
+    // df=0 marks EVERY present gram: nothing left to constrain -> bail
+    assert(TrigramIndex.probeIds(TrigramIndex.packed(index, maxDf = 0L),
+      Seq("dining")).isEmpty)
+  }
+
   test("gram extraction") {
     assert(TrigramIndex.grams("abcd") == Seq("abc", "bcd"))
     assert(TrigramIndex.grams("ab").isEmpty)
