@@ -234,39 +234,127 @@ object TrigramIndex {
     * or a token whose every gram is ubiquity-marked in some column
     * (nothing left to constrain that column — its candidate set would
     * be the whole corpus, which is the scan path by definition). */
-  def probeIds(packedIx: DataFrame, tokens: Seq[String]): Option[Array[Long]] = {
-    val indexable = tokens.filter(_.length >= N)
-    if (indexable.isEmpty || indexable.size != tokens.size) return None
-    val gramSets = indexable.map(t => grams(t).distinct)
-    val allGrams = gramSets.flatten.distinct
-    val post: Map[(String, Int), Option[Array[Long]]] =
-      packedIx.filter(col("gram").isInCollection(allGrams))
-        .collect()
+  def probeIds(packedIx: DataFrame, tokens: Seq[String]): Option[Array[Long]] =
+    indexableGramSets(tokens).flatMap { gramSets =>
+      val allGrams = gramSets.flatten.distinct
+      val rows = packedIx.filter(col("gram").isInCollection(allGrams)).collect()
         .map(r => (r.getAs[String]("gram"), r.getAs[Int]("col_id")) ->
-          Option(r.getAs[scala.collection.Seq[Long]]("ids")).map(_.toArray))
+          Option(r.getAs[scala.collection.Seq[Long]]("ids")).map { s =>
+            val arr = s.toArray
+            java.util.Arrays.sort(arr) // the merge algebra's invariant
+            arr
+          })
         .toMap
-    // per (token, column): intersect the grams' posting sets (absent
-    // gram → empty set; NULL marker → constraint skipped); per token:
-    // union over columns ("some column holds every gram"); overall:
-    // intersect over tokens ("every token")
-    def colSet(gs: Seq[String], c: Int): Option[Set[Long]] = {
-      val constraints = gs.flatMap(g => post.get((g, c)) match {
-        case None => Some(Set.empty[Long]) // gram absent from the index
-        case Some(None) => None            // ubiquitous: skip
-        case Some(Some(ids)) => Some(ids.toSet)
-      })
+      // normalize to the intersect contract: every requested (gram, col)
+      // resolves — absent pairs to empty postings
+      val post = allGrams.flatMap(g => Seq(0, 1).map(c =>
+        (g, c) -> rows.getOrElse((g, c), Some(Array.empty[Long])))).toMap
+      intersectPost(post, gramSets)
+    }
+
+  private def indexableGramSets(tokens: Seq[String]): Option[Seq[Seq[String]]] = {
+    val indexable = tokens.filter(_.length >= N)
+    if (indexable.isEmpty || indexable.size != tokens.size) None
+    else Some(indexable.map(t => grams(t).distinct))
+  }
+
+  /** The probe's intersection core over resolved postings (`None` value
+    * = ubiquity marker → constraint skipped; empty array = absent gram
+    * → the token matches nothing): per (token, column) intersect the
+    * grams' posting sets; per token union over columns ("some column
+    * holds every gram"); overall intersect over tokens ("every token").
+    * All set algebra runs on SORTED primitive long arrays (two-pointer
+    * merges, smallest-first) — `Set[Long]` boxing made wide first-token
+    * probes driver-bound at the 10× corpus. Inputs are sorted at load
+    * ([[probeIds]] / [[PostingCache]]); output stays sorted. */
+  private def intersectPost(post: Map[(String, Int), Option[Array[Long]]],
+                            gramSets: Seq[Seq[String]]): Option[Array[Long]] = {
+    def colArr(gs: Seq[String], c: Int): Option[Array[Long]] = {
+      val constraints = gs.flatMap(g => post((g, c)))
       if (constraints.isEmpty) None // every gram ubiquitous: unconstrained
-      else Some(constraints.reduceLeft(_ intersect _))
+      else Some(constraints.sortBy(_.length).reduceLeft(intersectSorted))
     }
     val perToken = gramSets.map { gs =>
-      (colSet(gs, 0), colSet(gs, 1)) match {
-        case (Some(a), Some(b)) => Some(a union b)
+      (colArr(gs, 0), colArr(gs, 1)) match {
+        case (Some(a), Some(b)) => Some(unionSorted(a, b))
         case _ => None // an unconstrained column widens to the corpus
       }
     }
-    if (perToken.exists(_.isEmpty)) return None
-    Some(perToken.flatten.reduceLeft(_ intersect _).toArray.sorted)
+    if (perToken.exists(_.isEmpty)) None
+    else Some(perToken.flatten.sortBy(_.length).reduceLeft(intersectSorted))
   }
+
+  private def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.ofDim[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { out(k) = a(i); k += 1; i += 1; j += 1 }
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
+  private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.ofDim[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length || j < b.length) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (k == 0 || out(k - 1) != v) { out(k) = v; k += 1 }
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Bounded driver-side LRU over a [[packed]] index's per-gram rows —
+    * the in-process posting cache a retrieval server fronts its stored
+    * postings with: misses fetch through ONE filtered collect over the
+    * gram-sorted cached relation, hits cost driver-map lookups only, so
+    * a warm request runs ZERO auxiliary jobs before its ranking job.
+    * Memory is bounded by entry count × the pack-time `maxDf` array
+    * bound, flat at any corpus size; eviction is access-order LRU.
+    * Thread-safe (one lock — the fetch is the only slow path). */
+  final class PostingCache(packedIx: DataFrame, maxGrams: Int = 65536) {
+    private type Entry = (Option[Array[Long]], Option[Array[Long]])
+    private val cache = new java.util.LinkedHashMap[String, Entry](256, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
+        size() > maxGrams
+    }
+    def postings(allGrams: Seq[String]): Map[(String, Int), Option[Array[Long]]] =
+      synchronized {
+        val missing = allGrams.filterNot(cache.containsKey)
+        if (missing.nonEmpty) {
+          val fetched = packedIx.filter(col("gram").isInCollection(missing))
+            .collect().groupBy(_.getAs[String]("gram"))
+          for (g <- missing) {
+            val rows = fetched.getOrElse(g, Array.empty)
+            def colIds(c: Int): Option[Array[Long]] =
+              rows.find(_.getAs[Int]("col_id") == c) match {
+                case Some(r) =>
+                  // null ids = pack-time ubiquity marker (skip), kept as None
+                  Option(r.getAs[scala.collection.Seq[Long]]("ids")).map { s =>
+                    val arr = s.toArray
+                    java.util.Arrays.sort(arr) // the merge algebra's invariant
+                    arr
+                  }
+                case None => Some(Array.empty[Long]) // absent gram: no postings
+              }
+            cache.put(g, (colIds(0), colIds(1)))
+          }
+        }
+        allGrams.flatMap { g =>
+          val (c0, c1) = cache.get(g)
+          Seq((g, 0) -> c0, (g, 1) -> c1)
+        }.toMap
+      }
+  }
+
+  /** [[probeIds]] through a [[PostingCache]] — the warm-path form. */
+  def probeIdsCached(cache: PostingCache, tokens: Seq[String]): Option[Array[Long]] =
+    indexableGramSets(tokens).flatMap { gramSets =>
+      intersectPost(cache.postings(gramSets.flatten.distinct), gramSets)
+    }
 
   /** [[fetchCandidates]] over a [[packed]] index: the candidate set is
     * intersected driver-side ([[probeIds]]) and pushed into the poi
@@ -276,13 +364,42 @@ object TrigramIndex {
     * engine-order-dependent cap (P8), like [[fetchCandidates]]. */
   def fetchCandidatesPacked(poiView: DataFrame, packedIx: DataFrame,
                             nameTokens: Seq[String], bboxPred: Option[Column],
-                            limitScan: Int = 10000): Option[DataFrame] =
-    probeIds(packedIx, nameTokens).map { ids =>
+                            limitScan: Int = 10000,
+                            cache: Option[PostingCache] = None,
+                            maxCandidates: Int = 4096): Option[DataFrame] = {
+    val ids = cache match {
+      case Some(c) => probeIdsCached(c, nameTokens)
+      case None => probeIds(packedIx, nameTokens)
+    }
+    // SELECTIVITY routing: a probe matching more than `maxCandidates`
+    // ids prunes nothing worth the narrowing plan's extra legs — the
+    // verify predicate alone does the work, i.e. the SCAN plan, so
+    // route there (None) instead of serving the scan's job with an
+    // index toll on top. The classic optimizer rule (skip an index
+    // below some selectivity), applied at serve time where the probe
+    // has just measured its own selectivity for free.
+    ids.filter(_.length <= maxCandidates).map { arr =>
       val verify = graft.query.Repo.likePredicate(
         nameTokens, Seq(col("name_local_norm"), col("name_en_norm")))
-      val base = poiView
-        .filter(col("osm_id").isInCollection(ids.toSeq))
-        .filter(verify)
+      // narrow candidate sets ride as an IN literal (InSet after
+      // OptimizeIn); wide ones (first-token probes at large corpora)
+      // become a broadcast of a LOCAL relation — an In with tens of
+      // thousands of literal children costs more to ANALYZE per request
+      // than the ranking job itself, and a raw InSet over the cached
+      // scan measured slower still (per-row boxed set probes across the
+      // whole corpus vs a hashed semi-join over it)
+      val narrowed =
+        if (arr.length <= 1024)
+          poiView.filter(col("osm_id").isInCollection(arr.toSeq))
+        else {
+          val spark = poiView.sparkSession
+          import spark.implicits._
+          poiView.join(
+            org.apache.spark.sql.functions.broadcast(arr.toSeq.toDF("osm_id")),
+            Seq("osm_id"), "left_semi")
+        }
+      val base = narrowed.filter(verify)
       bboxPred.fold(base)(base.filter).limit(limitScan)
     }
+  }
 }

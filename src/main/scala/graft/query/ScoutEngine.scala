@@ -52,6 +52,13 @@ class ScoutEngine(
 
   private val adminCached: DataFrame = admin.cache()
 
+  // in-process posting cache over a PACKED name index: warm requests
+  // probe entirely on the driver — no auxiliary job before the ranking
+  // job ([[graft.etl.TrigramIndex.PostingCache]]; bounded LRU)
+  private val packedCache: Option[graft.etl.TrigramIndex.PostingCache] =
+    nameIndex.filter(_.columns.contains("ids"))
+      .map(new graft.etl.TrigramIndex.PostingCache(_))
+
   /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */
   def forwardDF(req: ForwardReq, limitScan: Int = 10000): DataFrame = {
     val texts = req.candidates.map(_.text)
@@ -73,7 +80,8 @@ class ScoutEngine(
       .flatMap { ix =>
         if (ix.columns.contains("ids"))
           graft.etl.TrigramIndex.fetchCandidatesPacked(
-            poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan)
+            poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan,
+            cache = packedCache)
         else graft.etl.TrigramIndex.fetchCandidates(
           poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan)
       }

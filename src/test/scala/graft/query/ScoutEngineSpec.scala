@@ -80,6 +80,36 @@ class ScoutEngineSpec extends SparkSpec {
 
   test("healthz") { assert(engine.healthy) }
 
+  test("packed-index engine answers every request shape identically to the scan engine") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    def poi(id: Long, name: String, kv: (String, String), lat: Double, lon: Double) =
+      Row(id, name, Map(kv), s"POINT($lon $lat)")
+    val rows = Seq(
+      poi(1L, "Monograph Dining", "amenity" -> "restaurant", 3.139, 101.6869),
+      poi(2L, "Monogram Cafe", "amenity" -> "cafe", 3.15, 101.71),
+      poi(3L, "Dining Museum", "tourism" -> "museum", 1.30, 103.85),
+      Row(100L, "Malaysia", Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val pois = GazetteerBuilder.buildPois(raw)
+    val admin = GazetteerBuilder.buildAdmin(raw)
+    val scan = new ScoutEngine(spark, pois, admin, Settings())
+    val packed = new ScoutEngine(spark, pois, admin, Settings(),
+      nameIndex = Some(graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(pois))))
+    val reqs = Seq(
+      ForwardReq(Seq(ForwardCandidate("Monograph Dining")), limit = 3),
+      ForwardReq(Seq(ForwardCandidate("dining")), limit = 5),
+      ForwardReq(Seq(ForwardCandidate("dining")), country = Some("malaysia"), limit = 5),
+      ForwardReq(Seq(ForwardCandidate("zz")), limit = 3), // short token: scan fallback
+      ForwardReq(Seq(ForwardCandidate("")), limit = 3))
+    for (r <- reqs)
+      assert(packed.forward(r) == scan.forward(r), s"request $r diverged")
+  }
+
   test("forwardDS: typed Dataset[Hit] surface composes with typed transforms") {
     val ds = engine.forwardDS(ForwardReq(Seq(ForwardCandidate("dining")), limit = 5))
     val names = ds.filter(_.score > 0.0).map(_.name)(
