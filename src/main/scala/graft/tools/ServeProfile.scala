@@ -71,9 +71,20 @@ object ServeProfile {
     val scan = measure("scan", t => scanEngine.forward(request(t)).size)
     val indexed = measure("indexed", t => indexedEngine.forward(request(t)).size)
 
+    // BULK tier: the same request mix as ONE distributed job
+    // (`ScoutEngine.bulk` — the per-request job floor amortizes across
+    // the batch); reported as amortized ms per request
+    scanEngine.bulk(texts, limit = 5) // warmup
+    val t0 = System.nanoTime()
+    val bulkHits = scanEngine.bulk(texts, limit = 5).map(_.size).sum
+    val bulkMs = (System.nanoTime() - t0) / 1e6
+    println(f"bulk     n=${texts.size} total=${bulkMs}%.1f ms  " +
+      f"amortized=${bulkMs / texts.size}%.1f ms/req  hits=$bulkHits")
+
     println(s"""{"metric":"serve_latency_ms","sf":"$sfDir","n":${scan.size},""" +
       f""""scan_p50":${pct(scan, 0.5)}%.1f,"scan_p95":${pct(scan, 0.95)}%.1f,""" +
-      f""""indexed_p50":${pct(indexed, 0.5)}%.1f,"indexed_p95":${pct(indexed, 0.95)}%.1f}""")
+      f""""indexed_p50":${pct(indexed, 0.5)}%.1f,"indexed_p95":${pct(indexed, 0.95)}%.1f,""" +
+      f""""bulk_amortized":${bulkMs / texts.size}%.1f}""")
     spark.stop()
   }
 }
