@@ -115,7 +115,10 @@ object Dedup {
 
   private def minhashLshPairsInline(sigIn: DataFrame, numHashes: Int,
                                     rowsPerBand: Int): DataFrame = {
-    val sig = sigIn.localCheckpoint(true)
+    // read by every band branch + both scoring joins: persist (lazy,
+    // lineage kept) — the former EAGER localCheckpoint paid one extra
+    // full materialization pass before the first real action
+    val sig = sigIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = MinHashIndex.bands(sig, numHashes, rowsPerBand)
     val l = bands.as("l")
     val r = bands.as("r")
@@ -282,13 +285,13 @@ object Dedup {
   def contaminationPairs(df: DataFrame, idCol: String, textCol: String,
                          testPred: Column, n: Int): DataFrame = {
     val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
-    // materialized once: the self-join below reads `sh` twice, and the
-    // shingle generation + distinct shuffle is the dominant cost — the
-    // same reason connectedComponents checkpoints its edge list
+    // the self-join below reads `sh` twice, and the shingle generation
+    // + distinct shuffle is the dominant cost: persist (lazy, lineage
+    // kept) — the former eager localCheckpoint paid one extra pass
     val sh = docShingles(df, idCol, textCol, n)
       .join(flags, "id")
       .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.filter(col("is_test")).select(col("id").as("test_id"), col("h"))
       .join(sh.filter(!col("is_test")).select(col("id").as("train_id"), col("h")), "h")
       .groupBy("test_id", "train_id")
@@ -312,11 +315,12 @@ object Dedup {
   def containmentScores(df: DataFrame, idCol: String, textCol: String,
                         testPred: Column, n: Int): DataFrame = {
     val flags = df.select(col(idCol).cast("long").as("id"), testPred.as("is_test"))
-    // materialized once — feeds the train-hash set AND the test side
+    // feeds the train-hash set AND the test side: persist, not an
+    // eager checkpoint (same trade as contaminationPairs)
     val sh = docShingles(df, idCol, textCol, n)
       .join(flags, "id")
       .select(col("id"), col("is_test"), tokenHash(col("tok")).as("h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainH = sh.filter(!col("is_test")).select("h").distinct()
     val test = sh.filter(col("is_test"))
     val shared = test.join(trainH, Seq("h"), "left_semi")
@@ -371,7 +375,9 @@ object Dedup {
     // from the scan through the bloom filter into the verify join
     val testH = docShingles(df.filter(testPred), idCol, textCol, n)
       .select(tokenHash(col("tok")).as("h")).distinct()
-      .localCheckpoint(true) // read 3x: sizing count + bloom build + verify
+      // read 3x (sizing count + bloom build + verify): persist — the
+      // sizing count doubles as the materializing action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected =
       if (expectedTestShingles > 0) expectedTestShingles
       else math.max(testH.count(), 1L)
