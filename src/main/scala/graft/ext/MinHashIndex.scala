@@ -68,15 +68,21 @@ object MinHashIndex {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes must be a multiple of rowsPerBand=$rowsPerBand")
     val spark = sig.sparkSession
-    sig
-      .repartitionByRange(partitions, col("id"))
-      .sortWithinPartitions("id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
-    val sigStored = spark.read.parquet(s"$staging/signatures")
-    bands(sigStored, numHashes, rowsPerBand)
-      .repartitionByRange(partitions, col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket", "id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
+    // persist: the signature write job materializes the cache, and the
+    // band derivation's per-band branches read IT — one aggregate run,
+    // without the former write-out/read-back of the signature parquet
+    // (lineage kept, unlike a checkpoint, so an executor loss recomputes)
+    val sigCached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigCached
+        .repartitionByRange(partitions, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
+      bands(sigCached, numHashes, rowsPerBand)
+        .repartitionByRange(partitions, col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket", "id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
+    } finally sigCached.unpersist(false)
     // the shard-commit marker ships with the build (whole staging dir
     // publishes in one rename), so every index born here is marker-aware
     IndexIO.commitShard(spark, staging, 0)
@@ -229,18 +235,24 @@ object MinHashIndex {
     // next compact reclaims it
     val next = IndexIO.claimShardId(spark, path, Seq("signatures", "buckets"))
     val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
-    Dedup.minhashSignature(tokens, numHashes)
-      .repartitionByRange(partitions, col("id"))
-      .sortWithinPartitions("id")
-      .write.mode(SaveMode.Overwrite).parquet(sigStaging)
-    IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
-    val newSig = spark.read.parquet(s"$path/signatures/shard=$next")
-    val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
-    bands(newSig, numHashes, rowsPerBand)
-      .repartitionByRange(partitions, col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket", "id")
-      .write.mode(SaveMode.Overwrite).parquet(bktStaging)
-    IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
+    // persist, as in [[buildStaged]]: the signature write materializes
+    // the cache; the band branches read it instead of re-running the
+    // tokenize→min aggregate or re-reading the just-written parquet
+    val newSig = Dedup.minhashSignature(tokens, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      newSig
+        .repartitionByRange(partitions, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode(SaveMode.Overwrite).parquet(sigStaging)
+      IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
+      val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
+      bands(newSig, numHashes, rowsPerBand)
+        .repartitionByRange(partitions, col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket", "id")
+        .write.mode(SaveMode.Overwrite).parquet(bktStaging)
+      IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
+    } finally newSig.unpersist(false)
     // marker LAST: this rename is the commit point
     IndexIO.commitShard(spark, path, next)
   }
