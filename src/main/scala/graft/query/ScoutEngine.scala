@@ -156,6 +156,46 @@ class ScoutEngine(
     texts.indices.map(i => byQid.getOrElse(i.toLong, IndexedSeq.empty))
   }
 
+  /** REVERSE geocode: nearest POI per (lat, lon) point — the spatial
+    * twin of [[bulk]] (the whole point list serves as ONE distributed
+    * job), answered by the density-derived grid join
+    * ([[ReverseGeocode.nearestAuto]] — bounded per-query work at any
+    * corpus density). Returns, per input point in request order, the
+    * nearest POI as a [[Hit]] (score carries 0.0 — ranking is by
+    * distance, which returns alongside in km) or None when no POI lies
+    * within ~a derived cell width of the point. */
+  def reverse(points: Seq[(Double, Double)]): Seq[Option[(Hit, Double)]] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (points.isEmpty) return Seq.empty
+    val pts = spark.createDataFrame(
+      points.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
+    ).toDF("qid", "lat", "lon")
+    val nearest = ReverseGeocode.nearestAuto(pts, poiView)
+    // ≤ one row per point: broadcast them back onto the poi view for
+    // the full Hit surface instead of shuffling the gazetteer
+    val rows = poiView
+      .join(broadcast(nearest), Seq("osm_id"))
+      .select(col("qid"), col("dist_km"), col("osm_id"),
+        org.apache.spark.sql.functions.coalesce(
+          col("name_local"), col("name_en")).as("name"),
+        col("lat"), col("lon"), col("country"), col("state"), col("city"),
+        col("kind"))
+      .collect()
+    val byQid = rows.map { r =>
+      r.getAs[Long]("qid") -> (Hit(
+        name = r.getAs[String]("name"),
+        lat = r.getAs[Double]("lat"),
+        lon = r.getAs[Double]("lon"),
+        country = Option(r.getAs[String]("country")),
+        state = Option(r.getAs[String]("state")),
+        city = Option(r.getAs[String]("city")),
+        osmId = r.getAs[Long]("osm_id"),
+        kind = r.getAs[String]("kind"),
+        score = 0.0), r.getAs[Double]("dist_km"))
+    }.toMap
+    points.indices.map(i => byQid.get(i.toLong))
+  }
+
   /** `GET /healthz` analogue (`app.py:116-118`). */
   def healthy: Boolean = spark.range(1).count() == 1
 

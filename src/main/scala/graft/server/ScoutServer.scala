@@ -127,6 +127,42 @@ class ScoutServer(engine: ScoutEngine, port: Int = 8000, threads: Int = 8) {
     }
   })
 
+  /** REVERSE endpoint — the spatial complement the reference lacks:
+    * `{points:[{lat, lon}]}` → `{results:[{lat, lon, hit: {...,
+    * dist_km} | null}]}` in request order; the whole point list serves
+    * as one distributed grid join ([[ScoutEngine.reverse]]). */
+  server.createContext("/v1/geocode/reverse", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"detail": "Method Not Allowed"}""", t0)
+        return
+      }
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val o = Json.parse(body).asObj
+        val pts = o("points").asArr.map { p =>
+          val po = p.asObj
+          (po("lat") match { case Num(d) => d; case v => sys.error(s"bad lat: $v") },
+            po("lon") match { case Num(d) => d; case v => sys.error(s"bad lon: $v") })
+        }
+        val results = engine.reverse(pts)
+        respond(ex, 200, write(Obj(Map("results" -> Arr(
+          pts.zip(results).map { case ((la, lo), r) =>
+            Obj(Map("lat" -> Num(la), "lon" -> Num(lo),
+              "hit" -> r.map { case (h, dist) =>
+                val Obj(m) = hitJson(h): @unchecked
+                Obj(m - "score" + ("dist_km" -> Num(dist)))
+              }.getOrElse(Null)))
+          })))), t0)
+      } catch {
+        case e: Exception =>
+          respond(ex, 422, write(Obj(Map("detail" -> Str(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))), t0)
+      }
+    }
+  })
+
   def start(): ScoutServer = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -133,6 +133,28 @@ class ScoutServerSpec extends SparkSpec {
     assert(mcode == 405)
   }
 
+  test("reverse geocode over HTTP: nearest POI with distance; empty-area point -> null hit") {
+    // point right next to the only POI; second point in the open ocean
+    val (code, body, _) = http("POST", "/v1/geocode/reverse",
+      """{"points":[{"lat": 3.14, "lon": 101.69}, {"lat": -60.0, "lon": -150.0}]}""")
+    assert(code == 200, body)
+    val results = Json.parse(body).asObj("results").asArr
+    assert(results.size == 2)
+    val hit = results.head.asObj("hit").asObj
+    assert(hit("name").asStr == "Monograph Dining")
+    assert(hit("osm_id") match { case Json.Num(d) => d == 1.0; case _ => false })
+    assert(hit.get("dist_km").exists { case Json.Num(d) => d >= 0 && d < 2; case _ => false })
+    assert(!hit.contains("score"), "reverse hits rank by distance, not score")
+    assert(results(1).asObj("hit") == Json.Null)
+  }
+
+  test("reverse malformed body -> 422; wrong method -> 405") {
+    val (c1, b1, _) = http("POST", "/v1/geocode/reverse", """{"points": "nope"}""")
+    assert(c1 == 422 && b1.contains("detail"))
+    val (c2, _, _) = http("GET", "/v1/geocode/reverse")
+    assert(c2 == 405)
+  }
+
   test("json codec round-trips escapes") {
     val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
     val round = Json.parse(Json.write(v))
