@@ -53,7 +53,7 @@ object StreamingQueries {
 
   val stReplayHourly = Q("st_replay_hourly",
     (s, dir) => {
-      val replayed = withShufflePartitions(s, 8) {
+      val replayed = withShufflePartitions(s, 4) {
         val agg = StreamOps.hourlyEventCounts(eventsStream(s, dir))
         StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
       }
@@ -140,7 +140,7 @@ object StreamingQueries {
     * the plain batch join + group (replay has no late data). */
   val stEnrich = Q("st_enrich",
     (s, dir) => {
-      val replayed = withShufflePartitions(s, 8) {
+      val replayed = withShufflePartitions(s, 4) {
         val dim = Tables.table(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         val agg = StreamOps.enrichedDailyCounts(eventsStream(s, dir), dim)
@@ -166,7 +166,7 @@ object StreamingQueries {
   val stStreamDedup = Q("st_stream_dedup",
     (s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val replayed = withShufflePartitions(s, 8) {
+      val replayed = withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
         val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
         StreamOps.replayToTable(s, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
@@ -225,7 +225,7 @@ object StreamingQueries {
       val buckets = s.read.parquet(s"$idxPath/buckets")
         .select(col("band"), col("bucket"), col("id").as("index_id"))
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val replayed = withShufflePartitions(s, 8) {
+      val replayed = withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") >= 100 && col("doc_id") < 200)
         val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
@@ -277,7 +277,7 @@ object StreamingQueries {
         // appended since the previous one
         val buckets = s.read.parquet(s"$idxPath/buckets")
           .select(col("band"), col("bucket"), col("id").as("index_id"))
-        withShufflePartitions(s, 8) {
+        withShufflePartitions(s, 4) {
           val stream = tableStream(s, dir, "documents", schema)
             .filter(col("doc_id") >= lo && col("doc_id") < hi)
           val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
@@ -341,7 +341,7 @@ object StreamingQueries {
           Tables.table(s, dir, "documents").filter(col("doc_id") % 3 === 0), p)
       }
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") % 3 =!= 0)
         val q = stream.writeStream
