@@ -262,6 +262,50 @@ class TextIndexSpec extends SparkSpec {
     assert(IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
   }
 
+  test("compactSmall crash AFTER the REPLACES commit: resurrected folded " +
+      "shards stay invisible to serving and the next maintenance reclaims them") {
+    val path = freshPath("tiered-crash")
+    TextIndex.write(corpus.filter(col("doc_id") < 6), path)
+    TextIndex.append(corpus.filter(col("doc_id") === 6), path)
+    TextIndex.append(corpus.filter(col("doc_id") === 7), path)
+    // snapshot the soon-to-fold shards' dirs so the post-commit cleanup
+    // crash (REPLACES marker landed, physical deletes did not) can be
+    // reconstructed exactly
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).foreach(_.foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName))))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    val stash = java.nio.file.Files.createTempDirectory("graft-crash-stash").toString
+    val tables = Seq("postings", "doclens", "stats", "commits")
+    for (t <- tables; k <- Seq(1, 2))
+      copyTree(new java.io.File(s"$path/$t/shard=$k"),
+        new java.io.File(s"$stash/$t/shard=$k"))
+    val bigBytes = Seq("postings", "doclens", "stats")
+      .map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=0")).sum
+    val folded = TextIndex.compactSmall(spark, path, maxShardBytes = bigBytes - 1)
+    assert(folded == Seq(1, 2))
+    val healthy = serve(path)
+    // crash reconstruction: the folded shards (markers AND table
+    // shards) come back from the stash — exactly the state a crash
+    // between commitShard(replaces) and the deletes leaves behind
+    for (t <- tables; k <- Seq(1, 2))
+      copyTree(new java.io.File(s"$stash/$t/shard=$k"),
+        new java.io.File(s"$path/$t/shard=$k"))
+    // 1. readers never see the superseded shards: the REPLACES marker,
+    // not their physical absence, is what makes them dead
+    assert(IndexIO.liveCommittedIds(spark, path) == Seq(0, 3))
+    assert(serve(path) == healthy,
+      "a reader must serve identically across the crash window")
+    // 2. the next maintenance pass reclaims the garbage for good
+    assert(TextIndex.compactSmall(spark, path, maxShardBytes = 1).isEmpty)
+    assert(IndexIO.shardIds(spark, s"$path/postings") == Seq(0, 3),
+      "reconcile must physically drop the resurrected folded shards")
+    assert(IndexIO.shardIds(spark, s"$path/commits") == Seq(0, 3))
+    assert(serve(path) == healthy)
+  }
+
   test("compact sweeps crashed-build staging leftovers, asides survive") {
     val path = freshPath("gc")
     TextIndex.write(corpus, path)
