@@ -229,6 +229,49 @@ class MinHashIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("no commit markers"))
   }
 
+  test("compactSmall crash after the REPLACES commit: resurrected folded " +
+      "shards are invisible and the next maintenance reclaims them") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-crash").toString + "/idx"
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    MinHashIndex.write(toksOf(col("doc_id") <= 3), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toksOf(col("doc_id") === 4L), pA, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toksOf(col("doc_id") === 5L), pA, NumHashes, rowsPerBand = 2)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).foreach(_.foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName))))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    val stash = java.nio.file.Files.createTempDirectory("graft-mh-stash").toString
+    val tables = Seq("signatures", "buckets", "commits")
+    for (t <- tables; k <- Seq(1, 2))
+      copyTree(new java.io.File(s"$pA/$t/shard=$k"),
+        new java.io.File(s"$stash/$t/shard=$k"))
+    val bigBytes = Seq("signatures", "buckets")
+      .map(t => IndexIO.dirBytes(spark, s"$pA/$t/shard=0")).sum
+    assert(MinHashIndex.compactSmall(spark, pA, maxShardBytes = bigBytes - 1)
+      == Seq(1, 2))
+    val healthy = MinHashIndex.pairs(spark, pA, NumHashes)
+      .orderBy("a", "b").collect()
+    // crash reconstruction: REPLACES marker landed, physical deletes did
+    // not — the folded shards (markers AND table shards) come back
+    for (t <- tables; k <- Seq(1, 2))
+      copyTree(new java.io.File(s"$stash/$t/shard=$k"),
+        new java.io.File(s"$pA/$t/shard=$k"))
+    assert(IndexIO.liveCommittedIds(spark, pA) == Seq(0, 3))
+    assert(MinHashIndex.pairs(spark, pA, NumHashes)
+      .orderBy("a", "b").collect().sameElements(healthy),
+      "a reader must serve identically across the crash window")
+    // the next maintenance pass reconciles the garbage away for good
+    assert(MinHashIndex.compactSmall(spark, pA, maxShardBytes = 1).isEmpty)
+    assert(IndexIO.shardIds(spark, s"$pA/signatures") == Seq(0, 3))
+    assert(IndexIO.shardIds(spark, s"$pA/commits") == Seq(0, 3))
+    assert(MinHashIndex.pairs(spark, pA, NumHashes)
+      .orderBy("a", "b").collect().sameElements(healthy))
+  }
+
   test("append refuses a pre-marker sharded index; compact migrates it") {
     val p = java.nio.file.Files
       .createTempDirectory("graft-mhindex-premarker").toString + "/idx"
