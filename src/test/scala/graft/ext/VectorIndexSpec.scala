@@ -237,6 +237,44 @@ class VectorIndexSpec extends SparkSpec {
       "tombstoned rows physically dropped from the folded shard")
   }
 
+  test("compactSmall crash after the REPLACES commit: resurrected folded " +
+      "posting shards are invisible and the next maintenance reclaims them") {
+    val pA = java.nio.file.Files
+      .createTempDirectory("graft-vindex-crash").toString + "/idx"
+    VectorIndex.write(emb.filter(col("vec_id") < 400), pA, nCentroids = 8)
+    VectorIndex.append(emb.filter(col("vec_id") >= 400 && col("vec_id") < 430), pA)
+    VectorIndex.append(emb.filter(col("vec_id") >= 430 && col("vec_id") < 460), pA)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).foreach(_.foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName))))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    val stash = java.nio.file.Files.createTempDirectory("graft-v-stash").toString
+    for (t <- Seq("postings", "commits"); k <- Seq(1, 2))
+      copyTree(new java.io.File(s"$pA/$t/shard=$k"),
+        new java.io.File(s"$stash/$t/shard=$k"))
+    val bigBytes = IndexIO.dirBytes(spark, s"$pA/postings/shard=0")
+    assert(VectorIndex.compactSmall(spark, pA, maxShardBytes = bigBytes - 1)
+      == Seq(1, 2))
+    val qs = emb.filter(col("vec_id") < 5)
+    def serve() = VectorIndex.topK(spark, pA, qs, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val healthy = serve()
+    // crash reconstruction: REPLACES marker landed, physical deletes did
+    // not — folded shards (markers AND posting shards) come back
+    for (t <- Seq("postings", "commits"); k <- Seq(1, 2))
+      copyTree(new java.io.File(s"$stash/$t/shard=$k"),
+        new java.io.File(s"$pA/$t/shard=$k"))
+    assert(IndexIO.liveCommittedIds(spark, pA) == Seq(0, 3))
+    assert(serve() == healthy,
+      "a reader must serve identically across the crash window")
+    assert(VectorIndex.compactSmall(spark, pA, maxShardBytes = 1).isEmpty)
+    assert(IndexIO.shardIds(spark, s"$pA/postings") == Seq(0, 3))
+    assert(IndexIO.shardIds(spark, s"$pA/commits") == Seq(0, 3))
+    assert(serve() == healthy)
+  }
+
   test("append refuses a pre-marker sharded index; compact migrates it") {
     val p = java.nio.file.Files
       .createTempDirectory("graft-vindex-premarker").toString + "/idx"
