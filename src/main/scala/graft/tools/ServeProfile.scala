@@ -81,6 +81,23 @@ object ServeProfile {
     println(f"bulk     n=${texts.size} total=${bulkMs}%.1f ms  " +
       f"amortized=${bulkMs / texts.size}%.1f ms/req  hits=$bulkHits")
 
+    // REVERSE tier (`ScoutEngine.reverse` — the whole point list as one
+    // density-derived grid join): points derived from the corpus itself
+    // (every 11th POI's coordinates, jittered off-node), so most find a
+    // nearest POI
+    val pts = Fixtures.gazPois(spark, sfDir, withWikidata = true)
+      .select("osm_id", "lat", "lon").orderBy("osm_id")
+      .collect().collect {
+        case r if !r.isNullAt(1) && r.getLong(0) % 11 == 0 =>
+          (r.getDouble(1) + 0.003, r.getDouble(2) - 0.002)
+      }.take(nReq).toSeq
+    scanEngine.reverse(pts) // warmup
+    val t1 = System.nanoTime()
+    val revHits = scanEngine.reverse(pts).count(_.nonEmpty)
+    val revMs = (System.nanoTime() - t1) / 1e6
+    println(f"reverse  n=${pts.size} total=${revMs}%.1f ms  " +
+      f"amortized=${revMs / math.max(1, pts.size)}%.1f ms/req  hits=$revHits")
+
     println(s"""{"metric":"serve_latency_ms","sf":"$sfDir","n":${scan.size},""" +
       f""""scan_p50":${pct(scan, 0.5)}%.1f,"scan_p95":${pct(scan, 0.95)}%.1f,""" +
       f""""indexed_p50":${pct(indexed, 0.5)}%.1f,"indexed_p95":${pct(indexed, 0.95)}%.1f,""" +
