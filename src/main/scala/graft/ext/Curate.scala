@@ -41,7 +41,13 @@ object Curate {
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(min(col("id")).as("id"), count(lit(1)).as("n_exact"))
       .select("id", "n_exact")
+    // read 3x downstream (shingling, the component node set, the member
+    // accounting): persist, or the fingerprint scan + keep-join re-runs
+    // per reader. Lazy (first reader materializes), lineage kept;
+    // blocks are reclaimed by the ContextCleaner once the returned
+    // plan is GC'd — the [[Dedup]] twice-read treatment.
     val kept = base.join(exactKeep, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. near-dup pairs on the survivors: shingle → MinHash → LSH bands
     val sig = Dedup.minhashSignature(
@@ -87,7 +93,10 @@ object Curate {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("string").as("text"), col(langCol).as("lang"))
     val survivors = run(docs, idCol, textCol, p)
+    // read 3x (both decontamination sides + the clean-train join):
+    // persist, or the whole curation subtree re-runs per reader
     val sdocs = survivors.join(base, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clean = Dedup.bloomDecontaminate(
         sdocs, "doc_id", "text", testPred = col("split") === "test", decontamN)
       .withColumnRenamed("id", "doc_id")
