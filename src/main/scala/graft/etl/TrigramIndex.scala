@@ -323,7 +323,13 @@ object TrigramIndex {
     }
     def postings(allGrams: Seq[String]): Map[(String, Int), Option[Array[Long]]] =
       synchronized {
-        val missing = allGrams.filterNot(cache.containsKey)
+        // the request's working set is accumulated LOCALLY and the result
+        // built from it — re-reading through the LRU after insertion would
+        // NPE on any request with more distinct grams than `maxGrams`
+        // (same-call entries evict each other before the read-back)
+        val local = scala.collection.mutable.Map.empty[String, Entry]
+        for (g <- allGrams; e = cache.get(g); if e != null) local(g) = e
+        val missing = allGrams.distinct.filterNot(local.contains)
         if (missing.nonEmpty) {
           val fetched = packedIx.filter(col("gram").isInCollection(missing))
             .collect().groupBy(_.getAs[String]("gram"))
@@ -340,11 +346,13 @@ object TrigramIndex {
                   }
                 case None => Some(Array.empty[Long]) // absent gram: no postings
               }
-            cache.put(g, (colIds(0), colIds(1)))
+            val e = (colIds(0), colIds(1))
+            local(g) = e
+            cache.put(g, e)
           }
         }
         allGrams.flatMap { g =>
-          val (c0, c1) = cache.get(g)
+          val (c0, c1) = local(g)
           Seq((g, 0) -> c0, (g, 1) -> c1)
         }.toMap
       }

@@ -174,7 +174,8 @@ object Dedup {
     * extreme diameters; plain propagation is the right tool for the
     * shallow components LSH emits. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          smallGraphThreshold: Long = 1000000L): DataFrame = {
     // materialized ONCE: the edge list is read twice per round (the
     // propagation join + the convergence check), and without the
     // checkpoint every action re-executes the whole upstream pair
@@ -184,7 +185,6 @@ object Dedup {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
     val edgeCount = sym.count() // one cheap job over the checkpointed edges
     // SMALL-GRAPH fast path: a near-dup edge list that fits on the
     // driver (bounded — 1M edges ≈ 16 MB) resolves by in-process
@@ -197,7 +197,7 @@ object Dedup {
     // path; this is the maxLiteralTerms bounded-driver-state treatment
     // applied to the curation graphs, which are tiny AFTER LSH pruning
     // even when the corpus is not.
-    if (edgeCount <= 1000000L) {
+    if (edgeCount <= smallGraphThreshold) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -231,27 +231,32 @@ object Dedup {
     // propagation shuffles ~|edges| rows per round, so a small edge set
     // converges in narrow rounds instead of paying rounds × stages ×
     // near-empty tasks at session width; a 100 TB edge list drives the
-    // width right back to the session default.
+    // width right back to the session default. Width rides EXPLICIT
+    // repartitions on the per-round plans, never a session-conf mutation
+    // (concurrent queries on the same SparkSession would silently run at
+    // the narrowed width): hash(joinKey, width) on both sides satisfies
+    // the join's distribution requirement, so no extra exchange appears.
     val width = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       edgeCount / 250000L + 1)).toInt
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val symW = sym.repartition(width, col("src")).localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
     var it = 0
     var converged = false
-    try {
-      while (!converged && it < maxIters) {
-        val nbrMin = sym.join(labels, sym("src") === labels("id"))
-          .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr"))
-        val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
-          .select(col("id"), col("comp"),
-            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
-          .localCheckpoint(true)
-        converged = next.filter(col("comp2") < col("comp")).isEmpty
-        labels = next.select(col("id"), col("comp2").as("comp"))
-        it += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    while (!converged && it < maxIters) {
+      val l = labels.repartition(width, col("id"))
+      val nbrMin = symW.join(l, symW("src") === l("id"))
+        .groupBy(col("dst").as("nid")).agg(min("comp").as("nbr"))
+        .repartition(width, col("nid"))
+      val l2 = labels.repartition(width, col("id"))
+      val next = l2.join(nbrMin, l2("id") === col("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp2") < col("comp")).isEmpty
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      it += 1
+    }
     // silent non-convergence would report one real cluster as several —
     // and the keep-one dedup policy downstream would then KEEP duplicates
     require(converged,

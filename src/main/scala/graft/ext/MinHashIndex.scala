@@ -71,8 +71,14 @@ object MinHashIndex {
     // persist: the signature write job materializes the cache, and the
     // band derivation's per-band branches read IT — one aggregate run,
     // without the former write-out/read-back of the signature parquet
-    // (lineage kept, unlike a checkpoint, so an executor loss recomputes)
-    val sigCached = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (lineage kept, unlike a checkpoint, so an executor loss recomputes).
+    // Persisted through a DEFENSIVE derivation (`select("*")` is a new
+    // plan node, so the cache entry is owned here): persisting the
+    // caller's DataFrame directly would throw if they already persisted
+    // it at a different level, and the finally-unpersist would silently
+    // evict caller-owned cached blocks.
+    val sigCached = sig.select("*")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigCached
         .repartitionByRange(partitions, col("id"))

@@ -557,19 +557,27 @@ object TextIndex {
     // corpus totals from the driver-side stats read ([[statsPerShard]]):
     // literal BM25 constants, no stats scan leg in the probe plan
     val (nd, sdl) = statsTotals(spark, path, committed)
+    // zero-doc guard: the driver-side Scala divide would yield 0.0/0.0 =
+    // NaN (where the former Spark divide produced NULL) and a silent NaN
+    // would leak into every BM25 score — emit avgdl = 0.0 instead (no
+    // live doc means no posting survives the anti-join, so the constant
+    // is never multiplied into a real score)
     val stats = dels match {
       case Some(d) =>
         val removed = tbl("doclens").join(d, Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("rnd"), coalesce(sum(col("dl")), lit(0L)).as("rsdl"))
+        val liveN = lit(nd) - col("rnd")
         removed.select(
-          (lit(nd) - col("rnd")).as("n_docs"),
-          ((lit(sdl) - col("rsdl")).cast("double") /
-            (lit(nd) - col("rnd")).cast("double")).as("avgdl"))
+          liveN.as("n_docs"),
+          when(liveN > 0,
+            (lit(sdl) - col("rsdl")).cast("double") / liveN.cast("double"))
+            .otherwise(lit(0.0)).as("avgdl"))
       case None =>
         // a one-row LocalRelation: broadcasting it collects driver-side
         // rows — no scan job at all for the tombstone-free serving path
         import spark.implicits._
-        Seq((nd, sdl.toDouble / nd.toDouble)).toDF("n_docs", "avgdl")
+        Seq((nd, if (nd > 0) sdl.toDouble / nd.toDouble else 0.0))
+          .toDF("n_docs", "avgdl")
     }
     (tf, dfreq, stats)
   }

@@ -59,6 +59,26 @@ class ScoutEngine(
     nameIndex.filter(_.columns.contains("ids"))
       .map(new graft.etl.TrigramIndex.PostingCache(_))
 
+  // ROW-layout posting view for the bulk join ([[GeocodeJoin.topKIndexed]]
+  // wants (gram, col_id, osm_id) rows): a packed serving index derives it
+  // by exploding the posting arrays — EXACT when no gram is
+  // ubiquity-marked (pack-time `ids = NULL`, whose postings are gone; a
+  // derived row view would silently turn "skip constraint" into "token
+  // matches nothing" = false negatives). The marker probe is one tiny
+  // limit(1) action, paid once per engine, not per request.
+  private lazy val rowIndex: Option[DataFrame] = nameIndex.flatMap { ix =>
+    import org.apache.spark.sql.functions.{col, explode}
+    if (!ix.columns.contains("ids")) Some(ix)
+    else if (ix.filter(col("ids").isNull).limit(1).isEmpty)
+      Some(ix.select(col("gram"), col("col_id"), explode(col("ids")).as("osm_id")))
+    else {
+      System.err.println(
+        "[graft] bulk geocode: packed name index carries ubiquity markers; " +
+          "falling back to the unindexed scan join")
+      None
+    }
+  }
+
   /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */
   def forwardDF(req: ForwardReq, limitScan: Int = 10000): DataFrame = {
     val texts = req.candidates.map(_.text)
@@ -119,12 +139,12 @@ class ScoutEngine(
     val queries = spark.createDataFrame(
       texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     ).toDF("qid", "text")
-    val ranked = nameIndex match {
+    val ranked = rowIndex match {
       // the bulk join needs the ROW posting layout; a packed serving
-      // index (`ids` arrays) routes to the scan join instead
-      case Some(ix) if !ix.columns.contains("ids") =>
+      // index derives it (`rowIndex`) so bulk keeps index acceleration
+      case Some(ix) =>
         GeocodeJoin.topKIndexed(queries, poiView, ix, settings, limit)
-      case _ => GeocodeJoin.topK(queries, poiView, settings, limit)
+      case None => GeocodeJoin.topK(queries, poiView, settings, limit)
     }
     // the ranked rows are ≤ |texts| × k — broadcast them back onto the
     // poi view for the admin columns instead of shuffling the gazetteer

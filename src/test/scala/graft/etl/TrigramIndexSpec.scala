@@ -144,6 +144,24 @@ class TrigramIndexSpec extends SparkSpec {
       Seq("dining")).isEmpty)
   }
 
+  test("posting cache: a request with more distinct grams than maxGrams " +
+      "still resolves (and matches the uncached probe)") {
+    // round-9 ADVICE regression: with maxGrams below the request's gram
+    // count, same-call entries evicted each other before the result was
+    // read back through the LRU -> NPE (an opaque 422 on long queries).
+    // The result must now build from a local map, eviction or not.
+    val cache = new TrigramIndex.PostingCache(packedIx, maxGrams = 2)
+    for (tokens <- Seq(
+        Seq("monograph", "dining"), // 9 distinct grams >> 2
+        Seq("mono"), Seq("ph din"), Seq("zzz"))) {
+      assert(TrigramIndex.probeIdsCached(cache, tokens).map(_.toSet) ==
+        TrigramIndex.probeIds(packedIx, tokens).map(_.toSet), s"tokens=$tokens")
+    }
+    // warm re-probe through the (thrashed) cache stays correct too
+    assert(TrigramIndex.probeIdsCached(cache, Seq("monograph", "dining")).map(_.toSet) ==
+      TrigramIndex.probeIds(packedIx, Seq("monograph", "dining")).map(_.toSet))
+  }
+
   test("gram extraction") {
     assert(TrigramIndex.grams("abcd") == Seq("abc", "bcd"))
     assert(TrigramIndex.grams("ab").isEmpty)

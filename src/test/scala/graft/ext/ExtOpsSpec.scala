@@ -234,6 +234,23 @@ class ExtOpsSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
   }
 
+  test("connected components: distributed propagation loop matches the " +
+      "fast path and leaves session conf untouched") {
+    val nodes = (1L to 8L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (6L, 7L)).toDF("a", "b")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // threshold 0 forces the label-propagation loop on the same graph
+    // the fast-path test pins — identical labels by the unique-fixpoint
+    // contract, and (the round-9 ADVICE regression) the loop must size
+    // its rounds via explicit repartitions, never a session-conf
+    // mutation that concurrent queries would observe
+    val got = Dedup.connectedComponents(nodes, edges, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("contamination pairs: shared n-grams between split halves only") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon"),   // test (id%2==0)

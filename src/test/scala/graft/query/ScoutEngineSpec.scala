@@ -108,6 +108,17 @@ class ScoutEngineSpec extends SparkSpec {
       ForwardReq(Seq(ForwardCandidate("")), limit = 3))
     for (r <- reqs)
       assert(packed.forward(r) == scan.forward(r), s"request $r diverged")
+
+    // bulk on a packed engine: identical hits to the scan engine AND
+    // index-accelerated (round-9 ADVICE: the packed layout silently
+    // routed bulk to the unindexed scan join). The derived row layout
+    // explodes the posting arrays -> a Generate node in the plan, which
+    // the scan join never carries.
+    val texts = Seq("Monograph Dining", "dining", "zz", "")
+    assert(packed.bulk(texts) == scan.bulk(texts), "bulk hits diverged")
+    val plan = packed.bulkDF(texts).queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"),
+      "packed engine's bulk plan shows no posting-array explode — index acceleration lost")
   }
 
   test("forwardDS: typed Dataset[Hit] surface composes with typed transforms") {
