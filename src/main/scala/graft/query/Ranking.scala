@@ -86,4 +86,47 @@ object Ranking {
               "osm_id", "kind", "score")
       .orderBy(col("score").desc, col("osm_id").asc)
       .limit(limit)
+
+  /** Driver-side SCALAR twin of [[score]] — the in-process serving fast
+    * path's scorer (the reference answers one request in-process against
+    * DuckDB, `app.py:86-114`; when the packed-postings probe yields a
+    * small candidate set, this scores it on the driver and the request
+    * launches NO Spark job). Term-for-term the same arithmetic, in the
+    * same association order, over the same scalar twins the column form
+    * composes ([[graft.core.Fuzz.wratio]], [[graft.core.Geo.haversineKm]],
+    * [[graft.core.Norm.norm]]) — bit-equal scores, parity spec-pinned
+    * (`ScoutEngineSpec`). `lat`/`lon` carry no null guard because the
+    * serving view filters coordinate-less rows out up front. */
+  def scoreScalar(candTexts: Seq[String], bbox: Option[Bbox], settings: Settings,
+                  nameLocal: String, nameEn: String,
+                  nameLocalNorm: String, nameEnNorm: String,
+                  kind: String, importance: Option[Double],
+                  lat: Double, lon: Double): Double = {
+    val qs = candTexts.map(Norm.norm).filter(_.nonEmpty)
+    val sim =
+      if (qs.isEmpty) 0.0
+      else {
+        def target(n: String, raw: String): String =
+          if (n != null && n.nonEmpty) n else Norm.norm(raw)
+        val ts = Seq(target(nameLocalNorm, nameLocal), target(nameEnNorm, nameEn))
+        val sims = for (q <- qs; t <- ts)
+          yield if (t.nonEmpty) graft.core.Fuzz.wratio(q, t) else 0.0
+        sims.max / 100.0
+      }
+    val k = if (kind == null) "" else kind
+    // first matching prefix wins, in declaration order — the when-chain's
+    // evaluation order ([[typeBoost]])
+    val boost = settings.typeBoost.collectFirst {
+      case (p, v) if k.startsWith(p) => v
+    }.getOrElse(settings.typeBoostDefault)
+    val base =
+      settings.wSimilarity * sim +
+        settings.wType * boost +
+        settings.wImportance * importance.getOrElse(0.0)
+    bbox.fold(base) { b =>
+      val d = Geo.haversineKm(lat, lon, b.centerLat, b.centerLon)
+      val prox = math.max(0.0, 1.0 - math.min(d / settings.proximityKm, 1.0))
+      base + settings.wProximity * prox
+    }
+  }
 }

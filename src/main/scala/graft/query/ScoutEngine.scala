@@ -36,7 +36,8 @@ class ScoutEngine(
     pois: DataFrame,
     admin: DataFrame,
     settings: Settings = Settings(),
-    nameIndex: Option[DataFrame] = None) {
+    nameIndex: Option[DataFrame] = None,
+    fastPathMaxCandidates: Int = 4096) {
 
   // The reference serves from `gaz.poi_view`, a 17-column projection
   // contract over the physical table (003_views.sql) — column pruning
@@ -79,6 +80,36 @@ class ScoutEngine(
     }
   }
 
+  // driver-side caches behind the in-process fast path ([[forwardFast]]):
+  // hot candidate rows and resolved area bboxes. Both are pure functions
+  // of the (immutable-per-engine) gazetteer DataFrames, so entries never
+  // go stale within an engine's lifetime.
+  private val rowCache = new ScoutEngine.PoiRowCache(poiView)
+  private val bboxCache =
+    new java.util.LinkedHashMap[(String, String), Option[Bbox]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Option[Bbox]]): Boolean =
+        size() > 1024
+    }
+
+  /** [[Repo.resolveAreaBbox]] through a bounded per-engine LRU: an area
+    * hint resolves with a Spark action once, then serves driver-side —
+    * hinted requests stop paying a per-request resolve job. */
+  private def resolveBboxCached(cityHint: Option[String],
+                                country: Option[String]): Option[Bbox] = {
+    if (cityHint.isEmpty && country.isEmpty) return None
+    val key = (cityHint.getOrElse(""), country.getOrElse(""))
+    bboxCache.synchronized {
+      Option(bboxCache.get(key)) match {
+        case Some(b) => b
+        case None =>
+          val b = Repo.resolveAreaBbox(adminCached, cityHint, country)
+          bboxCache.put(key, b)
+          b
+      }
+    }
+  }
+
   /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */
   def forwardDF(req: ForwardReq, limitScan: Int = 10000): DataFrame = {
     val texts = req.candidates.map(_.text)
@@ -89,7 +120,7 @@ class ScoutEngine(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Ranking.rank(poiView.limit(0), Seq("x"), None, settings, 1).schema)
     }
-    val bbox = Repo.resolveAreaBbox(adminCached, req.cityHint, req.country)
+    val bbox = resolveBboxCached(req.cityHint, req.country)
     // trigram-index path when one is attached and every token is
     // indexable; identical results (TrigramIndexSpec) — falls back to
     // the scan path otherwise. A PACKED index (per-gram posting arrays,
@@ -118,9 +149,61 @@ class ScoutEngine(
       .as[Hit]
   }
 
-  /** Materialized hits, the reference's response shape. */
+  /** IN-PROCESS single-request fast path — the reference answers one
+    * `POST /v1/geocode/forward` in single-digit ms because everything is
+    * in-process (`app.py:86-114`, DuckDB); a Spark job/collect carries a
+    * ~150–230 ms scheduling floor however small the data. When the
+    * packed-postings probe (driver-side, warm = map lookups) yields
+    * ≤ `fastPathMaxCandidates` ids, the candidate rows come from a
+    * bounded driver row cache and scoring runs as plain Scala
+    * ([[Ranking.scoreScalar]] — bit-equal to the column program), so a
+    * warm request launches ZERO Spark jobs. None routes to the job path:
+    * no packed index, unindexable tokens, a ubiquity-marked probe, or a
+    * candidate set wide enough that the distributed plan is the right
+    * one anyway (also whenever the P8 cap could bind — ids ≤ limitScan
+    * guarantees the verified set never hits the cap, keeping fast-path
+    * results EXACTLY the job path's, not just cap-equivalent). */
+  def forwardFast(req: ForwardReq, limitScan: Int = 10000): Option[Seq[Hit]] = {
+    val texts = req.candidates.map(_.text)
+    val nameTokens = Norm.dedupTokens(texts.map(Norm.tokenize))
+    if (nameTokens.isEmpty) return Some(Seq.empty) // app.py:96-97
+    packedCache.flatMap { cache =>
+      graft.etl.TrigramIndex.probeIdsCached(cache, nameTokens)
+        .filter(a => a.length <= fastPathMaxCandidates && a.length <= limitScan)
+        .map { ids =>
+          val bbox = resolveBboxCached(req.cityHint, req.country)
+          rowCache.rows(ids)
+            .filter { r => // exact re-verify of the probe's superset (P5)
+              nameTokens.forall(t =>
+                (r.nameLocalNorm != null && r.nameLocalNorm.contains(t)) ||
+                  (r.nameEnNorm != null && r.nameEnNorm.contains(t)))
+            }
+            .filter(r => bbox.forall(b => // P6
+              r.lat >= b.miny && r.lat <= b.maxy &&
+                r.lon >= b.minx && r.lon <= b.maxx))
+            .map { r =>
+              Hit(
+                name = if (r.nameLocal != null) r.nameLocal
+                       else if (r.nameEn != null) r.nameEn else "",
+                lat = r.lat, lon = r.lon,
+                country = Option(r.country), state = Option(r.state),
+                city = Option(r.city), osmId = r.osmId, kind = r.kind,
+                score = Ranking.scoreScalar(texts, bbox, settings,
+                  r.nameLocal, r.nameEn, r.nameLocalNorm, r.nameEnNorm,
+                  r.kind, r.importance, r.lat, r.lon))
+            }
+            .sortBy(h => (-h.score, h.osmId))
+            .take(req.limit)
+        }
+    }
+  }
+
+  /** Materialized hits, the reference's response shape — in-process when
+    * the request qualifies ([[forwardFast]]), the distributed job
+    * otherwise. */
   def forward(req: ForwardReq, limitScan: Int = 10000): Seq[Hit] =
-    forwardDS(req, limitScan).collect().toIndexedSeq
+    forwardFast(req, limitScan).getOrElse(
+      forwardDS(req, limitScan).collect().toIndexedSeq)
 
   /** BULK forward geocode: a whole list of place-name texts served as
     * ONE distributed job ([[GeocodeJoin.topK]] over the same poiView +
@@ -227,6 +310,69 @@ class ScoutEngine(
 }
 
 object ScoutEngine {
+
+  /** The serving row surface the in-process scorer needs — the ranked
+    * columns of the 17-col poi view ([[Ranking.rank]]'s projection). */
+  private[query] final case class PoiRow(
+      osmId: Long, nameLocal: String, nameEn: String,
+      nameLocalNorm: String, nameEnNorm: String,
+      city: String, state: String, country: String,
+      lat: Double, lon: Double, kind: String, importance: Option[Double])
+
+  /** Bounded driver-side LRU over serving rows (osm_id → row) — the
+    * in-process fast path's row store, the [[graft.etl.TrigramIndex
+    * .PostingCache]] treatment applied to candidate rows: misses fetch
+    * through ONE filtered collect over the cached poi view, hits are
+    * driver-map lookups, so a warm request touches no executor. Ids
+    * ABSENT from the view (rows the coordinate filter dropped) cache as
+    * None — negative entries, or every probe containing one would pay a
+    * refetch job forever. Memory is bounded by `maxRows` × a few hundred
+    * bytes (~50 MB at the default), flat at any corpus size. The result
+    * builds from a LOCAL map, never read back through the LRU
+    * (same-call eviction — the round-9 PostingCache lesson). */
+  private[query] final class PoiRowCache(poiView: DataFrame, maxRows: Int = 1 << 18) {
+    private val cache = new java.util.LinkedHashMap[Long, Option[PoiRow]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Option[PoiRow]]): Boolean =
+        size() > maxRows
+    }
+    private val cols = Seq("osm_id", "name_local", "name_en",
+      "name_local_norm", "name_en_norm", "city", "state", "country",
+      "lat", "lon", "kind", "importance")
+
+    def rows(ids: Array[Long]): IndexedSeq[PoiRow] = synchronized {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val local = scala.collection.mutable.Map.empty[Long, Option[PoiRow]]
+      for (id <- ids; e = cache.get(id); if e != null) local(id) = e
+      val missing = ids.distinct.filterNot(local.contains)
+      if (missing.nonEmpty) {
+        // same In-literal vs broadcast-semi-join routing as the packed
+        // candidate narrowing (analyzer cost dominates wide In lists)
+        val narrowed =
+          if (missing.length <= 1024)
+            poiView.filter(col("osm_id").isInCollection(missing.toSeq))
+          else {
+            val spark = poiView.sparkSession
+            import spark.implicits._
+            poiView.join(broadcast(missing.toSeq.toDF("osm_id")),
+              Seq("osm_id"), "left_semi")
+          }
+        val byId = narrowed.select(cols.head, cols.tail: _*).collect().map { r =>
+          r.getLong(0) -> PoiRow(r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getString(5), r.getString(6),
+            r.getString(7), r.getDouble(8), r.getDouble(9), r.getString(10),
+            if (r.isNullAt(11)) None else Some(r.getDouble(11)))
+        }.toMap
+        for (id <- missing) {
+          val e = byId.get(id)
+          local(id) = e
+          cache.put(id, e)
+        }
+      }
+      ids.iterator.flatMap(local(_)).toIndexedSeq
+    }
+  }
+
   /** Load a gazetteer previously written by
     * [[graft.etl.GazetteerBuilder.write]]; attaches the trigram name
     * index when present at `path/name_index`. */

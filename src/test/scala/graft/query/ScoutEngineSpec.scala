@@ -109,6 +109,31 @@ class ScoutEngineSpec extends SparkSpec {
     for (r <- reqs)
       assert(packed.forward(r) == scan.forward(r), s"request $r diverged")
 
+    // IN-PROCESS fast path (round-10): a packed engine must (a) engage
+    // the zero-job driver path for every indexable request shape —
+    // including the hinted one, whose bbox resolves through the LRU —
+    // and (b) produce BIT-EQUAL hits (scores included) to the
+    // distributed job path, which scoreScalar mirrors term-for-term.
+    for (r <- reqs.take(3)) { // the three indexable-token requests
+      val fast = packed.forwardFast(r)
+      assert(fast.isDefined, s"fast path did not engage for $r")
+      import spark.implicits._
+      val job = packed.forwardDF(r).withColumnRenamed("osm_id", "osmId")
+        .as[Hit].collect().toIndexedSeq
+      assert(fast.get == job, s"fast path diverged from job path for $r")
+    }
+    // short-token and empty requests: scan fallback / in-process empty
+    assert(packed.forwardFast(reqs(3)).isEmpty) // "zz" routes to the job path
+    assert(packed.forwardFast(reqs(4)).contains(Seq.empty)) // "" answers in-process
+    // a threshold-0 engine never takes the fast path but stays correct
+    val noFast = new ScoutEngine(spark, pois, admin, Settings(),
+      nameIndex = Some(graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(pois))),
+      fastPathMaxCandidates = 0)
+    for (r <- reqs.take(3)) {
+      assert(noFast.forwardFast(r).isEmpty)
+      assert(noFast.forward(r) == scan.forward(r))
+    }
+
     // bulk on a packed engine: identical hits to the scan engine AND
     // index-accelerated (round-9 ADVICE: the packed layout silently
     // routed bulk to the unindexed scan join). The derived row layout
