@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** What a [[IndexMaintenance.run]] decision did: the observability
+  * surface a crawl-loop's operator reads instead of shard listings.
+  * `action` is one of `"none"`, `"compactSmall"`, `"compact"`. */
+case class MaintainReport(
+    liveShards: Int, deadFrac: Double, action: String, folded: Seq[Int])
+
+/** WHEN-to-compact policy for the three shard-committed index families
+  * ([[TextIndex]], [[MinHashIndex]], [[VectorIndex]]) — the piece the
+  * lifecycle APIs left to the caller: `append`/`delete` accrete shards
+  * and tombstones forever, `compact`/`compactSmall` reclaim them, but
+  * nothing decided WHEN. A long-lived crawl loop calls the family's
+  * `maintain` after each ingest generation and gets the LSM-style
+  * invariant: live shard count ≤ `maxShards` and index-wide dead-row
+  * fraction < `tombstoneFrac`, at amortized cost (the usual call
+  * decides "nothing to do" from driver-side listings plus one bounded
+  * aggregate).
+  *
+  * Decision order:
+  *  1. dead-row fraction ≥ `tombstoneFrac` → FULL `compact` — the one
+  *     operation that both reclaims the dead mass index-wide and clears
+  *     the tombstone set (which otherwise grows without bound; shard
+  *     folds can only drop tombstones falling inside folded shards).
+  *  2. live shards > `maxShards` → `compactSmall` with the byte
+  *     threshold set AT the (n−maxShards+1)-th smallest shard, so at
+  *     least that many fold into one and the count lands back
+  *     ≤ `maxShards`. Rewrite cost stays proportional to the small
+  *     tail — the whole point of size-tiered folding at 100 TB.
+  *  3. otherwise → nothing.
+  *
+  * Single-writer contract as for `compact`/`compactSmall` themselves
+  * (maintenance runs exclusive of other maintenance; appends may run
+  * concurrently — a shard appearing mid-decision is simply next
+  * generation's problem).
+  */
+private[ext] object IndexMaintenance {
+
+  def run(spark: SparkSession, path: String,
+          tables: Seq[String], docTable: String, idCol: String,
+          maxShards: Int, tombstoneFrac: Double,
+          compactAll: () => Unit,
+          compactSmallAt: Long => Seq[Int]): MaintainReport = {
+    require(maxShards >= 1, s"maxShards must be >= 1, got $maxShards")
+    val live = IndexIO.liveCommittedIds(spark, path)
+    require(live.nonEmpty, s"no committed shards under $path")
+    // index-wide dead fraction: one bounded aggregate — the doc relation
+    // left-joined to the (tiny) distinct tombstone list, counted once
+    val deadFrac =
+      if (IndexIO.shardIds(spark, s"$path/deletes").isEmpty) 0.0
+      else {
+        val docs = IndexIO.readCommitted(spark, path, docTable, live).select(col(idCol))
+        val dels = spark.read.parquet(s"$path/deletes")
+          .select(col(idCol)).distinct().withColumn("t", lit(1))
+        val r = docs.join(broadcast(dels), Seq(idCol), "left")
+          .agg(count(lit(1)).as("total"),
+            coalesce(sum(col("t")), lit(0L)).as("dead"))
+          .collect()(0)
+        val total = r.getLong(0)
+        if (total == 0L) 0.0 else r.getLong(1).toDouble / total.toDouble
+      }
+    if (deadFrac >= tombstoneFrac) {
+      compactAll()
+      MaintainReport(1, deadFrac, "compact", live)
+    } else if (live.size > maxShards) {
+      val sizes = live.map(k =>
+        tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum).sorted
+      val nFold = live.size - maxShards + 1
+      val folded = compactSmallAt(sizes(nFold - 1))
+      MaintainReport(live.size - folded.size + (if (folded.nonEmpty) 1 else 0),
+        deadFrac, "compactSmall", folded)
+    } else MaintainReport(live.size, deadFrac, "none", Nil)
+  }
+}

@@ -394,6 +394,17 @@ object MinHashIndex {
     fold
   }
 
+  /** Compaction trigger policy ([[IndexMaintenance]]): call after each
+    * crawl/ingest generation; keeps live shards ≤ `maxShards` and the
+    * dead-row fraction < `tombstoneFrac` by choosing (nothing |
+    * size-tiered [[compactSmall]] | full [[compact]]) from shard stats. */
+  def maintain(spark: SparkSession, path: String, maxShards: Int = 8,
+               tombstoneFrac: Double = 0.3, partitions: Int = 8): MaintainReport =
+    IndexMaintenance.run(spark, path, Seq("signatures", "buckets"), "signatures", "id",
+      maxShards, tombstoneFrac,
+      () => compact(spark, path, partitions),
+      bytes => compactSmall(spark, path, bytes, partitions, tombstoneFrac))
+
   /** All candidate pairs from the stored index: docs sharing any band
     * bucket, scored by agreeing-minhash fraction — identical semantics
     * (and identical output) to [[Dedup.minhashLshPairs]] over the same

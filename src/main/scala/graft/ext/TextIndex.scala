@@ -478,6 +478,18 @@ object TextIndex {
     fold
   }
 
+  /** Compaction trigger policy ([[IndexMaintenance]]): call after each
+    * crawl/ingest generation; keeps live shards ≤ `maxShards` and the
+    * dead-row fraction < `tombstoneFrac` by choosing (nothing |
+    * size-tiered [[compactSmall]] | full [[compact]]) from shard stats.
+    * Serving equality through every choice is spec-pinned. */
+  def maintain(spark: SparkSession, path: String, maxShards: Int = 8,
+               tombstoneFrac: Double = 0.3, partitions: Int = 8): MaintainReport =
+    IndexMaintenance.run(spark, path, tablesOf(spark, path), "doclens", "doc_id",
+      maxShards, tombstoneFrac,
+      () => compact(spark, path, partitions),
+      bytes => compactSmall(spark, path, bytes, partitions, tombstoneFrac))
+
   /** BM25 top-k for a term set, served ENTIRELY from the stored
     * layout: the postings probe is a term-`IN` over term-sorted row
     * groups pruned to committed shards; df comes from the probed rows;

@@ -333,6 +333,17 @@ object VectorIndex {
     fold
   }
 
+  /** Compaction trigger policy ([[IndexMaintenance]]): call after each
+    * crawl/ingest generation; keeps live shards ≤ `maxShards` and the
+    * dead-row fraction < `tombstoneFrac` by choosing (nothing |
+    * size-tiered [[compactSmall]] | full [[compact]]) from shard stats. */
+  def maintain(spark: SparkSession, path: String, maxShards: Int = 8,
+               tombstoneFrac: Double = 0.3, partitions: Int = 8): MaintainReport =
+    IndexMaintenance.run(spark, path, Seq("postings"), "postings", "cand_id",
+      maxShards, tombstoneFrac,
+      () => compact(spark, path, partitions),
+      bytes => compactSmall(spark, path, bytes, partitions, tombstoneFrac))
+
   /** Serve a (small) query batch from the stored index: assign each
     * query to its `nprobe` nearest centroids, then read ONLY those
     * posting lists — the probed cids are collected to a LITERAL `IN`
