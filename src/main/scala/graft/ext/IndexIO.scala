@@ -90,6 +90,96 @@ private[ext] object IndexIO {
   def shardStagingFor(tableRoot: String): String =
     s"$tableRoot/_shard-staging-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** One-column INT64 parquet shard written DRIVER-SIDE (the
+    * [[graft.ext.TextIndex]] stats-shard treatment applied to tombstone
+    * lists): takedown batches are id lists, tiny next to the corpus, so
+    * launching a distinct+shuffle+write Spark job to persist a few KB
+    * was a fixed scheduling cost on every delete. The layout is a
+    * normal one-file parquet dir — `spark.read.parquet` and the shard
+    * protocol read it exactly like a Spark write. */
+  def writeIdShard(spark: SparkSession, dir: String, colName: String,
+                   ids: Array[Long]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"message ids { required int64 $colName; }")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dirPath, "part-00000.parquet"), conf))
+      .withType(schema).withConf(conf).build()
+    try ids.foreach { id =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add(colName, id)
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** Driver-side read of the tombstone shards under `root/deletes/` —
+    * the serving-path counterpart of [[writeIdShard]]: takedown lists
+    * are tiny next to the corpus, so the probe can hold them as request
+    * literals instead of paying a Spark read + broadcast anti-join
+    * build per query. Returns `Some(distinct ids)` when the total stays
+    * ≤ `maxIds` (empty array = no tombstones), `None` when the set is
+    * too big for the literal route — callers then fall back to the
+    * distributed anti-join, which is the right plan at that size. */
+  def readIdShards(spark: SparkSession, root: String, colName: String,
+                   maxIds: Int = 4096): Option[Array[Long]] = {
+    val ids = shardIds(spark, root)
+    if (ids.isEmpty) return Some(Array.empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new java.util.HashSet[java.lang.Long]()
+    for (k <- ids) {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/shard=$k")
+      val fs = dir.getFileSystem(conf)
+      for (st <- fs.listStatus(dir)
+           if st.isFile && !st.getPath.getName.startsWith("_") &&
+             !st.getPath.getName.startsWith(".")) {
+        val r = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            st.getPath)
+          .withConf(conf).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            out.add(g.getLong(colName, 0))
+            if (out.size > maxIds) return None
+            g = r.read()
+          }
+        } finally r.close()
+      }
+    }
+    val arr = Array.ofDim[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    Some(arr)
+  }
+
+  /** Stage + publish a tombstone id shard under `root/deletes/`:
+    * distinct ids collected with a `maxDriverIds` bound — under it, the
+    * shard writes driver-side ([[writeIdShard]], no second Spark job);
+    * over it (a takedown the size of a corpus slice), the original
+    * distributed write runs instead. Returns the published shard id. */
+  def publishIdShard(ids: org.apache.spark.sql.DataFrame, root: String,
+                     colName: String, maxDriverIds: Int = 1 << 20): Int = {
+    val spark = ids.sparkSession
+    val next = shardIds(spark, s"$root/deletes").lastOption.getOrElse(-1) + 1
+    val staging = shardStagingFor(s"$root/deletes")
+    val distinctIds = ids.select(colName).distinct()
+    val probe = distinctIds.limit(maxDriverIds + 1).collect()
+    if (probe.length <= maxDriverIds)
+      writeIdShard(spark, staging, colName, probe.map(_.getLong(0)))
+    else
+      distinctIds
+        .coalesce(1) // tombstone batches are id lists — tiny next to the corpus
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    publishShard(spark, staging, s"$root/deletes/shard=$next")
+    next
+  }
+
   /** Publish one NEW shard: a single rename of the hidden staging dir
     * to `root/shard=N`. The destination must not exist (appends only
     * ever add shards; rewriting history is [[publish]]'s job via a

@@ -247,14 +247,18 @@ object MinHashIndex {
     val newSig = Dedup.minhashSignature(tokens, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      newSig
-        .repartitionByRange(partitions, col("id"))
+      // partitions == 1 is the SMALL-BATCH route (streaming crawl
+      // generations): coalesce keeps the same globally-sorted one-file
+      // layout without repartitionByRange's extra bounds-sampling job
+      (if (partitions == 1) newSig.coalesce(1)
+       else newSig.repartitionByRange(partitions, col("id")))
         .sortWithinPartitions("id")
         .write.mode(SaveMode.Overwrite).parquet(sigStaging)
       IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
       val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
-      bands(newSig, numHashes, rowsPerBand)
-        .repartitionByRange(partitions, col("band"), col("bucket"))
+      val newBands = bands(newSig, numHashes, rowsPerBand)
+      (if (partitions == 1) newBands.coalesce(1)
+       else newBands.repartitionByRange(partitions, col("band"), col("bucket")))
         .sortWithinPartitions("band", "bucket", "id")
         .write.mode(SaveMode.Overwrite).parquet(bktStaging)
       IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
@@ -279,15 +283,9 @@ object MinHashIndex {
     * duplicate-id hazard in [[append]]'s contract): delete the stale
     * id, compact, append the fresh crawl. */
   def delete(ids: DataFrame, path: String): Unit = {
-    val spark = ids.sparkSession
     require(ids.columns.contains("id"),
       s"delete ids need an id column, got ${ids.columns.mkString(", ")}")
-    val next = IndexIO.shardIds(spark, s"$path/deletes").lastOption.getOrElse(-1) + 1
-    val staging = IndexIO.shardStagingFor(s"$path/deletes")
-    ids.select("id").distinct()
-      .coalesce(1) // tombstone batches are id lists — tiny next to the corpus
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
+    IndexIO.publishIdShard(ids, path, "id")
   }
 
   /** The stored tombstone set, if any shard exists — None keeps the

@@ -130,15 +130,27 @@ object TextIndex {
     * partitions instead of failing the build, and locally it saves the
     * former write-out/read-back of the full token arrays (a measurable
     * fixed cost per build/append). */
+  /** Term-sorted shard layout. `partitions == 1` is the SMALL-BATCH
+    * route (streaming ingest, evolve appends): `coalesce(1)` + in-
+    * partition sort gives the same globally-sorted one-file layout with
+    * NO range exchange — `repartitionByRange` runs a whole extra
+    * SAMPLING job over its child to derive bounds, a fixed cost that
+    * dominates exactly where batches are smallest. */
+  private def sortedLayout(df: DataFrame, partitions: Int,
+                           sortCols: Seq[String]): DataFrame =
+    (if (partitions == 1) df.coalesce(1)
+     else df.repartitionByRange(partitions, col(sortCols.head)))
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+
   private def writeShardTables(docs: DataFrame, root: String, shard: Int,
                                partitions: Int, withPositions: Boolean): Unit = {
     val spine = docSpine(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      spine.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-        .repartitionByRange(partitions, col("term"))
-        .sortWithinPartitions("term", "doc_id")
+      sortedLayout(
+          spine.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+            .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")),
+          partitions, Seq("term", "doc_id"))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/postings/shard=$shard")
       // the stats row rides the doclens write as observed metrics — the
       // former separate spine-scan aggregate was one whole Spark job per
@@ -148,11 +160,11 @@ object TextIndex {
       if (withPositions)
         // the (id, pos, term) contract of TextAnalysis.positionalPostings,
         // derived from the SAME spine tokenization (1-based positions)
-        spine.select(col("doc_id").as("id"), posexplode(col("toks")))
-          .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-            col("col").as("term"))
-          .repartitionByRange(partitions, col("term"))
-          .sortWithinPartitions("term", "id", "pos")
+        sortedLayout(
+            spine.select(col("doc_id").as("id"), posexplode(col("toks")))
+              .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+                col("col").as("term")),
+            partitions, Seq("term", "id", "pos"))
           .write.mode(SaveMode.Overwrite).parquet(s"$root/positions/shard=$shard")
     } finally spine.unpersist(false)
   }
@@ -167,8 +179,8 @@ object TextIndex {
                                    shard: Int, partitions: Int): Unit = {
     val spark = doclens.sparkSession
     val obs = org.apache.spark.sql.Observation()
-    doclens
-      .repartitionByRange(partitions, col("doc_id"))
+    (if (partitions == 1) doclens.coalesce(1) // see [[sortedLayout]]
+     else doclens.repartitionByRange(partitions, col("doc_id")))
       // observe ABOVE the range exchange: repartitionByRange runs a
       // sampling pass over its child, which would execute a below-the-
       // exchange CollectMetrics twice and double-count the corpus
@@ -348,15 +360,9 @@ object TextIndex {
     * (oracle-pinned). [[compact]] physically drops them and clears the
     * set. */
   def delete(ids: DataFrame, path: String): Unit = {
-    val spark = ids.sparkSession
     require(ids.columns.contains("doc_id"),
       s"delete ids need a doc_id column, got ${ids.columns.mkString(", ")}")
-    val next = IndexIO.shardIds(spark, s"$path/deletes").lastOption.getOrElse(-1) + 1
-    val staging = IndexIO.shardStagingFor(s"$path/deletes")
-    ids.select("doc_id").distinct()
-      .coalesce(1) // tombstone batches are id lists — tiny next to the corpus
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
+    IndexIO.publishIdShard(ids, path, "doc_id")
   }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
@@ -561,9 +567,20 @@ object TextIndex {
     val committed = IndexIO.liveCommittedIds(spark, path)
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
     def tbl(name: String) = IndexIO.readCommitted(spark, path, name, committed)
-    val dels = tombstones(spark, path)
-    val tf = dels.foldLeft(restrict(tbl("postings")))(
-        _.join(_, Seq("doc_id"), "left_anti"))
+    // tombstone routing: small takedown sets (the common case) are read
+    // DRIVER-SIDE ([[IndexIO.readIdShards]]) and pushed into the scans
+    // as literal membership predicates — no deletes parquet read in the
+    // plan, no broadcast anti-join build per probe. A set past the
+    // literal bound falls back to the distributed anti-join, the right
+    // plan at that size.
+    val smallDels = IndexIO.readIdShards(spark, s"$path/deletes", "doc_id")
+    val dels = if (smallDels.isDefined) None else tombstones(spark, path)
+    val base = restrict(tbl("postings"))
+    val tf = (smallDels match {
+        case Some(arr) if arr.nonEmpty =>
+          base.filter(!col("doc_id").isInCollection(arr.toSeq))
+        case _ => dels.foldLeft(base)(_.join(_, Seq("doc_id"), "left_anti"))
+      })
       .select("doc_id", "dl", "term", "tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus totals from the driver-side stats read ([[statsPerShard]]):
@@ -574,22 +591,31 @@ object TextIndex {
     // would leak into every BM25 score — emit avgdl = 0.0 instead (no
     // live doc means no posting survives the anti-join, so the constant
     // is never multiplied into a real score)
-    val stats = dels match {
-      case Some(d) =>
-        val removed = tbl("doclens").join(d, Seq("doc_id"), "left_semi")
-          .agg(count(lit(1)).as("rnd"), coalesce(sum(col("dl")), lit(0L)).as("rsdl"))
-        val liveN = lit(nd) - col("rnd")
-        removed.select(
-          liveN.as("n_docs"),
-          when(liveN > 0,
-            (lit(sdl) - col("rsdl")).cast("double") / liveN.cast("double"))
-            .otherwise(lit(0.0)).as("avgdl"))
-      case None =>
-        // a one-row LocalRelation: broadcasting it collects driver-side
-        // rows — no scan job at all for the tombstone-free serving path
-        import spark.implicits._
-        Seq((nd, if (nd > 0) sdl.toDouble / nd.toDouble else 0.0))
-          .toDF("n_docs", "avgdl")
+    def removedStats(removed: DataFrame): DataFrame = {
+      val agg = removed
+        .agg(count(lit(1)).as("rnd"), coalesce(sum(col("dl")), lit(0L)).as("rsdl"))
+      val liveN = lit(nd) - col("rnd")
+      agg.select(
+        liveN.as("n_docs"),
+        when(liveN > 0,
+          (lit(sdl) - col("rsdl")).cast("double") / liveN.cast("double"))
+          .otherwise(lit(0.0)).as("avgdl"))
+    }
+    lazy val literalStats = {
+      // a one-row LocalRelation: broadcasting it collects driver-side
+      // rows — no scan job at all for the tombstone-free serving path
+      import spark.implicits._
+      Seq((nd, if (nd > 0) sdl.toDouble / nd.toDouble else 0.0))
+        .toDF("n_docs", "avgdl")
+    }
+    val stats = smallDels match {
+      case Some(arr) if arr.nonEmpty =>
+        removedStats(tbl("doclens").filter(col("doc_id").isInCollection(arr.toSeq)))
+      case Some(_) => literalStats
+      case None => dels match {
+        case Some(d) => removedStats(tbl("doclens").join(d, Seq("doc_id"), "left_semi"))
+        case None => literalStats
+      }
     }
     (tf, dfreq, stats)
   }

@@ -233,15 +233,10 @@ object VectorIndex {
     * sets degrade every serve (an extra join side that never shrinks);
     * compaction is the remedy, same as shard accumulation. */
   def delete(ids: DataFrame, path: String): Unit = {
-    val spark = ids.sparkSession
     require(ids.columns.contains("vec_id"),
       s"delete ids need a vec_id column, got ${ids.columns.mkString(", ")}")
-    val next = IndexIO.shardIds(spark, s"$path/deletes").lastOption.getOrElse(-1) + 1
-    val staging = IndexIO.shardStagingFor(s"$path/deletes")
-    ids.select(col("vec_id").as("cand_id")).distinct()
-      .coalesce(1) // tombstone batches are id lists — tiny next to postings
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
+    IndexIO.publishIdShard(
+      ids.select(col("vec_id").as("cand_id")), path, "cand_id")
   }
 
   /** The stored tombstone set, if any shard exists — None keeps the

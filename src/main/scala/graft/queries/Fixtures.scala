@@ -29,6 +29,18 @@ object Fixtures {
 
   private val cache = new ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
 
+  /** Memoized fixture-table schema: streaming sources need an explicit
+    * schema, and every probe (`spark.read.parquet(...).schema`) is a
+    * ~100 ms driver listing+footer read PER QUERY — the schema of an
+    * immutable fixture dir never changes, so pay it once per session.
+    * `events` goes through the encoding-agnostic raw reader. */
+  def tableSchema(s: SparkSession, dir: String,
+                  table: String): org.apache.spark.sql.types.StructType =
+    memo(s, dir, s"schema:$table") {
+      if (table == "events") Tables.rawEvents(s, s"$dir/events.parquet").schema
+      else s.read.parquet(s"$dir/$table.parquet").schema
+    }
+
   /** computeIfAbsent mapping functions must not touch the same map —
     * nested lookups throw "Recursive update" (bin-collision-dependent,
     * so it surfaces flakily). Dependencies between fixtures are resolved

@@ -16,6 +16,21 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+object Q {
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` (size
+    * shuffles to the relation, not session width — index-lifecycle and
+    * streaming-replay queries move generation-sized batches), restoring
+    * the previous value after. Mutates the session conf, so it belongs
+    * in bench/verify query bodies (one query at a time), NOT in library
+    * code (see the `connectedComponents` precedent — library operators
+    * size their plans with explicit repartitions instead). */
+  def withShuffleWidth[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
+
 object Registry {
   lazy val all: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++ GeocodeQueries.all ++

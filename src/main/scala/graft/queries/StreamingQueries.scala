@@ -14,22 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** Streaming file-source for a fixture table, layout-agnostic: the
-    * driver writes each table as ONE FILE (`events.parquet`), while
-    * Spark-written copies (ScaleUp's 10× fixture) are DIRECTORIES of
-    * part-files. A dir + `pathGlobFilter` source silently matches ZERO
-    * files against the directory layout (the filter tests leaf file
-    * names — found by the r8 10× sanity run reading empty streams), and
-    * a direct file path fails the source's basePath-must-be-a-directory
-    * check — so branch on what is actually on disk. */
+  /** The fixture-table streaming source — now just a name for the
+    * shared ingestion seam [[StreamOps.readStreamOf]] (layout-agnostic
+    * over the single-file vs directory-of-part-files fixture shapes;
+    * source-independence of the transforms is spec-pinned from
+    * MemoryStream in `StreamOpsSpec`). */
   private[queries] def tableStream(s: SparkSession, dir: String, table: String,
-      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val reader = s.readStream.schema(schema)
-    if (fs.getFileStatus(path).isDirectory) reader.parquet(path.toString)
-    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
-  }
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    StreamOps.readStreamOf(s, dir, table, schema)
 
   /** The replayed events file-source: raw schema from a batch probe read
     * (encoding-agnostic — `Tables.rawEvents` handles both the legacy
@@ -38,7 +30,7 @@ object StreamingQueries {
     * the shared front-end of every streaming query here (one body, so a
     * fix to the encoding handling reaches all of them). */
   private def eventsStream(s: SparkSession, dir: String) = {
-    val schema = Tables.rawEvents(s, s"$dir/events.parquet").schema
+    val schema = Fixtures.tableSchema(s, dir, "events")
     Tables.normalizeTs(tableStream(s, dir, "events", schema))
   }
 
@@ -165,7 +157,7 @@ object StreamingQueries {
     * equals batch `dd_exact` — the same oracle pins both. */
   val stStreamDedup = Q("st_stream_dedup",
     (s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Fixtures.tableSchema(s, dir, "documents")
       val replayed = withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
         val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
@@ -224,7 +216,7 @@ object StreamingQueries {
       }
       val buckets = s.read.parquet(s"$idxPath/buckets")
         .select(col("band"), col("bucket"), col("id").as("index_id"))
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Fixtures.tableSchema(s, dir, "documents")
       val replayed = withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") >= 100 && col("doc_id") < 200)
@@ -270,28 +262,43 @@ object StreamingQueries {
         graft.ext.MinHashIndex.write(
           toksOf(col("doc_id") < 100), p, MhHashes, rowsPerBand = 2)
       }
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Fixtures.tableSchema(s, dir, "documents")
+      // ONE file-source drain delivers the whole crawl window; the
+      // refresh protocol then runs at generation granularity over the
+      // staged rows. The former shape ran a full streaming query PER
+      // GENERATION — each paying ~1 s of state-store + checkpoint +
+      // planning fixed cost just to re-deliver rows already on disk.
+      // Delivery is the only streaming concern in this query (the
+      // in-stream stateful join + aggregate surface stays pinned by
+      // st_neardup_filter); what it uniquely pins is the BETWEEN-
+      // GENERATION index refresh, which is batch-side by nature.
+      val staged = withShufflePartitions(s, 4) {
+        val stream = tableStream(s, dir, "documents", schema)
+          .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select("doc_id", "text")
+        StreamOps.replayToTable(s, stream,
+          s"st_refresh_stage_${System.nanoTime()}", "append")
+      }
       def generation(lo: Int, hi: Int): org.apache.spark.sql.DataFrame = {
         // re-open the bucket table NOW: the static side must reflect the
         // index state at this generation's start, including shards
         // appended since the previous one
         val buckets = s.read.parquet(s"$idxPath/buckets")
           .select(col("band"), col("bucket"), col("id").as("index_id"))
-        withShufflePartitions(s, 4) {
-          val stream = tableStream(s, dir, "documents", schema)
-            .filter(col("doc_id") >= lo && col("doc_id") < hi)
-          val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
-            .join(buckets, Seq("band", "bucket"))
-            .groupBy(col("id").as("doc_id"))
-            .agg(count(lit(1)).as("n_hits"))
-          StreamOps.replayToTable(s, hits,
-            s"st_refresh_${lo}_${System.nanoTime()}", "complete")
-        }
+        StreamOps.nearDupBands(
+            staged.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "doc_id", "text", MhHashes, 2)
+          .join(buckets, Seq("band", "bucket"))
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
       }
-      val gen1 = generation(100, 150)
+      // gen1 must MATERIALIZE before the append mutates the bucket
+      // table it lazily reads (localCheckpoint: the result is ≤ one row
+      // per streamed doc)
+      val gen1 = generation(100, 150).localCheckpoint(true)
       graft.ext.MinHashIndex.append(
         toksOf(col("doc_id") >= 100 && col("doc_id") < 150),
-        idxPath, MhHashes, rowsPerBand = 2)
+        idxPath, MhHashes, rowsPerBand = 2, partitions = 1)
       val gen2 = generation(150, 200)
       gen1.unionByName(gen2).orderBy("doc_id")
     },
@@ -340,13 +347,14 @@ object StreamingQueries {
         TextIndex.write(
           Tables.table(s, dir, "documents").filter(col("doc_id") % 3 === 0), p)
       }
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Fixtures.tableSchema(s, dir, "documents")
       withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") % 3 =!= 0)
         val q = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            TextIndex.append(batch.select("doc_id", "text"), idxPath)
+            TextIndex.append(batch.select("doc_id", "text"), idxPath,
+              partitions = 1) // micro-batch shards: one sorted file each
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

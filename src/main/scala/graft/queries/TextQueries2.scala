@@ -341,9 +341,19 @@ object TextQueries2 {
       val path = Fixtures.clonedIndex(s, dir, "tindex-even") { p =>
         graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), p)
       }
-      graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path)
-      graft.ext.TextIndex.delete(d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
-      graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+      // evolve appends are generation-sized: the one-file sorted layout
+      // skips the range-bounds sampling job, the tombstone publish is a
+      // driver-side write ([[graft.ext.IndexIO.publishIdShard]]), and
+      // the journey's shuffles (append's posting groupBy, the serve's
+      // df aggregate) run at generation width, not session width
+      Q.withShuffleWidth(s, 4) {
+        graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path,
+          partitions = 1)
+        graft.ext.TextIndex.delete(
+          d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
+        graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+          .localCheckpoint(true) // materialize inside the width scope
+      }
     },
     Some(bm25Sql("WHERE doc_id % 7 <> 3")))
 

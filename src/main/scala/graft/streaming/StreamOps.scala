@@ -12,6 +12,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** THE ingestion seam: every transform in this object takes a
+    * streaming DataFrame, never a path — a MemoryStream, Kafka-shaped
+    * source, or rate source plugs into any of them directly
+    * (spec-pinned: the near-dup prefilter and interval join produce
+    * identical results from MemoryStream and from this file source).
+    * This is the parquet FILE variant, layout-agnostic over the two
+    * on-disk shapes a fixture table ships in: the driver writes each
+    * table as ONE FILE (`<table>.parquet`), while Spark-written copies
+    * (ScaleUp's 10× fixture) are DIRECTORIES of part-files. A dir +
+    * `pathGlobFilter` source silently matches ZERO files against the
+    * directory layout (the filter tests leaf file names), and a direct
+    * file path fails the source's basePath-must-be-a-directory check —
+    * so branch on what is actually on disk. */
+  def readStreamOf(s: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val reader = s.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory) reader.parquet(path.toString)
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Tumbling 1-hour event counts with a watermark — the streaming twin
     * of the batch `window()` aggregate. */
   def hourlyEventCounts(events: DataFrame): DataFrame =

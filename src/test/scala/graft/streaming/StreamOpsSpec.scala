@@ -196,6 +196,93 @@ class StreamOpsSpec extends SparkSpec {
       s"attributed purchases must roll up by purchase hour: $out")
   }
 
+  test("near-dup prefilter is source-agnostic: MemoryStream equals the file source") {
+    implicit val sc = spark.sqlContext
+    // the crawl-time prefilter pipeline as a pure function of its
+    // streaming input — the seam contract: any source that yields
+    // (doc_id, text) rows drains to identical results
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-ndf-seam").toString + "/idx"
+    graft.ext.MinHashIndex.write(
+      graft.ext.Dedup.docTokens(docs.filter(col("doc_id") < 50),
+        "doc_id", "text", distinct = false),
+      idxPath, numHashes = 8, rowsPerBand = 2)
+    val buckets = spark.read.parquet(s"$idxPath/buckets")
+      .select(col("band"), col("bucket"), col("id").as("index_id"))
+    def prefilter(stream: org.apache.spark.sql.DataFrame) =
+      StreamOps.nearDupBands(stream, "doc_id", "text", 8, 2)
+        .join(buckets, Seq("band", "bucket"))
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+
+    val fromFile = StreamOps.replayToTable(spark,
+        prefilter(StreamOps.readStreamOf(spark, dir, "documents", docs.schema)
+          .filter(col("doc_id") >= 50 && col("doc_id") < 100)),
+        "seam_ndf_file", "complete")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val fromMem = StreamOps.replayToTable(spark,
+        prefilter(mem.toDF().toDF("doc_id", "text")),
+        "seam_ndf_mem", "complete")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(fromFile.nonEmpty, "fixture stream drained empty — seam broke")
+    assert(fromMem == fromFile,
+      s"MemoryStream result diverged from the file source: $fromMem vs $fromFile")
+  }
+
+  test("interval join is source-agnostic: MemoryStream equals the file-source events") {
+    implicit val sc = spark.sqlContext
+    // same contract for the stream-stream shape: views/purchases derived
+    // from the fixture events table, once through readStreamOf and once
+    // through MemoryStream carrying the identical rows
+    val dir = sf("sf0.001")
+    val events = graft.queries.Tables.table(spark, dir, "events")
+    def shape(src: org.apache.spark.sql.DataFrame) = {
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("buy_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+      StreamOps.attributionJoin(views, buys, "6 hours", "1 hour")
+    }
+    val raw = graft.queries.Tables.rawEvents(spark, s"$dir/events.parquet")
+    val fromFile = StreamOps.replayToTable(spark,
+        shape(graft.queries.Tables.normalizeTs(
+          StreamOps.readStreamOf(spark, dir, "events", raw.schema))),
+        "seam_attr_file", "append")
+      .select("view_id", "purchase_id", "delay_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[AttrEv]
+    val evRows = events.select("ts", "user_id", "event_id", "event_type").collect()
+    mem.addData(evRows.filter(_.getString(3) == "view")
+      .map(r => AttrEv(r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq)
+    val mem2 = MemoryStream[AttrEv]
+    mem2.addData(evRows.filter(_.getString(3) == "purchase")
+      .map(r => AttrEv(r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq)
+    val views = mem.toDF().select(col("user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val buys = mem2.toDF().select(col("user_id").as("buy_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+    val fromMem = StreamOps.replayToTable(spark,
+        StreamOps.attributionJoin(views, buys, "6 hours", "1 hour"),
+        "seam_attr_mem", "append")
+      .select("view_id", "purchase_id", "delay_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(fromFile.nonEmpty, "fixture events drained no attributions")
+    assert(fromMem == fromFile,
+      s"MemoryStream attribution diverged from the file source (sizes " +
+        s"${fromMem.size} vs ${fromFile.size})")
+  }
+
   test("micro-batch pipeline via foreachBatch reuses batch scoring (extension §2.8)") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
