@@ -34,6 +34,18 @@ import org.apache.spark.sql.SparkSession
   */
 private[ext] object IndexIO {
 
+  /** TEST-ONLY kill-point hook, invoked before every PROTOCOL-LEVEL
+    * filesystem mutation (staging publishes, marker renames, asides,
+    * deletes, driver-side shard writes). The crash-injection fuzz
+    * (`CrashFuzzSpec`) swaps in a countdown that throws at the K-th
+    * call and sweeps K over every reachable point, proving
+    * serve-equality or clean-reconcile after a crash anywhere in
+    * append/compactSmall/publish. Production value is a no-op; the
+    * indirection costs one volatile read per fs op, which protocol ops
+    * pay next to an actual filesystem call. */
+  @volatile private[ext] var crashHook: () => Unit = () => ()
+  private[ext] def crashTick(): Unit = crashHook()
+
   /** Staging path: sibling of `dest` so the rename stays within one
     * filesystem. */
   def stagingFor(dest: String): String =
@@ -79,6 +91,7 @@ private[ext] object IndexIO {
   def deleteDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, path)
+    crashTick()
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"delete $path failed")
   }
@@ -99,6 +112,7 @@ private[ext] object IndexIO {
     * protocol read it exactly like a Spark write. */
   def writeIdShard(spark: SparkSession, dir: String, colName: String,
                    ids: Array[Long]): Unit = {
+    crashTick()
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
@@ -191,6 +205,7 @@ private[ext] object IndexIO {
     val dest = new org.apache.hadoop.fs.Path(destShard)
     if (fs.exists(dest))
       throw new java.io.IOException(s"shard publish: $destShard already exists")
+    crashTick()
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dest))
       throw new java.io.IOException(s"shard publish rename $staging -> $destShard failed")
   }
@@ -220,6 +235,7 @@ private[ext] object IndexIO {
     // atomic rename.
     val fs = fsOf(spark, root)
     val staging = new org.apache.hadoop.fs.Path(shardStagingFor(s"$root/commits"))
+    crashTick()
     fs.mkdirs(staging)
     val f = fs.create(new org.apache.hadoop.fs.Path(staging, "MARKER"), false)
     try f.writeBytes(s"$k\n") finally f.close()
@@ -327,6 +343,7 @@ private[ext] object IndexIO {
       val n = floor + 1
       val nonce = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(shardStagingFor(s"$root/claims"))
+      crashTick()
       fs.mkdirs(staging)
       val f = fs.create(new org.apache.hadoop.fs.Path(staging, "CLAIM"), false)
       try f.writeBytes(s"$nonce\n") finally f.close()
@@ -404,9 +421,11 @@ private[ext] object IndexIO {
     def sweep(dir: org.apache.hadoop.fs.Path, pred: String => Boolean): Unit =
       if (fs.exists(dir))
         fs.listStatus(dir).foreach { st =>
-          if (st.isDirectory && pred(st.getPath.getName))
+          if (st.isDirectory && pred(st.getPath.getName)) {
+            crashTick()
             if (!fs.delete(st.getPath, true))
               throw new java.io.IOException(s"gc of ${st.getPath} failed")
+          }
         }
     Option(rootPath.getParent).foreach(
       sweep(_, _.startsWith(rootPath.getName + "-staging-")))
@@ -447,13 +466,16 @@ private[ext] object IndexIO {
     val aside = new org.apache.hadoop.fs.Path(
       s"$dest-old-${java.util.UUID.randomUUID().toString.take(8)}")
     val hadOld = fs.exists(destPath)
+    crashTick()
     if (hadOld && !fs.rename(destPath, aside))
       throw new java.io.IOException(s"publish aside-rename $dest -> $aside failed")
+    crashTick()
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), destPath)) {
       // restore the old index before failing so serving keeps working
       if (hadOld) fs.rename(aside, destPath)
       throw new java.io.IOException(s"publish rename $staging -> $dest failed")
     }
+    crashTick()
     if (hadOld) fs.delete(aside, true)
   }
 
@@ -491,6 +513,7 @@ private[ext] object IndexIO {
     val vpath = new org.apache.hadoop.fs.Path(vdir)
     if (fs.exists(vpath))
       throw new java.io.IOException(s"versioned publish: $vdir already exists")
+    crashTick()
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), vpath))
       throw new java.io.IOException(s"versioned publish rename $staging -> $vdir failed")
     setCurrent(spark, root, f"v$next%05d")
@@ -509,11 +532,13 @@ private[ext] object IndexIO {
       throw new java.io.IOException(s"setCurrent: $root/$version does not exist")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/_$Pointer-${java.util.UUID.randomUUID().toString.take(8)}")
+    crashTick()
     val out = fs.create(tmp, true)
     try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    crashTick()
     fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$root/$Pointer"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }

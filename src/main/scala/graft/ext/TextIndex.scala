@@ -207,6 +207,7 @@ object TextIndex {
     * read it exactly like the former one-task Spark write. */
   private def writeStatsShard(spark: SparkSession, dir: String,
                               nDocs: Long, sumDl: Long): Unit = {
+    IndexIO.crashTick() // protocol-level driver write: fuzz kill point
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
