@@ -203,9 +203,13 @@ object VectorIndex {
       (col("vec_id").as("cand_id") +:
         Similarity.quantize(col("embedding")).as("c_emb") +:
         meta.map(col)): _*)
-    Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb", meta)
+    val assigned = Similarity.nearestCentroid(q, centStored, "cand_id", "c_emb", meta)
       .select((Seq("cid", "cand_id", "c_emb") ++ meta).map(col): _*)
-      .repartitionByRange(partitions, col("cid"))
+    // partitions == 1 is the SMALL-BATCH route (streaming/evolve-sized
+    // appends): coalesce keeps the same cid-sorted one-file layout
+    // without repartitionByRange's extra bounds-sampling job
+    (if (partitions == 1) assigned.coalesce(1)
+     else assigned.repartitionByRange(partitions, col("cid")))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(staging)
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")

@@ -185,8 +185,10 @@ object DedupQueries {
   val ddMinhashAppend = Q("dd_minhash_append",
     (s, dir) => {
       val path = halfMinhashIndex(s, dir)
+      // generation-sized append: one sorted file per table, no
+      // bounds-sampling jobs
       graft.ext.MinHashIndex.append(windowToks(s, dir, col("doc_id") >= 50),
-        path, NumHashes, rowsPerBand = 2)
+        path, NumHashes, rowsPerBand = 2, partitions = 1)
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")
     },
@@ -209,6 +211,25 @@ object DedupQueries {
           p, NumHashes, rowsPerBand = 2)
       }
       graft.ext.MinHashIndex.compact(s, path)
+      graft.ext.MinHashIndex.pairs(s, path, NumHashes)
+        .orderBy("a", "b")
+    },
+    Some(minhashPairsOracle))
+
+  /** The MAINTENANCE-POLICY path ([[graft.ext.MinHashIndex.maintain]],
+    * round 10): from the split (base + appended shard) state, `maintain`
+    * with maxShards = 1 decides and runs the fold itself, then serving
+    * answers from whatever layout it chose. Same oracle as
+    * append/compact — the policy may only ever change layout. */
+  val ddMinhashMaintain = Q("dd_minhash_maintain",
+    (s, dir) => {
+      val path = Fixtures.clonedIndex(s, dir, "mhindex-split-maint") { p =>
+        graft.ext.MinHashIndex.write(windowToks(s, dir, col("doc_id") < 50), p,
+          NumHashes, rowsPerBand = 2)
+        graft.ext.MinHashIndex.append(windowToks(s, dir, col("doc_id") >= 50),
+          p, NumHashes, rowsPerBand = 2, partitions = 1)
+      }
+      graft.ext.MinHashIndex.maintain(s, path, maxShards = 1, partitions = 1)
       graft.ext.MinHashIndex.pairs(s, path, NumHashes)
         .orderBy("a", "b")
     },
@@ -714,7 +735,16 @@ object DedupQueries {
     * cosine in SQL, so approximation misses match bit-for-bit too. */
   val ddEmbedNearDup = Q("dd_embed_neardup",
     (s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings")
+      // FIXED corpus window (the dd_minhash treatment): fixed-width
+      // sign-LSH banding is occupancy-bound — at 8 bits/band, buckets
+      // hold n/256 vectors, so candidate pairs grow QUADRATICALLY in
+      // corpus size (the round-10 sf10 full-inventory run measured 453×
+      // time for 100× data before this bound, then failed). A no-op at
+      // every verify/bench SF (vec_id < 5000 covers the whole sf0.1
+      // corpus); at larger fixtures the query pins the OPERATOR, and
+      // the documented scale paths are planesPerBand ∝ log2(n) or the
+      // SemDedup/ANN serving tiers (SCALE.md round-10 note).
+      val emb = Tables.table(s, dir, "embeddings").filter(col("vec_id") < 5000)
       val planted = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           concat(array(lit(0.0f), lit(0.0f)),
@@ -726,11 +756,11 @@ object DedupQueries {
         .orderBy("a", "b")
     },
     Some(s"""WITH corpus AS (
-               SELECT vec_id, embedding FROM embeddings
+               SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5000
                UNION ALL
                SELECT vec_id + 1000000 AS vec_id,
                       list_concat([0.0::FLOAT, 0.0::FLOAT], embedding[3:]) AS embedding
-               FROM embeddings WHERE vec_id % 25 = 0),
+               FROM embeddings WHERE vec_id < 5000 AND vec_id % 25 = 0),
              qv AS (
                SELECT vec_id, i, CAST(round(embedding[i] * 32768.0) AS BIGINT) AS v
                FROM corpus, range(1, ${Dim + 1}) t(i)),
@@ -872,7 +902,7 @@ object DedupQueries {
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
     ddMinhashPairsDurable,
     ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact, ddMinhashVersioned,
-    ddMinhashDelete,
+    ddMinhashDelete, ddMinhashMaintain,
     ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,

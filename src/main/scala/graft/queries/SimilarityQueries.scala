@@ -241,8 +241,9 @@ object SimilarityQueries {
   val annIvfAppend = Q("ann_ivf_append",
     (s, dir) => {
       val path = halfIvfIndex(s, dir)
+      // generation-sized append: one cid-sorted file, no bounds-sampling job
       graft.ext.VectorIndex.append(
-        emb(s, dir).filter(col("vec_id") >= 250), path)
+        emb(s, dir).filter(col("vec_id") >= 250), path, partitions = 1)
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
         .select("query_id", "rank", "cand_id", "cosine")
@@ -339,6 +340,27 @@ object SimilarityQueries {
           emb(s, dir).filter(col("vec_id") >= 250), p)
       }
       graft.ext.VectorIndex.compact(s, path)
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSql))
+
+  /** The MAINTENANCE-POLICY path ([[graft.ext.VectorIndex.maintain]],
+    * round 10): from the split (base + appended shard) state, `maintain`
+    * with maxShards = 1 decides and runs the fold itself, then topK
+    * serves from whatever layout it chose. Same oracle as
+    * append/compact — the policy may only ever change layout. */
+  val annIvfMaintain = Q("ann_ivf_maintain",
+    (s, dir) => {
+      val path = Fixtures.clonedIndex(s, dir, "vindex-split-maint") { p =>
+        graft.ext.VectorIndex.write(
+          emb(s, dir).filter(col("vec_id") < 250), p, nCentroids = NCent)
+        graft.ext.VectorIndex.append(
+          emb(s, dir).filter(col("vec_id") >= 250), p, partitions = 1)
+      }
+      graft.ext.VectorIndex.maintain(s, path, maxShards = 1, partitions = 1)
       graft.ext.VectorIndex.topK(s, path,
           emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
         .select("query_id", "rank", "cand_id", "cosine")
@@ -697,5 +719,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
-    annIvfFiltered, annIvfVersioned, annIvfDelete)
+    annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain)
 }

@@ -22,9 +22,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // fixture dirs are immutable for a session's lifetime, so the
+  // resolved relation (file listing + footer schema, ~30-80 ms of
+  // driver work per spark.read) is paid once per (session, dir, table)
+  // instead of once per query × table. Own map, NOT Fixtures.memo — a
+  // nested computeIfAbsent on the same map throws "Recursive update",
+  // and fixture builders call table() inside their memo bodies.
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    dfCache.computeIfAbsent((spark, sfDir, name), _ =>
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     normalizeTs(rawEvents(spark, s"$sfDir/events.parquet"))

@@ -574,6 +574,30 @@ object TextQueries2 {
           ORDER BY d.doc_id"""
     })
 
+  /** The MAINTENANCE-POLICY path ([[graft.ext.TextIndex.maintain]],
+    * round 10): the evolve journey plus a `maintain` call whose shard
+    * bound (maxShards = 1 against 2 live shards) forces a fold, then
+    * serve. Same oracle as ta_bm25_evolve — the hash match pins the
+    * policy's compactSmall/compact decisions as pure layout operations
+    * (serving results unchanged through whatever action fires). */
+  val taBm25Maintain = Q("ta_bm25_maintain",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val path = Fixtures.clonedIndex(s, dir, "tindex-even-maint") { p =>
+        graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), p)
+      }
+      Q.withShuffleWidth(s, 4) {
+        graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path,
+          partitions = 1)
+        graft.ext.TextIndex.delete(
+          d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
+        graft.ext.TextIndex.maintain(s, path, maxShards = 1, partitions = 1)
+        graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+          .localCheckpoint(true)
+      }
+    },
+    Some(bm25Sql("WHERE doc_id % 7 <> 3")))
+
   val all: Seq[Q] = Seq(taRedact, taPiiAudit, taNgrams, taBm25, taBm25Persisted,
-    taBm25Evolve, taBm25Batch, taGopher, taRarity)
+    taBm25Evolve, taBm25Batch, taGopher, taRarity, taBm25Maintain)
 }
