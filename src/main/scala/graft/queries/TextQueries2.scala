@@ -582,13 +582,19 @@ object TextQueries2 {
     * (serving results unchanged through whatever action fires). */
   val taBm25Maintain = Q("ta_bm25_maintain",
     (s, dir) => {
-      val d = docs(s, dir)
+      // bounded corpus window, and the SPLIT state (base + appended
+      // shard) is the fixture — the append protocol is ta_bm25_evolve's
+      // subject; what this query uniquely pins is the POLICY deciding
+      // and running the fold (maxShards = 1 forces it) over a
+      // tombstoned two-shard index, then serving the folded layout
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
       val path = Fixtures.clonedIndex(s, dir, "tindex-even-maint") { p =>
-        graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), p)
+        graft.ext.TextIndex.write(d.filter(col("doc_id") % 2 === 0), p,
+          partitions = 1)
+        graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), p,
+          partitions = 1)
       }
       Q.withShuffleWidth(s, 4) {
-        graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path,
-          partitions = 1)
         graft.ext.TextIndex.delete(
           d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
         graft.ext.TextIndex.maintain(s, path, maxShards = 1, partitions = 1)
@@ -596,7 +602,7 @@ object TextQueries2 {
           .localCheckpoint(true)
       }
     },
-    Some(bm25Sql("WHERE doc_id % 7 <> 3")))
+    Some(bm25Sql("WHERE doc_id < 2000 AND doc_id % 7 <> 3")))
 
   val all: Seq[Q] = Seq(taRedact, taPiiAudit, taNgrams, taBm25, taBm25Persisted,
     taBm25Evolve, taBm25Batch, taGopher, taRarity, taBm25Maintain)
