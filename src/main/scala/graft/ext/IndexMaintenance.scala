@@ -32,10 +32,13 @@ case class MaintainReport(
   *     tail — the whole point of size-tiered folding at 100 TB.
   *  3. otherwise → nothing.
   *
-  * Single-writer contract as for `compact`/`compactSmall` themselves
-  * (maintenance runs exclusive of other maintenance; appends may run
-  * concurrently — a shard appearing mid-decision is simply next
-  * generation's problem).
+  * Single-writer contract as for `compact`/`compactSmall` themselves —
+  * and EXCLUSIVE OF APPENDS while it runs: both repair routes begin
+  * with `reconcileShards`, which deletes published-but-uncommitted
+  * table shards (crash garbage), indistinguishable from a concurrent
+  * appender's in-flight shards. A crawl loop therefore calls
+  * `maintain` at its generation boundary (no ingest in flight), which
+  * is also when the decision inputs are stable.
   */
 private[ext] object IndexMaintenance {
 
