@@ -386,13 +386,24 @@ object Dedup {
     val expected =
       if (expectedTestShingles > 0) expectedTestShingles
       else math.max(testH.count(), 1L)
-    val bloom = testH.stat.bloomFilter("h", expected, fpp)
-    val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
-    val dirty = docShingles(df.filter(!testPred), idCol, textCol, n)
+    val trainH = docShingles(df.filter(!testPred), idCol, textCol, n)
       .select(col("id"), tokenHash(col("tok")).as("h"))
-      .filter(mightContain(col("h"))) // sketch pre-filter at the scan
-      .join(testH, "h") // exact verify over survivors only
+    // SIZE-AWARE route: the sketch exists to avoid shuffling corpus-
+    // sized train shingles against a held-out set too big to broadcast.
+    // When the held-out hash set itself is broadcast-sized (≤ ~8 MB of
+    // longs), the exact broadcast semi-join IS the prefilter — same
+    // rows out (the bloom only ever pruned), minus the sketch build job
+    // and the per-shingle non-codegen UDF the hot path paid.
+    val dirty = (if (expected <= (1L << 20))
+        trainH.join(broadcast(testH), Seq("h"), "left_semi")
+      else {
+        val bloom = testH.stat.bloomFilter("h", expected, fpp)
+        val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((h: Long) => bloomB.value.mightContain(h))
+        trainH
+          .filter(mightContain(col("h"))) // sketch pre-filter at the scan
+          .join(testH, "h") // exact verify over survivors only
+      })
       .select("id").distinct()
     df.filter(!testPred).select(col(idCol).cast("long").as("id")).distinct()
       .join(dirty, Seq("id"), "left_anti")
