@@ -383,9 +383,6 @@ object Dedup {
       // read 3x (sizing count + bloom build + verify): persist — the
       // sizing count doubles as the materializing action
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected =
-      if (expectedTestShingles > 0) expectedTestShingles
-      else math.max(testH.count(), 1L)
     val trainH = docShingles(df.filter(!testPred), idCol, textCol, n)
       .select(col("id"), tokenHash(col("tok")).as("h"))
     // SIZE-AWARE route: the sketch exists to avoid shuffling corpus-
@@ -394,9 +391,27 @@ object Dedup {
     // longs), the exact broadcast semi-join IS the prefilter — same
     // rows out (the bloom only ever pruned), minus the sketch build job
     // and the per-shingle non-codegen UDF the hot path paid.
-    val dirty = (if (expected <= (1L << 20))
+    // ROUTING is never trusted to a caller's a-priori estimate: an
+    // underestimate ≤ bound would broadcast an arbitrarily large
+    // held-out set (driver OOM), so the broadcast route is gated on a
+    // MEASURED bounded count (`limit(bound+1).count()` — stops early,
+    // never materializes past the threshold). The estimate is honored
+    // only when it asserts "large" (> bound): that skips the probe job
+    // and can only err toward the always-correct sketch route.
+    val bound = 1L << 20
+    val useSketch =
+      if (expectedTestShingles > bound) true
+      else testH.limit(bound.toInt + 1).count() > bound
+    val dirty = (if (!useSketch)
         trainH.join(broadcast(testH), Seq("h"), "left_semi")
       else {
+        // sketch SIZING: honor the estimate only when it routed us here
+        // (> bound); a contradicted or absent estimate falls back to the
+        // exact count — an undersized bloom degrades fpp → 1 silently
+        // and the verify join re-inherits the full shuffle.
+        val expected =
+          if (expectedTestShingles > bound) expectedTestShingles
+          else math.max(testH.count(), 1L)
         val bloom = testH.stat.bloomFilter("h", expected, fpp)
         val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
         val mightContain = udf((h: Long) => bloomB.value.mightContain(h))

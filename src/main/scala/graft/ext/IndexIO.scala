@@ -182,7 +182,12 @@ private[ext] object IndexIO {
     val spark = ids.sparkSession
     val next = shardIds(spark, s"$root/deletes").lastOption.getOrElse(-1) + 1
     val staging = shardStagingFor(s"$root/deletes")
-    val distinctIds = ids.select(colName).distinct()
+    // normalize to INT64 up front: the driver-side writer emits a
+    // required-int64 shard and readIdShards does getLong, so an
+    // int-typed caller column must be widened here, not at read time
+    val distinctIds = ids.select(
+      org.apache.spark.sql.functions.col(colName).cast("long").as(colName)
+    ).distinct()
     val probe = distinctIds.limit(maxDriverIds + 1).collect()
     if (probe.length <= maxDriverIds)
       writeIdShard(spark, staging, colName, probe.map(_.getLong(0)))

@@ -56,12 +56,25 @@ private[ext] object IndexMaintenance {
       if (IndexIO.shardIds(spark, s"$path/deletes").isEmpty) 0.0
       else {
         val docs = IndexIO.readCommitted(spark, path, docTable, live).select(col(idCol))
-        val dels = spark.read.parquet(s"$path/deletes")
-          .select(col(idCol)).distinct().withColumn("t", lit(1))
-        val r = docs.join(broadcast(dels), Seq(idCol), "left")
-          .agg(count(lit(1)).as("total"),
-            coalesce(sum(col("t")), lit(0L)).as("dead"))
-          .collect()(0)
+        // routed like the serving path: a small tombstone set rides the
+        // driver-side shard read as literals (no join at all); past the
+        // bound — a mass takedown, exactly when a forced broadcast could
+        // exceed driver/executor memory — fall back to a plain shuffled
+        // left join and let the planner pick the build side
+        val r = IndexIO.readIdShards(spark, s"$path/deletes", idCol) match {
+          case Some(ids) =>
+            docs.agg(count(lit(1)).as("total"),
+              coalesce(sum(when(col(idCol).isInCollection(ids.toSeq), 1L)), lit(0L))
+                .as("dead"))
+              .collect()(0)
+          case None =>
+            val dels = spark.read.parquet(s"$path/deletes")
+              .select(col(idCol)).distinct().withColumn("t", lit(1))
+            docs.join(dels, Seq(idCol), "left")
+              .agg(count(lit(1)).as("total"),
+                coalesce(sum(col("t")), lit(0L)).as("dead"))
+              .collect()(0)
+        }
         val total = r.getLong(0)
         if (total == 0L) 0.0 else r.getLong(1).toDouble / total.toDouble
       }

@@ -571,15 +571,26 @@ object TextIndex {
     // tombstone routing: small takedown sets (the common case) are read
     // DRIVER-SIDE ([[IndexIO.readIdShards]]) and pushed into the scans
     // as literal membership predicates — no deletes parquet read in the
-    // plan, no broadcast anti-join build per probe. A set past the
-    // literal bound falls back to the distributed anti-join, the right
-    // plan at that size.
+    // plan, no broadcast anti-join build per probe. Wide literal lists
+    // measurably dominate per-request ANALYSIS cost (same finding as
+    // fetchCandidatesPacked / PoiRowCache), so past `maxLiteralIds` the
+    // driver-read set becomes a broadcast anti-join of a LocalRelation
+    // (still no deletes scan in the plan); a set past the driver-read
+    // bound falls back to the distributed anti-join, the right plan at
+    // that size.
+    val maxLiteralIds = 1024
     val smallDels = IndexIO.readIdShards(spark, s"$path/deletes", "doc_id")
     val dels = if (smallDels.isDefined) None else tombstones(spark, path)
+    lazy val localDels = { // driver ids as a one-column LocalRelation
+      import spark.implicits._
+      broadcast(smallDels.get.toSeq.toDF("doc_id"))
+    }
     val base = restrict(tbl("postings"))
     val tf = (smallDels match {
-        case Some(arr) if arr.nonEmpty =>
+        case Some(arr) if arr.nonEmpty && arr.length <= maxLiteralIds =>
           base.filter(!col("doc_id").isInCollection(arr.toSeq))
+        case Some(arr) if arr.nonEmpty =>
+          base.join(localDels, Seq("doc_id"), "left_anti")
         case _ => dels.foldLeft(base)(_.join(_, Seq("doc_id"), "left_anti"))
       })
       .select("doc_id", "dl", "term", "tf")
@@ -610,8 +621,10 @@ object TextIndex {
         .toDF("n_docs", "avgdl")
     }
     val stats = smallDels match {
-      case Some(arr) if arr.nonEmpty =>
+      case Some(arr) if arr.nonEmpty && arr.length <= maxLiteralIds =>
         removedStats(tbl("doclens").filter(col("doc_id").isInCollection(arr.toSeq)))
+      case Some(arr) if arr.nonEmpty =>
+        removedStats(tbl("doclens").join(localDels, Seq("doc_id"), "left_semi"))
       case Some(_) => literalStats
       case None => dels match {
         case Some(d) => removedStats(tbl("doclens").join(d, Seq("doc_id"), "left_semi"))

@@ -218,13 +218,35 @@ class PlanShapeSpec extends SparkSpec {
 
   test("bloom decontamination pre-filters the train scan before the exact join") {
     val docs = (1L to 30L).map(i => (i, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+    // an estimate > 2^20 asserts "large held-out set": forces the
+    // sketch route without materializing one
     val plan = physical(
-      Dedup.bloomDecontaminate(docs, "doc_id", "text", col("doc_id") % 10 === 0, n = 4))
+      Dedup.bloomDecontaminate(docs, "doc_id", "text", col("doc_id") % 10 === 0, n = 4,
+        expectedTestShingles = (1L << 20) + 1))
     assertNoProductJoin(plan, "bloomDecontaminate")
     // the sketch filter must sit in the plan (a UDF filter node), i.e.
     // the exact join's left input is the bloom-positive subset
     assert(plan.contains("mightContain") || plan.contains("UDF"),
       s"bloom pre-filter missing from plan:\n$plan")
+  }
+
+  test("bloom decontamination takes the broadcast route for a small measured held-out set") {
+    val docs = (1L to 30L).map(i => (i, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+    val pred = col("doc_id") % 10 === 0
+    val small = Dedup.bloomDecontaminate(docs, "doc_id", "text", pred, n = 4)
+    val plan = physical(small)
+    assertNoProductJoin(plan, "bloomDecontaminate small route")
+    // below the threshold the measured count routes to an exact
+    // broadcast semi-join prefilter — no sketch, no UDF in the plan
+    assert(!plan.contains("mightContain"),
+      s"small held-out set must skip the bloom sketch:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi prefilter:\n$plan")
+    // and the two routes are row-equal: the sketch only ever pruned
+    val viaSketch = Dedup.bloomDecontaminate(docs, "doc_id", "text", pred, n = 4,
+      expectedTestShingles = (1L << 20) + 1)
+    assert(small.orderBy("id").collect().toSeq ===
+      viaSketch.orderBy("id").collect().toSeq)
   }
 
   test("pageRank per-iteration step is equality-join + partial aggregate") {
