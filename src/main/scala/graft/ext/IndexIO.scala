@@ -46,6 +46,45 @@ private[ext] object IndexIO {
   @volatile private[ext] var crashHook: () => Unit = () => ()
   private[ext] def crashTick(): Unit = crashHook()
 
+  /** TEST-ONLY interleaving hook, invoked at the top of [[commitShard]]
+    * — the last rename of an append. The concurrency specs swap in a
+    * one-shot that runs a maintenance op at exactly the
+    * tables-published-but-uncommitted point, turning the append/maintain
+    * race into a deterministic interleaving instead of a sleep-based
+    * one. Production value is a no-op. */
+  @volatile private[ext] var preCommitHook: () => Unit = () => ()
+
+  /** Appender LEASE: a claimed-but-young shard id (claim dir mtime
+    * within this bound) is treated by reconcile/gc as a LIVE appender's
+    * in-flight work, never crash garbage — this is what lets
+    * `maintain`/`compactSmall` run concurrently with appends. The
+    * contract an appender signs: finish (publish tables + marker)
+    * within the lease of its claim, or abandon and re-append under a
+    * fresh id — an append that outlives its lease can have its
+    * uncommitted shards reclaimed mid-flight. Crash garbage is
+    * reclaimed only after the lease expires (bounded disk debt, zero
+    * data risk: readers never see uncommitted shards either way). */
+  @volatile private[ext] var appendLeaseMs: Long = 15L * 60L * 1000L
+
+  /** Shard ids under an active appender lease: claimed recently
+    * (claim-dir mtime within [[appendLeaseMs]]), whether or not their
+    * marker has landed yet — a just-committed shard is equally
+    * off-limits to reconcile deletion, because the reconciler's other
+    * listings may predate its marker. Driver-side listing + one
+    * getFileStatus per young claim. */
+  def leasedIds(spark: SparkSession, root: String): Set[Int] = {
+    val claims = shardIds(spark, s"$root/claims")
+    if (claims.isEmpty) return Set.empty
+    val fs = fsOf(spark, root)
+    val now = System.currentTimeMillis()
+    claims.filter { k =>
+      try now - fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
+      ).getModificationTime < appendLeaseMs
+      catch { case _: java.io.FileNotFoundException => false }
+    }.toSet
+  }
+
   /** Staging path: sibling of `dest` so the rename stays within one
     * filesystem. */
   def stagingFor(dest: String): String =
@@ -231,6 +270,7 @@ private[ext] object IndexIO {
     * one-in-then-each-out sequence a reader could observe doubled. */
   def commitShard(spark: SparkSession, root: String, k: Int,
                   replaces: Seq[Int] = Nil): Unit = {
+    preCommitHook()
     // markers are pure DIRECTORY facts — every consumer is a listing
     // ([[committedIds]]; compaction markers add one small REPLACES file
     // read) — so the publish is driver-side filesystem I/O, not a Spark
@@ -418,15 +458,32 @@ private[ext] object IndexIO {
     * staging is a full index copy, so the writers that already rewrite
     * history ([[TextIndex.compact]] and twins) sweep them. `dest-old-*`
     * asides are NOT touched: a crash inside [[publish]]'s two renames
-    * leaves the previous index there for recovery. Single-writer by
-    * contract, like every mutation here. */
+    * leaves the previous index there for recovery.
+    *
+    * CONCURRENCY: a staging dir ACTIVELY being written by a live
+    * appender is indistinguishable from crash garbage by name alone, so
+    * the sweep only reclaims dirs whose newest mtime (dir or any entry,
+    * bounded walk — staging trees are a handful of files) is older than
+    * [[appendLeaseMs]] — the same lease the shard reconcile honors. A
+    * dir that vanishes mid-check was just published/cleaned by its
+    * owner: skipped. */
   def gcStaging(spark: SparkSession, root: String): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(spark, root)
+    val now = System.currentTimeMillis()
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
+    def expired(p: org.apache.hadoop.fs.Path): Boolean =
+      try now - newestMtime(p) >= appendLeaseMs
+      catch { case _: java.io.FileNotFoundException => false }
     def sweep(dir: org.apache.hadoop.fs.Path, pred: String => Boolean): Unit =
       if (fs.exists(dir))
         fs.listStatus(dir).foreach { st =>
-          if (st.isDirectory && pred(st.getPath.getName)) {
+          if (st.isDirectory && pred(st.getPath.getName) && expired(st.getPath)) {
             crashTick()
             if (!fs.delete(st.getPath, true))
               throw new java.io.IOException(s"gc of ${st.getPath} failed")

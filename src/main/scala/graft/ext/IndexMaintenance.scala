@@ -21,10 +21,11 @@ case class MaintainReport(
   * aggregate).
   *
   * Decision order:
-  *  1. dead-row fraction ≥ `tombstoneFrac` → FULL `compact` — the one
-  *     operation that both reclaims the dead mass index-wide and clears
-  *     the tombstone set (which otherwise grows without bound; shard
-  *     folds can only drop tombstones falling inside folded shards).
+  *  1. dead-row fraction ≥ `tombstoneFrac` → fold-ALL in-root compact
+  *     (`compactAllInPlace`) — reclaims the dead mass index-wide and
+  *     clears the tombstone shards observed at entry (which otherwise
+  *     grow without bound; shard folds can only drop tombstones falling
+  *     inside folded shards).
   *  2. live shards > `maxShards` → `compactSmall` with the byte
   *     threshold set AT the (n−maxShards+1)-th smallest shard, so at
   *     least that many fold into one and the count lands back
@@ -32,20 +33,24 @@ case class MaintainReport(
   *     tail — the whole point of size-tiered folding at 100 TB.
   *  3. otherwise → nothing.
   *
-  * Single-writer contract as for `compact`/`compactSmall` themselves —
-  * and EXCLUSIVE OF APPENDS while it runs: both repair routes begin
-  * with `reconcileShards`, which deletes published-but-uncommitted
-  * table shards (crash garbage), indistinguishable from a concurrent
-  * appender's in-flight shards. A crawl loop therefore calls
-  * `maintain` at its generation boundary (no ingest in flight), which
-  * is also when the decision inputs are stable.
+  * CONCURRENCY (round 11): `maintain` is single-MAINTAINER (never two
+  * maintenance ops at once) but SAFE under concurrent APPENDS — both
+  * repair routes stay inside the live root, their `reconcileShards` /
+  * `gcStaging` honor the appender lease ([[IndexIO.leasedIds]] /
+  * `appendLeaseMs`: a young claim or an actively-written staging dir is
+  * a live appender, not crash garbage), and an appender's shard landing
+  * mid-maintain is outside the fold set and the observed tombstones, so
+  * both writers' work survives. The appender's side of the contract:
+  * finish within the lease or re-append under a fresh id. A racing
+  * DELETE also lands intact: fold-all clears only the tombstone shards
+  * it observed at entry.
   */
 private[ext] object IndexMaintenance {
 
   def run(spark: SparkSession, path: String,
           tables: Seq[String], docTable: String, idCol: String,
           maxShards: Int, tombstoneFrac: Double,
-          compactAll: () => Unit,
+          compactAll: () => Seq[Int],
           compactSmallAt: Long => Seq[Int]): MaintainReport = {
     require(maxShards >= 1, s"maxShards must be >= 1, got $maxShards")
     val live = IndexIO.liveCommittedIds(spark, path)
@@ -79,8 +84,8 @@ private[ext] object IndexMaintenance {
         if (total == 0L) 0.0 else r.getLong(1).toDouble / total.toDouble
       }
     if (deadFrac >= tombstoneFrac) {
-      compactAll()
-      MaintainReport(1, deadFrac, "compact", live)
+      val folded = compactAll()
+      MaintainReport(live.size - folded.size + 1, deadFrac, "compact", folded)
     } else if (live.size > maxShards) {
       val sizes = live.map(k =>
         tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum).sorted

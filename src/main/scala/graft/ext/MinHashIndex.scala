@@ -141,10 +141,10 @@ object MinHashIndex {
     * pairwise reconcile: the old publish order (signatures first) makes
     * sig-without-bucket the only reachable crash orphan. */
   private def reconcileShards(spark: SparkSession, path: String): Unit = {
-    val sig = IndexIO.shardIds(spark, s"$path/signatures").toSet
-    val bkt = IndexIO.shardIds(spark, s"$path/buckets").toSet
     val committed = IndexIO.committedIds(spark, path).toSet
     if (committed.isEmpty) {
+      val sig = IndexIO.shardIds(spark, s"$path/signatures").toSet
+      val bkt = IndexIO.shardIds(spark, s"$path/buckets").toSet
       (sig diff bkt).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
       (bkt diff sig).foreach(k =>
@@ -158,16 +158,21 @@ object MinHashIndex {
       // post-commit cleanup crashed. Markers delete FIRST (publish order
       // mirrored: marker last in, first out) so a crash mid-reconcile
       // can never leave a committed id with missing table shards for
-      // readers to serve. Runs ONLY from compact (single-writer
-      // maintenance) — an append must not reconcile, or it would delete
-      // a CONCURRENT appender's in-flight uncommitted shards.
+      // readers to serve. SAFE under concurrent appends (round 11):
+      // shard ids under an active appender lease ([[IndexIO.leasedIds]])
+      // are never touched, and commits list BEFORE tables so an id that
+      // commits mid-reconcile has its tables visible to the later
+      // listing — see the [[TextIndex]] reconcile note.
+      val leased = IndexIO.leasedIds(spark, path)
       val live = IndexIO.liveCommittedIds(spark, path).toSet
+      val sig = IndexIO.shardIds(spark, s"$path/signatures").toSet
+      val bkt = IndexIO.shardIds(spark, s"$path/buckets").toSet
       val keep = live intersect (sig intersect bkt)
-      (committed diff keep).foreach(k =>
+      (committed diff keep).filterNot(leased).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
-      (sig diff keep).foreach(k =>
+      (sig diff keep).filterNot(leased).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/signatures/shard=$k"))
-      (bkt diff keep).foreach(k =>
+      (bkt diff keep).filterNot(leased).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/buckets/shard=$k"))
     }
   }
@@ -311,7 +316,15 @@ object MinHashIndex {
     IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
     val staging = IndexIO.stagingFor(path)
     val dels = tombstones(spark, path)
-    val sig = spark.read.parquet(s"$path/signatures")
+    // prune to LIVE committed shards when markers exist: a young
+    // uncommitted orphan survives the lease-honoring reconcile above
+    // and must not be baked into shard=0 (legacy pre-marker layouts
+    // have no markers — read whole, as before)
+    val live = IndexIO.liveCommittedIds(spark, path)
+    def tbl(name: String) =
+      if (live.nonEmpty) IndexIO.readCommitted(spark, path, name, live)
+      else spark.read.parquet(s"$path/$name")
+    val sig = tbl("signatures")
     dels.foldLeft(
         sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*))(
         _.join(_, Seq("id"), "left_anti"))
@@ -319,7 +332,7 @@ object MinHashIndex {
       .sortWithinPartitions("id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
     dels.foldLeft(
-        spark.read.parquet(s"$path/buckets").select("id", "band", "bucket"))(
+        tbl("buckets").select("id", "band", "bucket"))(
         _.join(_, Seq("id"), "left_anti"))
       .repartitionByRange(partitions, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket", "id")
@@ -338,33 +351,57 @@ object MinHashIndex {
     * a REPLACES marker — one atomic rename swaps the fold set out of
     * the live id set; every other shard's files stay byte-identical.
     * Tombstones inside folded shards drop physically; the tombstone SET
-    * clears only on a full [[compact]]. Returns the folded shard ids
+    * clears only on a full compaction ([[compact]] or
+    * [[compactAllInPlace]]). Returns the folded shard ids
     * (empty = nothing worth folding). */
   def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
-                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] = {
+                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] =
+    compactTiered(spark, path, Some(maxShardBytes), partitions, tombstoneFrac)
+
+  /** Full compaction WITHOUT the root-replacing rename (the
+    * [[TextIndex.compactAllInPlace]] twin): folds ALL live shards into
+    * one new shard under the existing root via a REPLACES marker and
+    * clears the tombstone shards observed at entry. [[maintain]]'s
+    * full-compact route — safe under concurrent appends, unlike
+    * [[compact]]'s whole-root rename. Returns the folded shard ids. */
+  def compactAllInPlace(spark: SparkSession, path: String,
+                        partitions: Int = 8): Seq[Int] =
+    compactTiered(spark, path, None, partitions, 0.5)
+
+  private def compactTiered(spark: SparkSession, path: String,
+                            maxShardBytes: Option[Long], partitions: Int,
+                            tombstoneFrac: Double): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
     val tables = Seq("signatures", "buckets")
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty,
       s"index at $path has no committed shards; compactSmall needs the marker layout")
+    // observed BEFORE reading tombstone rows — only these may clear on
+    // fold-all (a concurrently-landing tombstone shard stays applied)
+    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val dels = tombstones(spark, path)
-    val small = live.filter(k =>
-      tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= maxShardBytes)
-    val heavy: Seq[Int] = dels match {
-      case Some(d) =>
-        IndexIO.readCommitted(spark, path, "signatures", live)
-          .select(col("shard"), col("id"))
-          .join(d.withColumn("t", lit(1)), Seq("id"), "left")
-          .groupBy("shard").agg(count(lit(1)).as("total"),
-            sum(coalesce(col("t"), lit(0))).as("dead"))
-          .filter(col("dead").cast("double") >=
-            lit(tombstoneFrac) * col("total").cast("double"))
-          .select("shard").collect().map(_.getInt(0)).toSeq
-      case None => Nil
+    val fold = maxShardBytes match {
+      case None => live
+      case Some(bytes) =>
+        val small = live.filter(k =>
+          tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= bytes)
+        val heavy: Seq[Int] = dels match {
+          case Some(d) =>
+            IndexIO.readCommitted(spark, path, "signatures", live)
+              .select(col("shard"), col("id"))
+              .join(d.withColumn("t", lit(1)), Seq("id"), "left")
+              .groupBy("shard").agg(count(lit(1)).as("total"),
+                sum(coalesce(col("t"), lit(0))).as("dead"))
+              .filter(col("dead").cast("double") >=
+                lit(tombstoneFrac) * col("total").cast("double"))
+              .select("shard").collect().map(_.getInt(0)).toSeq
+          case None => Nil
+        }
+        val f = (small ++ heavy).distinct.sorted
+        if (f.length < 2 && heavy.isEmpty) return Nil
+        f
     }
-    val fold = (small ++ heavy).distinct.sorted
-    if (fold.length < 2 && heavy.isEmpty) return Nil
     val next = IndexIO.claimShardId(spark, path, tables)
     def liveRows(table: String, cols: Seq[String]) =
       dels.foldLeft(
@@ -389,18 +426,22 @@ object MinHashIndex {
     IndexIO.commitShard(spark, path, next, replaces = fold)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
+    if (maxShardBytes.isEmpty)
+      for (k <- obsDels) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
     fold
   }
 
   /** Compaction trigger policy ([[IndexMaintenance]]): call after each
     * crawl/ingest generation; keeps live shards ≤ `maxShards` and the
     * dead-row fraction < `tombstoneFrac` by choosing (nothing |
-    * size-tiered [[compactSmall]] | full [[compact]]) from shard stats. */
+    * size-tiered [[compactSmall]] | fold-all [[compactAllInPlace]])
+    * from shard stats. Safe under concurrent appends — see
+    * [[IndexMaintenance]]. */
   def maintain(spark: SparkSession, path: String, maxShards: Int = 8,
                tombstoneFrac: Double = 0.3, partitions: Int = 8): MaintainReport =
     IndexMaintenance.run(spark, path, Seq("signatures", "buckets"), "signatures", "id",
       maxShards, tombstoneFrac,
-      () => compact(spark, path, partitions),
+      () => compactAllInPlace(spark, path, partitions),
       bytes => compactSmall(spark, path, bytes, partitions, tombstoneFrac))
 
   /** All candidate pairs from the stored index: docs sharing any band

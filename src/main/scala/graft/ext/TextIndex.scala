@@ -291,15 +291,22 @@ object TextIndex {
     * post-commit cleanup crashed ([[compactSmall]] deletes its folded
     * shards after the REPLACES marker lands — a crash in between leaves
     * them as reader-invisible garbage). Restores exactly the last
-    * committed state. Runs ONLY from [[compact]]/[[compactSmall]]
-    * (single-writer maintenance by contract) — an append must NOT
-    * reconcile, or it would delete a CONCURRENT appender's published-
-    * but-not-yet-committed table shards mid-flight. */
+    * committed state. Runs from [[compact]]/[[compactSmall]] — and is
+    * SAFE under concurrent appends since round 11: a shard id under an
+    * active appender lease ([[IndexIO.leasedIds]] — claim younger than
+    * `appendLeaseMs`) is never touched, so a live appender's published-
+    * but-not-yet-committed table shards survive a racing maintenance
+    * pass; commits are listed BEFORE tables so an id that commits
+    * mid-reconcile always has its tables visible to the later listing
+    * (and its young claim shields it even when the marker lands between
+    * the two listings). Crash garbage older than the lease reconciles
+    * exactly as before. */
   private def reconcileShards(spark: SparkSession, path: String): Unit = {
     val tables = tablesOf(spark, path)
-    val perTable = tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
+    val leased = IndexIO.leasedIds(spark, path)
     val committed = IndexIO.shardIds(spark, s"$path/commits").toSet
     val live = IndexIO.liveCommittedIds(spark, path).toSet
+    val perTable = tables.map(t => IndexIO.shardIds(spark, s"$path/$t").toSet)
     // keep only live-committed-AND-complete shards: dropping just the
     // marker of an incomplete shard would leave its surviving table
     // shards as permanent orphans. Markers delete FIRST (the publish
@@ -308,9 +315,10 @@ object TextIndex {
     // mid-reconcile manufacture a committed-but-tableless state that
     // readers then serve mis-scored against its stats mass.
     val keep = live intersect perTable.reduce(_ intersect _)
-    for (k <- committed diff keep)
+    for (k <- committed diff keep if !leased.contains(k))
       IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
-    for ((t, ids) <- tables.zip(perTable); k <- ids diff keep)
+    for ((t, ids) <- tables.zip(perTable); k <- ids diff keep
+         if !leased.contains(k))
       IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
   }
 
@@ -429,33 +437,62 @@ object TextIndex {
     * Returns the folded shard ids (empty = nothing worth folding:
     * fewer than two small shards and no tombstone-heavy one). */
   def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
-                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] = {
+                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] =
+    compactTiered(spark, path, Some(maxShardBytes), partitions, tombstoneFrac)
+
+  /** Full compaction WITHOUT the root-replacing rename: folds ALL live
+    * shards into one new shard under the existing root (REPLACES
+    * marker, same swap atomicity as [[compactSmall]]) and clears the
+    * tombstone shards it observed at entry — every tombstoned row falls
+    * inside the fold set, so the observed set is fully applied and its
+    * shards are inert afterwards. This is [[maintain]]'s full-compact
+    * route: unlike [[compact]] (which renames the whole index root
+    * aside and would strand a concurrent appender's publishes), it
+    * stays inside the live root, so appends racing it land intact —
+    * their shards are outside the fold set and outside the observed
+    * tombstones. [[compact]] remains the layout-migration /
+    * claim-resetting op. Returns the folded shard ids. */
+  def compactAllInPlace(spark: SparkSession, path: String,
+                        partitions: Int = 8): Seq[Int] =
+    compactTiered(spark, path, None, partitions, 0.5)
+
+  private def compactTiered(spark: SparkSession, path: String,
+                            maxShardBytes: Option[Long], partitions: Int,
+                            tombstoneFrac: Double): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
     val tables = tablesOf(spark, path)
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty, s"no committed shards under $path — not a TextIndex?")
+    // observed BEFORE reading tombstone rows: only these shards are
+    // provably applied to the fold, so only these may clear on fold-all
+    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val dels = tombstones(spark, path)
-    val small = live.filter(k =>
-      tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= maxShardBytes)
-    val heavy: Seq[Int] = dels match {
-      case Some(d) =>
-        // per-shard doc counts come from the driver-side stats read;
-        // only the dead counts need a (tiny) doclens⋉deletes probe
-        val perShard = statsPerShard(spark, path, live)
-        val dead = IndexIO.readCommitted(spark, path, "doclens", live)
-          .join(d, Seq("doc_id"), "left_semi")
-          .groupBy("shard").agg(count(lit(1)).as("dead"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        live.filter { k =>
-          val dk = dead.getOrElse(k, 0L)
-          dk > 0L && dk.toDouble >=
-            tombstoneFrac * perShard.get(k).map(_._1).getOrElse(0L).toDouble
+    val fold = maxShardBytes match {
+      case None => live // fold-all: every live shard rewrites
+      case Some(bytes) =>
+        val small = live.filter(k =>
+          tables.map(t => IndexIO.dirBytes(spark, s"$path/$t/shard=$k")).sum <= bytes)
+        val heavy: Seq[Int] = dels match {
+          case Some(d) =>
+            // per-shard doc counts come from the driver-side stats read;
+            // only the dead counts need a (tiny) doclens⋉deletes probe
+            val perShard = statsPerShard(spark, path, live)
+            val dead = IndexIO.readCommitted(spark, path, "doclens", live)
+              .join(d, Seq("doc_id"), "left_semi")
+              .groupBy("shard").agg(count(lit(1)).as("dead"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            live.filter { k =>
+              val dk = dead.getOrElse(k, 0L)
+              dk > 0L && dk.toDouble >=
+                tombstoneFrac * perShard.get(k).map(_._1).getOrElse(0L).toDouble
+            }
+          case None => Nil
         }
-      case None => Nil
+        val f = (small ++ heavy).distinct.sorted
+        if (f.length < 2 && heavy.isEmpty) return Nil
+        f
     }
-    val fold = (small ++ heavy).distinct.sorted
-    if (fold.length < 2 && heavy.isEmpty) return Nil
     val next = IndexIO.claimShardId(spark, path, tables)
     val stage =
       s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -482,6 +519,11 @@ object TextIndex {
     IndexIO.commitShard(spark, path, next, replaces = fold)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
+    // fold-all applied every observed tombstone (the fold covered every
+    // live shard); clear exactly those — a tombstone landing
+    // concurrently stays and keeps applying
+    if (maxShardBytes.isEmpty)
+      for (k <- obsDels) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
     fold
   }
 
@@ -494,7 +536,7 @@ object TextIndex {
                tombstoneFrac: Double = 0.3, partitions: Int = 8): MaintainReport =
     IndexMaintenance.run(spark, path, tablesOf(spark, path), "doclens", "doc_id",
       maxShards, tombstoneFrac,
-      () => compact(spark, path, partitions),
+      () => compactAllInPlace(spark, path, partitions),
       bytes => compactSmall(spark, path, bytes, partitions, tombstoneFrac))
 
   /** BM25 top-k for a term set, served ENTIRELY from the stored

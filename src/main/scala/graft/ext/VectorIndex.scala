@@ -121,16 +121,21 @@ object VectorIndex {
   private def reconcileShards(spark: SparkSession, path: String): Unit = {
     val committed = IndexIO.committedIds(spark, path).toSet
     if (committed.nonEmpty) {
-      val post = IndexIO.shardIds(spark, s"$path/postings").toSet
       // keep only live-committed-AND-complete: uncommitted shards are
       // crash leftovers, REPLACED ones a compactSmall whose post-commit
       // cleanup crashed. Markers delete FIRST (publish order mirrored)
-      // — see the TextIndex reconcile note. Runs ONLY from compact
-      // (single-writer maintenance); appends claim fresh ids instead.
-      val keep = IndexIO.liveCommittedIds(spark, path).toSet intersect post
-      (committed diff keep).foreach(k =>
+      // — see the TextIndex reconcile note. SAFE under concurrent
+      // appends (round 11): shard ids under an active appender lease
+      // ([[IndexIO.leasedIds]]) are never touched, and commits list
+      // BEFORE tables so an id committing mid-reconcile has its tables
+      // visible to the later listing.
+      val leased = IndexIO.leasedIds(spark, path)
+      val live = IndexIO.liveCommittedIds(spark, path).toSet
+      val post = IndexIO.shardIds(spark, s"$path/postings").toSet
+      val keep = live intersect post
+      (committed diff keep).filterNot(leased).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/commits/shard=$k"))
-      (post diff keep).foreach(k =>
+      (post diff keep).filterNot(leased).foreach(k =>
         IndexIO.deleteDir(spark, s"$path/postings/shard=$k"))
     }
   }
@@ -266,7 +271,13 @@ object VectorIndex {
     val staging = IndexIO.stagingFor(path)
     spark.read.parquet(s"$path/centroids")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
-    val postings = spark.read.parquet(s"$path/postings")
+    // prune to LIVE committed shards when markers exist: a young
+    // uncommitted orphan survives the lease-honoring reconcile above
+    // and must not be baked into shard=0 (legacy layouts read whole)
+    val liveIds = IndexIO.liveCommittedIds(spark, path)
+    val postings =
+      if (liveIds.nonEmpty) IndexIO.readCommitted(spark, path, "postings", liveIds)
+      else spark.read.parquet(s"$path/postings")
     tombstones(spark, path)
       .foldLeft(postings)(_.join(_, Seq("cand_id"), "left_anti"))
       .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(postings))
@@ -292,29 +303,53 @@ object VectorIndex {
     * physically; the tombstone SET clears only on a full [[compact]].
     * Returns the folded shard ids (empty = nothing worth folding). */
   def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
-                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] = {
+                   partitions: Int = 8, tombstoneFrac: Double = 0.5): Seq[Int] =
+    compactTiered(spark, path, Some(maxShardBytes), partitions, tombstoneFrac)
+
+  /** Full compaction WITHOUT the root-replacing rename (the
+    * [[TextIndex.compactAllInPlace]] twin): folds ALL live posting
+    * shards into one new cid-sorted shard under the existing root via a
+    * REPLACES marker and clears the tombstone shards observed at entry
+    * (centroids untouched). [[maintain]]'s full-compact route — safe
+    * under concurrent appends, unlike [[compact]]'s whole-root rename.
+    * Returns the folded shard ids. */
+  def compactAllInPlace(spark: SparkSession, path: String,
+                        partitions: Int = 8): Seq[Int] =
+    compactTiered(spark, path, None, partitions, 0.5)
+
+  private def compactTiered(spark: SparkSession, path: String,
+                            maxShardBytes: Option[Long], partitions: Int,
+                            tombstoneFrac: Double): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty,
       s"index at $path has no committed shards; compactSmall needs the marker layout")
+    // observed BEFORE reading tombstone rows — only these may clear on
+    // fold-all (a concurrently-landing tombstone shard stays applied)
+    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val dels = tombstones(spark, path)
-    val small = live.filter(k =>
-      IndexIO.dirBytes(spark, s"$path/postings/shard=$k") <= maxShardBytes)
-    val heavy: Seq[Int] = dels match {
-      case Some(d) =>
-        IndexIO.readCommitted(spark, path, "postings", live)
-          .select(col("shard"), col("cand_id"))
-          .join(d.withColumn("t", lit(1)), Seq("cand_id"), "left")
-          .groupBy("shard").agg(count(lit(1)).as("total"),
-            sum(coalesce(col("t"), lit(0))).as("dead"))
-          .filter(col("dead").cast("double") >=
-            lit(tombstoneFrac) * col("total").cast("double"))
-          .select("shard").collect().map(_.getInt(0)).toSeq
-      case None => Nil
+    val fold = maxShardBytes match {
+      case None => live
+      case Some(bytes) =>
+        val small = live.filter(k =>
+          IndexIO.dirBytes(spark, s"$path/postings/shard=$k") <= bytes)
+        val heavy: Seq[Int] = dels match {
+          case Some(d) =>
+            IndexIO.readCommitted(spark, path, "postings", live)
+              .select(col("shard"), col("cand_id"))
+              .join(d.withColumn("t", lit(1)), Seq("cand_id"), "left")
+              .groupBy("shard").agg(count(lit(1)).as("total"),
+                sum(coalesce(col("t"), lit(0))).as("dead"))
+              .filter(col("dead").cast("double") >=
+                lit(tombstoneFrac) * col("total").cast("double"))
+              .select("shard").collect().map(_.getInt(0)).toSeq
+          case None => Nil
+        }
+        val f = (small ++ heavy).distinct.sorted
+        if (f.length < 2 && heavy.isEmpty) return Nil
+        f
     }
-    val fold = (small ++ heavy).distinct.sorted
-    if (fold.length < 2 && heavy.isEmpty) return Nil
     val next = IndexIO.claimShardId(spark, path, Seq("postings"))
     val folded = IndexIO.readCommitted(spark, path, "postings", fold)
     val staging = IndexIO.shardStagingFor(s"$path/postings")
@@ -329,18 +364,22 @@ object VectorIndex {
     IndexIO.commitShard(spark, path, next, replaces = fold)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+    if (maxShardBytes.isEmpty)
+      for (k <- obsDels) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
     fold
   }
 
   /** Compaction trigger policy ([[IndexMaintenance]]): call after each
     * crawl/ingest generation; keeps live shards ≤ `maxShards` and the
     * dead-row fraction < `tombstoneFrac` by choosing (nothing |
-    * size-tiered [[compactSmall]] | full [[compact]]) from shard stats. */
+    * size-tiered [[compactSmall]] | fold-all [[compactAllInPlace]])
+    * from shard stats. Safe under concurrent appends — see
+    * [[IndexMaintenance]]. */
   def maintain(spark: SparkSession, path: String, maxShards: Int = 8,
                tombstoneFrac: Double = 0.3, partitions: Int = 8): MaintainReport =
     IndexMaintenance.run(spark, path, Seq("postings"), "postings", "cand_id",
       maxShards, tombstoneFrac,
-      () => compact(spark, path, partitions),
+      () => compactAllInPlace(spark, path, partitions),
       bytes => compactSmall(spark, path, bytes, partitions, tombstoneFrac))
 
   /** Serve a (small) query batch from the stored index: assign each

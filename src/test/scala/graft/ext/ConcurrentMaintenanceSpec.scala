@@ -1,0 +1,213 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 concurrency contract (VERDICT r10 task 3): `maintain` no
+  * longer needs to be EXCLUSIVE of appends. The interleaving under test
+  * is the worst one — a full maintenance pass (reconcile + gc + fold,
+  * including the fold-ALL full-compact route) running at the exact
+  * point where an appender has published its table shards but not yet
+  * its commit marker. The appender lease ([[IndexIO.appendLeaseMs]] /
+  * [[IndexIO.leasedIds]]) is what makes that safe: a young claim is a
+  * live appender, not crash garbage.
+  *
+  * Determinism: no sleeps — [[IndexIO.preCommitHook]] (a one-shot test
+  * seam at the top of `commitShard`, the append's LAST rename) runs the
+  * racing maintenance synchronously at precisely the
+  * tables-published-uncommitted point, then the append resumes and
+  * commits. Assertions: BOTH writers' work lands (no lost shard), and
+  * serving equals a from-scratch rebuild on the union corpus.
+  *
+  * Crash garbage is still reclaimed — just not before the lease
+  * expires: pinned by the expiry tests (lease zeroed → the same
+  * orphan/staging reclaim behavior every pre-round-11 spec asserts). */
+class ConcurrentMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val Terms = Seq("fox", "spark", "jugs")
+
+  private def fresh(tag: String) = java.nio.file.Files
+    .createTempDirectory(s"graft-conc-$tag").toString + "/idx"
+
+  private def docs(ids: Seq[Long]) = ids
+    .map(i => (i, s"fox spark jugs doc$i tok${i % 5}")).toDF("doc_id", "text")
+
+  private def tserve(path: String) =
+    TextIndex.bm25TopK(spark, path, Terms, 100, K1, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  /** Arm the one-shot interleaving: `body` runs at the next
+    * commit-marker publish (i.e. with that append's table shards
+    * published but uncommitted), then the hook disarms itself so the
+    * maintenance op's own commits don't recurse. */
+  private def atNextCommit(body: => Unit): Unit =
+    IndexIO.preCommitHook = () => {
+      IndexIO.preCommitHook = () => ()
+      body
+    }
+
+  override def afterAll(): Unit = {
+    IndexIO.preCommitHook = () => ()
+    super.afterAll()
+  }
+
+  test("TextIndex: maintain's fold route races an append — both land, serving exact") {
+    val path = fresh("text-fold")
+    TextIndex.write(docs(0L until 10L), path)
+    TextIndex.append(docs(10L until 20L), path)
+    assert(IndexIO.liveCommittedIds(spark, path).size == 2)
+    var report: Option[MaintainReport] = None
+    // maintain fires at the appender's tables-published-uncommitted
+    // point; maxShards=1 forces the compactSmall fold of both existing
+    // committed shards while the in-flight shard must survive untouched
+    atNextCommit {
+      report = Some(TextIndex.maintain(spark, path, maxShards = 1))
+    }
+    TextIndex.append(docs(20L until 30L), path)
+    assert(report.exists(_.action == "compactSmall"),
+      s"racing maintain did not fold: $report")
+    // no lost shard: the fold result AND the appender's shard are live
+    val live = IndexIO.liveCommittedIds(spark, path)
+    assert(live.size == 2, s"expected folded + appended shards live, got $live")
+    val ref = fresh("text-fold-ref")
+    TextIndex.write(docs(0L until 30L), ref)
+    assert(tserve(path) == tserve(ref),
+      "serving after the race must equal a from-scratch rebuild")
+  }
+
+  test("TextIndex: maintain's FULL-compact route races an append — both land, tombstones clear") {
+    val path = fresh("text-full")
+    TextIndex.write(docs(0L until 10L), path)
+    TextIndex.append(docs(10L until 20L), path)
+    TextIndex.delete((0L until 8L).toDF("doc_id"), path)
+    var report: Option[MaintainReport] = None
+    // 8/20 dead ≥ 0.3 → the dead-fraction trigger takes the fold-all
+    // in-root route (compactAllInPlace), racing the in-flight append
+    atNextCommit {
+      report = Some(TextIndex.maintain(spark, path, maxShards = 8,
+        tombstoneFrac = 0.3))
+    }
+    TextIndex.append(docs(20L until 30L), path)
+    assert(report.exists(_.action == "compact"),
+      s"racing maintain did not full-compact: $report")
+    val live = IndexIO.liveCommittedIds(spark, path)
+    assert(live.size == 2, s"expected folded + appended shards live, got $live")
+    // fold-all observed and applied every tombstone shard → cleared
+    assert(IndexIO.shardIds(spark, s"$path/deletes").isEmpty,
+      "fold-all must clear the observed tombstone shards")
+    val ref = fresh("text-full-ref")
+    TextIndex.write(docs((8L until 30L)), ref)
+    assert(tserve(path) == tserve(ref),
+      "serving after the racing full compact must equal a rebuild on survivors")
+  }
+
+  test("MinHashIndex: maintain races an append — both land, pairs exact") {
+    val NumHashes = 8
+    def toks(ids: Seq[Long]) = Dedup.docTokens(
+      ids.map(i => (i, if (i % 3 == 0) "the quick brown fox jumps high"
+                       else s"unique text $i topic ${i % 7}")).toDF("doc_id", "text"),
+      "doc_id", "text", distinct = false)
+    def pairs(p: String) = MinHashIndex.pairs(spark, p, NumHashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val path = fresh("mh")
+    MinHashIndex.write(toks(0L until 12L), path, NumHashes, rowsPerBand = 2)
+    MinHashIndex.append(toks(12L until 24L), path, NumHashes, rowsPerBand = 2)
+    var report: Option[MaintainReport] = None
+    atNextCommit {
+      report = Some(MinHashIndex.maintain(spark, path, maxShards = 1))
+    }
+    MinHashIndex.append(toks(24L until 36L), path, NumHashes, rowsPerBand = 2)
+    assert(report.exists(_.action == "compactSmall"),
+      s"racing maintain did not fold: $report")
+    assert(IndexIO.liveCommittedIds(spark, path).size == 2)
+    val ref = fresh("mh-ref")
+    MinHashIndex.write(toks(0L until 36L), ref, NumHashes, rowsPerBand = 2)
+    assert(pairs(path) == pairs(ref))
+  }
+
+  test("VectorIndex: maintain races an append — both land, topK exact") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    def topk(p: String) = VectorIndex.topK(spark, p,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+      .select("query_id", "rank", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val path = fresh("vec")
+    VectorIndex.write(emb.filter(col("vec_id") < 150), path, nCentroids = 4)
+    VectorIndex.append(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 250), path)
+    var report: Option[MaintainReport] = None
+    atNextCommit {
+      report = Some(VectorIndex.maintain(spark, path, maxShards = 1))
+    }
+    VectorIndex.append(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 350), path)
+    assert(report.exists(_.action == "compactSmall"),
+      s"racing maintain did not fold: $report")
+    assert(IndexIO.liveCommittedIds(spark, path).size == 2)
+    // centroid training is deterministic, so a SEQUENTIAL twin (same
+    // build + same appends, maintain at the generation boundary) has
+    // identical centroids and must serve identical topK
+    val ref = fresh("vec-ref")
+    VectorIndex.write(emb.filter(col("vec_id") < 150), ref, nCentroids = 4)
+    VectorIndex.append(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 250), ref)
+    VectorIndex.maintain(spark, ref, maxShards = 1)
+    VectorIndex.append(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 350), ref)
+    assert(topk(path) == topk(ref),
+      "racing maintain must serve exactly like the sequential twin")
+    // and no lost shard: every batch's ids survive among live postings
+    val stored = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(IndexIO.liveCommittedIds(spark, path): _*))
+    assert(stored.filter(col("cand_id") >= 250 && col("cand_id") < 350).count() == 100,
+      "appender's batch must survive the racing maintain")
+    assert(stored.filter(col("cand_id") < 250).count() == 250,
+      "folded corpus must survive intact")
+  }
+
+  test("crash garbage is left within the lease, reclaimed after expiry") {
+    val path = fresh("lease")
+    TextIndex.write(docs(0L until 6L), path)
+    val baseline = tserve(path)
+    // canonical crash: tables published, marker never landed
+    TextIndex.append(docs(6L until 12L), path)
+    IndexIO.deleteDir(spark, s"$path/commits/shard=1")
+    assert(tserve(path) == baseline, "uncommitted shard must not serve")
+    // within the lease: a maintenance fold treats the orphan as a live
+    // appender and leaves it
+    TextIndex.compactSmall(spark, path, maxShardBytes = Long.MaxValue)
+    assert(IndexIO.shardIds(spark, s"$path/postings").contains(1),
+      "orphan inside the lease must survive maintenance")
+    assert(tserve(path) == baseline)
+    // after expiry: same call reclaims it for good
+    val saved = IndexIO.appendLeaseMs
+    try {
+      IndexIO.appendLeaseMs = 0L
+      TextIndex.compactSmall(spark, path, maxShardBytes = Long.MaxValue)
+    } finally IndexIO.appendLeaseMs = saved
+    assert(!IndexIO.shardIds(spark, s"$path/postings").contains(1),
+      "orphan past the lease must be reclaimed")
+    assert(tserve(path) == baseline)
+  }
+
+  test("gcStaging honors the lease: young staging kept, expired staging swept") {
+    val path = fresh("gc")
+    TextIndex.write(docs(0L until 6L), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val young = new org.apache.hadoop.fs.Path(s"$path/_append-staging-young1")
+    fs.mkdirs(young)
+    IndexIO.gcStaging(spark, path)
+    assert(fs.exists(young), "a staging dir inside the lease must survive gc")
+    val saved = IndexIO.appendLeaseMs
+    try {
+      IndexIO.appendLeaseMs = 0L
+      IndexIO.gcStaging(spark, path)
+    } finally IndexIO.appendLeaseMs = saved
+    assert(!fs.exists(young), "an expired staging dir must be swept")
+  }
+}

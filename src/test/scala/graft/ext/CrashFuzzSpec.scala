@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * swept once through TextIndex; MinHashIndex and VectorIndex sweeps
   * cover their family-specific append/compactSmall orchestration.
   */
-class CrashFuzzSpec extends SparkSpec {
+class CrashFuzzSpec extends SparkSpec with EagerLease {
 
   import spark.implicits._
 

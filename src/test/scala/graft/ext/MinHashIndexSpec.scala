@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * publish (no partial index visible under the destination), and
   * overwrite-on-rebuild semantics.
   */
-class MinHashIndexSpec extends SparkSpec {
+class MinHashIndexSpec extends SparkSpec with EagerLease {
 
   import spark.implicits._
 

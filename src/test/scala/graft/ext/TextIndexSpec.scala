@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * reconciled on the next write), and the untouched-files append
   * contract.
   */
-class TextIndexSpec extends SparkSpec {
+class TextIndexSpec extends SparkSpec with EagerLease {
 
   import spark.implicits._
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * cids reach the parquet scan as a pushed filter over the cid-sorted
   * layout, and the index build is what pays the assignment cost.
   */
-class VectorIndexSpec extends SparkSpec {
+class VectorIndexSpec extends SparkSpec with EagerLease {
 
   private def emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
 
