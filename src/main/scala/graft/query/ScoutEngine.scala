@@ -39,79 +39,121 @@ class ScoutEngine(
     nameIndex: Option[DataFrame] = None,
     fastPathMaxCandidates: Int = 4096) {
 
-  // The reference serves from `gaz.poi_view`, a 17-column projection
-  // contract over the physical table (003_views.sql) — column pruning
-  // keeps the scan narrow regardless of what the physical file carries.
-  // Serving requires coordinates: rows without them can never be a
-  // usable hit and would crash result materialization.
-  private val poiView: DataFrame = pois.select(
-      "osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
-      "amenity", "shop", "tourism", "leisure", "office",
-      "city", "state", "country", "lat", "lon", "kind", "importance")
-    .filter(org.apache.spark.sql.functions.col("lat").isNotNull &&
-      org.apache.spark.sql.functions.col("lon").isNotNull)
+  /** Everything derived from ONE gazetteer snapshot, bound together so
+    * [[reload]] can swap the whole set atomically: a request reads the
+    * reference once and works against a consistent snapshot — never new
+    * rows through an old cache or vice versa. The driver caches are
+    * pure functions of the snapshot's (immutable) DataFrames, so
+    * entries never go stale within a Bound's lifetime. */
+  private final class Bound(val pois: DataFrame, val admin: DataFrame,
+                            val nameIndex: Option[DataFrame]) {
+    // The reference serves from `gaz.poi_view`, a 17-column projection
+    // contract over the physical table (003_views.sql) — column pruning
+    // keeps the scan narrow regardless of what the physical file carries.
+    // Serving requires coordinates: rows without them can never be a
+    // usable hit and would crash result materialization.
+    val poiView: DataFrame = pois.select(
+        "osm_id", "name_local", "name_en", "name_local_norm", "name_en_norm",
+        "amenity", "shop", "tourism", "leisure", "office",
+        "city", "state", "country", "lat", "lon", "kind", "importance")
+      .filter(org.apache.spark.sql.functions.col("lat").isNotNull &&
+        org.apache.spark.sql.functions.col("lon").isNotNull)
 
-  private val adminCached: DataFrame = admin.cache()
+    val adminCached: DataFrame = admin.cache()
 
-  // in-process posting cache over a PACKED name index: warm requests
-  // probe entirely on the driver — no auxiliary job before the ranking
-  // job ([[graft.etl.TrigramIndex.PostingCache]]; bounded LRU)
-  private val packedCache: Option[graft.etl.TrigramIndex.PostingCache] =
-    nameIndex.filter(_.columns.contains("ids"))
-      .map(new graft.etl.TrigramIndex.PostingCache(_))
+    // in-process posting cache over a PACKED name index: warm requests
+    // probe entirely on the driver — no auxiliary job before the ranking
+    // job ([[graft.etl.TrigramIndex.PostingCache]]; bounded LRU)
+    val packedCache: Option[graft.etl.TrigramIndex.PostingCache] =
+      nameIndex.filter(_.columns.contains("ids"))
+        .map(new graft.etl.TrigramIndex.PostingCache(_))
 
-  // ROW-layout posting view for the bulk join ([[GeocodeJoin.topKIndexed]]
-  // wants (gram, col_id, osm_id) rows): a packed serving index derives it
-  // by exploding the posting arrays — EXACT when no gram is
-  // ubiquity-marked (pack-time `ids = NULL`, whose postings are gone; a
-  // derived row view would silently turn "skip constraint" into "token
-  // matches nothing" = false negatives). The marker probe is one tiny
-  // limit(1) action, paid once per engine, not per request.
-  private lazy val rowIndex: Option[DataFrame] = nameIndex.flatMap { ix =>
-    import org.apache.spark.sql.functions.{col, explode}
-    if (!ix.columns.contains("ids")) Some(ix)
-    else if (ix.filter(col("ids").isNull).limit(1).isEmpty)
-      Some(ix.select(col("gram"), col("col_id"), explode(col("ids")).as("osm_id")))
-    else {
-      System.err.println(
-        "[graft] bulk geocode: packed name index carries ubiquity markers; " +
-          "falling back to the unindexed scan join")
-      None
-    }
-  }
-
-  // driver-side caches behind the in-process fast path ([[forwardFast]]):
-  // hot candidate rows and resolved area bboxes. Both are pure functions
-  // of the (immutable-per-engine) gazetteer DataFrames, so entries never
-  // go stale within an engine's lifetime.
-  private val rowCache = new ScoutEngine.PoiRowCache(poiView)
-  private val bboxCache =
-    new java.util.LinkedHashMap[(String, String), Option[Bbox]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Option[Bbox]]): Boolean =
-        size() > 1024
-    }
-
-  /** [[Repo.resolveAreaBbox]] through a bounded per-engine LRU: an area
-    * hint resolves with a Spark action once, then serves driver-side —
-    * hinted requests stop paying a per-request resolve job. */
-  private def resolveBboxCached(cityHint: Option[String],
-                                country: Option[String]): Option[Bbox] = {
-    if (cityHint.isEmpty && country.isEmpty) return None
-    val key = (cityHint.getOrElse(""), country.getOrElse(""))
-    bboxCache.synchronized {
-      Option(bboxCache.get(key)) match {
-        case Some(b) => b
-        case None =>
-          val b = Repo.resolveAreaBbox(adminCached, cityHint, country)
-          bboxCache.put(key, b)
-          b
+    // ROW-layout posting view for the bulk join ([[GeocodeJoin.topKIndexed]]
+    // wants (gram, col_id, osm_id) rows): a packed serving index derives it
+    // by exploding the posting arrays — EXACT when no gram is
+    // ubiquity-marked (pack-time `ids = NULL`, whose postings are gone; a
+    // derived row view would silently turn "skip constraint" into "token
+    // matches nothing" = false negatives). The marker probe is one tiny
+    // limit(1) action, paid once per snapshot, not per request.
+    lazy val rowIndex: Option[DataFrame] = nameIndex.flatMap { ix =>
+      import org.apache.spark.sql.functions.{col, explode}
+      if (!ix.columns.contains("ids")) Some(ix)
+      else if (ix.filter(col("ids").isNull).limit(1).isEmpty)
+        Some(ix.select(col("gram"), col("col_id"), explode(col("ids")).as("osm_id")))
+      else {
+        System.err.println(
+          "[graft] bulk geocode: packed name index carries ubiquity markers; " +
+            "falling back to the unindexed scan join")
+        None
       }
     }
+
+    // driver-side caches behind the in-process fast path ([[forwardFast]]):
+    // hot candidate rows and resolved area bboxes
+    val rowCache = new ScoutEngine.PoiRowCache(poiView)
+    val bboxCache =
+      new java.util.LinkedHashMap[(String, String), Option[Bbox]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Option[Bbox]]): Boolean =
+          size() > 1024
+      }
+
+    /** [[Repo.resolveAreaBbox]] through a bounded per-snapshot LRU: an
+      * area hint resolves with a Spark action once, then serves
+      * driver-side — hinted requests stop paying a per-request resolve
+      * job. */
+    def resolveBboxCached(cityHint: Option[String],
+                          country: Option[String]): Option[Bbox] = {
+      if (cityHint.isEmpty && country.isEmpty) return None
+      val key = (cityHint.getOrElse(""), country.getOrElse(""))
+      bboxCache.synchronized {
+        Option(bboxCache.get(key)) match {
+          case Some(b) => b
+          case None =>
+            val b = Repo.resolveAreaBbox(adminCached, cityHint, country)
+            bboxCache.put(key, b)
+            b
+        }
+      }
+    }
+
+    /** Release the cached blocks this snapshot owns (the admin cache).
+      * Safe while in-flight requests still hold the DataFrames: the
+      * plans stay valid, only the cached blocks recompute. */
+    def close(): Unit = adminCached.unpersist()
+  }
+
+  private val state =
+    new java.util.concurrent.atomic.AtomicReference(new Bound(pois, admin, nameIndex))
+
+  /** ATOMIC snapshot swap — the serving answer to the versioned-pointer
+    * index publish (an engine binds an immutable gazetteer snapshot;
+    * refreshing the corpus used to mean standing up a new engine): one
+    * reference flip replaces the poi view, admin cache, packed posting
+    * cache, and both driver LRUs together, so every request before the
+    * flip serves the old snapshot and every request after serves the
+    * new one — no mixed state, no restart, [[forwardFast]] intact (its
+    * caches are part of the snapshot). The old snapshot's cached blocks
+    * release after the flip; requests still holding it finish
+    * unharmed. */
+  def reload(pois: DataFrame, admin: DataFrame,
+             nameIndex: Option[DataFrame] = None): Unit = {
+    val prev = state.getAndSet(new Bound(pois, admin, nameIndex))
+    prev.close()
+  }
+
+  /** [[reload]] from a gazetteer directory ([[ScoutEngine.fromPath]]'s
+    * layout) — point it at a freshly-published snapshot dir (or a
+    * version dir a CURRENT pointer names) and the engine tracks it. */
+  def reloadFrom(path: String): Unit = {
+    val (p, a, ix) = ScoutEngine.readGazetteer(spark, path)
+    reload(p, a, ix)
   }
 
   /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */
   def forwardDF(req: ForwardReq, limitScan: Int = 10000): DataFrame = {
+    val b = state.get()
+    import b.{packedCache, poiView}
     val texts = req.candidates.map(_.text)
     val nameTokens = Norm.dedupTokens(texts.map(Norm.tokenize))
     if (nameTokens.isEmpty) {
@@ -120,14 +162,14 @@ class ScoutEngine(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Ranking.rank(poiView.limit(0), Seq("x"), None, settings, 1).schema)
     }
-    val bbox = resolveBboxCached(req.cityHint, req.country)
+    val bbox = b.resolveBboxCached(req.cityHint, req.country)
     // trigram-index path when one is attached and every token is
     // indexable; identical results (TrigramIndexSpec) — falls back to
     // the scan path otherwise. A PACKED index (per-gram posting arrays,
     // `ids` column — [[graft.etl.TrigramIndex.packed]]) probes
     // driver-side and skips the aux shuffle + broadcast the row layout
     // pays per request.
-    val candidates = nameIndex
+    val candidates = b.nameIndex
       .flatMap { ix =>
         if (ix.columns.contains("ids"))
           graft.etl.TrigramIndex.fetchCandidatesPacked(
@@ -164,15 +206,16 @@ class ScoutEngine(
     * guarantees the verified set never hits the cap, keeping fast-path
     * results EXACTLY the job path's, not just cap-equivalent). */
   def forwardFast(req: ForwardReq, limitScan: Int = 10000): Option[Seq[Hit]] = {
+    val b = state.get()
     val texts = req.candidates.map(_.text)
     val nameTokens = Norm.dedupTokens(texts.map(Norm.tokenize))
     if (nameTokens.isEmpty) return Some(Seq.empty) // app.py:96-97
-    packedCache.flatMap { cache =>
+    b.packedCache.flatMap { cache =>
       graft.etl.TrigramIndex.probeIdsCached(cache, nameTokens)
         .filter(a => a.length <= fastPathMaxCandidates && a.length <= limitScan)
         .map { ids =>
-          val bbox = resolveBboxCached(req.cityHint, req.country)
-          rowCache.rows(ids)
+          val bbox = b.resolveBboxCached(req.cityHint, req.country)
+          b.rowCache.rows(ids)
             .filter { r => // exact re-verify of the probe's superset (P5)
               nameTokens.forall(t =>
                 (r.nameLocalNorm != null && r.nameLocalNorm.contains(t)) ||
@@ -219,6 +262,8 @@ class ScoutEngine(
     * view for the admin columns (country/state/city). */
   def bulkDF(texts: Seq[String], limit: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    val b = state.get()
+    import b.{poiView, rowIndex}
     val queries = spark.createDataFrame(
       texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     ).toDF("qid", "text")
@@ -269,6 +314,8 @@ class ScoutEngine(
     * within ~a derived cell width of the point. */
   def reverse(points: Seq[(Double, Double)]): Seq[Option[(Hit, Double)]] = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    val b = state.get()
+    import b.poiView
     if (points.isEmpty) return Seq.empty
     val pts = spark.createDataFrame(
       points.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
@@ -302,11 +349,12 @@ class ScoutEngine(
   /** `GET /healthz` analogue (`app.py:116-118`). */
   def healthy: Boolean = spark.range(1).count() == 1
 
-  /** Release the cached blocks this engine owns (the admin cache) — the
-    * engine is long-lived, so a host that cycles engines/sessions must
-    * call this or the blocks outlive their owner. `pois`/`nameIndex`
-    * were handed in by the caller and stay the caller's to unpersist. */
-  def close(): Unit = adminCached.unpersist()
+  /** Release the cached blocks this engine owns (the current snapshot's
+    * admin cache) — the engine is long-lived, so a host that cycles
+    * engines/sessions must call this or the blocks outlive their owner.
+    * `pois`/`nameIndex` were handed in by the caller and stay the
+    * caller's to unpersist. */
+  def close(): Unit = state.get().close()
 }
 
 object ScoutEngine {
@@ -373,20 +421,25 @@ object ScoutEngine {
     }
   }
 
+  /** The (pois, admin, optional name index) triple of a gazetteer
+    * directory — shared by [[fromPath]] and the engine's `reloadFrom`. */
+  private[query] def readGazetteer(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    // Hadoop FS probe, not java.io.File — the gazetteer may live on
+    // hdfs:///s3a:// where a local-file check is silently always false
+    val indexPath = new org.apache.hadoop.fs.Path(s"$path/name_index")
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (spark.read.parquet(s"$path/pois"),
+      spark.read.parquet(s"$path/admin"),
+      if (fs.exists(indexPath)) Some(spark.read.parquet(indexPath.toString)) else None)
+  }
+
   /** Load a gazetteer previously written by
     * [[graft.etl.GazetteerBuilder.write]]; attaches the trigram name
     * index when present at `path/name_index`. */
   def fromPath(spark: SparkSession, path: String,
                settings: Settings = Settings()): ScoutEngine = {
-    // Hadoop FS probe, not java.io.File — the gazetteer may live on
-    // hdfs:///s3a:// where a local-file check is silently always false
-    val indexPath = new org.apache.hadoop.fs.Path(s"$path/name_index")
-    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    new ScoutEngine(spark,
-      spark.read.parquet(s"$path/pois"),
-      spark.read.parquet(s"$path/admin"),
-      settings,
-      nameIndex =
-        if (fs.exists(indexPath)) Some(spark.read.parquet(indexPath.toString)) else None)
+    val (pois, admin, ix) = readGazetteer(spark, path)
+    new ScoutEngine(spark, pois, admin, settings, nameIndex = ix)
   }
 }

@@ -76,6 +76,36 @@ class ScoutServer(engine: ScoutEngine, port: Int = 8000, threads: Int = 8) {
     }
   })
 
+  /** OpenAPI description of the serving surface (reference parity:
+    * FastAPI auto-serves `/openapi.json` + `/docs` — `app.py:41` title
+    * and version, `app.py:75-84` the worked forward example). Static
+    * document — the contract is fixed at compile time, exactly like the
+    * reference's pydantic models. */
+  server.createContext("/openapi.json", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, """{"detail": "Method Not Allowed"}""", t0)
+      else respond(ex, 200, ScoutServer.openApiJson, t0)
+    }
+  })
+
+  /** Minimal human-readable docs page (the `/docs` slot): zero-egress
+    * stand-in for Swagger UI — endpoint list, the worked request, and a
+    * link to the machine-readable spec. */
+  server.createContext("/docs", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
+      val ms = (System.nanoTime() - t0) / 1e6
+      val bytes = ScoutServer.docsHtml.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.getResponseHeaders.set("Server-Timing", f"app;dur=$ms%.1f")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  })
+
   server.createContext("/v1/geocode/forward", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val t0 = System.nanoTime()
@@ -165,4 +195,126 @@ class ScoutServer(engine: ScoutEngine, port: Int = 8000, threads: Int = 8) {
 
   def start(): ScoutServer = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
+}
+
+object ScoutServer {
+
+  /** OpenAPI 3.0 document for the four endpoints. The forward example
+    * is the reference's worked request (`app.py:75-84`: Monograph
+    * Dining, country "my", limit 3) so a client generator or curl user
+    * gets the same first query either way. */
+  val openApiJson: String =
+    """{
+      |  "openapi": "3.0.3",
+      |  "info": {"title": "scout", "version": "1.0.0"},
+      |  "paths": {
+      |    "/v1/geocode/forward": {
+      |      "post": {
+      |        "summary": "Name → lat/lon",
+      |        "tags": ["geocoding"],
+      |        "requestBody": {"required": true, "content": {"application/json": {
+      |          "schema": {"$ref": "#/components/schemas/ForwardReq"},
+      |          "examples": {"basic": {
+      |            "summary": "Restaurant by country",
+      |            "value": {"candidates": [{"text": "Monograph Dining"}],
+      |                      "country": "my", "limit": 3}}}}}},
+      |        "responses": {
+      |          "200": {"description": "Ranked hits", "content": {"application/json": {
+      |            "schema": {"$ref": "#/components/schemas/ForwardResp"}}}},
+      |          "422": {"description": "Validation error", "content": {"application/json": {
+      |            "schema": {"$ref": "#/components/schemas/Error"}}}}}}},
+      |    "/v1/geocode/bulk": {
+      |      "post": {
+      |        "summary": "Batch forward geocode (one distributed job)",
+      |        "tags": ["geocoding"],
+      |        "requestBody": {"required": true, "content": {"application/json": {
+      |          "schema": {"$ref": "#/components/schemas/BulkReq"}}}},
+      |        "responses": {
+      |          "200": {"description": "Per-query hits in request order",
+      |            "content": {"application/json": {
+      |              "schema": {"$ref": "#/components/schemas/BulkResp"}}}},
+      |          "422": {"description": "Validation error", "content": {"application/json": {
+      |            "schema": {"$ref": "#/components/schemas/Error"}}}}}}},
+      |    "/v1/geocode/reverse": {
+      |      "post": {
+      |        "summary": "lat/lon → nearest place",
+      |        "tags": ["geocoding"],
+      |        "requestBody": {"required": true, "content": {"application/json": {
+      |          "schema": {"$ref": "#/components/schemas/ReverseReq"}}}},
+      |        "responses": {
+      |          "200": {"description": "Nearest hit (or null) per point in request order",
+      |            "content": {"application/json": {
+      |              "schema": {"$ref": "#/components/schemas/ReverseResp"}}}},
+      |          "422": {"description": "Validation error", "content": {"application/json": {
+      |            "schema": {"$ref": "#/components/schemas/Error"}}}}}}},
+      |    "/healthz": {
+      |      "get": {
+      |        "summary": "Liveness",
+      |        "responses": {"200": {"description": "ok", "content": {"application/json": {
+      |          "schema": {"type": "object",
+      |            "properties": {"ok": {"type": "boolean"}}}}}}}}}
+      |  },
+      |  "components": {"schemas": {
+      |    "ForwardCandidate": {"type": "object", "required": ["text"],
+      |      "properties": {"text": {"type": "string"}}},
+      |    "ForwardReq": {"type": "object", "required": ["candidates"],
+      |      "properties": {
+      |        "candidates": {"type": "array",
+      |          "items": {"$ref": "#/components/schemas/ForwardCandidate"}},
+      |        "country": {"type": "string", "nullable": true},
+      |        "city_hint": {"type": "string", "nullable": true},
+      |        "limit": {"type": "integer", "default": 5}}},
+      |    "Hit": {"type": "object",
+      |      "required": ["name", "lat", "lon", "osm_id", "kind", "score"],
+      |      "properties": {
+      |        "name": {"type": "string"},
+      |        "lat": {"type": "number"},
+      |        "lon": {"type": "number"},
+      |        "country": {"type": "string", "nullable": true},
+      |        "state": {"type": "string", "nullable": true},
+      |        "city": {"type": "string", "nullable": true},
+      |        "osm_id": {"type": "integer"},
+      |        "kind": {"type": "string"},
+      |        "score": {"type": "number"}}},
+      |    "ForwardResp": {"type": "object", "properties": {
+      |      "hits": {"type": "array", "items": {"$ref": "#/components/schemas/Hit"}}}},
+      |    "BulkReq": {"type": "object", "required": ["queries"],
+      |      "properties": {
+      |        "queries": {"type": "array",
+      |          "items": {"$ref": "#/components/schemas/ForwardCandidate"}},
+      |        "limit": {"type": "integer", "default": 5}}},
+      |    "BulkResp": {"type": "object", "properties": {
+      |      "results": {"type": "array", "items": {"type": "object", "properties": {
+      |        "text": {"type": "string"},
+      |        "hits": {"type": "array",
+      |          "items": {"$ref": "#/components/schemas/Hit"}}}}}}},
+      |    "ReverseReq": {"type": "object", "required": ["points"],
+      |      "properties": {"points": {"type": "array", "items": {
+      |        "type": "object", "required": ["lat", "lon"], "properties": {
+      |          "lat": {"type": "number"}, "lon": {"type": "number"}}}}}},
+      |    "ReverseResp": {"type": "object", "properties": {
+      |      "results": {"type": "array", "items": {"type": "object", "properties": {
+      |        "lat": {"type": "number"}, "lon": {"type": "number"},
+      |        "hit": {"nullable": true, "allOf": [
+      |          {"$ref": "#/components/schemas/Hit"}]}}}}}},
+      |    "Error": {"type": "object",
+      |      "properties": {"detail": {"type": "string"}}}
+      |  }}
+      |}""".stripMargin
+
+  val docsHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>scout — API docs</title>
+      |<style>body{font-family:sans-serif;max-width:46em;margin:2em auto;padding:0 1em}
+      |code,pre{background:#f4f4f4;padding:2px 4px;border-radius:3px}</style></head><body>
+      |<h1>scout <small>1.0.0</small></h1>
+      |<p>Machine-readable spec: <a href="/openapi.json">/openapi.json</a></p>
+      |<h2>POST /v1/geocode/forward</h2><p>Name &rarr; lat/lon.</p>
+      |<pre>curl -s -X POST http://HOST:PORT/v1/geocode/forward \
+      |  -d '{"candidates":[{"text":"Monograph Dining"}],"country":"my","limit":3}'</pre>
+      |<h2>POST /v1/geocode/bulk</h2>
+      |<p>Batch forward geocode: <code>{"queries":[{"text":"..."}],"limit":5}</code></p>
+      |<h2>POST /v1/geocode/reverse</h2>
+      |<p>lat/lon &rarr; nearest place: <code>{"points":[{"lat":3.15,"lon":101.7}]}</code></p>
+      |<h2>GET /healthz</h2><p>Liveness: <code>{"ok": true}</code></p>
+      |</body></html>""".stripMargin
 }

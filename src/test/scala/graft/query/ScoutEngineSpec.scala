@@ -146,6 +146,82 @@ class ScoutEngineSpec extends SparkSpec {
       "packed engine's bulk plan shows no posting-array explode — index acceleration lost")
   }
 
+  test("reload() swaps to a published v2 snapshot: answers track v2, fast path intact") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    def poi(id: Long, name: String, kv: (String, String), lat: Double, lon: Double) =
+      Row(id, name, Map(kv), s"POINT($lon $lat)")
+    val admin = Row(100L, "Malaysia",
+      Map("boundary" -> "administrative", "admin_level" -> "2"),
+      "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))")
+    def gaz(rows: Seq[Row]) = {
+      val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val p = GazetteerBuilder.buildPois(raw)
+      (p, GazetteerBuilder.buildAdmin(raw),
+        graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(p)))
+    }
+    // v1: the familiar corpus; v2: a re-crawl where the restaurant was
+    // renamed and a new POI appeared
+    val (p1, a1, ix1) = gaz(Seq(
+      poi(1L, "Monograph Dining", "amenity" -> "restaurant", 3.139, 101.6869),
+      poi(2L, "Monogram Cafe", "amenity" -> "cafe", 3.15, 101.71), admin))
+    val (p2, a2, ix2) = gaz(Seq(
+      poi(1L, "Polygraph Dining", "amenity" -> "restaurant", 3.139, 101.6869),
+      poi(2L, "Monogram Cafe", "amenity" -> "cafe", 3.15, 101.71),
+      poi(9L, "Monograph Annex", "amenity" -> "restaurant", 3.14, 101.69), admin))
+    val eng = new ScoutEngine(spark, p1, a1, Settings(), nameIndex = Some(ix1))
+    val req = ForwardReq(Seq(ForwardCandidate("monograph")),
+      country = Some("malaysia"), limit = 5)
+    // serve v1 — and WARM every driver cache (fast path, bbox LRU)
+    val v1 = eng.forward(req)
+    assert(v1.map(_.osmId) == Seq(1L, 2L) || v1.map(_.osmId) == Seq(1L),
+      s"v1 baseline unexpected: $v1")
+    assert(eng.forwardFast(req).isDefined, "fast path must engage on v1")
+    // publish v2, reload, serve: answers must track v2 with NO stale
+    // cache bleed (the renamed id 1 must drop out, the new id 9 appear)
+    eng.reload(p2, a2, Some(ix2))
+    val v2 = eng.forward(req)
+    assert(v2.exists(_.osmId == 9L), s"v2 answers missing the new POI: $v2")
+    assert(!v2.exists(_.osmId == 1L), s"renamed POI still served from v1 state: $v2")
+    // fast-path parity retained on the new snapshot: engages and stays
+    // bit-equal to the distributed job path
+    val fast = eng.forwardFast(req)
+    assert(fast.isDefined, "fast path must engage on the reloaded snapshot")
+    import spark.implicits._
+    val job = eng.forwardDF(req).withColumnRenamed("osm_id", "osmId")
+      .as[Hit].collect().toIndexedSeq
+    assert(fast.get == job, "fast path diverged from job path after reload")
+    eng.close()
+  }
+
+  test("reloadFrom() tracks a gazetteer directory republished in place") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reload-gaz").toString + "/gaz"
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    def raw(name1: String) = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, name1, Map("amenity" -> "restaurant"), "POINT(101.6869 3.139)"),
+      Row(100L, "Malaysia", Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"))), schema)
+    GazetteerBuilder.write(spark, raw("Monograph Dining"), dir)
+    val eng = ScoutEngine.fromPath(spark, dir)
+    val req = ForwardReq(Seq(ForwardCandidate("monograph")), limit = 3)
+    assert(eng.forward(req).nonEmpty)
+    // republish (idempotent overwrite is the builder's contract), reload
+    GazetteerBuilder.write(spark, raw("Telegraph Dining"), dir)
+    eng.reloadFrom(dir)
+    assert(eng.forward(req).isEmpty, "reloadFrom must drop the v1 corpus")
+    assert(eng.forward(ForwardReq(Seq(ForwardCandidate("telegraph")), limit = 3))
+      .nonEmpty, "reloadFrom must serve the republished corpus")
+    eng.close()
+  }
+
   test("forwardDS: typed Dataset[Hit] surface composes with typed transforms") {
     val ds = engine.forwardDS(ForwardReq(Seq(ForwardCandidate("dining")), limit = 5))
     val names = ds.filter(_.score > 0.0).map(_.name)(

@@ -63,6 +63,38 @@ class ScoutServerSpec extends SparkSpec {
     assert(headers.contains("Server-Timing"), "timing instrumentation header")
   }
 
+  test("openapi.json parses and describes the serving surface (reference /docs parity)") {
+    val (code, body, _) = http("GET", "/openapi.json")
+    assert(code == 200, body)
+    val spec = Json.parse(body).asObj
+    assert(spec("openapi").asStr.startsWith("3."))
+    val info = spec("info").asObj
+    assert(info("title").asStr == "scout" && info("version").asStr == "1.0.0")
+    val paths = spec("paths").asObj
+    for (p <- Seq("/v1/geocode/forward", "/v1/geocode/bulk",
+        "/v1/geocode/reverse", "/healthz"))
+      assert(paths.contains(p), s"openapi paths missing $p")
+    // the reference's worked example travels with the spec (app.py:75-84)
+    val example = paths("/v1/geocode/forward").asObj("post").asObj("requestBody")
+      .asObj("content").asObj("application/json").asObj("examples").asObj("basic")
+      .asObj("value").asObj
+    assert(example("candidates").asArr.head.asObj("text").asStr == "Monograph Dining")
+    assert(example("country").asStr == "my")
+    // and the example is an ACCEPTED request: POST it verbatim
+    val (c2, b2, _) = http("POST", "/v1/geocode/forward", Json.write(Json.Obj(Map(
+      "candidates" -> example("candidates"),
+      "country" -> example("country"),
+      "limit" -> example("limit")))))
+    assert(c2 == 200, b2)
+  }
+
+  test("docs page serves endpoint list as HTML") {
+    val (code, body, _) = http("GET", "/docs")
+    assert(code == 200)
+    assert(body.contains("/openapi.json") && body.contains("/v1/geocode/forward")
+      && body.contains("Monograph Dining"))
+  }
+
   test("malformed body -> 422 with detail (not a crash)") {
     val (code, body, _) = http("POST", "/v1/geocode/forward", """{"nope": []}""")
     assert(code == 422 && body.contains("detail"))
