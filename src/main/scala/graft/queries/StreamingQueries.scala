@@ -351,14 +351,19 @@ object StreamingQueries {
       withShufflePartitions(s, 4) {
         val stream = tableStream(s, dir, "documents", schema)
           .filter(col("doc_id") % 3 =!= 0)
-        val q = stream.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            TextIndex.append(batch.select("doc_id", "text"), idxPath,
-              partitions = 1) // micro-batch shards: one sorted file each
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // one-shot drain: volatile checkpoint (StreamOps contract — a
+        // real ingest loop would pass its durable dir here instead)
+        val ckpt = StreamOps.volatileCheckpointDir()
+        try {
+          val w = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              TextIndex.append(batch.select("doc_id", "text"), idxPath,
+                partitions = 1) // micro-batch shards: one sorted file each
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          val q = ckpt.fold(w)(w.option("checkpointLocation", _)).start()
+          q.awaitTermination()
+        } finally StreamOps.dropCheckpoint(ckpt)
       }
       TextIndex.bm25TopK(s, idxPath, TextQueries2.Bm25Terms, 20,
         TextQueries2.Bm25K1, TextQueries2.Bm25B)

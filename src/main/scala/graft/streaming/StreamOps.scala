@@ -220,6 +220,45 @@ object StreamOps {
       withToks.select(col("id") +: ms: _*), numHashes, rowsPerBand)
   }
 
+  /** Volatile checkpoint root for ONE-SHOT drains: a RAM-backed tmpfs
+    * dir when the platform has one (Linux `/dev/shm`), else None (Spark
+    * then uses its normal temp-dir checkpoint). A drain's checkpoint +
+    * state-store files are pure fixed cost — offset/commit WALs and
+    * per-partition state snapshots fsynced once per micro-batch — whose
+    * durability buys NOTHING: the recovery story for a bounded replay
+    * is "rerun it", never "resume it". On this class of node the fsyncs
+    * land on spinning/virtual ext4 and dominate the per-lifecycle
+    * floor. LONG-LIVED streaming queries must NOT use this — their
+    * checkpoint is their exactly-once contract; callers running a real
+    * ingest loop pass their own durable checkpointLocation as usual. */
+  private lazy val volatileRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-replay-ckpt")
+      d.mkdirs()
+      if (d.isDirectory) Some(d.getAbsolutePath) else None
+    } else None
+  }
+
+  /** A fresh checkpoint dir for one bounded drain — tmpfs-backed when
+    * available. Pair with [[dropCheckpoint]] after the drain.
+    * `-Dgraft.volatile.ckpt=0` disables (A/B seam — with it off, Spark
+    * falls back to its own temp-dir checkpoint). */
+  def volatileCheckpointDir(): Option[String] =
+    if (sys.props.get("graft.volatile.ckpt").contains("0")) None
+    else volatileRoot.map(r => s"$r/${java.util.UUID.randomUUID().toString.take(12)}")
+
+  /** Delete a drain's checkpoint dir (tmpfs is a shared bounded
+    * resource; a bench process runs hundreds of drains). */
+  def dropCheckpoint(dir: Option[String]): Unit =
+    dir.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+
   /** Replay a bounded source through a streaming query into a memory
     * sink and return the materialized result. `Trigger.AvailableNow`
     * drains everything then stops — deterministic, oracle-checkable. */
@@ -237,15 +276,19 @@ object StreamOps {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(noDataKey)
     if (outputMode == "complete") spark.conf.set(noDataKey, "false")
+    val ckpt = volatileCheckpointDir()
     try {
-      val q = streamed.writeStream
+      val w = streamed.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q = ckpt.fold(w)(w.option("checkpointLocation", _)).start()
       q.awaitTermination()
       spark.table(name)
-    } finally spark.conf.set(noDataKey, prev)
+    } finally {
+      spark.conf.set(noDataKey, prev)
+      dropCheckpoint(ckpt)
+    }
   }
 }
