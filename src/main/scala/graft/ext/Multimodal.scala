@@ -241,6 +241,42 @@ object Multimodal {
 
   /** Encode the synthetic clip for `id` as a real WAV file (PCM 16-bit
     * signed little-endian, mono, 8 kHz). */
+  /** The `javax.sound.sampled.spi` providers, resolved ONCE per JVM.
+    * `AudioSystem.write`/`getAudioInputStream` re-enter the JDK's
+    * SYNCHRONIZED provider registry on every call — at 32 codec threads
+    * the lock serializes the whole stage (measured: ~2-3 ms of blocked
+    * wall per 200-byte clip; the 100× bench spent 36 s just ENCODING
+    * its fixture). The provider instances themselves (WaveFileWriter /
+    * WaveFileReader) are stateless and thread-safe, so resolving them
+    * once through the public ServiceLoader SPI and calling them
+    * directly is the same real codec minus the global lock. */
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result().filter(_.isFileTypeSupported(
+      javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
+  /** Probe order matters: the JDK registers its MIDI-soundbank reader
+    * BEFORE the WAVE readers, and its probe costs ~54 µs (it attempts a
+    * full MIDI parse through another synchronized registry) versus
+    * 0.6 µs for the WAVE header check — on a WAV-dominated corpus that
+    * is a 90× per-row tax just to say "not MIDI". Cheap container
+    * sniffs (RIFF/AIFF/AU) go first; a reader that accepts a stream
+    * yields the same samples regardless of probe order. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    val (wave, rest) = b.result().partition(_.getClass.getSimpleName.contains("Wave"))
+    val (cheap, costly) = rest.partition(r =>
+      !r.getClass.getSimpleName.contains("Midi"))
+    wave ++ cheap ++ costly
+  }
+
   def encodeSynthWav(id: Long): Array[Byte] = {
     val n = synthFrames(id)
     val pcm = new Array[Byte](n * 2)
@@ -255,8 +291,13 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriters.headOption match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None => // no SPI provider visible (exotic runtime): registry path
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
@@ -274,11 +315,24 @@ object Multimodal {
   def decodeAudioFeatures(content: Array[Byte]): Option[AudioFeatures] = {
     if (content == null || content.isEmpty) return None
     // NonFatal for the same reason as the image path: malformed headers
-    // can throw runtime exceptions from the format parsers
-    val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+    // can throw runtime exceptions from the format parsers. Readers are
+    // probed directly (the [[wavWriters]] registry-lock rationale) —
+    // the same provider iteration AudioSystem runs, without its global
+    // synchronization.
+    var ais: javax.sound.sampled.AudioInputStream = null
+    val rs = audioReaders
+    var ri = 0
+    while (ais == null && ri < rs.length) {
+      try ais = rs(ri).getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
-      catch { case scala.util.control.NonFatal(_) => null }
+      catch { case scala.util.control.NonFatal(_) => }
+      ri += 1
+    }
+    if (ais == null && rs.isEmpty) // exotic runtime: registry path
+      ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        catch { case scala.util.control.NonFatal(_) => null }
     if (ais == null) return None
     try {
       val fmt = ais.getFormat
