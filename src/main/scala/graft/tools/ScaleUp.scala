@@ -35,11 +35,23 @@ object ScaleUp {
   def scaled(df: DataFrame, table: String, copies: Int): DataFrame = {
     val s = shifts(table)
     if (s.isEmpty) df
-    else (0 until copies).map { k =>
-      s.foldLeft(df) { case (acc, (c, stride)) =>
-        acc.withColumn(c, col(c) + lit(k * stride))
-      }
-    }.reduce(_ unionByName _)
+    else if (copies <= 16)
+      (0 until copies).map { k =>
+        s.foldLeft(df) { case (acc, (c, stride)) =>
+          acc.withColumn(c, col(c) + lit(k * stride))
+        }
+      }.reduce(_ unionByName _)
+    else {
+      // high copy counts (the sf100 probe runs 1000) as a crossJoin
+      // with a copy-index relation — a 1000-way union plan chokes
+      // analysis/optimization; this is one narrow join with the same
+      // rows (broadcast a 1-column LocalRelation of copy indices)
+      val ks = broadcast(
+        df.sparkSession.range(copies).toDF("__copy"))
+      s.foldLeft(df.crossJoin(ks)) { case (acc, (c, stride)) =>
+        acc.withColumn(c, col(c) + col("__copy") * lit(stride))
+      }.drop("__copy")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,11 +71,38 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.queries.Tables.names.foreach { t =>
+    // optional 4th arg: comma-list restricting which tables to write (a
+    // targeted probe fixture — e.g. the sf100 shuffle probe only needs
+    // documents + embeddings, not a 600M-row lineitem copy). A table
+    // suffixed `:salt` gets a per-copy token appended to its text
+    // column: the plain id-shifted copy makes every cross-copy pair a
+    // TRUE near-duplicate, so pair-listing dedup queries (minhash LSH,
+    // jaccard) have Θ(copies²) OUTPUT by construction — a fixture
+    // artifact, not operator behavior. Salting suffixes EVERY token
+    // with the copy index (a one-token salt is too weak: minhash
+    // signatures barely move, bands still collide cross-copy), making
+    // each copy a disjoint-vocabulary crawl slice whose INTERNAL
+    // structure matches the original SF — duplicate-group sizes, and
+    // thus the true pair count, scale LINEARLY with copies, the regime
+    // a real 100 TB crawl is in.
+    val tables = if (args.length > 3) args(3).split(",").toSeq
+      else graft.queries.Tables.names
+    tables.foreach { spec =>
+      val salt = spec.endsWith(":salt")
+      val t = spec.stripSuffix(":salt")
       val df = spark.read.parquet(s"$src/$t.parquet")
-      scaled(df, t, copies).write.mode(SaveMode.Overwrite)
-        .parquet(s"$dst/$t.parquet")
-      println(s"[scaleup] $t x${if (shifts(t).isEmpty) 1 else copies}")
+      val out =
+        if (!salt) scaled(df, t, copies)
+        else {
+          val stride = shifts(t).values.min
+          val copyIdx = (col(shifts(t).keys.head) / lit(stride)).cast("long")
+          scaled(df, t, copies).withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"), copyIdx)))
+        }
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t x${if (shifts(t).isEmpty) 1 else copies}" +
+        (if (salt) " (salted)" else ""))
     }
     spark.stop()
   }
