@@ -307,7 +307,9 @@ object MinHashIndex {
     * `deletes/`). Rewrites history, so it goes through the full staging +
     * aside-protected rename ([[IndexIO.publish]]); pair results are
     * unchanged, only layout (and the band self-join's file-read count)
-    * improves. */
+    * improves. EXCLUSIVE of appends (the root rename) — the migration /
+    * claim-reset op; a live crawl loop compacts via
+    * [[maintain]]/[[compactAllInPlace]]. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
     // orphans (crash between append's two publishes) must not be baked
     // into the compacted shard=0 — drop them first; flat pre-shard

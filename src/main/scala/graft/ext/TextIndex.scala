@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Norm
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,8 +143,107 @@ object TextIndex {
      else df.repartitionByRange(partitions, col(sortCols.head)))
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
 
+  /** Driver-side bounds for [[writeShardTablesDriver]]: a micro-batch
+    * under both fits comfortably in driver memory (32k docs / 64 MB of
+    * text → a few hundred MB of postings structures, transient). */
+  private val MaxDriverDocs = 1 << 15
+  private val MaxDriverChars = 64L << 20
+
+  /** SMALL-BATCH driver route for the shard write (the
+    * [[IndexIO.publishIdShard]] probe-then-route pattern applied to the
+    * whole append): a streaming micro-batch / evolve append is a few
+    * thousand docs, and the Spark path pays TWO write jobs (postings,
+    * doclens+observe) of pure scheduling floor to persist what amounts
+    * to a few MB. Under the bounds, the batch collects in ONE bounded
+    * job and the three tables write driver-side with the parquet Group
+    * API (same files-in-`shard=K`-dir layout, same column order, same
+    * optional int64/int32/UTF8 types as the Spark write — readers and
+    * the directory protocol can't tell). Tokenization parity:
+    * [[graft.core.Norm.canonStr]] is the spec-pinned scalar twin of the
+    * column canon, so df/dl/tf match the Spark path bit-for-bit (the
+    * ta_bm25 oracle hashes pin it end-to-end). Over the bounds →
+    * `false`, caller falls back to the distributed write (the right
+    * plan at that size). Returns whether it handled the write. */
+  private def writeShardTablesDriver(docs: DataFrame, root: String, shard: Int,
+                                     withPositions: Boolean): Boolean = {
+    val spark = docs.sparkSession
+    val probe = docs.select(col("doc_id").cast("long"), col("text"))
+      .limit(MaxDriverDocs + 1).collect()
+    if (probe.length > MaxDriverDocs) return false
+    val parsed = probe.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+    if (parsed.iterator.map(_._2.length.toLong).sum > MaxDriverChars)
+      return false
+    IndexIO.crashTick()
+    // tokenize once per doc (scalar canon twin); mirror the Spark
+    // plan's shapes exactly: doclens = one row per INPUT row, postings
+    // merge tf across rows by (term, doc_id) like the groupBy does
+    val toks = parsed.map { case (id, text) =>
+      (id, Norm.canonStr(text).split(" ").filter(_.nonEmpty))
+    }
+    val tf = scala.collection.mutable.LinkedHashMap.empty[(String, Long, Int), Long]
+    for ((id, ts) <- toks; t <- ts)
+      tf((t, id, ts.length)) = tf.getOrElse((t, id, ts.length), 0L) + 1L
+    val conf = spark.sparkContext.hadoopConfiguration
+    def groupFile(dir: String, schemaStr: String)(
+        write: (org.apache.parquet.schema.MessageType,
+          org.apache.parquet.hadoop.ParquetWriter[
+            org.apache.parquet.example.data.Group]) => Unit): Unit = {
+      val schema =
+        org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(conf)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
+      fs.mkdirs(dirPath)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dirPath, "part-00000.parquet"), conf))
+        .withType(schema).withConf(conf).build()
+      try write(schema, w) finally w.close()
+    }
+    // term-sorted postings — the same (term, doc_id) layout the Spark
+    // route sorts to, so row-group pruning on term keeps working
+    groupFile(s"$root/postings/shard=$shard",
+      """message postings { optional binary term (UTF8);
+        |  optional int64 doc_id; optional int32 dl; optional int64 tf; }"""
+        .stripMargin) { (schema, w) =>
+      for (((term, id, dl), n) <- tf.toSeq.sortBy(e => (e._1._1, e._1._2))) {
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+        g.add("term", term); g.add("doc_id", id); g.add("dl", dl); g.add("tf", n)
+        w.write(g)
+      }
+    }
+    groupFile(s"$root/doclens/shard=$shard",
+      "message doclens { optional int64 doc_id; optional int32 dl; }") {
+      (schema, w) =>
+        for ((id, ts) <- toks.sortBy(_._1)) {
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+          g.add("doc_id", id); g.add("dl", ts.length)
+          w.write(g)
+        }
+    }
+    writeStatsShard(spark, s"$root/stats/shard=$shard",
+      toks.length.toLong, toks.iterator.map(_._2.length.toLong).sum)
+    if (withPositions)
+      groupFile(s"$root/positions/shard=$shard",
+        """message positions { optional int64 id;
+          |  optional int64 pos; optional binary term (UTF8); }"""
+          .stripMargin) { (schema, w) =>
+        val rows = for ((id, ts) <- toks; (t, i) <- ts.zipWithIndex)
+          yield (t, id, (i + 1).toLong)
+        for ((t, id, pos) <- rows.sortBy(r => (r._1, r._2, r._3))) {
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+          g.add("id", id); g.add("pos", pos); g.add("term", t)
+          w.write(g)
+        }
+      }
+    true
+  }
+
   private def writeShardTables(docs: DataFrame, root: String, shard: Int,
                                partitions: Int, withPositions: Boolean): Unit = {
+    if (partitions == 1 &&
+      writeShardTablesDriver(docs, root, shard, withPositions)) return
     val spine = docSpine(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -382,7 +482,10 @@ object TextIndex {
   /** Fold all committed shards back to one (`shard=0`), dropping
     * tombstoned docs for good and re-deriving stats from the compacted
     * spine; full staging + single publish rename. Results unchanged;
-    * probe file counts and the tombstone anti-join disappear. */
+    * probe file counts and the tombstone anti-join disappear.
+    * EXCLUSIVE of appends (the root rename would strand a concurrent
+    * appender's publishes) — the migration / claim-reset op; a live
+    * crawl loop compacts via [[maintain]]/[[compactAllInPlace]]. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs

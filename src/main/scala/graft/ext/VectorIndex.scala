@@ -263,7 +263,9 @@ object VectorIndex {
     * no `deletes/`) via the full staging rename — the one operation
     * here that rewrites history, so it gets [[IndexIO.publish]]'s
     * aside/restore protection. Serving results are unchanged; only the
-    * file layout (and per-probe file-read count) improves. */
+    * file layout (and per-probe file-read count) improves. EXCLUSIVE of
+    * appends (the root rename) — the migration / claim-reset op; a live
+    * crawl loop compacts via [[maintain]]/[[compactAllInPlace]]. */
   def compact(spark: SparkSession, path: String, partitions: Int = 8): Unit = {
     // uncommitted crash leftovers must not be baked into shard=0
     reconcileShards(spark, path)
