@@ -647,12 +647,86 @@ object TextIndex {
     * groups pruned to committed shards; df comes from the probed rows;
     * the corpus constants come from the stats table minus the exact
     * tombstone mass. Identical output (and oracle) to the inline
-    * corpus-scan form over the same live docs. */
+    * corpus-scan form over the same live docs.
+    *
+    * Serving route: the IN-PROCESS fast path ([[bm25TopKFast]] — the
+    * [[graft.query.ScoutEngine.forwardFast]] treatment applied to text
+    * retrieval) when the probe is bounded; the distributed plan
+    * otherwise, bit-equal by construction. */
   def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
                k: Int, k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one probe term")
-    val (tf, dfreq, stats) = probe(spark, path, terms)
-    bm25Rank(tf, dfreq, stats, k1, b, k)
+    bm25TopKFast(spark, path, terms, k, k1, b).getOrElse {
+      val (tf, dfreq, stats) = probe(spark, path, terms)
+      bm25Rank(tf, dfreq, stats, k1, b, k)
+    }
+  }
+
+  /** Probed-postings bound for the in-process serve: 64k rows × ~40 B
+    * collects in one bounded job and scores in microseconds. */
+  private val MaxFastPostings = 1 << 16
+
+  /** IN-PROCESS single-probe BM25 serve: ONE bounded Spark job (the
+    * term-pruned postings collect; a second tiny one only when
+    * tombstones exist) and driver-side scoring, instead of the
+    * distributed plan's broadcast-build + rank + top-k job chain — a
+    * ~150-300 ms scheduling floor per serve however small the probe.
+    * Scoring mirrors [[bm25Rank]] TERM FOR TERM: the rational idf, the
+    * same double evaluation order, `BigDecimal.valueOf(...).setScale(0,
+    * HALF_UP)` for Spark's `round`, the INT64 per-doc micro sum (order-
+    * free), and the (score desc, doc_id asc) tie contract — bit-equal
+    * results, spec-pinned against the forced job path. Routes to the
+    * job path (None) when: no commit markers (legacy), the tombstone
+    * set is past the driver-read bound, or the probe exceeds
+    * [[MaxFastPostings]] rows — exactly the sizes where the distributed
+    * plan is the right one. `-Dgraft.bm25.fast=0` disables (A/B and
+    * job-path spec seam). */
+  private def bm25TopKFast(spark: SparkSession, path: String,
+                           terms: Seq[String], k: Int, k1: Double,
+                           b: Double): Option[DataFrame] = {
+    if (sys.props.get("graft.bm25.fast").contains("0")) return None
+    val committed = IndexIO.liveCommittedIds(spark, path)
+    if (committed.isEmpty) return None
+    val smallDels = IndexIO.readIdShards(spark, s"$path/deletes", "doc_id")
+    if (smallDels.isEmpty) return None // tombstones past the driver bound
+    val dels = smallDels.get
+    val delSet = dels.toSet
+    val probed = IndexIO.readCommitted(spark, path, "postings", committed)
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "dl", "tf")
+      .limit(MaxFastPostings + 1).collect()
+    if (probed.length > MaxFastPostings) return None
+    val live = probed.filter(r => !delSet.contains(r.getLong(1)))
+    val (nd0, sdl0) = statsTotals(spark, path, committed)
+    val (rnd, rsdl) =
+      if (dels.isEmpty) (0L, 0L)
+      else {
+        val r = IndexIO.readCommitted(spark, path, "doclens", committed)
+          .filter(col("doc_id").isInCollection(dels.toSeq))
+          .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    val nd = nd0 - rnd
+    val avgdl = if (nd > 0) (sdl0 - rsdl).toDouble / nd.toDouble else 0.0
+    val df = new scala.collection.mutable.HashMap[String, Long]()
+    for (r <- live) df(r.getString(0)) = df.getOrElse(r.getString(0), 0L) + 1L
+    val acc = new scala.collection.mutable.HashMap[Long, Long]()
+    for (r <- live) {
+      val dft = df(r.getString(0))
+      val idf = ((nd - dft).toDouble + 0.5) / (dft.toDouble + 0.5)
+      val tfv = r.getLong(3).toDouble
+      val tfn = (tfv * (k1 + 1.0)) /
+        (tfv + k1 * ((1.0 - b) + b * (r.getInt(2).toDouble / avgdl)))
+      val micro = java.math.BigDecimal.valueOf(idf * tfn * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val doc = r.getLong(1)
+      acc(doc) = acc.getOrElse(doc, 0L) + micro
+    }
+    val top = acc.toSeq.sortBy { case (doc, micro) => (-micro, doc) }.take(k)
+    import spark.implicits._
+    Some(top.zipWithIndex.map { case ((doc, micro), i) => (doc, micro, i + 1) }
+      .toDF("doc_id", "score_micro", "rank"))
   }
 
   /** Bulk BM25 retrieval for a QUERY RELATION — the text-retrieval twin

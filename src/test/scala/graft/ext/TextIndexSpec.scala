@@ -35,6 +35,28 @@ class TextIndexSpec extends SparkSpec with EagerLease {
     TextIndex.bm25TopK(spark, path, Terms, 10, K1, B)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
 
+  test("in-process BM25 fast serve is bit-equal to the forced job path") {
+    val path = freshPath("fastserve")
+    TextIndex.write(corpus, path)
+    def jobServe() = {
+      System.setProperty("graft.bm25.fast", "0")
+      try serve(path) finally System.clearProperty("graft.bm25.fast")
+    }
+    // no tombstones: one bounded collect, zero other jobs
+    assert(serve(path) == jobServe(), "fast serve diverged (clean index)")
+    assert(serve(path).nonEmpty)
+    // with tombstones: the driver-read delete set must subtract the
+    // exact doc and length mass in BOTH routes
+    TextIndex.delete(Seq(5L, 4L).toDF("doc_id"), path)
+    val fast = serve(path)
+    assert(fast == jobServe(), "fast serve diverged (tombstoned index)")
+    assert(!fast.exists(_._1 == 5L), "tombstoned doc served")
+    // appended shards sum into the same constants through both routes
+    TextIndex.append(Seq((8L, "fox jugs fox")).toDF("doc_id", "text"), path)
+    assert(serve(path) == jobServe(), "fast serve diverged (after append)")
+    assert(serve(path).exists(_._1 == 8L))
+  }
+
   test("served ranking matches expectations on a crafted corpus") {
     val path = freshPath("basic")
     TextIndex.write(corpus, path)
