@@ -28,7 +28,19 @@ class PlanShapeSpec extends SparkSpec {
       .createTempDirectory("graft-plan-tindex").toString + "/idx"
     TextIndex.write(Seq((1L, "spark scan merge"), (2L, "window scan"))
       .toDF("doc_id", "text"), path)
-    val served = TextIndex.bm25TopK(spark, path, Seq("spark", "scan"), 10, 1.2, 0.75)
+    // the DEFAULT route is the round-11 in-process serve: its "plan" is
+    // a local result — no scan, no exchange, nothing to mis-shape
+    val fastPlan = physical(
+      TextIndex.bm25TopK(spark, path, Seq("spark", "scan"), 10, 1.2, 0.75))
+    assert(fastPlan.contains("LocalTableScan") && !fastPlan.contains("Exchange"),
+      s"default bm25 serve should be in-process:\n$fastPlan")
+    // the distributed route (what over-bound probes run) keeps the
+    // pushed-probe shape — force it through the A/B seam
+    val served = {
+      System.setProperty("graft.bm25.fast", "0")
+      try TextIndex.bm25TopK(spark, path, Seq("spark", "scan"), 10, 1.2, 0.75)
+      finally System.clearProperty("graft.bm25.fast")
+    }
     val plan = physical(served)
     assert(!plan.contains("CartesianProduct"), "bm25TopK plan has a cartesian product")
     // exactly ONE nested-loop join is by design: the one-row corpus-stats
