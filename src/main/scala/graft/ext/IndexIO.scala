@@ -67,13 +67,19 @@ private[ext] object IndexIO {
   @volatile private[ext] var appendLeaseMs: Long = 15L * 60L * 1000L
 
   /** Shard ids under an active appender lease: claimed recently
-    * (claim-dir mtime within [[appendLeaseMs]]), whether or not their
-    * marker has landed yet — a just-committed shard is equally
-    * off-limits to reconcile deletion, because the reconciler's other
-    * listings may predate its marker. Driver-side listing + one
-    * getFileStatus per young claim. */
+    * (claim-dir mtime within [[appendLeaseMs]]) with no commit marker
+    * YET at this call's own commits listing. The commits listing here
+    * is taken BEFORE the claims listing, and callers take their `live`
+    * listing AFTER calling this — so an id whose marker lands anywhere
+    * in between is either still lease-protected (young claim, marker
+    * unseen here) or already visible as live to the caller; no
+    * interleaving leaves a committed shard unprotected. Claims
+    * accumulate one per append for the index's lifetime, so the mtime
+    * stat runs only on the claims MINUS committed remainder (in-flight
+    * appenders + crash garbage — a handful), not on history. */
   def leasedIds(spark: SparkSession, root: String): Set[Int] = {
-    val claims = shardIds(spark, s"$root/claims")
+    val committed = shardIds(spark, s"$root/commits").toSet
+    val claims = shardIds(spark, s"$root/claims").filterNot(committed)
     if (claims.isEmpty) return Set.empty
     val fs = fsOf(spark, root)
     val now = System.currentTimeMillis()
@@ -131,7 +137,13 @@ private[ext] object IndexIO {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, path)
     crashTick()
-    if (fs.exists(p) && !fs.delete(p, true))
+    // a false return re-checks existence: with appends and maintenance
+    // running concurrently (round 11), two writers can legitimately
+    // race to delete the same garbage dir (e.g. append's
+    // committed-but-incomplete repair vs a fold's post-commit cleanup)
+    // — the loser's delete "fails" because the dir is already gone,
+    // which is success, not an error
+    if (fs.exists(p) && !fs.delete(p, true) && fs.exists(p))
       throw new java.io.IOException(s"delete $path failed")
   }
 
