@@ -358,16 +358,17 @@ object Dedup {
     * The sketch is built by `stat.bloomFilter` — a partition-local
     * build + merge aggregation on the EXECUTORS; only the final merged
     * sketch lands on the driver (that is the broadcast source, so it is
-    * also the floor). Sizing: the default `expectedTestShingles = -1`
-    * COUNTS the materialized distinct test-shingle relation and sizes
-    * the sketch exactly — a guessed constant undersizes a 100 GB+
-    * held-out set, and an undersized bloom degrades silently (fpp → 1:
-    * every train shingle becomes a "suspect" and the exact verify join
-    * re-inherits the full shuffle the sketch was built to avoid). The
-    * count is one extra job over an already-materialized relation —
-    * noise next to the train-side scan it protects. Pass an explicit
-    * estimate only to skip that job when the held-out cardinality is
-    * known a priori.
+    * also the floor). Cost model: a bounded routing probe
+    * (`limit(2^20+1).count()` over the already-materialized relation)
+    * runs UNLESS the caller's `expectedTestShingles` asserts "large"
+    * (> 2^20) — that is the only estimate this function trusts, and it
+    * can only err toward the always-correct sketch route. Sketch SIZING
+    * uses the estimate when it routed here, else the exact count — an
+    * undersized bloom degrades silently (fpp → 1: every train shingle
+    * becomes a "suspect" and the exact verify join re-inherits the full
+    * shuffle the sketch was built to avoid). Small estimates are
+    * deliberately NOT honored for routing: an underestimate would
+    * broadcast an arbitrarily large held-out set.
     *
     * Returns the clean train document ids (one `id` column). */
   def bloomDecontaminate(df: DataFrame, idCol: String, textCol: String,

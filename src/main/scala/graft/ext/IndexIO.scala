@@ -192,6 +192,25 @@ private[ext] object IndexIO {
     * distributed anti-join, which is the right plan at that size. */
   def readIdShards(spark: SparkSession, root: String, colName: String,
                    maxIds: Int = 4096): Option[Array[Long]] = {
+    // a shard dir can legitimately vanish mid-read: the fold-all
+    // compaction clears applied tombstone shards while serving runs
+    // (round-11 concurrency). Retry from a FRESH listing — the second
+    // pass sees the post-clear state (the racing serve's own stale
+    // table scan fails independently if it raced the fold, so this
+    // cannot silently mix pre-fold shards with post-fold tombstones).
+    var attempts = 0
+    while (true) {
+      try return readIdShardsOnce(spark, root, colName, maxIds)
+      catch {
+        case _: java.io.FileNotFoundException if attempts < 3 => attempts += 1
+      }
+    }
+    None // unreachable
+  }
+
+  private def readIdShardsOnce(spark: SparkSession, root: String,
+                               colName: String,
+                               maxIds: Int): Option[Array[Long]] = {
     val ids = shardIds(spark, root)
     if (ids.isEmpty) return Some(Array.empty)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -281,8 +300,32 @@ private[ext] object IndexIO {
     * old shards out) a single atomic rename instead of a
     * one-in-then-each-out sequence a reader could observe doubled. */
   def commitShard(spark: SparkSession, root: String, k: Int,
-                  replaces: Seq[Int] = Nil): Unit = {
+                  replaces: Seq[Int] = Nil,
+                  enforceLease: Boolean = false): Unit = {
     preCommitHook()
+    // APPEND commits (enforceLease=true) verify their lease before the
+    // marker rename: an append that outran appendLeaseMs may have had
+    // its uncommitted table shards reconciled away by a concurrent
+    // maintenance pass — landing the marker anyway would return success
+    // for a batch that silently never serves (the next repair deletes
+    // the tableless marker). Fail LOUD instead: the caller re-appends
+    // under a fresh id. A missing claim means the same thing (an
+    // expired claim is garbage-collectable). Lease 0 = eager-reclaim
+    // test mode, no enforcement; maintenance commits (REPLACES) are
+    // single-maintainer by contract and skip the check.
+    if (enforceLease && appendLeaseMs > 0L) {
+      val fs = fsOf(spark, root)
+      val claim = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
+      val fresh =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(claim).getModificationTime < appendLeaseMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!fresh)
+        throw new java.io.IOException(
+          s"append lease expired before commit of $root shard=$k " +
+            s"(bound ${appendLeaseMs} ms): a concurrent maintenance pass " +
+            "may have reclaimed the uncommitted shards — re-append the batch")
+    }
     // markers are pure DIRECTORY facts — every consumer is a listing
     // ([[committedIds]]; compaction markers add one small REPLACES file
     // read) — so the publish is driver-side filesystem I/O, not a Spark
@@ -423,6 +466,30 @@ private[ext] object IndexIO {
     }
     throw new java.io.IOException(
       s"claimShardId under $root: lost $attempts consecutive claim races")
+  }
+
+  /** Reclaim historical claim dirs: claims accrete one per append for
+    * the index's lifetime, but only the MAX claim matters for the
+    * never-reuse-an-id floor ([[claimShardId]] takes the max of claims
+    * ∪ commits ∪ tables) — once commit markers hold the floor at
+    * `maxCommitted`, every claim BELOW it that is not under an active
+    * lease is droppable: a live shard doesn't need its claim (its
+    * marker holds the floor), a folded shard's claim is history, and an
+    * expired below-floor garbage claim protects nothing (its table
+    * shards reconcile away; if its appender is merely slow, the
+    * commit-time lease enforcement fails it loudly rather than letting
+    * it land on a reclaimed id). Runs from the compaction ops
+    * (single-maintainer), so the steady-state crawl loop keeps claims
+    * bounded by {ids ≥ maxCommitted} ∪ leased instead of growing
+    * forever. */
+  def gcClaims(spark: SparkSession, root: String): Unit = {
+    val committed = shardIds(spark, s"$root/commits")
+    if (committed.isEmpty) return
+    val maxCommitted = committed.max
+    val leased = leasedIds(spark, root)
+    for (k <- shardIds(spark, s"$root/claims")
+         if k < maxCommitted && !leased.contains(k))
+      deleteDir(spark, s"$root/claims/shard=$k")
   }
 
   /** Drop committed-but-INCOMPLETE shards (marker present, some table

@@ -269,7 +269,7 @@ object MinHashIndex {
       IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
     } finally newSig.unpersist(false)
     // marker LAST: this rename is the commit point
-    IndexIO.commitShard(spark, path, next)
+    IndexIO.commitShard(spark, path, next, enforceLease = true)
   }
 
   /** TOMBSTONE a set of documents (retired crawls, takedowns — at
@@ -375,6 +375,7 @@ object MinHashIndex {
                             tombstoneFrac: Double): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
+    IndexIO.gcClaims(spark, path) // bound historical claim dirs (single-maintainer)
     val tables = Seq("signatures", "buckets")
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty,

@@ -154,8 +154,10 @@ object TextIndex {
     * whole append): a streaming micro-batch / evolve append is a few
     * thousand docs, and the Spark path pays TWO write jobs (postings,
     * doclens+observe) of pure scheduling floor to persist what amounts
-    * to a few MB. Under the bounds, the batch collects in ONE bounded
-    * job and the three tables write driver-side with the parquet Group
+    * to a few MB. A cheap size-gate aggregate runs FIRST (count + total
+    * chars — the bound protects driver memory, so it must be checked
+    * before anything materializes); under the bounds the batch collects
+    * and the three tables write driver-side with the parquet Group
     * API (same files-in-`shard=K`-dir layout, same column order, same
     * optional int64/int32/UTF8 types as the Spark write — readers and
     * the directory protocol can't tell). Tokenization parity:
@@ -167,13 +169,24 @@ object TextIndex {
   private def writeShardTablesDriver(docs: DataFrame, root: String, shard: Int,
                                      withPositions: Boolean): Boolean = {
     val spark = docs.sparkSession
-    val probe = docs.select(col("doc_id").cast("long"), col("text"))
-      .limit(MaxDriverDocs + 1).collect()
-    if (probe.length > MaxDriverDocs) return false
+    // only a LongType doc_id may take this route: the driver writer
+    // emits int64, and an int32-typed index (legal on the Spark path,
+    // which preserves the source type) must never receive a mixed-
+    // physical-type shard — the vectorized reader rejects the table
+    if (docs.schema("doc_id").dataType !=
+      org.apache.spark.sql.types.LongType) return false
+    // size gate BEFORE any collect: a small-count/large-text batch must
+    // route to the distributed write without ever materializing on the
+    // driver (the bound exists to protect driver memory, so it cannot
+    // be checked on the collected result)
+    val gate = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("chars"))
+      .collect()(0)
+    if (gate.getLong(0) > MaxDriverDocs || gate.getLong(1) > MaxDriverChars)
+      return false
+    val probe = docs.select(col("doc_id"), col("text")).collect()
     val parsed = probe.map(r =>
       (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
-    if (parsed.iterator.map(_._2.length.toLong).sum > MaxDriverChars)
-      return false
     IndexIO.crashTick()
     // tokenize once per doc (scalar canon twin); mirror the Spark
     // plan's shapes exactly: doclens = one row per INPUT row, postings
@@ -381,8 +394,9 @@ object TextIndex {
     * append; its arrival is what makes the shard visible. (Shared
     * implementation: [[IndexIO.commitShard]], since round 8 also the
     * protocol of [[MinHashIndex]] and [[VectorIndex]].) */
-  private def commitShard(spark: SparkSession, root: String, k: Int): Unit =
-    IndexIO.commitShard(spark, root, k)
+  private def commitShard(spark: SparkSession, root: String, k: Int,
+                          enforceLease: Boolean = false): Unit =
+    IndexIO.commitShard(spark, root, k, enforceLease = enforceLease)
 
   /** Drop table shards with no commit marker (crash before the marker
     * rename), markers with missing table shards (external tampering
@@ -457,7 +471,10 @@ object TextIndex {
     for (t <- tables)
       IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
     IndexIO.deleteDir(spark, stage)
-    commitShard(spark, path, next)
+    // enforceLease: fail loud if this append outran its lease (a racing
+    // maintain may have reclaimed the uncommitted shards) instead of
+    // landing a marker for data that silently never serves
+    commitShard(spark, path, next, enforceLease = true)
   }
 
   /** Tombstone a set of doc_ids (takedowns, re-crawls): one tiny
@@ -564,6 +581,7 @@ object TextIndex {
                             tombstoneFrac: Double): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
+    IndexIO.gcClaims(spark, path) // bound historical claim dirs (single-maintainer)
     val tables = tablesOf(spark, path)
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty, s"no committed shards under $path — not a TextIndex?")
@@ -691,9 +709,13 @@ object TextIndex {
     if (smallDels.isEmpty) return None // tombstones past the driver bound
     val dels = smallDels.get
     val delSet = dels.toSet
+    // defensive casts: an index built from an int-typed doc_id column
+    // (the Spark write preserves source types) must serve through this
+    // route too, not ClassCastException on getLong
     val probed = IndexIO.readCommitted(spark, path, "postings", committed)
       .filter(col("term").isin(terms: _*))
-      .select("term", "doc_id", "dl", "tf")
+      .select(col("term"), col("doc_id").cast("long").as("doc_id"),
+        col("dl").cast("int").as("dl"), col("tf").cast("long").as("tf"))
       .limit(MaxFastPostings + 1).collect()
     if (probed.length > MaxFastPostings) return None
     val live = probed.filter(r => !delSet.contains(r.getLong(1)))

@@ -220,7 +220,7 @@ object VectorIndex {
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
     // marker LAST: this rename is the commit point ([[TextIndex]]
     // protocol, shared via IndexIO.commitShard)
-    IndexIO.commitShard(spark, path, next)
+    IndexIO.commitShard(spark, path, next, enforceLease = true)
   }
 
   /** TOMBSTONE a set of vectors ("right to be forgotten" at 100 TB:
@@ -324,6 +324,7 @@ object VectorIndex {
                             tombstoneFrac: Double): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
+    IndexIO.gcClaims(spark, path) // bound historical claim dirs (single-maintainer)
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty,
       s"index at $path has no committed shards; compactSmall needs the marker layout")

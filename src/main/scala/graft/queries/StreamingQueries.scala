@@ -353,7 +353,7 @@ object StreamingQueries {
           .filter(col("doc_id") % 3 =!= 0)
         // one-shot drain: volatile checkpoint (StreamOps contract — a
         // real ingest loop would pass its durable dir here instead)
-        val ckpt = StreamOps.volatileCheckpointDir()
+        val ckpt = StreamOps.volatileCheckpointDir(s)
         try {
           val w = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -137,9 +137,18 @@ class ScoutEngine(
     * release after the flip; requests still holding it finish
     * unharmed. */
   def reload(pois: DataFrame, admin: DataFrame,
-             nameIndex: Option[DataFrame] = None): Unit = {
-    val prev = state.getAndSet(new Bound(pois, admin, nameIndex))
+             nameIndex: Option[DataFrame] = None): Unit = synchronized {
+    // unpersist the OLD snapshot BEFORE the new Bound caches: Spark's
+    // CacheManager keys entries by plan sameResult, and a reloadFrom of
+    // the same (republished-in-place) path produces a same-result admin
+    // plan — unpersisting after would silently evict the NEW snapshot's
+    // cache entry and every bbox resolve thereafter would repay the
+    // full admin scan. In-flight requests hold the old Bound and just
+    // recompute uncached for their tail. synchronized: two concurrent
+    // reloads must not interleave close/build/set.
+    val prev = state.get()
     prev.close()
+    state.set(new Bound(pois, admin, nameIndex))
   }
 
   /** [[reload]] from a gazetteer directory ([[ScoutEngine.fromPath]]'s

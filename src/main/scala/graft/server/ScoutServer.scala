@@ -96,10 +96,15 @@ class ScoutServer(engine: ScoutEngine, port: Int = 8000, threads: Int = 8) {
   server.createContext("/docs", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val t0 = System.nanoTime()
-      val ms = (System.nanoTime() - t0) / 1e6
+      if (ex.getRequestMethod != "GET") {
+        respond(ex, 405, """{"detail": "Method Not Allowed"}""", t0)
+        return
+      }
       val bytes = ScoutServer.docsHtml.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-      ex.getResponseHeaders.set("Server-Timing", f"app;dur=$ms%.1f")
+      // duration measured at write time, like respond() does
+      ex.getResponseHeaders.set("Server-Timing",
+        f"app;dur=${(System.nanoTime() - t0) / 1e6}%.1f")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()

@@ -94,8 +94,11 @@ object ScaleUp {
       val out =
         if (!salt) scaled(df, t, copies)
         else {
-          val stride = shifts(t).values.min
-          val copyIdx = (col(shifts(t).keys.head) / lit(stride)).cast("long")
+          // the copy index must derive from ONE key and ITS stride — on
+          // a multi-key table, head's key paired with another key's
+          // stride would salt per-row, not per-copy
+          val (saltKey, stride) = shifts(t).minBy(_._2)
+          val copyIdx = (col(saltKey) / lit(stride)).cast("long")
           scaled(df, t, copies).withColumn("text",
             regexp_replace(col("text"), lit("(\\S+)"),
               concat(lit("$1c"), copyIdx)))

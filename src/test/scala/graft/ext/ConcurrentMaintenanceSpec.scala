@@ -169,6 +169,57 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       "folded corpus must survive intact")
   }
 
+  test("an append that outruns its lease fails loudly at commit, then retries clean") {
+    val path = fresh("lease-enforce")
+    TextIndex.write(docs(0L until 6L), path)
+    val saved = IndexIO.appendLeaseMs
+    try {
+      IndexIO.appendLeaseMs = 200L
+      // the interleaving hook stalls the appender past its lease right
+      // before the marker rename — commit must fail LOUD, not land a
+      // marker for shards a racing maintain may have reclaimed
+      atNextCommit { Thread.sleep(400) }
+      val ex = intercept[java.io.IOException] {
+        TextIndex.append(docs(6L until 12L), path)
+      }
+      assert(ex.getMessage.contains("lease expired"), ex.getMessage)
+      // the failed batch is invisible; reclaim + retry lands the data
+      IndexIO.appendLeaseMs = 0L
+      TextIndex.compactSmall(spark, path, maxShardBytes = Long.MaxValue)
+      IndexIO.appendLeaseMs = saved
+      TextIndex.append(docs(6L until 12L), path)
+      val ref = fresh("lease-enforce-ref")
+      TextIndex.write(docs(0L until 12L), ref)
+      assert(tserve(path) == tserve(ref))
+    } finally IndexIO.appendLeaseMs = saved
+  }
+
+  test("historical claims are reclaimed by maintenance (bounded metadata)") {
+    val path = fresh("claims-gc")
+    TextIndex.write(docs(0L until 6L), path)
+    for (g <- 1 to 4)
+      TextIndex.append(docs((g * 6L) until (g * 6L + 6L)), path)
+    assert(IndexIO.shardIds(spark, s"$path/claims").size >= 4)
+    val saved = IndexIO.appendLeaseMs
+    try {
+      // expire the leases (all claims are seconds old) so gcClaims can
+      // act — in production this is the steady state after 15 min
+      IndexIO.appendLeaseMs = 0L
+      TextIndex.maintain(spark, path, maxShards = 1)
+    } finally IndexIO.appendLeaseMs = saved
+    // gcClaims runs at the START of the maintenance pass, so the pass's
+    // own fold claim (and the pre-pass floor holder) may linger one
+    // cycle — the invariant is BOUNDED claims (≤2 here after 4 appends),
+    // not zero lag
+    val claims = IndexIO.shardIds(spark, s"$path/claims")
+    val maxC = IndexIO.shardIds(spark, s"$path/commits").max
+    assert(claims.size <= 2 && claims.forall(_ >= maxC - 1),
+      s"claims not bounded by maintenance: $claims (floor $maxC)")
+    val ref = fresh("claims-gc-ref")
+    TextIndex.write(docs(0L until 30L), ref)
+    assert(tserve(path) == tserve(ref), "claims gc must not affect serving")
+  }
+
   test("crash garbage is left within the lease, reclaimed after expiry") {
     val path = fresh("lease")
     TextIndex.write(docs(0L until 6L), path)
