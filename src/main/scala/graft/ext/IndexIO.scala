@@ -54,29 +54,91 @@ private[ext] object IndexIO {
     * one. Production value is a no-op. */
   @volatile private[ext] var preCommitHook: () => Unit = () => ()
 
-  /** Appender LEASE: a claimed-but-young shard id (claim dir mtime
-    * within this bound) is treated by reconcile/gc as a LIVE appender's
-    * in-flight work, never crash garbage — this is what lets
+  /** Appender LEASE: a claimed-but-young shard id (last writer
+    * timestamp within this bound) is treated by reconcile/gc as a LIVE
+    * appender's in-flight work, never crash garbage — this is what lets
     * `maintain`/`compactSmall` run concurrently with appends. The
-    * contract an appender signs: finish (publish tables + marker)
-    * within the lease of its claim, or abandon and re-append under a
-    * fresh id — an append that outlives its lease can have its
-    * uncommitted shards reclaimed mid-flight. Crash garbage is
+    * contract an appender signs: keep the claim fresh (the append paths
+    * [[heartbeatClaim]] after their long table writes, so the lease
+    * effectively bounds only the publish→commit window) or abandon and
+    * re-append under a fresh id — an append whose claim goes stale can
+    * have its uncommitted shards reclaimed mid-flight. Crash garbage is
     * reclaimed only after the lease expires (bounded disk debt, zero
-    * data risk: readers never see uncommitted shards either way). */
-  @volatile private[ext] var appendLeaseMs: Long = 15L * 60L * 1000L
+    * data risk: readers never see uncommitted shards either way).
+    *
+    * CLOCK AUTHORITY (100 TB / object-store note): freshness compares
+    * the APPENDER-written timestamp inside the claim ([[claimTs]] —
+    * file CONTENT, not fs metadata, so stores with coarse or
+    * rename-reset mtimes keep the contract; mtime is only the fallback
+    * for legacy claims) against the MAINTAINER's local clock. The
+    * protocol therefore assumes |writer clock − maintainer clock| ≪
+    * appendLeaseMs; with the 15 min default, NTP-grade skew (ms–s) is
+    * four orders of magnitude inside the bound. Deployments with worse
+    * clocks must raise the lease accordingly (env/system property
+    * `graft.append.lease.ms`, or [[IndexConfig.appendLeaseMs]]). */
+  @volatile private[ext] var appendLeaseMs: Long =
+    sys.props.get("graft.append.lease.ms").flatMap(_.toLongOption)
+      .getOrElse(15L * 60L * 1000L)
 
-  /** Shard ids under an active appender lease: claimed recently
-    * (claim-dir mtime within [[appendLeaseMs]]) with no commit marker
-    * YET at this call's own commits listing. The commits listing here
-    * is taken BEFORE the claims listing, and callers take their `live`
-    * listing AFTER calling this — so an id whose marker lands anywhere
-    * in between is either still lease-protected (young claim, marker
-    * unseen here) or already visible as live to the caller; no
-    * interleaving leaves a committed shard unprotected. Claims
-    * accumulate one per append for the index's lifetime, so the mtime
-    * stat runs only on the claims MINUS committed remainder (in-flight
-    * appenders + crash garbage — a handful), not on history. */
+  /** Last writer-reported timestamp of claim `k`: the newest of the HB
+    * heartbeat file's content, the CLAIM file's timestamp line, and (as
+    * the legacy fallback — claims written before round 12 carry no
+    * content timestamp) the claim dir's mtime. Throws FileNotFound when
+    * the claim dir itself is gone. */
+  private def claimTs(fs: org.apache.hadoop.fs.FileSystem,
+                      claimDir: org.apache.hadoop.fs.Path): Long = {
+    def contentTs(name: String, line: Int): Option[Long] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(claimDir, name)
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").drop(line).headOption.flatMap(_.trim.toLongOption)
+      } catch { case _: java.io.IOException => None }
+    val mtime = fs.getFileStatus(claimDir).getModificationTime // FNF → caller
+    (contentTs("HB", 0) ++ contentTs("CLAIM", 1) ++ Seq(mtime)).max
+  }
+
+  /** Refresh the lease of claim `k` by writing a writer-clock timestamp
+    * INSIDE the claim (an `HB` file, replaced atomically via the
+    * [[setCurrent]] temp+rename primitive). The append paths call this
+    * after their long table-write phase, immediately before the publish
+    * renames — so an arbitrarily slow batch write succeeds as long as
+    * the publish→commit tail fits the lease, instead of any append
+    * slower than [[appendLeaseMs]] failing unconditionally at commit.
+    * Fails loud when the claim is already gone (the append outlived an
+    * UNrefreshed lease and a maintenance pass reclaimed it — re-append). */
+  def heartbeatClaim(spark: SparkSession, root: String, k: Int): Unit = {
+    if (appendLeaseMs <= 0L) return // eager-reclaim test mode: no lease to refresh
+    val fs = fsOf(spark, root)
+    val claimDir = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
+    if (!fs.exists(claimDir))
+      throw new java.io.IOException(
+        s"heartbeat: claim for $root shard=$k is gone (lease expired and " +
+          "reclaimed?) — abandon this append and re-append under a fresh id")
+    val tmp = new org.apache.hadoop.fs.Path(claimDir,
+      s"_hb-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.writeBytes(s"${System.currentTimeMillis()}\n") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(claimDir, "HB"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Shard ids under an active appender lease: claimed recently (last
+    * writer timestamp within [[appendLeaseMs]] — see [[claimTs]]) with
+    * no commit marker YET at this call's own commits listing. The
+    * commits listing here is taken BEFORE the claims listing, and
+    * callers take their `live` listing AFTER calling this — so an id
+    * whose marker lands anywhere in between is either still
+    * lease-protected (young claim, marker unseen here) or already
+    * visible as live to the caller; no interleaving leaves a committed
+    * shard unprotected. Claims accumulate one per append for the
+    * index's lifetime, so the freshness probe runs only on the claims
+    * MINUS committed remainder (in-flight appenders + crash garbage — a
+    * handful), not on history. */
   def leasedIds(spark: SparkSession, root: String): Set[Int] = {
     val committed = shardIds(spark, s"$root/commits").toSet
     val claims = shardIds(spark, s"$root/claims").filterNot(committed)
@@ -84,9 +146,8 @@ private[ext] object IndexIO {
     val fs = fsOf(spark, root)
     val now = System.currentTimeMillis()
     claims.filter { k =>
-      try now - fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
-      ).getModificationTime < appendLeaseMs
+      try now - claimTs(fs,
+        new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")) < appendLeaseMs
       catch { case _: java.io.FileNotFoundException => false }
     }.toSet
   }
@@ -301,7 +362,8 @@ private[ext] object IndexIO {
     * one-in-then-each-out sequence a reader could observe doubled. */
   def commitShard(spark: SparkSession, root: String, k: Int,
                   replaces: Seq[Int] = Nil,
-                  enforceLease: Boolean = false): Unit = {
+                  enforceLease: Boolean = false,
+                  verifyTables: Seq[String] = Nil): Unit = {
     preCommitHook()
     // APPEND commits (enforceLease=true) verify their lease before the
     // marker rename: an append that outran appendLeaseMs may have had
@@ -310,21 +372,28 @@ private[ext] object IndexIO {
     // for a batch that silently never serves (the next repair deletes
     // the tableless marker). Fail LOUD instead: the caller re-appends
     // under a fresh id. A missing claim means the same thing (an
-    // expired claim is garbage-collectable). Lease 0 = eager-reclaim
+    // expired claim is garbage-collectable). The freshness bar keeps a
+    // GRACE margin (a quarter of the lease) in hand: the check-to-rename
+    // span must fit inside the remaining lease, or a reconcile whose
+    // listings straddle the rename could reclaim the tables after this
+    // check passed (the round-11 TOCTOU) — with ≥25% of the lease
+    // remaining, any reconcile that lists claims inside that span still
+    // sees a live lease and skips the shard. Lease 0 = eager-reclaim
     // test mode, no enforcement; maintenance commits (REPLACES) are
-    // single-maintainer by contract and skip the check.
+    // serialized by the maintenance lock ([[acquireMaintLock]]) and
+    // skip the check.
     if (enforceLease && appendLeaseMs > 0L) {
       val fs = fsOf(spark, root)
       val claim = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
-      val fresh =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(claim).getModificationTime < appendLeaseMs
-        catch { case _: java.io.FileNotFoundException => false }
-      if (!fresh)
+      val remaining =
+        try appendLeaseMs - (System.currentTimeMillis() - claimTs(fs, claim))
+        catch { case _: java.io.FileNotFoundException => Long.MinValue }
+      if (remaining < appendLeaseMs / 4)
         throw new java.io.IOException(
-          s"append lease expired before commit of $root shard=$k " +
-            s"(bound ${appendLeaseMs} ms): a concurrent maintenance pass " +
-            "may have reclaimed the uncommitted shards — re-append the batch")
+          s"append lease expired (or under ${appendLeaseMs / 4} ms grace) " +
+            s"before commit of $root shard=$k (bound ${appendLeaseMs} ms): " +
+            "a concurrent maintenance pass may have reclaimed the " +
+            "uncommitted shards — re-append the batch")
     }
     // markers are pure DIRECTORY facts — every consumer is a listing
     // ([[committedIds]]; compaction markers add one small REPLACES file
@@ -344,6 +413,31 @@ private[ext] object IndexIO {
       try rf.writeBytes(replaces.sorted.mkString("\n") + "\n") finally rf.close()
     }
     publishShard(spark, staging.toString, s"$root/commits/shard=$k")
+    // POST-commit verify (enforceLease appends): if the lease expired
+    // in the check-to-rename window and a concurrent reconcile
+    // reclaimed the uncommitted table shards before the marker landed,
+    // the marker is now committed-but-tableless — the next repair would
+    // silently delete it and this append would have returned success
+    // for a batch that never serves. Re-verify the table shards exist
+    // AFTER the marker rename; on failure delete the marker and fail
+    // LOUD (the grace margin above makes this unreachable except under
+    // pathological scheduler pauses — this is the belt to its
+    // suspenders). The claim itself is deliberately NOT re-checked: a
+    // concurrent gcClaims legitimately reclaims below-floor claims the
+    // moment a higher id commits, and the marker now protects the shard
+    // on its own.
+    if (enforceLease && appendLeaseMs > 0L && verifyTables.nonEmpty) {
+      val missing = verifyTables.filterNot(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/shard=$k")))
+      if (missing.nonEmpty) {
+        try deleteDir(spark, s"$root/commits/shard=$k")
+        catch { case _: java.io.IOException => () } // repair will finish it
+        throw new java.io.IOException(
+          s"append of $root shard=$k lost its table shards " +
+            s"(${missing.mkString(", ")}) to a concurrent reconcile before " +
+            "the marker landed — marker withdrawn; re-append the batch")
+      }
+    }
   }
 
   /** Shard ids with a published commit marker. Empty means either a
@@ -445,8 +539,13 @@ private[ext] object IndexIO {
       val staging = new org.apache.hadoop.fs.Path(shardStagingFor(s"$root/claims"))
       crashTick()
       fs.mkdirs(staging)
+      // line 1: ownership nonce; line 2: writer-clock claim timestamp —
+      // the lease's clock authority lives in claim CONTENT (see
+      // [[claimTs]]), so object stores with coarse or rename-reset
+      // mtimes keep the freshness contract
       val f = fs.create(new org.apache.hadoop.fs.Path(staging, "CLAIM"), false)
-      try f.writeBytes(s"$nonce\n") finally f.close()
+      try f.writeBytes(s"$nonce\n${System.currentTimeMillis()}\n")
+      finally f.close()
       val won =
         try {
           publishShard(spark, staging.toString, s"$root/claims/shard=$n")
@@ -457,7 +556,8 @@ private[ext] object IndexIO {
           val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
           val in = fs.open(cf)
           try in.readFully(0, buf) finally in.close()
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim == nonce
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").headOption.map(_.trim).contains(nonce)
         } catch {
           case _: java.io.IOException => fs.delete(staging, true); false
         }
@@ -490,6 +590,133 @@ private[ext] object IndexIO {
     for (k <- shardIds(spark, s"$root/claims")
          if k < maxCommitted && !leased.contains(k))
       deleteDir(spark, s"$root/claims/shard=$k")
+  }
+
+  /** Maintenance-lock freshness bound: a lock whose owner timestamp is
+    * older than this is a crashed maintainer's leftover and may be
+    * broken by the next maintainer. Maintenance passes heartbeat the
+    * lock ([[heartbeatMaintLock]]) before each long fold phase, so the
+    * bound limits only un-heartbeated gaps, not total maintenance
+    * duration. Configurable via system property `graft.maint.lock.ms`
+    * or [[IndexConfig.maintLockMs]]; 0 disables locking (test mode). */
+  @volatile private[ext] var maintLockMs: Long =
+    sys.props.get("graft.maint.lock.ms").flatMap(_.toLongOption)
+      .getOrElse(30L * 60L * 1000L)
+
+  /** MAINTAINER mutual exclusion (round 12): before this lock,
+    * `maintain`/`compactSmall`/`compactAllInPlace` were single-
+    * maintainer by documented contract ONLY — two concurrent passes
+    * could both select overlapping fold sets, fold the same source
+    * shards into two new shards, and serve duplicated rows after both
+    * REPLACES markers landed. [[acquireMaintLock]] makes the contract
+    * mechanical under the same claim-dir discipline as appender leases:
+    * a `maintlock` directory lands via the dest-must-not-exist staged
+    * rename (nonce-verified like [[claimShardId]]), carrying the owner
+    * timestamp in file CONTENT (clock authority as [[claimTs]]). A
+    * second maintainer fails LOUD while the lock is fresh; a stale lock
+    * (crashed maintainer, no heartbeat within [[maintLockMs]]) is
+    * broken and re-acquired. Release deletes the dir WITHOUT a crash
+    * kill-point: the crash-sim fuzz injects exceptions (which unwind
+    * through the callers' finally-release), while a REAL process death
+    * leaves a stale lock that ages out — a bounded availability gap,
+    * never a correctness one. Returns the owner nonce to pass to
+    * [[releaseMaintLock]]; returns "" when locking is disabled. */
+  def acquireMaintLock(spark: SparkSession, root: String): String = {
+    if (maintLockMs <= 0L) return ""
+    val fs = fsOf(spark, root)
+    val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
+    var attempts = 0
+    while (attempts < 4) {
+      if (fs.exists(lock)) {
+        val age =
+          try System.currentTimeMillis() - claimTs(fs, lock)
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (age < maintLockMs)
+          throw new java.io.IOException(
+            s"maintenance already running on $root (lock ${age} ms old, " +
+              s"bound $maintLockMs ms) — one maintainer at a time; retry " +
+              "after it finishes or its lock goes stale")
+        // stale: a crashed maintainer's leftover — break and re-race
+        if (fs.exists(lock) && !fs.delete(lock, true) && fs.exists(lock)) {
+          attempts += 1
+        }
+      }
+      val nonce = java.util.UUID.randomUUID().toString
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$root/_maintlock-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(staging)
+      val f = fs.create(new org.apache.hadoop.fs.Path(staging, "CLAIM"), false)
+      try f.writeBytes(s"$nonce\n${System.currentTimeMillis()}\n")
+      finally f.close()
+      val won =
+        try {
+          if (fs.exists(lock) || !fs.rename(staging, lock)) {
+            fs.delete(staging, true); false
+          } else {
+            val cf = new org.apache.hadoop.fs.Path(lock, "CLAIM")
+            val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
+            val in = fs.open(cf)
+            try in.readFully(0, buf) finally in.close()
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").headOption.map(_.trim).contains(nonce)
+          }
+        } catch {
+          case _: java.io.IOException => fs.delete(staging, true); false
+        }
+      if (won) return nonce
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"acquireMaintLock under $root: lost $attempts consecutive lock races")
+  }
+
+  /** Refresh the maintenance lock's owner timestamp (the
+    * [[heartbeatClaim]] primitive applied to the lock): called before
+    * each fold's long write phase so [[maintLockMs]] bounds only
+    * un-heartbeated gaps. No-op when locking is disabled or the caller
+    * does not hold the lock (nonce mismatch — a stale-break raced us;
+    * the commit-time check in the caller's protocol stays authoritative). */
+  def heartbeatMaintLock(spark: SparkSession, root: String, nonce: String): Unit = {
+    if (maintLockMs <= 0L || nonce.isEmpty) return
+    val fs = fsOf(spark, root)
+    val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
+    if (!holdsMaintLock(fs, lock, nonce)) return
+    val tmp = new org.apache.hadoop.fs.Path(lock,
+      s"_hb-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.writeBytes(s"${System.currentTimeMillis()}\n") finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(lock, "HB"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def holdsMaintLock(fs: org.apache.hadoop.fs.FileSystem,
+                             lock: org.apache.hadoop.fs.Path,
+                             nonce: String): Boolean =
+    try {
+      val cf = new org.apache.hadoop.fs.Path(lock, "CLAIM")
+      val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
+      val in = fs.open(cf)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").headOption.map(_.trim).contains(nonce)
+    } catch { case _: java.io.IOException => false }
+
+  /** Release the maintenance lock IF still owned (nonce match). A
+    * mismatch or missing lock means a stale-break raced a maintainer
+    * that overran [[maintLockMs]] without heartbeating — nothing to
+    * release (warned, not thrown: release runs in `finally` and must
+    * not mask the original failure). Plain fs.delete, no crash
+    * kill-point — see [[acquireMaintLock]]. */
+  def releaseMaintLock(spark: SparkSession, root: String, nonce: String): Unit = {
+    if (maintLockMs <= 0L || nonce.isEmpty) return
+    val fs = fsOf(spark, root)
+    val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
+    if (holdsMaintLock(fs, lock, nonce)) fs.delete(lock, true)
+    else System.err.println(
+      s"[graft] releaseMaintLock: lock on $root no longer held by this " +
+        "maintainer (overran maintLockMs without heartbeating?) — skipped")
   }
 
   /** Drop committed-but-INCOMPLETE shards (marker present, some table
@@ -571,7 +798,8 @@ private[ext] object IndexIO {
     Option(rootPath.getParent).foreach(
       sweep(_, _.startsWith(rootPath.getName + "-staging-")))
     val hidden = (n: String) =>
-      n.startsWith("_shard-staging-") || n.startsWith("_append-staging-")
+      n.startsWith("_shard-staging-") || n.startsWith("_append-staging-") ||
+        n.startsWith("_maintlock-tmp-")
     sweep(rootPath, hidden)
     if (fs.exists(rootPath))
       fs.listStatus(rootPath).filter(_.isDirectory)

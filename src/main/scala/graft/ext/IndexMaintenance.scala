@@ -33,8 +33,14 @@ case class MaintainReport(
   *     tail — the whole point of size-tiered folding at 100 TB.
   *  3. otherwise → nothing.
   *
-  * CONCURRENCY (round 11): `maintain` is single-MAINTAINER (never two
-  * maintenance ops at once) but SAFE under concurrent APPENDS — both
+  * CONCURRENCY (round 11, hardened round 12): `maintain` is
+  * single-MAINTAINER — and since round 12 that is MECHANICAL, not
+  * contractual: both repair routes run under the maintenance lock
+  * ([[IndexIO.acquireMaintLock]] — a second maintainer fails loud
+  * while the lock is fresh; a crashed maintainer's stale lock ages out
+  * after `maintLockMs`), so two racing passes can no longer fold the
+  * same source shards into two new shards and serve duplicated rows.
+  * `maintain` remains SAFE under concurrent APPENDS — both
   * repair routes stay inside the live root, their `reconcileShards` /
   * `gcStaging` honor the appender lease ([[IndexIO.leasedIds]] /
   * `appendLeaseMs`: a young claim or an actively-written staging dir is

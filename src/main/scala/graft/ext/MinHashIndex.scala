@@ -259,6 +259,11 @@ object MinHashIndex {
        else newSig.repartitionByRange(partitions, col("id")))
         .sortWithinPartitions("id")
         .write.mode(SaveMode.Overwrite).parquet(sigStaging)
+      // refresh the lease AFTER the signature write (the slow phase —
+      // it materializes the whole tokenize→min aggregate), BEFORE the
+      // first publish: the lease then bounds the publish/bands/commit
+      // tail, not the batch write — see [[TextIndex.append]]
+      IndexIO.heartbeatClaim(spark, path, next)
       IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
       val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
       val newBands = bands(newSig, numHashes, rowsPerBand)
@@ -268,8 +273,11 @@ object MinHashIndex {
         .write.mode(SaveMode.Overwrite).parquet(bktStaging)
       IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
     } finally newSig.unpersist(false)
-    // marker LAST: this rename is the commit point
-    IndexIO.commitShard(spark, path, next, enforceLease = true)
+    // marker LAST: this rename is the commit point; verifyTables closes
+    // the check-to-rename TOCTOU (marker withdrawn if the tables were
+    // reclaimed before it landed)
+    IndexIO.commitShard(spark, path, next, enforceLease = true,
+      verifyTables = Seq("signatures", "buckets"))
   }
 
   /** TOMBSTONE a set of documents (retired crawls, takedowns — at
@@ -373,16 +381,30 @@ object MinHashIndex {
   private def compactTiered(spark: SparkSession, path: String,
                             maxShardBytes: Option[Long], partitions: Int,
                             tombstoneFrac: Double): Seq[Int] = {
+    // maintainer mutual exclusion — see [[TextIndex]] compactTiered
+    val lockNonce = IndexIO.acquireMaintLock(spark, path)
+    try compactTieredLocked(spark, path, maxShardBytes, partitions,
+      tombstoneFrac, lockNonce)
+    finally IndexIO.releaseMaintLock(spark, path, lockNonce)
+  }
+
+  private def compactTieredLocked(spark: SparkSession, path: String,
+                                  maxShardBytes: Option[Long], partitions: Int,
+                                  tombstoneFrac: Double,
+                                  lockNonce: String): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
     IndexIO.gcClaims(spark, path) // bound historical claim dirs (single-maintainer)
     val tables = Seq("signatures", "buckets")
+    // observed BEFORE the live-shard listing — only these may clear on
+    // fold-all (a concurrently-landing tombstone shard stays applied;
+    // the ordering makes a tombstone targeting a later-committed shard
+    // provably a delete-before-append, so clearing cannot resurrect —
+    // see the [[TextIndex]] compactTiered note)
+    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty,
       s"index at $path has no committed shards; compactSmall needs the marker layout")
-    // observed BEFORE reading tombstone rows — only these may clear on
-    // fold-all (a concurrently-landing tombstone shard stays applied)
-    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val dels = tombstones(spark, path)
     val fold = maxShardBytes match {
       case None => live
@@ -406,6 +428,7 @@ object MinHashIndex {
         f
     }
     val next = IndexIO.claimShardId(spark, path, tables)
+    IndexIO.heartbeatMaintLock(spark, path, lockNonce)
     def liveRows(table: String, cols: Seq[String]) =
       dels.foldLeft(
           IndexIO.readCommitted(spark, path, table, fold)

@@ -468,13 +468,22 @@ object TextIndex {
       s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
     writeShardTables(docs, stage, next, partitions,
       withPositions = tables.contains("positions"))
+    // refresh the lease AFTER the long write, BEFORE the publishes: the
+    // lease then bounds only the publish→commit tail, so an arbitrarily
+    // slow batch write cannot make the commit-time check fail
+    // unconditionally (round-12 heartbeat — staging stays invisible and
+    // actively-written staging is mtime-protected meanwhile)
+    IndexIO.heartbeatClaim(spark, path, next)
     for (t <- tables)
       IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
     IndexIO.deleteDir(spark, stage)
     // enforceLease: fail loud if this append outran its lease (a racing
     // maintain may have reclaimed the uncommitted shards) instead of
-    // landing a marker for data that silently never serves
-    commitShard(spark, path, next, enforceLease = true)
+    // landing a marker for data that silently never serves;
+    // verifyTables closes the check-to-rename TOCTOU (marker withdrawn
+    // if the tables were reclaimed before it landed)
+    IndexIO.commitShard(spark, path, next, enforceLease = true,
+      verifyTables = tables)
   }
 
   /** Tombstone a set of doc_ids (takedowns, re-crawls): one tiny
@@ -579,15 +588,36 @@ object TextIndex {
   private def compactTiered(spark: SparkSession, path: String,
                             maxShardBytes: Option[Long], partitions: Int,
                             tombstoneFrac: Double): Seq[Int] = {
+    // MAINTAINER mutual exclusion (round 12): two concurrent fold
+    // passes could select overlapping fold sets and serve duplicated
+    // rows after both REPLACES markers landed — the lock makes the
+    // single-maintainer contract mechanical (second maintainer fails
+    // loud; a crashed maintainer's stale lock ages out)
+    val lockNonce = IndexIO.acquireMaintLock(spark, path)
+    try compactTieredLocked(spark, path, maxShardBytes, partitions,
+      tombstoneFrac, lockNonce)
+    finally IndexIO.releaseMaintLock(spark, path, lockNonce)
+  }
+
+  private def compactTieredLocked(spark: SparkSession, path: String,
+                                  maxShardBytes: Option[Long], partitions: Int,
+                                  tombstoneFrac: Double,
+                                  lockNonce: String): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
     IndexIO.gcClaims(spark, path) // bound historical claim dirs (single-maintainer)
     val tables = tablesOf(spark, path)
+    // observed BEFORE the live-shard listing (and before reading
+    // tombstone rows): only these shards may clear on fold-all. The
+    // ordering matters — listed AFTER `live`, a tombstone landing in
+    // the gap could target a shard that ALSO committed in the gap
+    // (outside the fold set), and clearing it would resurrect the doc;
+    // listed BEFORE, any observed tombstone targeting a later-committed
+    // shard is provably a delete-before-append (an intended re-add),
+    // so the clear is safe
+    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty, s"no committed shards under $path — not a TextIndex?")
-    // observed BEFORE reading tombstone rows: only these shards are
-    // provably applied to the fold, so only these may clear on fold-all
-    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val dels = tombstones(spark, path)
     val fold = maxShardBytes match {
       case None => live // fold-all: every live shard rewrites
@@ -615,6 +645,9 @@ object TextIndex {
         f
     }
     val next = IndexIO.claimShardId(spark, path, tables)
+    // the fold's write phase can be long at scale — refresh the lock so
+    // maintLockMs bounds only un-heartbeated gaps
+    IndexIO.heartbeatMaintLock(spark, path, lockNonce)
     val stage =
       s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
     def liveRows(table: String, cols: Seq[String], idCol: String = "doc_id") =

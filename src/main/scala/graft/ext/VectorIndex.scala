@@ -217,10 +217,16 @@ object VectorIndex {
      else assigned.repartitionByRange(partitions, col("cid")))
       .sortWithinPartitions("cid", "cand_id")
       .write.mode(SaveMode.Overwrite).parquet(staging)
+    // refresh the lease AFTER the long assign+write phase, BEFORE the
+    // publish — the lease then bounds only the publish→commit tail
+    // (see [[TextIndex.append]])
+    IndexIO.heartbeatClaim(spark, path, next)
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
     // marker LAST: this rename is the commit point ([[TextIndex]]
-    // protocol, shared via IndexIO.commitShard)
-    IndexIO.commitShard(spark, path, next, enforceLease = true)
+    // protocol, shared via IndexIO.commitShard); verifyTables closes
+    // the check-to-rename TOCTOU
+    IndexIO.commitShard(spark, path, next, enforceLease = true,
+      verifyTables = Seq("postings"))
   }
 
   /** TOMBSTONE a set of vectors ("right to be forgotten" at 100 TB:
@@ -322,15 +328,29 @@ object VectorIndex {
   private def compactTiered(spark: SparkSession, path: String,
                             maxShardBytes: Option[Long], partitions: Int,
                             tombstoneFrac: Double): Seq[Int] = {
+    // maintainer mutual exclusion — see [[TextIndex]] compactTiered
+    val lockNonce = IndexIO.acquireMaintLock(spark, path)
+    try compactTieredLocked(spark, path, maxShardBytes, partitions,
+      tombstoneFrac, lockNonce)
+    finally IndexIO.releaseMaintLock(spark, path, lockNonce)
+  }
+
+  private def compactTieredLocked(spark: SparkSession, path: String,
+                                  maxShardBytes: Option[Long], partitions: Int,
+                                  tombstoneFrac: Double,
+                                  lockNonce: String): Seq[Int] = {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path)
     IndexIO.gcClaims(spark, path) // bound historical claim dirs (single-maintainer)
+    // observed BEFORE the live-shard listing — only these may clear on
+    // fold-all (a concurrently-landing tombstone shard stays applied;
+    // the ordering makes a tombstone targeting a later-committed shard
+    // provably a delete-before-append, so clearing cannot resurrect —
+    // see the [[TextIndex]] compactTiered note)
+    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty,
       s"index at $path has no committed shards; compactSmall needs the marker layout")
-    // observed BEFORE reading tombstone rows — only these may clear on
-    // fold-all (a concurrently-landing tombstone shard stays applied)
-    val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
     val dels = tombstones(spark, path)
     val fold = maxShardBytes match {
       case None => live
@@ -354,6 +374,7 @@ object VectorIndex {
         f
     }
     val next = IndexIO.claimShardId(spark, path, Seq("postings"))
+    IndexIO.heartbeatMaintLock(spark, path, lockNonce)
     val folded = IndexIO.readCommitted(spark, path, "postings", fold)
     val staging = IndexIO.shardStagingFor(s"$path/postings")
     dels.foldLeft(folded)(_.join(_, Seq("cand_id"), "left_anti"))

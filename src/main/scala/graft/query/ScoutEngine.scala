@@ -59,7 +59,16 @@ class ScoutEngine(
       .filter(org.apache.spark.sql.functions.col("lat").isNotNull &&
         org.apache.spark.sql.functions.col("lon").isNotNull)
 
-    val adminCached: DataFrame = admin.cache()
+    // LAZY: cache() registers the plan in the CacheManager the moment
+    // it is called, and the manager keys entries by plan sameResult —
+    // so [[reload]] must sequence the OLD snapshot's unpersist between
+    // Bound construction and this registration (a reloadFrom of a
+    // republished-in-place path produces a same-result admin plan, and
+    // unpersisting the old entry after the new registration would
+    // silently evict the new one). reload() forces this val right
+    // after the swap; a request racing the swap forces it no earlier
+    // than state.set, which is already after the old entry's eviction.
+    lazy val adminCached: DataFrame = admin.cache()
 
     // in-process posting cache over a PACKED name index: warm requests
     // probe entirely on the driver — no auxiliary job before the ranking
@@ -138,17 +147,23 @@ class ScoutEngine(
     * unharmed. */
   def reload(pois: DataFrame, admin: DataFrame,
              nameIndex: Option[DataFrame] = None): Unit = synchronized {
-    // unpersist the OLD snapshot BEFORE the new Bound caches: Spark's
-    // CacheManager keys entries by plan sameResult, and a reloadFrom of
-    // the same (republished-in-place) path produces a same-result admin
-    // plan — unpersisting after would silently evict the NEW snapshot's
-    // cache entry and every bbox resolve thereafter would repay the
-    // full admin scan. In-flight requests hold the old Bound and just
-    // recompute uncached for their tail. synchronized: two concurrent
-    // reloads must not interleave close/build/set.
+    // Sequencing: build the new Bound FIRST (its admin cache entry is
+    // lazy, so nothing registers yet), unpersist the old snapshot
+    // immediately before the swap, then force the new registration.
+    // The old entry must be evicted before the new one registers
+    // (CacheManager keys by plan sameResult — a reloadFrom of a
+    // republished-in-place path produces a same-result admin plan, and
+    // the late unpersist would silently evict the NEW entry), but
+    // evicting it any earlier than the swap would make requests in the
+    // build window repay the full admin scan for nothing. In-flight
+    // holders of the old Bound just recompute uncached for their tail.
+    // synchronized: two concurrent reloads must not interleave
+    // close/build/set.
+    val next = new Bound(pois, admin, nameIndex)
     val prev = state.get()
     prev.close()
-    state.set(new Bound(pois, admin, nameIndex))
+    state.set(next)
+    next.adminCached // register the new cache entry (no action runs)
   }
 
   /** [[reload]] from a gazetteer directory ([[ScoutEngine.fromPath]]'s

@@ -169,6 +169,116 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       "folded corpus must survive intact")
   }
 
+  test("two racing maintainers: second fails LOUD on the maintenance lock — no double fold") {
+    val path = fresh("maint-race")
+    TextIndex.write(docs(0L until 10L), path)
+    TextIndex.append(docs(10L until 20L), path)
+    assert(IndexIO.liveCommittedIds(spark, path).size == 2)
+    // the second maintainer fires at the FIRST one's commit point — its
+    // fold set is selected and written, only the REPLACES marker is
+    // pending. Before the round-12 lock, the second pass would select
+    // the SAME source shards and fold them again into a second new
+    // shard (duplicated serving rows); with it, the second acquire
+    // fails loud while the first holds the lock.
+    var second: Option[Throwable] = None
+    atNextCommit {
+      second = Some(intercept[java.io.IOException] {
+        TextIndex.compactAllInPlace(spark, path)
+      })
+    }
+    val folded = TextIndex.compactAllInPlace(spark, path)
+    assert(folded.sorted == Seq(0, 1), s"first maintainer folds both: $folded")
+    assert(second.exists(_.getMessage.contains("maintenance already running")),
+      s"second maintainer must fail loud on the lock, got: $second")
+    assert(IndexIO.liveCommittedIds(spark, path).size == 1,
+      "exactly ONE folded shard may serve — no double fold")
+    val ref = fresh("maint-race-ref")
+    TextIndex.write(docs(0L until 20L), ref)
+    assert(tserve(path) == tserve(ref),
+      "serving after the maintainer race must equal a rebuild")
+    // the lock released with the first pass: a later maintain succeeds
+    assert(TextIndex.maintain(spark, path).action == "none")
+  }
+
+  test("a crashed maintainer's stale lock is broken by the next pass") {
+    val path = fresh("maint-stale")
+    TextIndex.write(docs(0L until 6L), path)
+    TextIndex.append(docs(6L until 12L), path)
+    // forge the crash leftover: a lock whose owner timestamp (file
+    // CONTENT — the clock authority) AND dir mtime are far past the
+    // freshness bound (a real crashed maintainer's lock ages both ways;
+    // freshness takes the max of content and mtime, so the forge must
+    // back-date both)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/maintlock")
+    val old = System.currentTimeMillis() - IndexConfig.maintLockMs - 60000L
+    fs.mkdirs(lock)
+    val f = fs.create(new org.apache.hadoop.fs.Path(lock, "CLAIM"), false)
+    try f.writeBytes(s"dead-maintainer\n$old\n") finally f.close()
+    fs.setTimes(lock, old, old)
+    // the STALE lock is broken and the pass runs to completion
+    val folded = TextIndex.compactAllInPlace(spark, path)
+    assert(folded.sorted == Seq(0, 1), s"stale lock must not block: $folded")
+    assert(!fs.exists(lock), "the pass releases its own lock")
+    val ref = fresh("maint-stale-ref")
+    TextIndex.write(docs(0L until 12L), ref)
+    assert(tserve(path) == tserve(ref))
+  }
+
+  test("lease clock authority is claim CONTENT — an mtime-resetting store keeps the contract") {
+    val path = fresh("clock")
+    TextIndex.write(docs(0L until 6L), path)
+    val k = IndexIO.claimShardId(spark, path, Seq("postings", "doclens", "stats"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/claims/shard=$k")
+    // simulate a store with rename-reset / coarse mtimes: claim-dir
+    // mtime far in the past, while the CLAIM file's content timestamp
+    // (written at claim) is fresh — the lease must still hold
+    val past = System.currentTimeMillis() - 10L * 60L * 60L * 1000L
+    fs.setTimes(dir, past, past)
+    assert(IndexIO.leasedIds(spark, path).contains(k),
+      "content timestamp must keep the lease alive when mtime lies")
+    // a heartbeat refreshes the content timestamp the same way
+    IndexIO.heartbeatClaim(spark, path, k)
+    fs.setTimes(dir, past, past)
+    assert(IndexIO.leasedIds(spark, path).contains(k))
+    // and a claim whose content timestamps AND mtime are all old is
+    // correctly treated as expired (crash garbage)
+    val old = System.currentTimeMillis() - 2L * IndexIO.appendLeaseMs
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "HB"), false)
+    val f = fs.create(new org.apache.hadoop.fs.Path(dir, "CLAIM"), true)
+    try f.writeBytes(s"some-nonce\n$old\n") finally f.close()
+    fs.setTimes(dir, past, past)
+    assert(!IndexIO.leasedIds(spark, path).contains(k),
+      "an expired claim must not stay leased")
+  }
+
+  test("commit withdraws its marker when the tables vanished before it landed (TOCTOU guard)") {
+    val path = fresh("toctou")
+    TextIndex.write(docs(0L until 6L), path)
+    // simulate the reconcile race ADVICE r11 named: the appender's
+    // uncommitted table shards reclaimed between the lease check and
+    // the marker rename — the marker must NOT survive as a success
+    // signal for a batch that silently never serves
+    atNextCommit {
+      for (t <- Seq("postings", "doclens", "stats"))
+        IndexIO.deleteDir(spark, s"$path/$t/shard=1")
+    }
+    val ex = intercept[java.io.IOException] {
+      TextIndex.append(docs(6L until 12L), path)
+    }
+    assert(ex.getMessage.contains("lost its table shards"), ex.getMessage)
+    assert(!IndexIO.committedIds(spark, path).contains(1),
+      "the committed-but-tableless marker must be withdrawn")
+    // the loud failure is retryable: a re-append lands the batch clean
+    TextIndex.append(docs(6L until 12L), path)
+    val ref = fresh("toctou-ref")
+    TextIndex.write(docs(0L until 12L), ref)
+    assert(tserve(path) == tserve(ref))
+  }
+
   test("an append that outruns its lease fails loudly at commit, then retries clean") {
     val path = fresh("lease-enforce")
     TextIndex.write(docs(0L until 6L), path)
