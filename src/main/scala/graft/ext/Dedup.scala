@@ -24,6 +24,18 @@ object Dedup {
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** Scalar twin of [[tokenHash]] (first 4 md5 bytes as an unsigned
+    * 32-bit value — exactly the first-8-hex-chars parse), for the
+    * driver-side small-batch routes that must hash bit-identically to
+    * the column plan ([[MinHashIndex]]'s driver append). Spec-pinned
+    * against the column form. */
+  def tokenHashStr(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** MinHash modulus: smallest prime above 2^32 — keeps `a*h + b` within
     * int64 for 32-bit h and 32-bit-ish coefficients. */
   val MinhashPrime: Long = 4294967311L

@@ -245,6 +245,18 @@ object MinHashIndex {
     // in-flight shards; crash garbage stays reader-invisible until the
     // next compact reclaims it
     val next = IndexIO.claimShardId(spark, path, Seq("signatures", "buckets"))
+    // SMALL-BATCH driver route (the [[TextIndex]] writeShardTablesDriver
+    // treatment): a streaming crawl generation is a few thousand docs,
+    // and the Spark path pays a persist + two write jobs (signatures,
+    // buckets) of scheduling floor to persist a few hundred KB of
+    // 8-longs-per-doc signatures. Bounded collect + scalar minhash twin
+    // + parquet Group writes; falls back past the bound.
+    if (partitions == 1 && driverAppendEnabled &&
+        appendDriver(tokens, path, numHashes, rowsPerBand, next)) {
+      IndexIO.commitShard(spark, path, next, enforceLease = true,
+        verifyTables = Seq("signatures", "buckets"))
+      return
+    }
     val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
     // persist, as in [[buildStaged]]: the signature write materializes
     // the cache; the band branches read it instead of re-running the
@@ -278,6 +290,120 @@ object MinHashIndex {
     // reclaimed before it landed)
     IndexIO.commitShard(spark, path, next, enforceLease = true,
       verifyTables = Seq("signatures", "buckets"))
+  }
+
+  /** Driver-route bound: ≤ this many (id, tok) pair rows collect in one
+    * bounded job (two narrow columns — a few MB) and sign in
+    * microseconds on the driver. */
+  private val MaxDriverPairs = 1 << 18
+
+  /** Kill switch for the driver append route (`graft.mh.driver.append=0`
+    * or env `GRAFT_MH_DRIVER_APPEND=0`) — the
+    * [[graft.streaming.StreamOps]] volatile-checkpoint precedent: the
+    * optimized path is the default, the switch exists for A/B
+    * measurement and emergency rollback. */
+  private def driverAppendEnabled: Boolean =
+    sys.props.get("graft.mh.driver.append").forall(_ != "0") &&
+      sys.env.get("GRAFT_MH_DRIVER_APPEND").forall(_ != "0")
+
+  /** SMALL-BATCH driver route for [[append]] (the
+    * [[TextIndex.writeShardTablesDriver]] treatment applied to MinHash):
+    * collect the (id, tok) batch under a bound checked BY the limit
+    * itself (`limit(max+1)` — over it, nothing more materializes and the
+    * caller falls back to the distributed write), compute signatures
+    * with the SCALAR minhash twin ([[Dedup.tokenHashStr]] ≡
+    * [[Dedup.tokenHash]], spec-pinned; same affine family, same int64
+    * arithmetic — multiset min equals the groupBy min bit-for-bit), and
+    * write both table shards with the parquet Group API in the same
+    * id-sorted / (band,bucket,id)-sorted layouts the Spark route lays
+    * down — readers and the shard protocol can't tell. ONE bounded
+    * Spark job (the collect) replaces persist + two write jobs of
+    * scheduling floor. Returns whether it handled the write (rows with
+    * NULL id/tok route back to the Spark path, which defines their
+    * semantics). */
+  private def appendDriver(tokens: DataFrame, path: String, numHashes: Int,
+                           rowsPerBand: Int, next: Int): Boolean = {
+    val spark = tokens.sparkSession
+    val probe = tokens
+      .select(col("id").cast("long").as("id"), col("tok").cast("string"))
+      .limit(MaxDriverPairs + 1).collect()
+    if (probe.length > MaxDriverPairs) return false
+    if (probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) return false
+    IndexIO.crashTick()
+    // multiset min per id over the affine family — insertion order kept
+    // only for determinism of the later sort's input, the sort decides
+    val mins = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Long]]
+    for (r <- probe) {
+      val h = Dedup.tokenHashStr(r.getString(1))
+      val arr = mins.getOrElseUpdate(r.getLong(0),
+        Array.fill(numHashes)(Long.MaxValue))
+      var i = 0
+      while (i < numHashes) {
+        val v = (h * Dedup.minhashA(i) + Dedup.minhashB(i)) % Dedup.MinhashPrime
+        if (v < arr(i)) arr(i) = v
+        i += 1
+      }
+    }
+    val byId = mins.toArray.sortBy(_._1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def groupFile(dir: String, schemaStr: String)(
+        write: (org.apache.parquet.schema.MessageType,
+          org.apache.parquet.hadoop.ParquetWriter[
+            org.apache.parquet.example.data.Group]) => Unit): Unit = {
+      val schema =
+        org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(conf)
+      if (fs.exists(dirPath)) fs.delete(dirPath, true)
+      fs.mkdirs(dirPath)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dirPath, "part-00000.parquet"), conf))
+        .withType(schema).withConf(conf).build()
+      try write(schema, w) finally w.close()
+    }
+    val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
+    groupFile(sigStaging,
+      "message signatures { optional int64 id; " +
+        (0 until numHashes).map(i => s"optional int64 m$i; ").mkString + "}") {
+      (schema, w) =>
+        for ((id, arr) <- byId) {
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+          g.add("id", id)
+          for (i <- 0 until numHashes) g.add(s"m$i", arr(i))
+          w.write(g)
+        }
+    }
+    // band keys exactly as [[bands]] builds them: band index prefixed to
+    // the band's signature slice, "_"-joined (concat_ws renders the
+    // int64s as decimal — so does Long.toString)
+    val numBands = numHashes / rowsPerBand
+    val bandRows = for {
+      (id, arr) <- byId
+      b <- 0 until numBands
+    } yield (id, b,
+      (b.toString +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => arr(i).toString)).mkString("_"))
+    val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
+    groupFile(bktStaging,
+      """message buckets { optional int64 id;
+        |  optional int32 band; optional binary bucket (UTF8); }"""
+        .stripMargin) { (schema, w) =>
+      // (band, bucket, id) sort — bucket strings are ASCII digits and
+      // underscores, so String order equals the UTF8 binary order the
+      // Spark route sorts by
+      for ((id, b, bucket) <- bandRows.sortBy(r => (r._2, r._3, r._1))) {
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+        g.add("id", id); g.add("band", b); g.add("bucket", bucket)
+        w.write(g)
+      }
+    }
+    // same publish tail as the Spark route: heartbeat (the lease bounds
+    // the publish→commit tail), both shards in, caller lands the marker
+    IndexIO.heartbeatClaim(spark, path, next)
+    IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
+    IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
+    true
   }
 
   /** TOMBSTONE a set of documents (retired crawls, takedowns — at

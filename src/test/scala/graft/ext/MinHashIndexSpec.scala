@@ -53,6 +53,52 @@ class MinHashIndexSpec extends SparkSpec with EagerLease {
     assert(parent.listFiles.map(_.getName).filter(_.contains("staging")).isEmpty)
   }
 
+  test("small-batch driver append route: engaged at partitions=1, bit-equal to the Spark route") {
+    // scalar hash twin parity first — the driver route's foundation
+    val sampleToks = Seq("fox", "jugs", "ünïcode", "", "a b", "1234567890")
+    val colHashes = sampleToks.toDF("tok")
+      .select(Dedup.tokenHash(col("tok")).as("h")).collect().map(_.getLong(0))
+    assert(sampleToks.map(Dedup.tokenHashStr) == colHashes.toSeq,
+      "tokenHashStr must equal the column tokenHash bit-for-bit")
+    def toksOf(pred: org.apache.spark.sql.Column) = Dedup.docTokens(
+      docsDf.filter(pred), "doc_id", "text", distinct = false)
+    val pD = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-drv").toString + "/idx"
+    val pS = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-spk").toString + "/idx"
+    for (p <- Seq(pD, pS))
+      MinHashIndex.write(toksOf(col("doc_id") <= 2), p, NumHashes, rowsPerBand = 2)
+    // partitions=1 → driver route; partitions=2 → Spark route
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pD, NumHashes,
+      rowsPerBand = 2, partitions = 1)
+    MinHashIndex.append(toksOf(col("doc_id") > 2), pS, NumHashes,
+      rowsPerBand = 2, partitions = 2)
+    // the driver route really engaged: exactly one Group-API file, no
+    // Spark commit protocol residue (_SUCCESS)
+    for (t <- Seq("signatures", "buckets")) {
+      val files = new java.io.File(s"$pD/$t/shard=1").listFiles.map(_.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_")) // fs checksum files
+      assert(files.toSeq == Seq("part-00000.parquet"),
+        s"driver route must have written $t/shard=1 itself, saw ${files.toSeq}")
+    }
+    // table contents bit-equal between the routes
+    val mcols = (0 until NumHashes).map(i => s"m$i")
+    def sig(p: String) = spark.read.parquet(s"$p/signatures")
+      .select("id", mcols: _*).orderBy("id").collect().toSeq
+    def bkt(p: String) = spark.read.parquet(s"$p/buckets")
+      .select("id", "band", "bucket").orderBy("band", "bucket", "id")
+      .collect().toSeq
+    assert(sig(pD) == sig(pS), "signatures must match the Spark route")
+    assert(bkt(pD) == bkt(pS), "buckets must match the Spark route")
+    // and serving equality against a from-scratch rebuild
+    val reb = java.nio.file.Files
+      .createTempDirectory("graft-mhindex-drv-reb").toString + "/idx"
+    MinHashIndex.write(toks, reb, NumHashes, rowsPerBand = 2)
+    val a = MinHashIndex.pairs(spark, pD, NumHashes).orderBy("a", "b").collect()
+    val b = MinHashIndex.pairs(spark, reb, NumHashes).orderBy("a", "b").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("append equals rebuild and never touches existing shard files") {
     val pA = java.nio.file.Files
       .createTempDirectory("graft-mhindex-app").toString + "/idx"
