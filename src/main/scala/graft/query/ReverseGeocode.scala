@@ -86,7 +86,19 @@ object ReverseGeocode {
   def nearestAuto(points: DataFrame, pois: DataFrame,
                   targetPerCell: Long = 64,
                   minCellDeg: Double = 0.01,
-                  maxCellDeg: Double = 10.0): DataFrame = {
+                  maxCellDeg: Double = 10.0): DataFrame =
+    nearest(points, pois,
+      deriveCellDeg(pois, targetPerCell, minCellDeg, maxCellDeg))
+
+  /** The density-derived cell size alone — factored out of
+    * [[nearestAuto]] so the in-process serving fast path
+    * ([[ScoutEngine.reverseFast]]) derives the SAME cell from the same
+    * aggregate and the two routes cannot drift. Deterministic per
+    * corpus: count/min/max are exact and order-free. */
+  def deriveCellDeg(pois: DataFrame,
+                    targetPerCell: Long = 64,
+                    minCellDeg: Double = 0.01,
+                    maxCellDeg: Double = 10.0): Double = {
     require(targetPerCell > 0 && minCellDeg > 0 && maxCellDeg >= minCellDeg,
       s"bad auto-cell bounds: target=$targetPerCell, [$minCellDeg, $maxCellDeg]")
     // gazetteer POI tables carry null lat/lon rows (nearest() tolerates
@@ -101,17 +113,15 @@ object ReverseGeocode {
       min(col("lon").cast("double")).as("lon0"),
       max(col("lon").cast("double")).as("lon1")).head()
     val n = st.getLong(0)
-    val cell =
-      if (n == 0) maxCellDeg // no POIs: any cell size yields zero rows
-      else {
-        val area = (st.getDouble(2) - st.getDouble(1)) *
-          (st.getDouble(4) - st.getDouble(3))
-        // zero-area corpus (single point / a line): fall to minCellDeg —
-        // co-located POIs share a cell at ANY size, no knob helps
-        if (area <= 0) minCellDeg
-        else math.min(maxCellDeg,
-          math.max(minCellDeg, math.sqrt(area * targetPerCell / n)))
-      }
-    nearest(points, pois, cell)
+    if (n == 0) maxCellDeg // no POIs: any cell size yields zero rows
+    else {
+      val area = (st.getDouble(2) - st.getDouble(1)) *
+        (st.getDouble(4) - st.getDouble(3))
+      // zero-area corpus (single point / a line): fall to minCellDeg —
+      // co-located POIs share a cell at ANY size, no knob helps
+      if (area <= 0) minCellDeg
+      else math.min(maxCellDeg,
+        math.max(minCellDeg, math.sqrt(area * targetPerCell / n)))
+    }
   }
 }

@@ -97,9 +97,11 @@ class ScoutEngine(
       }
     }
 
-    // driver-side caches behind the in-process fast path ([[forwardFast]]):
-    // hot candidate rows and resolved area bboxes
+    // driver-side caches behind the in-process fast paths
+    // ([[forwardFast]] / [[reverseFast]]): hot candidate rows, resolved
+    // area bboxes, and density-grid cells
     val rowCache = new ScoutEngine.PoiRowCache(poiView)
+    val reverseCache = new ScoutEngine.ReverseCellCache(poiView)
     val bboxCache =
       new java.util.LinkedHashMap[(String, String), Option[Bbox]](64, 0.75f, true) {
         override def removeEldestEntry(
@@ -336,7 +338,33 @@ class ScoutEngine(
     * nearest POI as a [[Hit]] (score carries 0.0 — ranking is by
     * distance, which returns alongside in km) or None when no POI lies
     * within ~a derived cell width of the point. */
-  def reverse(points: Seq[(Double, Double)]): Seq[Option[(Hit, Double)]] = {
+  def reverse(points: Seq[(Double, Double)]): Seq[Option[(Hit, Double)]] =
+    reverseFast(points).getOrElse(reverseJob(points))
+
+  /** IN-PROCESS reverse fast path (the [[forwardFast]] treatment for
+    * the spatial tier): a single `POST /v1/geocode/reverse` used to pay
+    * the ~200 ms job floor that forward shed in round 10. Small point
+    * lists (≤ [[ScoutEngine.MaxFastReversePoints]]) probe the
+    * snapshot's density-grid cell cache — 3×3 neighborhood lookup +
+    * scalar haversine argmin, bit-equal to the distributed grid join by
+    * construction (same derived cell, same rounding, same tiebreak;
+    * parity spec-pinned). Warm requests launch ZERO Spark jobs; a cold
+    * cell pays one bounded filtered collect. None routes to the job
+    * path: big batches (where the distributed join is the right plan)
+    * and pathological cell density (fetch bound exceeded). */
+  def reverseFast(points: Seq[(Double, Double)])
+      : Option[Seq[Option[(Hit, Double)]]] = {
+    if (points.isEmpty) return Some(Seq.empty)
+    if (points.length > ScoutEngine.MaxFastReversePoints) return None
+    state.get().reverseCache.serve(points).map(_.map(_.map { case (r, d) =>
+      (Hit(name = r.name, lat = r.lat, lon = r.lon,
+        country = Option(r.country), state = Option(r.state),
+        city = Option(r.city), osmId = r.osmId, kind = r.kind,
+        score = 0.0), d)
+    }))
+  }
+
+  private def reverseJob(points: Seq[(Double, Double)]): Seq[Option[(Hit, Double)]] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val b = state.get()
     import b.poiView
@@ -442,6 +470,111 @@ object ScoutEngine {
         }
       }
       ids.iterator.flatMap(local(_)).toIndexedSeq
+    }
+  }
+
+  /** The row surface the in-process REVERSE scorer needs ([[Hit]] minus
+    * the scoring columns — reverse ranks by distance alone). */
+  private[query] final case class RevRow(
+      osmId: Long, lat: Double, lon: Double, name: String,
+      country: String, state: String, city: String, kind: String)
+
+  /** Points above this route straight to the distributed grid join —
+    * the fast path is for the single-request/small-list serving shape
+    * (the job path amortizes its floor across a real batch anyway). */
+  private[query] val MaxFastReversePoints = 32
+
+  /** Bounded driver-side CELL cache behind the in-process reverse fast
+    * path ([[ScoutEngine.reverseFast]]) — the [[PoiRowCache]] treatment
+    * applied to the density-derived grid of
+    * [[ReverseGeocode.nearestAuto]]: the cell size derives ONCE per
+    * snapshot from the same `deriveCellDeg` aggregate the job path
+    * runs, misses fetch whole 3×3 neighborhoods through ONE filtered
+    * collect over the cached poi view (a packed-cell-key `IN` literal —
+    * codegen, no shuffle), and hits are driver-map lookups — a warm
+    * single-point reverse launches ZERO Spark jobs. Memory is bounded
+    * by `maxCells` × the derived ~64-POI expected occupancy (~30 MB),
+    * flat at any corpus size. The fast path is never approximate: a
+    * fetch whose neighborhoods exceed `maxFetchRows` (pathological
+    * density skew) routes the request to the distributed plan without
+    * caching. Empty cells cache as empty arrays — negative entries, or
+    * every ocean probe would refetch forever. */
+  private[query] final class ReverseCellCache(poiView: DataFrame,
+                                              maxCells: Int = 4096,
+                                              maxFetchRows: Int = 1 << 15) {
+    /** Derived lazily (one tiny aggregate job, the first reverse on the
+      * snapshot pays it) — deterministic per corpus, so fast ≡ job. */
+    lazy val cellDeg: Double = ReverseGeocode.deriveCellDeg(poiView)
+
+    private val cache =
+      new java.util.LinkedHashMap[(Long, Long), Array[RevRow]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Long), Array[RevRow]]): Boolean =
+          size() > maxCells
+      }
+
+    /** cellLon spans ≤ 360/minCellDeg = 36k cells — ×100000 packs the
+      * pair collision-free into one long for the pushed `IN` literal. */
+    private def pack(k: (Long, Long)): Long = k._1 * 100000L + k._2
+
+    def serve(points: Seq[(Double, Double)])
+        : Option[Seq[Option[(RevRow, Double)]]] = synchronized {
+      val c = cellDeg
+      val keysPerPoint = points.map { case (la, lo) =>
+        val kx = math.floor(la / c).toLong
+        val ky = math.floor(lo / c).toLong
+        for { dx <- -1L to 1L; dy <- -1L to 1L } yield (kx + dx, ky + dy)
+      }
+      val local = scala.collection.mutable.Map.empty[(Long, Long), Array[RevRow]]
+      for (k <- keysPerPoint.flatten.distinct; e = cache.get(k); if e != null)
+        local(k) = e
+      val missing = keysPerPoint.flatten.distinct.filterNot(local.contains)
+      if (missing.nonEmpty && !fetch(missing, local)) return None
+      Some(points.zip(keysPerPoint).map { case ((qla, qlo), keys) =>
+        var best: RevRow = null
+        var bestD = 0.0
+        for (k <- keys; r <- local(k)) {
+          // bit-parity with the job path: the scalar haversine twin,
+          // the column round's HALF_UP 6-decimal contract, and the
+          // (dist asc, osm_id asc) row_number tiebreak
+          val d = java.math.BigDecimal
+            .valueOf(graft.core.Geo.haversineKm(qla, qlo, r.lat, r.lon))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (best == null || d < bestD || (d == bestD && r.osmId < best.osmId)) {
+            best = r; bestD = d
+          }
+        }
+        Option(best).map((_, bestD))
+      })
+    }
+
+    private def fetch(keys: Seq[(Long, Long)],
+                      local: scala.collection.mutable.Map[(Long, Long), Array[RevRow]])
+        : Boolean = {
+      import org.apache.spark.sql.functions.{coalesce, col, floor}
+      val c = cellDeg
+      val packedKey = floor(col("lat") / c).cast("long") * 100000L +
+        floor(col("lon") / c).cast("long")
+      val rows = poiView.select(col("osm_id"),
+          col("lat").cast("double").as("lat"),
+          col("lon").cast("double").as("lon"),
+          coalesce(col("name_local"), col("name_en")).as("name"),
+          col("country"), col("state"), col("city"), col("kind"),
+          packedKey.as("ck"))
+        .filter(col("ck").isInCollection(keys.map(pack)))
+        .limit(maxFetchRows + 1)
+        .collect()
+      if (rows.length > maxFetchRows) return false
+      val grouped = rows.groupBy(_.getLong(8))
+      for (k <- keys) {
+        val arr = grouped.getOrElse(pack(k), Array.empty).map { r =>
+          RevRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3),
+            r.getString(4), r.getString(5), r.getString(6), r.getString(7))
+        }
+        cache.put(k, arr)
+        local(k) = arr
+      }
+      true
     }
   }
 

@@ -70,6 +70,10 @@ object ServeProfile {
     def request(t: String) = ForwardReq(Seq(ForwardCandidate(t)), limit = 5)
     val scan = measure("scan", t => scanEngine.forward(request(t)).size)
     val indexed = measure("indexed", t => indexedEngine.forward(request(t)).size)
+    // diagnostic: how many of the mix actually ride the zero-job path
+    // (the rest are wide-candidate/unindexable shapes that job-route)
+    val fastN = texts.count(t => indexedEngine.forwardFast(request(t)).isDefined)
+    println(s"fast-engaged $fastN/${texts.size}")
 
     // BULK tier: the same request mix as ONE distributed job
     // (`ScoutEngine.bulk` — the per-request job floor amortizes across
@@ -98,10 +102,26 @@ object ServeProfile {
     println(f"reverse  n=${pts.size} total=${revMs}%.1f ms  " +
       f"amortized=${revMs / math.max(1, pts.size)}%.1f ms/req  hits=$revHits")
 
+    // SINGLE-REQUEST reverse tier (round-12 in-process fast path —
+    // ScoutEngine.reverseFast): each point as its own request, the
+    // shape that paid the ~200 ms job floor before. First pass warms
+    // the density-grid cell cache; the measured pass is driver-only.
+    pts.foreach(p => scanEngine.reverse(Seq(p))) // warmup: cells fetch + cache
+    val revOne = pts.map { p =>
+      val t0 = System.nanoTime()
+      val n = scanEngine.reverse(Seq(p)).count(_.nonEmpty)
+      ((System.nanoTime() - t0) / 1e6, n)
+    }
+    val revOneMs = revOne.map(_._1).sorted
+    println(f"rev-1    n=${revOneMs.size} p50=${pct(revOneMs, 0.50)}%.1f ms  " +
+      f"p95=${pct(revOneMs, 0.95)}%.1f ms  max=${revOneMs.last}%.1f ms  " +
+      f"mean=${revOneMs.sum / revOneMs.size}%.1f ms  hits=${revOne.map(_._2).sum}")
+
     println(s"""{"metric":"serve_latency_ms","sf":"$sfDir","n":${scan.size},""" +
       f""""scan_p50":${pct(scan, 0.5)}%.1f,"scan_p95":${pct(scan, 0.95)}%.1f,""" +
       f""""indexed_p50":${pct(indexed, 0.5)}%.1f,"indexed_p95":${pct(indexed, 0.95)}%.1f,""" +
-      f""""bulk_amortized":${bulkMs / texts.size}%.1f}""")
+      f""""bulk_amortized":${bulkMs / texts.size}%.1f,""" +
+      f""""rev1_p50":${pct(revOneMs, 0.5)}%.1f,"rev1_p95":${pct(revOneMs, 0.95)}%.1f}""")
     spark.stop()
   }
 }

@@ -146,6 +146,82 @@ class ScoutEngineSpec extends SparkSpec {
       "packed engine's bulk plan shows no posting-array explode — index acceleration lost")
   }
 
+  test("reverse fast path: bit-equal to the distributed grid join; ocean probes answer None") {
+    // near KL (POI 1), near SG (POI 3), near Paris (POI 4), mid-ocean
+    val pts = Seq((3.14, 101.69), (1.31, 103.84), (48.86, 2.34), (0.0, -30.0))
+    // force the JOB route with a list over the fast-path bound, then
+    // compare the fast answers point for point (Hit AND distance)
+    val padded = pts ++
+      Seq.fill(ScoutEngine.MaxFastReversePoints + 1 - pts.size)(pts.head)
+    val job = engine.reverse(padded).take(pts.size)
+    val fast = engine.reverseFast(pts)
+    assert(fast.isDefined, "fast path must engage for a small point list")
+    assert(fast.get == job, "reverse fast path diverged from the grid join")
+    assert(fast.get.head.exists(_._1.osmId == 1L))
+    assert(fast.get.last.isEmpty, "ocean probe must answer None on both routes")
+    // the public surface routes small lists through the fast path and
+    // serves the identical answers (warm: driver-map lookups only)
+    assert(engine.reverse(pts) == fast.get)
+  }
+
+  test("forwardFast across a concurrent reload: every answer from exactly one snapshot") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    def poi(id: Long, name: String, kv: (String, String), lat: Double, lon: Double) =
+      Row(id, name, Map(kv), s"POINT($lon $lat)")
+    val admin = Row(100L, "Malaysia",
+      Map("boundary" -> "administrative", "admin_level" -> "2"),
+      "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))")
+    def gaz(rows: Seq[Row]) = {
+      val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val p = GazetteerBuilder.buildPois(raw)
+      (p, GazetteerBuilder.buildAdmin(raw),
+        graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(p)))
+    }
+    val (p1, a1, ix1) = gaz(Seq(
+      poi(1L, "Monograph Dining", "amenity" -> "restaurant", 3.139, 101.6869), admin))
+    val (p2, a2, ix2) = gaz(Seq(
+      poi(9L, "Monograph Annex", "amenity" -> "restaurant", 3.14, 101.69), admin))
+    val eng = new ScoutEngine(spark, p1, a1, Settings(), nameIndex = Some(ix1))
+    val req = ForwardReq(Seq(ForwardCandidate("monograph")),
+      country = Some("malaysia"), limit = 5)
+    val v1Ans = eng.forward(req) // warms every v1 driver cache
+    assert(v1Ans.map(_.osmId) == Seq(1L))
+    // the v2 answer, precomputed on a throwaway engine over the same data
+    val ref = new ScoutEngine(spark, p2, a2, Settings(), nameIndex = Some(ix2))
+    val v2Ans = ref.forward(req)
+    assert(v2Ans.map(_.osmId) == Seq(9L))
+    ref.close()
+    // N threads hammer forwardFast while the snapshot swaps underneath:
+    // every answer must equal ONE snapshot's full answer — a mixed
+    // answer (stale cache row scored against the new corpus, or rows of
+    // both) fails the subset check below
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Hit]]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      try while (!stop.get()) eng.forwardFast(req).foreach(results.add)
+      catch { case t: Throwable => failures.add(t) }
+    }))
+    threads.foreach(_.start())
+    Thread.sleep(100)
+    eng.reload(p2, a2, Some(ix2))
+    Thread.sleep(200)
+    stop.set(true)
+    threads.foreach(_.join(10000))
+    assert(failures.isEmpty, s"in-flight request crashed across reload: ${failures.peek()}")
+    import scala.jdk.CollectionConverters._
+    val distinct = results.asScala.toSet
+    assert(distinct.nonEmpty)
+    assert(distinct.subsetOf(Set(v1Ans, v2Ans)),
+      s"answers from a mixed snapshot observed: ${distinct -- Set(v1Ans, v2Ans)}")
+    assert(distinct.contains(v2Ans), "post-reload answers never arrived")
+    eng.close()
+  }
+
   test("reload() swaps to a published v2 snapshot: answers track v2, fast path intact") {
     val schema = StructType(Seq(
       StructField("id", LongType),
