@@ -403,11 +403,22 @@ object SimilarityQueries {
     * the seeded `ann_ivf_topk` never exercises. */
   val annIvfTrained = Q("ann_ivf_trained_topk",
     (s, dir) => {
-      val trained = Similarity.trainIvfCentroids(
-        emb(s, dir), nCentroids = NCent, iterations = TrainIters)
-      Similarity.ivfTopK(
-        emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
-        k = 5, nCentroids = NCent, nprobe = NProbe, centroids = Some(trained))
+      // TRAINED-centroid index memoized like the persisted probes
+      // (round-12, VERDICT r11 task 4): the deterministic Lloyd train
+      // runs ONCE inside the fixture build (`VectorIndex.write(
+      // iterations = TrainIters)` — spec-pinned drop-in for the inline
+      // trained path), and the measured serve is the same pushed-
+      // literal posting probe as ann_ivf_persisted_topk instead of a
+      // whole-corpus re-assignment per invocation. The training loop
+      // still pins cross-engine through the oracle's replayed Lloyd
+      // iterations; the inline ann_ivf_topk keeps the build-per-
+      // invocation lifecycle shape (the build IS its subject).
+      val path = Fixtures.indexPath(s, dir, "vindex-trained") { p =>
+        graft.ext.VectorIndex.write(emb(s, dir), p, nCentroids = NCent,
+          iterations = TrainIters)
+      }
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe)
         .select("query_id", "rank", "cand_id", "cosine")
         .orderBy("query_id", "rank")
     },
