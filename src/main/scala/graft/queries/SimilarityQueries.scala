@@ -728,7 +728,111 @@ object SimilarityQueries {
            WHERE s.rank <= 10
            ORDER BY s.query_id, s.rank"""))
 
+  /** ANN RECALL AUDIT: per-query recall@5 of the IVF tier against the
+    * exact brute-force truth, swept over nprobe ∈ {1, 2, 4} — the
+    * tuning curve that decides how many posting lists a deployment
+    * probes (recall climbs with nprobe while probe work grows linearly
+    * in probed lists; at 100 TB this sweep runs on a sampled query set
+    * before committing an nprobe to the serving config). Pure
+    * composition of two already-pinned operators
+    * ([[Similarity.ivfTopK]], [[Similarity.bruteForceTopK]]) plus exact
+    * arithmetic (matched count / 5 ∈ {0.0, 0.2, …}), so the oracle
+    * replays both chains and the recall values are bit-identical. The
+    * truth×nprobe grid LEFT-joins the retrieved sets so a zero-overlap
+    * (query, nprobe) cell still reports recall 0.0. */
+  val annRecall = Q("ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+      val c = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(q, c, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val retrieved = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(q, c, k = 5, nCentroids = NCent, nprobe = np)
+          .select(col("query_id"), col("cand_id"), lit(np).as("nprobe"))
+      }.reduce(_ unionByName _)
+      truth.crossJoin(Seq(1, 2, 4).toDF("nprobe")).as("t")
+        .join(retrieved.as("r"),
+          col("t.query_id") === col("r.query_id") &&
+            col("t.cand_id") === col("r.cand_id") &&
+            col("t.nprobe") === col("r.nprobe"), "left")
+        .groupBy(col("t.nprobe").as("nprobe"), col("t.query_id").as("query_id"))
+        .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
+        .orderBy("nprobe", "query_id")
+    },
+    Some(s"""WITH qv AS (${qvSql()}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               edots AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
+                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5 GROUP BY 1, 2),
+               eranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
+                                   cand_id ASC) AS rank
+                 FROM edots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
+               cent AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $NCent),
+               cdots AS (
+                 SELECT a.vec_id, c.cid, sum(a.v * b.v) AS dot
+                 FROM qv a
+                 JOIN cent c ON true
+                 JOIN qv b ON b.vec_id = c.cid AND b.i = a.i
+                 GROUP BY 1, 2),
+               csim AS (
+                 SELECT cdots.vec_id AS vec_id, cdots.cid AS cid,
+                        dot::DOUBLE / (sqrt(n1.nn::DOUBLE) * sqrt(n2.nn::DOUBLE)) AS sim
+                 FROM cdots
+                 JOIN norms n1 ON cdots.vec_id = n1.vec_id
+                 JOIN norms n2 ON cdots.cid = n2.vec_id),
+               ranked_assign AS (
+                 SELECT vec_id, cid, sim,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid ASC) AS crank
+                 FROM csim),
+               corpus_lists AS (SELECT vec_id AS cand_id, cid FROM ranked_assign WHERE crank = 1),
+               probes AS (SELECT np FROM (VALUES (1), (2), (4)) p(np)),
+               query_probes AS (
+                 SELECT p.np, vec_id AS query_id, cid
+                 FROM ranked_assign, probes p
+                 WHERE crank <= p.np AND vec_id < 5),
+               cand AS (
+                 SELECT np, query_id, cand_id
+                 FROM query_probes JOIN corpus_lists USING (cid)
+                 WHERE query_id <> cand_id),
+               pairs AS (SELECT DISTINCT query_id, cand_id FROM cand),
+               dots AS (
+                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
+                 FROM pairs
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2),
+               scored AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               retr AS (
+                 SELECT np, query_id, cand_id FROM (
+                   SELECT c.np, c.query_id, c.cand_id,
+                          row_number() OVER (PARTITION BY c.np, c.query_id
+                            ORDER BY s.cosine DESC, c.cand_id ASC) AS rank
+                   FROM cand c JOIN scored s USING (query_id, cand_id))
+                 WHERE rank <= 5)
+             SELECT p.np AS nprobe, t.query_id,
+                    count(r.cand_id)::DOUBLE / 5 AS recall
+             FROM truth t
+             CROSS JOIN probes p
+             LEFT JOIN retr r ON r.np = p.np AND r.query_id = t.query_id
+                             AND r.cand_id = t.cand_id
+             GROUP BY 1, 2
+             ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
-    annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain)
+    annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain, annRecall)
 }
