@@ -899,6 +899,87 @@ object DedupQueries {
              WHERE canon_url IS NOT NULL
              GROUP BY canon_url ORDER BY canon_url"""))
 
+  /** LSH S-CURVE AUDIT: empirical detection rate of MinHash banding by
+    * exact-Jaccard bucket, for two band shapes over the same 8-hash
+    * signatures — rowsPerBand=2 (4 bands, permissive) vs 4 (2 bands,
+    * strict). This is the measured version of the 1-(1-J^r)^b design
+    * curve: the knob-tuning audit a pipeline runs on a sampled window
+    * before committing (bands, rows) at corpus scale, where the exact
+    * all-pairs ground truth is affordable only on the sample (here the
+    * doc_id<200 window; the production path stays the LSH equality
+    * join). Truth = inverted-index token-set Jaccard (no df cut — the
+    * audit must see the pairs the cut would drop), bucketed by
+    * floor(10·J) over the ROUNDED value both engines share; detected =
+    * membership in the band-bucket candidate pairs. The truth×shape
+    * grid LEFT-joins detections so an all-missed bucket still reports
+    * rate 0.0. */
+  val ddLshCurve = Q("dd_lsh_curve",
+    (s, dir) => {
+      import s.implicits._
+      val win = docs(s, dir).filter(col("doc_id") < 200)
+      val truth = Dedup.jaccardPairs(
+          Dedup.docTokens(win, "doc_id", "text"), maxDf = Long.MaxValue)
+        .filter(col("jaccard") >= 0.1)
+        .select(col("a"), col("b"),
+          floor(col("jaccard") * 10).cast("int").as("j_bucket"))
+      val sig = Dedup.minhashSignature(
+        Dedup.docTokens(win, "doc_id", "text", distinct = false), NumHashes)
+      val detected = Seq(2, 4).map { rpb =>
+        Dedup.minhashLshPairs(sig, NumHashes, rowsPerBand = rpb)
+          .select(col("a"), col("b"), lit(rpb).as("rows_per_band"))
+      }.reduce(_ unionByName _)
+      truth.crossJoin(Seq(2, 4).toDF("rows_per_band")).as("t")
+        .join(detected.as("d"),
+          col("t.a") === col("d.a") && col("t.b") === col("d.b") &&
+            col("t.rows_per_band") === col("d.rows_per_band"), "left")
+        .groupBy(col("t.rows_per_band").as("rows_per_band"),
+          col("t.j_bucket").as("j_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(count(col("d.a")).cast("double") / count(lit(1)), 6)
+            .as("det_rate"))
+        .orderBy("rows_per_band", "j_bucket")
+    },
+    Some {
+      val toks = toksSql("WHERE doc_id < 200")
+      s"""WITH toks AS ($toks),
+            sizes AS (SELECT id, count(*) AS n_toks FROM toks GROUP BY id),
+            inter AS (
+              SELECT x.id AS a, y.id AS b, count(*) AS n_inter
+              FROM toks x JOIN toks y ON x.tok = y.tok AND x.id < y.id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT a, b, CAST(floor(j * 10) AS INT) AS j_bucket
+              FROM (
+                SELECT a, b,
+                       round(n_inter::DOUBLE / (na.n_toks + nb.n_toks - n_inter)::DOUBLE, 6) AS j
+                FROM inter
+                JOIN sizes na ON a = na.id
+                JOIN sizes nb ON b = nb.id)
+              WHERE j >= 0.1),
+            sig AS (${minhashSigSql(toks)}),
+            bands2 AS (${bandsSqlOver("sig", 2)}),
+            bands4 AS (${bandsSqlOver("sig", 4)}),
+            det AS (
+              SELECT 2 AS rows_per_band, l.id AS a, r.id AS b
+              FROM bands2 l JOIN bands2 r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+              UNION
+              SELECT 4 AS rows_per_band, l.id AS a, r.id AS b
+              FROM bands4 l JOIN bands4 r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+            grid AS (
+              SELECT t.a, t.b, t.j_bucket, p.rpb
+              FROM truth t, (VALUES (2), (4)) p(rpb))
+          SELECT g.rpb AS rows_per_band, g.j_bucket,
+                 count(*) AS n_pairs,
+                 round(count(d.a)::DOUBLE / count(*), 6) AS det_rate
+          FROM grid g
+          LEFT JOIN det d ON d.rows_per_band = g.rpb
+                         AND d.a = g.a AND d.b = g.b
+          GROUP BY 1, 2
+          ORDER BY 1, 2"""
+    })
+
   val all: Seq[Q] = Seq(ddExact, ddMinhashSigQ, ddMinhashPairs,
     ddMinhashPairsDurable,
     ddMinhashPersisted, ddMinhashAppend, ddMinhashCompact, ddMinhashVersioned,
@@ -906,5 +987,5 @@ object DedupQueries {
     ddSimhash, ddClusterRep, ddDrift,
     ddJaccard, ddComponents, ddContamination, ddContainment, ddBloomClean,
     ddSplit, ddCurate, ddCurateFull, ddEmbedNearDup, ddSnapshotDiff,
-    ddSpanDedup, ddSpanClean, ddUrlDedup)
+    ddSpanDedup, ddSpanClean, ddUrlDedup, ddLshCurve)
 }
