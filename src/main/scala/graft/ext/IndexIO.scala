@@ -113,19 +113,54 @@ private[ext] object IndexIO {
     if (appendLeaseMs <= 0L) return // eager-reclaim test mode: no lease to refresh
     val fs = fsOf(spark, root)
     val claimDir = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
-    if (!fs.exists(claimDir))
-      throw new java.io.IOException(
-        s"heartbeat: claim for $root shard=$k is gone (lease expired and " +
-          "reclaimed?) — abandon this append and re-append under a fresh id")
-    val tmp = new org.apache.hadoop.fs.Path(claimDir,
+    def gone() = throw new java.io.IOException(
+      s"heartbeat: claim for $root shard=$k is gone (lease expired and " +
+        "reclaimed?) — abandon this append and re-append under a fresh id")
+    if (!fs.exists(claimDir)) gone()
+    writeHb(spark, claimDir)
+    // un-resurrect: if the claim was reclaimed between the exists check
+    // and the HB create, the create re-materialized a CLAIM-less dir
+    // whose fresh HB would read as a live lease for appendLeaseMs.
+    // A real claim always carries CLAIM (staged before publish), so a
+    // missing CLAIM is provably our own resurrection — remove it and
+    // fail loud like the missing-dir case.
+    if (!fs.exists(new org.apache.hadoop.fs.Path(claimDir, "CLAIM"))) {
+      fs.delete(claimDir, true)
+      gone()
+    }
+  }
+
+  /** Atomic heartbeat write into `dir`: a writer-clock timestamp staged
+    * to a temp file and renamed over `HB` (FileContext OVERWRITE — the
+    * one atomic-replace primitive in the Hadoop FS API). Shared by the
+    * appender-claim and maintenance-lock heartbeats so the two lease
+    * clocks cannot drift in implementation. */
+  private def writeHb(spark: SparkSession,
+                      dir: org.apache.hadoop.fs.Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
       s"_hb-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.writeBytes(s"${System.currentTimeMillis()}\n") finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(claimDir, "HB"),
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "HB"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** First (trimmed) line of a small text file; None on any IO failure.
+    * The single reader for claim/lock nonces ([[claimShardId]]'s
+    * publish verify, [[holdsMaintLock]], the breaker's identity check)
+    * — independent copies of the read/split/compare pattern drift. */
+  private def readLine1(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").headOption.map(_.trim)
+    } catch { case _: java.io.IOException => None }
 
   /** Shard ids under an active appender lease: claimed recently (last
     * writer timestamp within [[appendLeaseMs]] — see [[claimTs]]) with
@@ -363,7 +398,8 @@ private[ext] object IndexIO {
   def commitShard(spark: SparkSession, root: String, k: Int,
                   replaces: Seq[Int] = Nil,
                   enforceLease: Boolean = false,
-                  verifyTables: Seq[String] = Nil): Unit = {
+                  verifyTables: Seq[String] = Nil,
+                  maintLockNonce: String = ""): Unit = {
     preCommitHook()
     // APPEND commits (enforceLease=true) verify their lease before the
     // marker rename: an append that outran appendLeaseMs may have had
@@ -381,7 +417,7 @@ private[ext] object IndexIO {
     // sees a live lease and skips the shard. Lease 0 = eager-reclaim
     // test mode, no enforcement; maintenance commits (REPLACES) are
     // serialized by the maintenance lock ([[acquireMaintLock]]) and
-    // skip the check.
+    // verify OWNERSHIP instead (maintLockNonce below).
     if (enforceLease && appendLeaseMs > 0L) {
       val fs = fsOf(spark, root)
       val claim = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$k")
@@ -395,6 +431,20 @@ private[ext] object IndexIO {
             "a concurrent maintenance pass may have reclaimed the " +
             "uncommitted shards — re-append the batch")
     }
+    // MAINTENANCE commits (a caller-held lock nonce): re-verify lock
+    // ownership immediately before the marker rename. A maintainer that
+    // overran maintLockMs without a fresh heartbeat may have had its
+    // lock broken and a successor's fold started — landing this
+    // REPLACES marker anyway is the double-fold the lock exists to
+    // prevent. The staged-but-unmarked fold shard it abandons is
+    // ordinary crash garbage for reconcile/gcStaging.
+    if (maintLockNonce.nonEmpty && maintLockMs > 0L &&
+        !holdsMaintLock(fsOf(spark, root),
+          new org.apache.hadoop.fs.Path(s"$root/maintlock"), maintLockNonce))
+      throw new java.io.IOException(
+        s"maintenance lock on $root lost before the fold commit of " +
+          s"shard=$k (overran $maintLockMs ms without heartbeating?) — " +
+          "abandoning the fold; re-run maintain()")
     // markers are pure DIRECTORY facts — every consumer is a listing
     // ([[committedIds]]; compaction markers add one small REPLACES file
     // read) — so the publish is driver-side filesystem I/O, not a Spark
@@ -552,12 +602,8 @@ private[ext] object IndexIO {
           // ownership verify: a filesystem whose rename fell back to a
           // copy-merge could have "succeeded" for both racers — only the
           // one whose nonce is in the claim file owns the id
-          val cf = new org.apache.hadoop.fs.Path(s"$root/claims/shard=$n/CLAIM")
-          val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
-          val in = fs.open(cf)
-          try in.readFully(0, buf) finally in.close()
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n").headOption.map(_.trim).contains(nonce)
+          readLine1(fs, new org.apache.hadoop.fs.Path(
+            s"$root/claims/shard=$n/CLAIM")).contains(nonce)
         } catch {
           case _: java.io.IOException => fs.delete(staging, true); false
         }
@@ -615,12 +661,26 @@ private[ext] object IndexIO {
     * timestamp in file CONTENT (clock authority as [[claimTs]]). A
     * second maintainer fails LOUD while the lock is fresh; a stale lock
     * (crashed maintainer, no heartbeat within [[maintLockMs]]) is
-    * broken and re-acquired. Release deletes the dir WITHOUT a crash
-    * kill-point: the crash-sim fuzz injects exceptions (which unwind
-    * through the callers' finally-release), while a REAL process death
-    * leaves a stale lock that ages out — a bounded availability gap,
-    * never a correctness one. Returns the owner nonce to pass to
-    * [[releaseMaintLock]]; returns "" when locking is disabled. */
+    * broken and re-acquired.
+    *
+    * BREAKING IS RENAME-ASIDE, NEVER DELETE-IN-PLACE (round-12 review):
+    * a bare `delete(lock)` after an earlier freshness read is
+    * check-then-act — a second breaker whose age check passed before
+    * the first breaker's re-acquire would delete the FIRST breaker's
+    * fresh lock and both would fold concurrently. A rename is an
+    * exclusive takeover of the source: exactly one breaker wins the
+    * stale dir, every loser's rename fails and re-races against a lock
+    * that now exists. The winner re-verifies it broke the lock it
+    * MEASURED (same CLAIM nonce) and restores on mismatch, so even the
+    * residual read→rename instant cannot silently destroy a live
+    * maintainer's protection. Release uses the same primitive. The
+    * final backstop is the COMMIT-TIME ownership check
+    * ([[commitShard]]'s `maintLockNonce`): a maintainer that lost its
+    * lock anywhere in the fold fails before its REPLACES marker lands.
+    * Crash-death leaves a stale lock that ages out — a bounded
+    * availability gap, never a correctness one. Returns the owner
+    * nonce to pass to [[releaseMaintLock]]; "" when locking is
+    * disabled. */
   def acquireMaintLock(spark: SparkSession, root: String): String = {
     if (maintLockMs <= 0L) return ""
     val fs = fsOf(spark, root)
@@ -628,18 +688,35 @@ private[ext] object IndexIO {
     var attempts = 0
     while (attempts < 4) {
       if (fs.exists(lock)) {
+        val staleNonce = readLine1(fs, new org.apache.hadoop.fs.Path(lock, "CLAIM"))
         val age =
           try System.currentTimeMillis() - claimTs(fs, lock)
           catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-        if (age < maintLockMs)
+        // a CLAIM-less lock (staleNonce empty) is never a valid
+        // acquisition — CLAIM is staged before publish — so a fresh HB
+        // alone (a crashed heartbeat's resurrected dir) must not block
+        // maintenance for a full bound: breakable immediately. If the
+        // emptiness was a transient read error on a REAL claim, the
+        // breaker's post-rename nonce check catches it and restores.
+        if (staleNonce.nonEmpty && age < maintLockMs)
           throw new java.io.IOException(
             s"maintenance already running on $root (lock ${age} ms old, " +
               s"bound $maintLockMs ms) — one maintainer at a time; retry " +
               "after it finishes or its lock goes stale")
-        // stale: a crashed maintainer's leftover — break and re-race
-        if (fs.exists(lock) && !fs.delete(lock, true) && fs.exists(lock)) {
-          attempts += 1
-        }
+        // stale: break by exclusive rename-aside (see scaladoc above)
+        val broken = new org.apache.hadoop.fs.Path(
+          s"$root/_maintlock-broken-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          if (fs.rename(lock, broken)) {
+            if (readLine1(fs, new org.apache.hadoop.fs.Path(broken, "CLAIM")) == staleNonce)
+              fs.delete(broken, true) // broke the lock we measured
+            else if (!fs.rename(broken, lock)) // stole a LIVE lock — restore
+              throw new java.io.IOException(
+                s"acquireMaintLock on $root: renamed a live maintainer's " +
+                  s"lock aside and could not restore it — repair $broken " +
+                  "manually before running maintenance")
+          }
+        } catch { case _: java.io.FileNotFoundException => () } // raced: re-loop
       }
       val nonce = java.util.UUID.randomUUID().toString
       val staging = new org.apache.hadoop.fs.Path(
@@ -652,14 +729,8 @@ private[ext] object IndexIO {
         try {
           if (fs.exists(lock) || !fs.rename(staging, lock)) {
             fs.delete(staging, true); false
-          } else {
-            val cf = new org.apache.hadoop.fs.Path(lock, "CLAIM")
-            val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
-            val in = fs.open(cf)
-            try in.readFully(0, buf) finally in.close()
-            new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-              .split("\n").headOption.map(_.trim).contains(nonce)
-          }
+          } else readLine1(fs,
+            new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
         } catch {
           case _: java.io.IOException => fs.delete(staging, true); false
         }
@@ -675,48 +746,60 @@ private[ext] object IndexIO {
     * each fold's long write phase so [[maintLockMs]] bounds only
     * un-heartbeated gaps. No-op when locking is disabled or the caller
     * does not hold the lock (nonce mismatch — a stale-break raced us;
-    * the commit-time check in the caller's protocol stays authoritative). */
+    * the commit-time check ([[commitShard]]'s `maintLockNonce`) stays
+    * authoritative). If the HB create resurrected a lock dir a breaker
+    * renamed aside in the ownership-check→write window, the CLAIM-less
+    * dir is removed (a real lock always carries CLAIM — staged before
+    * publish), so an ownerless fresh HB can never block maintenance
+    * for a full [[maintLockMs]]. */
   def heartbeatMaintLock(spark: SparkSession, root: String, nonce: String): Unit = {
     if (maintLockMs <= 0L || nonce.isEmpty) return
     val fs = fsOf(spark, root)
     val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
     if (!holdsMaintLock(fs, lock, nonce)) return
-    val tmp = new org.apache.hadoop.fs.Path(lock,
-      s"_hb-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.writeBytes(s"${System.currentTimeMillis()}\n") finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(lock, "HB"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    writeHb(spark, lock)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(lock, "CLAIM")))
+      fs.delete(lock, true) // our own resurrection: HB-only dir, remove
   }
 
-  private def holdsMaintLock(fs: org.apache.hadoop.fs.FileSystem,
-                             lock: org.apache.hadoop.fs.Path,
-                             nonce: String): Boolean =
-    try {
-      val cf = new org.apache.hadoop.fs.Path(lock, "CLAIM")
-      val buf = new Array[Byte](fs.getFileStatus(cf).getLen.toInt)
-      val in = fs.open(cf)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").headOption.map(_.trim).contains(nonce)
-    } catch { case _: java.io.IOException => false }
+  private[ext] def holdsMaintLock(fs: org.apache.hadoop.fs.FileSystem,
+                                  lock: org.apache.hadoop.fs.Path,
+                                  nonce: String): Boolean =
+    readLine1(fs, new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
 
-  /** Release the maintenance lock IF still owned (nonce match). A
-    * mismatch or missing lock means a stale-break raced a maintainer
-    * that overran [[maintLockMs]] without heartbeating — nothing to
-    * release (warned, not thrown: release runs in `finally` and must
-    * not mask the original failure). Plain fs.delete, no crash
-    * kill-point — see [[acquireMaintLock]]. */
+  /** Release the maintenance lock IF still owned (nonce match) — by the
+    * breaker's exclusive rename-aside, not holdsMaintLock-then-delete:
+    * a maintainer that overran [[maintLockMs]] could otherwise read its
+    * own nonce, lose the lock to a breaker in the read→delete instant,
+    * and delete the SUCCESSOR's fresh lock. The rename-aside wins or
+    * loses the dir atomically; a mismatched nonce after the rename
+    * (we took a successor's lock) restores it. Warned, never thrown:
+    * release runs in `finally` and must not mask the original failure.
+    * No crash kill-point — crash-death leaves a stale lock that ages
+    * out (bounded availability, never correctness). */
   def releaseMaintLock(spark: SparkSession, root: String, nonce: String): Unit = {
     if (maintLockMs <= 0L || nonce.isEmpty) return
     val fs = fsOf(spark, root)
     val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
-    if (holdsMaintLock(fs, lock, nonce)) fs.delete(lock, true)
-    else System.err.println(
-      s"[graft] releaseMaintLock: lock on $root no longer held by this " +
-        "maintainer (overran maintLockMs without heartbeating?) — skipped")
+    def warn(msg: String): Unit =
+      System.err.println(s"[graft] releaseMaintLock on $root: $msg")
+    if (!holdsMaintLock(fs, lock, nonce)) {
+      warn("lock no longer held by this maintainer (overran maintLockMs " +
+        "without heartbeating?) — skipped")
+      return
+    }
+    val rel = new org.apache.hadoop.fs.Path(
+      s"$root/_maintlock-rel-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      if (!fs.rename(lock, rel)) { warn("lock vanished in release — skipped"); return }
+      if (readLine1(fs, new org.apache.hadoop.fs.Path(rel, "CLAIM")).contains(nonce))
+        fs.delete(rel, true)
+      else if (fs.rename(rel, lock))
+        warn("lock was re-acquired by a successor during release — restored")
+      else
+        warn(s"took a successor's lock during release and could not " +
+          s"restore it — repair $rel manually")
+    } catch { case e: java.io.IOException => warn(s"release raced: ${e.getMessage}") }
   }
 
   /** Drop committed-but-INCOMPLETE shards (marker present, some table
@@ -799,7 +882,8 @@ private[ext] object IndexIO {
       sweep(_, _.startsWith(rootPath.getName + "-staging-")))
     val hidden = (n: String) =>
       n.startsWith("_shard-staging-") || n.startsWith("_append-staging-") ||
-        n.startsWith("_maintlock-tmp-")
+        n.startsWith("_maintlock-tmp-") || n.startsWith("_maintlock-broken-") ||
+        n.startsWith("_maintlock-rel-")
     sweep(rootPath, hidden)
     if (fs.exists(rootPath))
       fs.listStatus(rootPath).filter(_.isDirectory)

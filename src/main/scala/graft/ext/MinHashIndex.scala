@@ -575,7 +575,8 @@ object MinHashIndex {
       .write.mode(SaveMode.Overwrite).parquet(bktStaging)
     IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
     // the commit point: one rename swaps the fold set for the new shard
-    IndexIO.commitShard(spark, path, next, replaces = fold)
+    IndexIO.commitShard(spark, path, next, replaces = fold,
+      maintLockNonce = lockNonce)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
     if (maxShardBytes.isEmpty)

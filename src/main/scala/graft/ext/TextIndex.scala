@@ -670,7 +670,8 @@ object TextIndex {
       IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
     IndexIO.deleteDir(spark, stage)
     // the commit point: one rename swaps the fold set for the new shard
-    IndexIO.commitShard(spark, path, next, replaces = fold)
+    IndexIO.commitShard(spark, path, next, replaces = fold,
+      maintLockNonce = lockNonce)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
     // fold-all applied every observed tombstone (the fold covered every

@@ -385,7 +385,8 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).parquet(staging)
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
     // the commit point: one rename swaps the fold set for the new shard
-    IndexIO.commitShard(spark, path, next, replaces = fold)
+    IndexIO.commitShard(spark, path, next, replaces = fold,
+      maintLockNonce = lockNonce)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
     if (maxShardBytes.isEmpty)

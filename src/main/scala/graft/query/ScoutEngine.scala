@@ -356,6 +356,14 @@ class ScoutEngine(
       : Option[Seq[Option[(Hit, Double)]]] = {
     if (points.isEmpty) return Some(Seq.empty)
     if (points.length > ScoutEngine.MaxFastReversePoints) return None
+    // out-of-range coordinates route to the job path: the packed cell
+    // key is collision-free only for |lat|≤90 / |lon|≤180 (a wild
+    // point — e.g. lon sent in millidegrees — could pack onto a
+    // legitimate POI cell and return a spurious hit where the grid
+    // join, which joins on the UNpacked cell pair, returns None)
+    if (points.exists { case (la, lo) =>
+        la < -90.0 || la > 90.0 || lo < -180.0 || lo > 180.0 ||
+          la.isNaN || lo.isNaN }) return None
     state.get().reverseCache.serve(points).map(_.map(_.map { case (r, d) =>
       (Hit(name = r.name, lat = r.lat, lon = r.lon,
         country = Option(r.country), state = Option(r.state),
@@ -518,18 +526,28 @@ object ScoutEngine {
     private def pack(k: (Long, Long)): Long = k._1 * 100000L + k._2
 
     def serve(points: Seq[(Double, Double)])
-        : Option[Seq[Option[(RevRow, Double)]]] = synchronized {
-      val c = cellDeg
+        : Option[Seq[Option[(RevRow, Double)]]] = {
+      val c = cellDeg // lazy-val init is its own monitor; first touch
+      //               pays the one aggregate job OUTSIDE the cache lock
       val keysPerPoint = points.map { case (la, lo) =>
         val kx = math.floor(la / c).toLong
         val ky = math.floor(lo / c).toLong
         for { dx <- -1L to 1L; dy <- -1L to 1L } yield (kx + dx, ky + dy)
       }
+      val wanted = keysPerPoint.flatten.distinct
       val local = scala.collection.mutable.Map.empty[(Long, Long), Array[RevRow]]
-      for (k <- keysPerPoint.flatten.distinct; e = cache.get(k); if e != null)
-        local(k) = e
-      val missing = keysPerPoint.flatten.distinct.filterNot(local.contains)
-      if (missing.nonEmpty && !fetch(missing, local)) return None
+      // lock ONLY the map probes/installs, never a Spark job: a cold
+      // cell's ~200 ms fetch must not serialize concurrent warm
+      // zero-job requests behind it (two threads missing the same cell
+      // fetch it twice — duplicated bounded work, identical results)
+      synchronized {
+        for (k <- wanted; e = cache.get(k); if e != null) local(k) = e
+      }
+      val missing = wanted.filterNot(local.contains)
+      if (missing.nonEmpty) {
+        if (!fetch(missing, local)) return None
+        synchronized { for (k <- missing) cache.put(k, local(k)) }
+      }
       Some(points.zip(keysPerPoint).map { case ((qla, qlo), keys) =>
         var best: RevRow = null
         var bestD = 0.0
@@ -567,12 +585,12 @@ object ScoutEngine {
       if (rows.length > maxFetchRows) return false
       val grouped = rows.groupBy(_.getLong(8))
       for (k <- keys) {
-        val arr = grouped.getOrElse(pack(k), Array.empty).map { r =>
+        // fills `local` only — the caller installs into the LRU under
+        // the lock (fetch itself runs a Spark job and must stay outside)
+        local(k) = grouped.getOrElse(pack(k), Array.empty).map { r =>
           RevRow(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3),
             r.getString(4), r.getString(5), r.getString(6), r.getString(7))
         }
-        cache.put(k, arr)
-        local(k) = arr
       }
       true
     }

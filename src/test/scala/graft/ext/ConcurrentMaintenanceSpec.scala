@@ -226,6 +226,77 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     assert(tserve(path) == tserve(ref))
   }
 
+  test("release never deletes a successor's lock (rename-aside release)") {
+    val path = fresh("rel-succ")
+    TextIndex.write(docs(0L until 4L), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/maintlock")
+    val mine = IndexIO.acquireMaintLock(spark, path)
+    // forge the worst case: this maintainer overran, a breaker broke
+    // its lock and a SUCCESSOR acquired — release must leave the
+    // successor's lock intact (the old holds-then-delete would read its
+    // own stale nonce... here the nonce already mismatches, but the
+    // assertion pins the full no-touch contract either way)
+    fs.delete(lock, true)
+    fs.mkdirs(lock)
+    val f = fs.create(new org.apache.hadoop.fs.Path(lock, "CLAIM"), false)
+    try f.writeBytes(s"successor\n${System.currentTimeMillis()}\n")
+    finally f.close()
+    IndexIO.releaseMaintLock(spark, path, mine)
+    assert(fs.exists(lock), "successor's lock must survive the release")
+    assert(IndexIO.holdsMaintLock(fs, lock, "successor"),
+      "successor still owns its lock after the overrunner's release")
+    fs.delete(lock, true) // clean for later passes
+  }
+
+  test("fold commit fails loud when the maintenance lock was lost mid-fold") {
+    val path = fresh("commit-lost-lock")
+    TextIndex.write(docs(0L until 4L), path)
+    TextIndex.append(docs(4L until 8L), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/maintlock")
+    val mine = IndexIO.acquireMaintLock(spark, path)
+    val k = IndexIO.claimShardId(spark, path, Seq("postings", "doclens", "stats"))
+    // the lock is broken + re-acquired while this maintainer folds
+    fs.delete(lock, true)
+    fs.mkdirs(lock)
+    val f = fs.create(new org.apache.hadoop.fs.Path(lock, "CLAIM"), false)
+    try f.writeBytes(s"successor\n${System.currentTimeMillis()}\n")
+    finally f.close()
+    val e = intercept[java.io.IOException] {
+      IndexIO.commitShard(spark, path, k, replaces = Seq(0, 1),
+        maintLockNonce = mine)
+    }
+    assert(e.getMessage.contains("lock"), s"loud ownership failure: $e")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/commits/shard=$k")),
+      "no REPLACES marker may land after the lock was lost")
+    assert(IndexIO.liveCommittedIds(spark, path).sorted == Seq(0, 1),
+      "the original shards keep serving untouched")
+    fs.delete(lock, true)
+  }
+
+  test("an HB-only (CLAIM-less) lock dir never blocks maintenance") {
+    val path = fresh("hb-only")
+    TextIndex.write(docs(0L until 4L), path)
+    TextIndex.append(docs(4L until 8L), path)
+    // forge the resurrected state: a crashed heartbeat re-created the
+    // lock dir with a FRESH HB and no CLAIM — never a valid acquisition
+    // (CLAIM is staged before publish), so it must be broken
+    // immediately, not after maintLockMs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/maintlock")
+    fs.mkdirs(lock)
+    val f = fs.create(new org.apache.hadoop.fs.Path(lock, "HB"), false)
+    try f.writeBytes(s"${System.currentTimeMillis()}\n") finally f.close()
+    val folded = TextIndex.compactAllInPlace(spark, path)
+    assert(folded.sorted == Seq(0, 1),
+      s"HB-only lock must be breakable now, not in maintLockMs: $folded")
+    assert(!fs.exists(lock), "the pass releases its own lock")
+  }
+
   test("lease clock authority is claim CONTENT — an mtime-resetting store keeps the contract") {
     val path = fresh("clock")
     TextIndex.write(docs(0L until 6L), path)

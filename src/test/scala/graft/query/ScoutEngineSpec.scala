@@ -164,6 +164,19 @@ class ScoutEngineSpec extends SparkSpec {
     assert(engine.reverse(pts) == fast.get)
   }
 
+  test("reverse fast path: out-of-range coordinates route to the job path (no packed-key collision)") {
+    // the packed cell key is collision-free only on the legal coordinate
+    // domain — a wild point (lon in millidegrees, the classic unit bug)
+    // could otherwise pack onto a legitimate POI cell and fabricate a
+    // hit the grid join (joining on the UNpacked cell pair) never returns
+    val wild = Seq((3.139, 101687.0), (91.0, 0.0), (Double.NaN, 10.0))
+    assert(engine.reverseFast(wild).isEmpty,
+      "out-of-range points must not engage the fast path")
+    // parity holds through the public surface: the job path answers None
+    assert(engine.reverse(wild).forall(_.isEmpty),
+      "wild coordinates answer None via the grid join")
+  }
+
   test("forwardFast across a concurrent reload: every answer from exactly one snapshot") {
     val schema = StructType(Seq(
       StructField("id", LongType),
