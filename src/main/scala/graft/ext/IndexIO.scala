@@ -81,10 +81,16 @@ private[ext] object IndexIO {
       .getOrElse(15L * 60L * 1000L)
 
   /** Last writer-reported timestamp of claim `k`: the newest of the HB
-    * heartbeat file's content, the CLAIM file's timestamp line, and (as
-    * the legacy fallback — claims written before round 12 carry no
-    * content timestamp) the claim dir's mtime. Throws FileNotFound when
-    * the claim dir itself is gone. */
+    * heartbeat file's content and the CLAIM file's timestamp line. The
+    * claim dir's mtime is consulted ONLY when neither content timestamp
+    * is readable (legacy claims written before round 12 carry none) —
+    * never folded into the max alongside them: on stores that refresh
+    * directory mtimes (or when a losing racer's rename deposits garbage
+    * inside the dir), an mtime-in-the-max would make a genuinely stale
+    * claim or lock look fresh for an extra lease period, delaying
+    * reclaim/lock-break. Content is the clock authority; metadata is
+    * the fallback of last resort. Throws FileNotFound when the claim
+    * dir itself is gone. */
   private def claimTs(fs: org.apache.hadoop.fs.FileSystem,
                       claimDir: org.apache.hadoop.fs.Path): Long = {
     def contentTs(name: String, line: Int): Option[Long] =
@@ -97,7 +103,8 @@ private[ext] object IndexIO {
           .split("\n").drop(line).headOption.flatMap(_.trim.toLongOption)
       } catch { case _: java.io.IOException => None }
     val mtime = fs.getFileStatus(claimDir).getModificationTime // FNF → caller
-    (contentTs("HB", 0) ++ contentTs("CLAIM", 1) ++ Seq(mtime)).max
+    val content = contentTs("HB", 0) ++ contentTs("CLAIM", 1)
+    if (content.nonEmpty) content.max else mtime
   }
 
   /** Refresh the lease of claim `k` by writing a writer-clock timestamp
@@ -154,13 +161,36 @@ private[ext] object IndexIO {
     * — independent copies of the read/split/compare pattern drift. */
   private def readLine1(fs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path): Option[String] =
-    try {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").headOption.map(_.trim)
-    } catch { case _: java.io.IOException => None }
+    try Some(readLine1Raw(fs, p))
+    catch { case _: java.io.IOException => None }
+
+  /** [[readLine1]] that DISTINGUISHES absence from unreadability: None
+    * only on FileNotFound (the file provably does not exist); any other
+    * IOException is retried once and then propagated. The lock BREAKER
+    * needs the distinction — a CLAIM that is merely unreadable
+    * (transient store error) must not be treated like a CLAIM-less
+    * shell, or the breaker would rename a LIVE maintainer's lock aside,
+    * compare None == None, and delete it: the commit-time nonce check
+    * still prevents the double fold, but the live maintainer's entire
+    * fold is silently wasted work. */
+  private def readLine1OrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path): Option[String] =
+    try Some(readLine1Raw(fs, p))
+    catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.IOException =>
+        try Some(readLine1Raw(fs, p))
+        catch { case _: java.io.FileNotFoundException => None }
+    }
+
+  private def readLine1Raw(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): String = {
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").headOption.map(_.trim).getOrElse("")
+  }
 
   /** Shard ids under an active appender lease: claimed recently (last
     * writer timestamp within [[appendLeaseMs]] — see [[claimTs]]) with
@@ -195,6 +225,13 @@ private[ext] object IndexIO {
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** FileContext for `p` — the API surface that carries the two atomic
+    * rename primitives (Rename.NONE dest-must-not-exist, Rename.OVERWRITE
+    * replace) the FileSystem API lacks. */
+  private def fcOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
 
   /** Shard ids present under a shard-partitioned table root (`shard=N`
     * subdirectories, Hive partition-dir naming so a plain
@@ -681,23 +718,69 @@ private[ext] object IndexIO {
     * availability gap, never a correctness one. Returns the owner
     * nonce to pass to [[releaseMaintLock]]; "" when locking is
     * disabled. */
+  /** Filesystem schemes whose directory "rename" is a non-atomic
+    * copy+delete (object stores). The versioned CURRENT pointer covers
+    * PUBLISH on these (single-object replace); the maintenance LOCK has
+    * no equivalent mapping — its exclusivity rests on an atomic
+    * dest-must-not-exist rename, which these stores cannot provide
+    * through the Hadoop FS API. The native primitive that WOULD carry
+    * the lock there is a conditional PUT (S3 `If-None-Match: *`, GCS
+    * `x-goog-if-generation-match: 0`): create the lock object only if
+    * absent, the object's content carrying nonce + owner timestamp
+    * exactly as here, heartbeat via unconditional PUT, break via
+    * conditional DELETE on the read generation. Until a store-specific
+    * module implements that, locking on these schemes fails LOUD (or,
+    * with `graft.maint.lock.allowNonAtomic=1`, degrades to the
+    * pre-round-12 single-maintainer-by-contract mode). ADLS Gen2
+    * (abfs/abfss) and HDFS rename atomically and are NOT listed. */
+  private[ext] val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "wasb", "wasbs")
+
+  private[ext] def isNonAtomicRenameScheme(root: String): Boolean =
+    Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme)
+      .exists(s => NonAtomicRenameSchemes.contains(s.toLowerCase))
+
   def acquireMaintLock(spark: SparkSession, root: String): String = {
     if (maintLockMs <= 0L) return ""
+    if (isNonAtomicRenameScheme(root)) {
+      if (sys.props.get("graft.maint.lock.allowNonAtomic").contains("1")) {
+        System.err.println(s"[graft] acquireMaintLock on $root: scheme has " +
+          "non-atomic rename — lock DISABLED, running under the " +
+          "single-maintainer-by-contract mode (allowNonAtomic=1)")
+        return ""
+      }
+      throw new java.io.IOException(
+        s"acquireMaintLock on $root: this filesystem scheme renames by " +
+          "copy+delete, so the lock's dest-must-not-exist rename is not " +
+          "atomic and two maintainers could both acquire. Run maintenance " +
+          "from a single scheduled owner and set " +
+          "-Dgraft.maint.lock.allowNonAtomic=1 to accept that contract, " +
+          "or front the index with an atomic-rename store (HDFS, ADLS).")
+    }
     val fs = fsOf(spark, root)
     val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
     var attempts = 0
     while (attempts < 4) {
       if (fs.exists(lock)) {
-        val staleNonce = readLine1(fs, new org.apache.hadoop.fs.Path(lock, "CLAIM"))
+        // CLAIM-less (FileNotFound — staleNonce None) is never a valid
+        // acquisition (CLAIM is staged before publish), so a fresh HB
+        // alone (a crashed heartbeat's resurrected dir) must not block
+        // maintenance for a full bound: breakable immediately. An
+        // UNREADABLE claim is different — unknown state, maybe a live
+        // maintainer — refuse to break rather than waste its fold (the
+        // commit-time nonce check would stop the double fold, but only
+        // after the live maintainer's whole fold ran for nothing).
+        val staleNonce =
+          try readLine1OrThrow(fs, new org.apache.hadoop.fs.Path(lock, "CLAIM"))
+          catch {
+            case e: java.io.IOException => throw new java.io.IOException(
+              s"acquireMaintLock on $root: the lock's CLAIM exists but is " +
+                s"unreadable (${e.getMessage}) — possibly a live maintainer; " +
+                "refusing to break an unknown lock, retry once the store recovers", e)
+          }
         val age =
           try System.currentTimeMillis() - claimTs(fs, lock)
           catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-        // a CLAIM-less lock (staleNonce empty) is never a valid
-        // acquisition — CLAIM is staged before publish — so a fresh HB
-        // alone (a crashed heartbeat's resurrected dir) must not block
-        // maintenance for a full bound: breakable immediately. If the
-        // emptiness was a transient read error on a REAL claim, the
-        // breaker's post-rename nonce check catches it and restores.
         if (staleNonce.nonEmpty && age < maintLockMs)
           throw new java.io.IOException(
             s"maintenance already running on $root (lock ${age} ms old, " +
@@ -708,7 +791,14 @@ private[ext] object IndexIO {
           s"$root/_maintlock-broken-${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           if (fs.rename(lock, broken)) {
-            if (readLine1(fs, new org.apache.hadoop.fs.Path(broken, "CLAIM")) == staleNonce)
+            // identity re-verify with the strict reader: an unreadable
+            // CLAIM here must RESTORE (unknown ≠ the lock we measured),
+            // never compare None == None into deleting a live lock
+            val verified =
+              try readLine1OrThrow(fs,
+                new org.apache.hadoop.fs.Path(broken, "CLAIM")) == staleNonce
+              catch { case _: java.io.IOException => false }
+            if (verified)
               fs.delete(broken, true) // broke the lock we measured
             else if (!fs.rename(broken, lock)) // stole a LIVE lock — restore
               throw new java.io.IOException(
@@ -725,11 +815,20 @@ private[ext] object IndexIO {
       val f = fs.create(new org.apache.hadoop.fs.Path(staging, "CLAIM"), false)
       try f.writeBytes(s"$nonce\n${System.currentTimeMillis()}\n")
       finally f.close()
+      // acquisition rename is FileContext + Rename.NONE — the one
+      // dest-must-not-exist ATOMIC rename in the Hadoop API (HDFS
+      // enforces it server-side). The old exists-then-FileSystem.rename
+      // pair was check-then-act: on filesystems where rename(src,
+      // existingDir) moves src INTO the destination, a racer losing
+      // between the two calls would deposit its staging dir inside the
+      // live holder's lock dir — ownership still decided right by the
+      // nonce verify, but the garbage bumped the dir mtime (and claimTs
+      // used to fold mtime into its max, extending apparent freshness).
       val won =
         try {
-          if (fs.exists(lock) || !fs.rename(staging, lock)) {
-            fs.delete(staging, true); false
-          } else readLine1(fs,
+          fcOf(spark, lock).rename(staging, lock,
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          readLine1(fs,
             new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
         } catch {
           case _: java.io.IOException => fs.delete(staging, true); false

@@ -205,10 +205,9 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     TextIndex.write(docs(0L until 6L), path)
     TextIndex.append(docs(6L until 12L), path)
     // forge the crash leftover: a lock whose owner timestamp (file
-    // CONTENT — the clock authority) AND dir mtime are far past the
-    // freshness bound (a real crashed maintainer's lock ages both ways;
-    // freshness takes the max of content and mtime, so the forge must
-    // back-date both)
+    // CONTENT — the clock authority; mtime is only the no-content
+    // fallback) is far past the freshness bound. Back-date the mtime
+    // too for realism, though content alone now decides.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(s"$path/maintlock")
@@ -424,6 +423,113 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     assert(!IndexIO.shardIds(spark, s"$path/postings").contains(1),
       "orphan past the lease must be reclaimed")
     assert(tserve(path) == baseline)
+  }
+
+  test("MinHashIndex: two interleaved appenders commit distinct shards; band pairs equal sequential") {
+    // the r12 gap: TextIndexSpec proves the two-appender race for BM25
+    // postings, but MinHash's serve path (band-bucket pair join over
+    // signatures + buckets) was unproven under it. Deterministic
+    // interleaving: appender A pauses at its commit point (both table
+    // shards published, marker not yet landed) while appender B runs a
+    // COMPLETE append — and the two exercise DIFFERENT write routes
+    // (A distributed partitions=2, B the small-batch driver route).
+    val nh = 8
+    def toks(ids: Seq[Long]) = Dedup.docTokens(
+      ids.map(i => (i, s"alpha beta gamma doc$i tok${i % 3}"))
+        .toDF("doc_id", "text"), "doc_id", "text", distinct = false)
+    def mserve(p: String) = MinHashIndex.pairs(spark, p, nh)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val path = fresh("mh-writers")
+    val pSeq = fresh("mh-writers-seq")
+    MinHashIndex.write(toks(0L until 8L), path, nh, rowsPerBand = 2)
+    atNextCommit {
+      MinHashIndex.append(toks(12L until 16L), path, nh, rowsPerBand = 2,
+        partitions = 1) // appender B: driver route, full append inside A's commit window
+    }
+    MinHashIndex.append(toks(8L until 12L), path, nh, rowsPerBand = 2,
+      partitions = 2) // appender A
+    assert(IndexIO.liveCommittedIds(spark, path).sorted == Seq(0, 1, 2),
+      "each appender must land its own fresh shard id")
+    MinHashIndex.write(toks(0L until 8L), pSeq, nh, rowsPerBand = 2)
+    MinHashIndex.append(toks(8L until 12L), pSeq, nh, rowsPerBand = 2)
+    MinHashIndex.append(toks(12L until 16L), pSeq, nh, rowsPerBand = 2)
+    val got = mserve(path)
+    assert(got.nonEmpty && got == mserve(pSeq),
+      "interleaved appends must serve the same candidate pairs as sequential")
+  }
+
+  test("VectorIndex: two interleaved appenders commit distinct shards; IVF topK equals sequential") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    def vserve(p: String) = VectorIndex.topK(spark, p,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+      .select("query_id", "rank", "cand_id")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val path = fresh("vec-writers")
+    val pSeq = fresh("vec-writers-seq")
+    val base = emb.filter(col("vec_id") < 200)
+    val batchA = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val batchB = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    VectorIndex.write(base, path, nCentroids = 8)
+    // appender B's complete append runs inside appender A's
+    // published-but-uncommitted window (same seam as the MinHash case)
+    atNextCommit { VectorIndex.append(batchB, path, partitions = 1) }
+    VectorIndex.append(batchA, path, partitions = 1)
+    assert(IndexIO.liveCommittedIds(spark, path).sorted == Seq(0, 1, 2),
+      "each appender must land its own fresh shard id")
+    VectorIndex.write(base, pSeq, nCentroids = 8)
+    VectorIndex.append(batchA, pSeq, partitions = 1)
+    VectorIndex.append(batchB, pSeq, partitions = 1)
+    val got = vserve(path)
+    assert(got.nonEmpty && got == vserve(pSeq),
+      "interleaved appends must serve the same IVF top-k as sequential")
+  }
+
+  test("a fresh mtime cannot resurrect a stale lock (content is the only authority when present)") {
+    val path = fresh("mtime-bump")
+    TextIndex.write(docs(0L until 6L), path)
+    TextIndex.append(docs(6L until 12L), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/maintlock")
+    // forge the ADVICE r12 scenario: a crashed maintainer's lock whose
+    // CONTENT timestamp is stale, but whose dir mtime is FRESH — e.g. a
+    // losing racer's rename deposited garbage inside the dir, or the
+    // store refreshes directory mtimes. The old max(content, mtime)
+    // read this as a live lock for another full bound; content
+    // authority breaks it now.
+    val old = System.currentTimeMillis() - IndexConfig.maintLockMs - 60000L
+    fs.mkdirs(lock)
+    val f = fs.create(new org.apache.hadoop.fs.Path(lock, "CLAIM"), false)
+    try f.writeBytes(s"dead-maintainer\n$old\n") finally f.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lock, "_deposited-garbage"))
+    val folded = TextIndex.compactAllInPlace(spark, path)
+    assert(folded.sorted == Seq(0, 1),
+      s"stale-content lock with fresh mtime must be breakable: $folded")
+    assert(!fs.exists(lock), "the pass releases its own lock")
+    val ref = fresh("mtime-bump-ref")
+    TextIndex.write(docs(0L until 12L), ref)
+    assert(tserve(path) == tserve(ref))
+  }
+
+  test("maintenance lock fails loud on non-atomic-rename schemes, degrades only by explicit opt-in") {
+    // the scheme check runs BEFORE any filesystem is instantiated, so
+    // no s3a jars are needed to pin the guard
+    val ex = intercept[java.io.IOException] {
+      IndexIO.acquireMaintLock(spark, "s3a://bucket/some/index")
+    }
+    assert(ex.getMessage.contains("copy+delete"), ex.getMessage)
+    assert(IndexIO.isNonAtomicRenameScheme("gs://b/idx"))
+    assert(IndexIO.isNonAtomicRenameScheme("S3A://b/idx"), "scheme match is case-insensitive")
+    assert(!IndexIO.isNonAtomicRenameScheme("/local/path"))
+    assert(!IndexIO.isNonAtomicRenameScheme("hdfs://nn/idx"))
+    assert(!IndexIO.isNonAtomicRenameScheme("abfss://c@a.dfs.core.windows.net/idx"),
+      "ADLS Gen2 renames atomically and must not be blocked")
+    // explicit opt-in: lock disabled (single-maintainer-by-contract),
+    // returns the locking-disabled sentinel instead of throwing
+    System.setProperty("graft.maint.lock.allowNonAtomic", "1")
+    try assert(IndexIO.acquireMaintLock(spark, "s3a://bucket/some/index") == "")
+    finally System.clearProperty("graft.maint.lock.allowNonAtomic")
   }
 
   test("gcStaging honors the lease: young staging kept, expired staging swept") {
