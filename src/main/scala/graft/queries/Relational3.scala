@@ -135,9 +135,20 @@ object Relational3 {
     * plans the distinct set via Expand: one pass over the data,
     * not one scan per column) unpivoted with `stack`. At 100 TB the
     * distinct counts swap to `approx_count_distinct` (bounds-proven in
-    * `ExtOpsSpec`); everything else is already partial-aggregatable. */
+    * `ExtOpsSpec`); everything else is already partial-aggregatable.
+    *
+    * MEASURED floor (round 13, `tools/R29Probe` at sf0.1, warm): scan
+    * 0.16 s, plain multi-agg 0.19 s, one high-cardinality distinct
+    * 0.30 s, three 0.50 s, all six 0.65 s — the cost is the exact
+    * distinct aggregation itself (each column adds 150 k rows through
+    * Expand→hash→exchange), not job floor, and it parallelizes with
+    * data. The tempting alternative — `collect_set` for the three
+    * low-cardinality columns to shrink the Expand — measured 3× WORSE
+    * (mixing an object aggregate into an Expand plan forces the whole
+    * aggregate down to SortAggregate). This Expand shape is the plan
+    * to run at 100 TB. */
   val r29Profile = Q("r29_profile",
-    (s, dir) => {
+    (s, dir) => Q.withShuffleWidth(s, 8) {
       val o = orders(s, dir)
       def nn(c: String) = count(col(c)).as(s"nn_$c")
       def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")

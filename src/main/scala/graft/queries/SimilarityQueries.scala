@@ -832,7 +832,178 @@ object SimilarityQueries {
              GROUP BY 1, 2
              ORDER BY 1, 2"""))
 
+  /** QUANTIZED-TIER RECALL AUDIT (the [[annRecall]] pattern applied to
+    * the three compression tiers — PQ-ADC, int8 SQ, binary-quantized
+    * Hamming): per-query recall@5 of the tier's CANDIDATE set against
+    * the exact brute-force truth, swept over the candidate bound C ∈
+    * {5, 10, 25}. C is the knob these tiers actually expose — each
+    * trades exactness for speed by ranking on a compressed code, and a
+    * deployment recovers accuracy by exact-re-ranking the top-C
+    * compressed candidates; since that re-rank is order-preserving on
+    * the survivors, |truth ∩ top-C| / 5 IS the recall@5 the tier can
+    * achieve at bound C. PQ/SQ candidate-at-C sets fall out of one
+    * ranked call each (rank ≤ C); BQ's Hamming prefilter is re-run per
+    * C (its survivor set is the bound, [[Similarity.bqTopK]]
+    * nCandidates). All arithmetic is exact (INT64 codes, count/5), so
+    * the oracle replays every chain and the curve is bit-identical.
+    * The truth × tier × C grid LEFT-joins the retrieved sets so a
+    * zero-overlap cell still reports recall 0.0. */
+  val annQuantRecall = Q("ann_quant_recall",
+    (s, dir) => {
+      import s.implicits._
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+      val c = emb(s, dir)
+      val Cs = Seq(5, 10, 25)
+      val maxC = Cs.max
+      val truth = Similarity.bruteForceTopK(q, c, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      // PQ/SQ: one ranked call each at the max bound; membership at C is
+      // rank ≤ C (ranks are deterministic: adist/dot with cand_id ties)
+      val pq = Similarity.pqTopK(q, c, k = maxC, m = PqM, ks = PqKs, dim = Dim)
+        .select(lit("pq").as("tier"), col("query_id"), col("cand_id"),
+          col("rank").as("arank"))
+      val sq = Similarity.sqTopK(q, c, k = maxC)
+        .select(lit("sq").as("tier"), col("query_id"), col("cand_id"),
+          col("rank").as("arank"))
+      val csDf = Cs.toDF("c")
+      val pqsq = pq.unionByName(sq)
+        .join(broadcast(csDf), col("arank") <= col("c"))
+        .select("tier", "c", "query_id", "cand_id")
+      // BQ: the bound IS the prefilter width (nCandidates), and the
+      // survivor set at C is exactly the top-C of the Hamming ranking —
+      // so ONE ranked pass over the packed bits serves every C, instead
+      // of three bqTopK calls (each of which would also re-run its
+      // internal brute-force recall leg)
+      val words = (Dim + 31) / 32
+      val qBits = broadcast(q.select(col("vec_id").as("query_id"),
+        Similarity.packBits(Similarity.quantize(col("embedding")), Dim).as("q_bits")))
+      val cBits = c.select(col("vec_id").as("cand_id"),
+        Similarity.packBits(Similarity.quantize(col("embedding")), Dim).as("c_bits"))
+      val bq = qBits.crossJoin(cBits)
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          Similarity.hammingPacked(col("q_bits"), col("c_bits"), words).as("ham"))
+        .withColumn("arank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("ham").asc, col("cand_id").asc)))
+        .filter(col("arank") <= maxC)
+        .select(lit("bq").as("tier"), col("query_id"), col("cand_id"), col("arank"))
+        .join(broadcast(csDf), col("arank") <= col("c"))
+        .select("tier", "c", "query_id", "cand_id")
+      val retrieved = pqsq.unionByName(bq)
+      truth.crossJoin(Seq("pq", "sq", "bq").toDF("tier"))
+        .crossJoin(broadcast(csDf)).as("t")
+        .join(retrieved.as("r"),
+          col("t.tier") === col("r.tier") && col("t.c") === col("r.c") &&
+            col("t.query_id") === col("r.query_id") &&
+            col("t.cand_id") === col("r.cand_id"), "left")
+        .groupBy(col("t.tier").as("tier"), col("t.c").as("c"),
+          col("t.query_id").as("query_id"))
+        .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
+        .orderBy("tier", "c", "query_id")
+    },
+    Some(s"""WITH qv AS (${qvSql()}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               edots AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
+                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5 GROUP BY 1, 2),
+               eranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
+                                   cand_id ASC) AS rank
+                 FROM edots
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
+               seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs),
+               cw AS (
+                 SELECT vec_id AS code, (i - 1) // ${Dim / PqM} AS s, i, v AS w
+                 FROM qv WHERE vec_id IN (SELECT vec_id FROM seeds)),
+               cdist AS (
+                 SELECT a.vec_id AS vid, c.s, c.code,
+                        CAST(sum((a.v - c.w) * (a.v - c.w)) AS BIGINT) AS d2
+                 FROM qv a JOIN cw c ON c.i = a.i
+                 GROUP BY 1, 2, 3),
+               codes AS (
+                 SELECT vid AS cand_id, s, code FROM (
+                   SELECT vid, s, code,
+                          row_number() OVER (PARTITION BY vid, s
+                            ORDER BY d2 ASC, code ASC) AS rn
+                   FROM cdist)
+                 WHERE rn = 1),
+               qtab AS (
+                 SELECT vid AS query_id, s, code, d2 FROM cdist WHERE vid < 5),
+               adc AS (
+                 SELECT t.query_id, c.cand_id, CAST(sum(t.d2) AS BIGINT) AS adist
+                 FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.code
+                 GROUP BY 1, 2),
+               pqranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, cand_id ASC) AS rank
+                 FROM adc WHERE query_id <> cand_id),
+               mxs AS (
+                 SELECT vec_id,
+                        list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS mx
+                 FROM embeddings),
+               sqv AS (
+                 SELECT e.vec_id, i,
+                        CASE WHEN m.mx = 0 THEN 0
+                             ELSE CAST(round((CAST(embedding[i] AS DOUBLE) * 127.0) / m.mx)
+                                       AS BIGINT) END AS v
+                 FROM embeddings e JOIN mxs m USING (vec_id), range(1, ${Dim + 1}) t(i)),
+               sdots AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                        CAST(sum(q.v * c.v) AS BIGINT) AS dot
+                 FROM sqv q JOIN sqv c ON q.i = c.i AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5
+                 GROUP BY 1, 2),
+               sranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY dot DESC, cand_id ASC) AS rank
+                 FROM sdots),
+               bits AS (
+                 SELECT vec_id,
+                        sum(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS b0,
+                        sum(CASE WHEN v > 0 AND i > 32 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS b1
+                 FROM qv GROUP BY 1),
+               bqranked AS (
+                 SELECT query_id, cand_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY ham ASC, cand_id ASC) AS rank
+                 FROM (
+                   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                          bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS ham
+                   FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+                   WHERE q.vec_id < 5)),
+               cs AS (SELECT cb FROM (VALUES (5), (10), (25)) v(cb)),
+               tiers AS (SELECT t FROM (VALUES ('pq'), ('sq'), ('bq')) v(t)),
+               retr AS (
+                 SELECT 'pq' AS tier, cs.cb, query_id, cand_id
+                 FROM pqranked, cs WHERE rank <= cs.cb
+                 UNION ALL
+                 SELECT 'sq' AS tier, cs.cb, query_id, cand_id
+                 FROM sranked, cs WHERE rank <= cs.cb
+                 UNION ALL
+                 SELECT 'bq' AS tier, cs.cb, query_id, cand_id
+                 FROM bqranked, cs WHERE rank <= cs.cb)
+             SELECT ti.t AS tier, cs.cb AS c, tr.query_id,
+                    count(r.cand_id)::DOUBLE / 5 AS recall
+             FROM truth tr
+             CROSS JOIN tiers ti
+             CROSS JOIN cs
+             LEFT JOIN retr r ON r.tier = ti.t AND r.cb = cs.cb
+                             AND r.query_id = tr.query_id
+                             AND r.cand_id = tr.cand_id
+             GROUP BY 1, 2, 3
+             ORDER BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
-    annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain, annRecall)
+    annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain, annRecall,
+    annQuantRecall)
 }

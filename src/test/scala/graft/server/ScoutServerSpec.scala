@@ -29,8 +29,10 @@ class ScoutServerSpec extends SparkSpec {
 
   override def afterAll(): Unit = { server.stop(); super.afterAll() }
 
-  private def http(method: String, path: String, body: String = null): (Int, String, Map[String, String]) = {
-    val conn = URI.create(s"http://127.0.0.1:${server.boundPort}$path")
+  private def http(method: String, path: String, body: String = null,
+                   port: Int = -1): (Int, String, Map[String, String]) = {
+    val p = if (port > 0) port else server.boundPort
+    val conn = URI.create(s"http://127.0.0.1:$p$path")
       .toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     if (body != null) {
@@ -185,6 +187,112 @@ class ScoutServerSpec extends SparkSpec {
     assert(c1 == 422 && b1.contains("detail"))
     val (c2, _, _) = http("GET", "/v1/geocode/reverse")
     assert(c2 == 405)
+  }
+
+  test("soak: concurrent forward+reverse over HTTP across a reload and a concurrent index maintain") {
+    // the r12 gap: ScoutEngineSpec drives the ENGINE across a reload,
+    // but the HTTP layer (thread pool, Server-Timing, JSON codec) had
+    // never served a concurrent request storm spanning a snapshot swap
+    // AND a concurrent maintenance pass running Spark jobs on the same
+    // session. Contract under soak: zero 5xx, and every body equals one
+    // snapshot's full answer — never a mix.
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val admin = Row(100L, "Malaysia",
+      Map("boundary" -> "administrative", "admin_level" -> "2"),
+      "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))")
+    def gaz(rows: Seq[Row]) = {
+      val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val p = GazetteerBuilder.buildPois(raw)
+      (p, GazetteerBuilder.buildAdmin(raw),
+        graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(p)))
+    }
+    val (p1, a1, ix1) = gaz(Seq(
+      Row(1L, "Monograph Dining", Map("amenity" -> "restaurant"), "POINT(101.6869 3.139)"), admin))
+    val (p2, a2, ix2) = gaz(Seq(
+      Row(9L, "Monograph Annex", Map("amenity" -> "restaurant"), "POINT(101.69 3.14)"), admin))
+    val eng = new ScoutEngine(spark, p1, a1, Settings(), nameIndex = Some(ix1))
+    val soak = new ScoutServer(eng, port = 0).start()
+    // a text index under maintenance on the SAME SparkSession: base +
+    // two appended shards, folded mid-storm
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-soak-tindex").toString + "/idx"
+    import spark.implicits._
+    def tdocs(ids: Seq[Long]) = ids
+      .map(i => (i, s"fox spark jugs doc$i tok${i % 5}")).toDF("doc_id", "text")
+    graft.ext.TextIndex.write(tdocs(0L until 8L), idxPath)
+    graft.ext.TextIndex.append(tdocs(8L until 12L), idxPath)
+    graft.ext.TextIndex.append(tdocs(12L until 16L), idxPath)
+    try {
+      val fwdReq = """{"candidates":[{"text":"monograph"}],"country":"malaysia","limit":5}"""
+      val revReq = """{"points":[{"lat": 3.14, "lon": 101.69}]}"""
+      // legal bodies: v1 now; v2 from a throwaway engine over the same frames
+      val fwd1 = http("POST", "/v1/geocode/forward", fwdReq, soak.boundPort)
+      val rev1 = http("POST", "/v1/geocode/reverse", revReq, soak.boundPort)
+      assert(fwd1._1 == 200 && fwd1._2.contains("Monograph Dining"), fwd1._2)
+      assert(rev1._1 == 200 && rev1._2.contains("Monograph Dining"), rev1._2)
+      val ref = new ScoutEngine(spark, p2, a2, Settings(), nameIndex = Some(ix2))
+      val refSrv = new ScoutServer(ref, port = 0).start()
+      val fwd2 = http("POST", "/v1/geocode/forward", fwdReq, refSrv.boundPort)
+      val rev2 = http("POST", "/v1/geocode/reverse", revReq, refSrv.boundPort)
+      assert(fwd2._2.contains("Monograph Annex"), fwd2._2)
+      assert(rev2._2.contains("Monograph Annex"), rev2._2)
+      refSrv.stop(); ref.close()
+      val legalFwd = Set(fwd1._2, fwd2._2)
+      val legalRev = Set(rev1._2, rev2._2)
+      // 8 threads × 200 requests, alternating forward/reverse; reload
+      // and maintain fire while the storm is in flight
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val seenFwd = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map(t => new Thread(() => {
+        try {
+          for (i <- 0 until 200) {
+            val isFwd = (t + i) % 2 == 0
+            val (code, body, _) =
+              if (isFwd) http("POST", "/v1/geocode/forward", fwdReq, soak.boundPort)
+              else http("POST", "/v1/geocode/reverse", revReq, soak.boundPort)
+            if (code != 200) bad.add(s"$code: $body")
+            else if (isFwd) {
+              seenFwd.add(body)
+              if (!legalFwd.contains(body)) bad.add(s"mixed fwd body: $body")
+            } else if (!legalRev.contains(body)) bad.add(s"mixed rev body: $body")
+          }
+          done.incrementAndGet(); ()
+        } catch { case e: Throwable => bad.add(s"thread died: $e") }
+      }))
+      threads.foreach(_.start())
+      Thread.sleep(150)
+      // the concurrent maintenance pass (its Spark jobs share the session)
+      val report = new java.util.concurrent.atomic.AtomicReference[graft.ext.MaintainReport]()
+      val maintThread = new Thread(() => {
+        try report.set(graft.ext.TextIndex.maintain(spark, idxPath, maxShards = 1))
+        catch { case e: Throwable => bad.add(s"maintain died: $e") }
+      })
+      maintThread.start()
+      eng.reload(p2, a2, Some(ix2))
+      threads.foreach(_.join(180000))
+      maintThread.join(180000)
+      assert(bad.isEmpty, s"soak violations (${bad.size}): ${bad.peek()}")
+      assert(done.get() == 8, "every soak thread must finish its 200 requests")
+      // post-reload answers actually arrived
+      assert(seenFwd.contains(fwd2._2), "no post-reload forward body observed")
+      // the maintenance pass really folded, and the index still serves
+      // exactly like a from-scratch rebuild
+      assert(Option(report.get()).exists(_.action != "none"),
+        s"maintain must have folded during the storm: ${report.get()}")
+      val reb = java.nio.file.Files
+        .createTempDirectory("graft-soak-reb").toString + "/idx"
+      graft.ext.TextIndex.write(tdocs(0L until 16L), reb)
+      def tserve(p: String) = graft.ext.TextIndex
+        .bm25TopK(spark, p, Seq("fox", "spark", "jugs"), 100, 1.2, 0.75)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(tserve(idxPath) == tserve(reb),
+        "index maintained during the soak must serve like a rebuild")
+    } finally { soak.stop(); eng.close() }
   }
 
   test("json codec round-trips escapes") {
