@@ -279,28 +279,49 @@ object StreamingQueries {
         StreamOps.replayToTable(s, stream,
           s"st_refresh_stage_${System.nanoTime()}", "append")
       }
-      def generation(lo: Int, hi: Int): org.apache.spark.sql.DataFrame = {
-        // re-open the bucket table NOW: the static side must reflect the
-        // index state at this generation's start, including shards
-        // appended since the previous one
-        val buckets = s.read.parquet(s"$idxPath/buckets")
-          .select(col("band"), col("bucket"), col("id").as("index_id"))
-        StreamOps.nearDupBands(
-            staged.filter(col("doc_id") >= lo && col("doc_id") < hi),
-            "doc_id", "text", MhHashes, 2)
-          .join(buckets, Seq("band", "bucket"))
+      // a doc's band keys do not depend on the generation — only the
+      // BUCKET snapshot each generation joins against does — so the
+      // heavy expression tree (canon regex chain × 8 minhash HOF
+      // columns) is planned and run ONCE over the whole staged window
+      // instead of once per generation (measured: each fresh
+      // nearDupBands plan cost ~0.2 s of analysis/codegen against
+      // ~0.01 s of actual compute at this size)
+      val allBands = withShufflePartitions(s, 4) {
+        StreamOps.nearDupBands(staged, "doc_id", "text", MhHashes, 2)
+          .localCheckpoint(true)
+      }
+      // each generation joins the bucket table AS OF its own start.
+      // The PRE-append snapshot must be MATERIALIZED (localCheckpoint),
+      // not merely constructed early: serving both generations from one
+      // final plan lets Catalyst reuse broadcast exchanges, and two
+      // same-path parquet scans canonicalize as identical even when
+      // their pinned file listings differ — the round-13 first attempt
+      // (two lazy reads bracketing the append) silently served BOTH
+      // generations from one snapshot. A checkpointed 400-row relation
+      // cannot be confused with the fresh post-append scan. Each
+      // snapshot is a handful of band rows — broadcast, so the joins
+      // are shuffle-free broadcast-hash (at crawl scale the incoming
+      // generation stays the small side — no repartition of the bulk).
+      def genJoin(lo: Int, hi: Int,
+                  buckets: org.apache.spark.sql.DataFrame) =
+        allBands.filter(col("id") >= lo && col("id") < hi)
+          .join(broadcast(buckets), Seq("band", "bucket"))
           .groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_hits"))
+      def bucketsNow() = s.read.parquet(s"$idxPath/buckets")
+        .select(col("band"), col("bucket"), col("id").as("index_id"))
+      val bucketsPre = withShufflePartitions(s, 4) {
+        bucketsNow().localCheckpoint(true) // materialized BEFORE the append
       }
-      // gen1 must MATERIALIZE before the append mutates the bucket
-      // table it lazily reads (localCheckpoint: the result is ≤ one row
-      // per streamed doc)
-      val gen1 = generation(100, 150).localCheckpoint(true)
       graft.ext.MinHashIndex.append(
         toksOf(col("doc_id") >= 100 && col("doc_id") < 150),
         idxPath, MhHashes, rowsPerBand = 2, partitions = 1)
-      val gen2 = generation(150, 200)
-      gen1.unionByName(gen2).orderBy("doc_id")
+      // ONE final job serves both generations (the drain, the shared
+      // band pass, and the append already each paid a job — the two
+      // tiny broadcast joins don't need two more materializations)
+      genJoin(100, 150, bucketsPre)
+        .unionByName(genJoin(150, 200, bucketsNow()))
+        .orderBy("doc_id")
     },
     Some(
       s"""WITH sig_idx1 AS (${mhSigSqlOf("doc_id < 100")}),
