@@ -150,9 +150,19 @@ private[ext] object IndexIO {
       s"_hb-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.writeBytes(s"${System.currentTimeMillis()}\n") finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "HB"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val hb = new org.apache.hadoop.fs.Path(dir, "HB")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      fc.rename(tmp, hb, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      // scheme without an AbstractFileSystem binding: non-atomic
+      // delete+rename replace (the pre-FileContext behavior — a reader
+      // racing the replace falls back to the CLAIM line / mtime)
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(hb, false)
+        if (!fs.rename(tmp, hb))
+          throw new java.io.IOException(s"heartbeat replace failed for $hb")
+    }
   }
 
   /** First (trimmed) line of a small text file; None on any IO failure.
@@ -740,6 +750,40 @@ private[ext] object IndexIO {
     Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme)
       .exists(s => NonAtomicRenameSchemes.contains(s.toLowerCase))
 
+  /** FileContext for `p` when the scheme has an AbstractFileSystem
+    * binding; None when it does not (vendor connectors often ship only
+    * a FileSystem impl — `fs.AbstractFileSystem.<scheme>.impl` unset).
+    * Callers fall back to the legacy FileSystem primitives there
+    * instead of failing with a misleading error. */
+  private def fcTry(spark: SparkSession, p: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.FileContext] =
+    try Some(fcOf(spark, p))
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+    }
+
+  /** Dest-must-not-exist rename: ATOMIC (`FileContext` + `Rename.NONE`,
+    * HDFS enforces it server-side) when the scheme has a FileContext
+    * binding; the legacy exists-then-rename pair otherwise (best
+    * effort — such schemes predate the atomic contract and keep their
+    * pre-round-13 behavior). Returns true iff `src` now sits at `dst`;
+    * false when the destination already exists. Other IO failures
+    * propagate. Used for lock acquisition AND both restore paths — a
+    * bare `FileSystem.rename(src, existingDir)` on Hadoop semantics
+    * moves src INTO the destination and returns true, which on the
+    * restore path would nest a stolen lock inside a successor's lock
+    * dir while reporting success. */
+  private def renameExclusive(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              src: org.apache.hadoop.fs.Path,
+                              dst: org.apache.hadoop.fs.Path): Boolean =
+    fcTry(spark, dst) match {
+      case Some(fc) =>
+        try { fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      case None => !fs.exists(dst) && fs.rename(src, dst)
+    }
+
   def acquireMaintLock(spark: SparkSession, root: String): String = {
     if (maintLockMs <= 0L) return ""
     if (isNonAtomicRenameScheme(root)) {
@@ -800,7 +844,10 @@ private[ext] object IndexIO {
               catch { case _: java.io.IOException => false }
             if (verified)
               fs.delete(broken, true) // broke the lock we measured
-            else if (!fs.rename(broken, lock)) // stole a LIVE lock — restore
+            // stole a LIVE lock — restore EXCLUSIVELY (a plain rename
+            // onto an existing successor lock would nest the stolen
+            // dir inside it and report success)
+            else if (!renameExclusive(spark, fs, broken, lock))
               throw new java.io.IOException(
                 s"acquireMaintLock on $root: renamed a live maintainer's " +
                   s"lock aside and could not restore it — repair $broken " +
@@ -815,21 +862,39 @@ private[ext] object IndexIO {
       val f = fs.create(new org.apache.hadoop.fs.Path(staging, "CLAIM"), false)
       try f.writeBytes(s"$nonce\n${System.currentTimeMillis()}\n")
       finally f.close()
-      // acquisition rename is FileContext + Rename.NONE — the one
-      // dest-must-not-exist ATOMIC rename in the Hadoop API (HDFS
-      // enforces it server-side). The old exists-then-FileSystem.rename
-      // pair was check-then-act: on filesystems where rename(src,
-      // existingDir) moves src INTO the destination, a racer losing
-      // between the two calls would deposit its staging dir inside the
-      // live holder's lock dir — ownership still decided right by the
-      // nonce verify, but the garbage bumped the dir mtime (and claimTs
-      // used to fold mtime into its max, extending apparent freshness).
+      // acquisition rename is dest-must-not-exist ([[renameExclusive]]
+      // — atomic via FileContext Rename.NONE where bound; HDFS enforces
+      // it server-side). The old exists-then-FileSystem.rename pair was
+      // check-then-act: on filesystems where rename(src, existingDir)
+      // moves src INTO the destination, a racer losing between the two
+      // calls would deposit its staging dir inside the live holder's
+      // lock dir — ownership still decided right by the nonce verify,
+      // but the garbage bumped the dir mtime (and claimTs used to fold
+      // mtime into its max, extending apparent freshness).
       val won =
         try {
-          fcOf(spark, lock).rename(staging, lock,
-            org.apache.hadoop.fs.Options.Rename.NONE)
-          readLine1(fs,
-            new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
+          if (!renameExclusive(spark, fs, staging, lock)) {
+            fs.delete(staging, true); false
+          } else {
+            // verify with the STRICT reader: the rename succeeded, so
+            // this process very likely owns the lock — a lenient read
+            // that swallowed a transient error here would abandon an
+            // owned, never-heartbeated lock and block every maintainer
+            // for a full maintLockMs. Readable-but-mismatched nonce
+            // (a copy-merge filesystem let both racers "succeed") —
+            // leave the racer's lock alone; UNREADABLE — release our
+            // probable lock best-effort and re-race.
+            try readLine1OrThrow(fs,
+              new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
+            catch {
+              case _: java.io.IOException =>
+                val aside = new org.apache.hadoop.fs.Path(
+                  s"$root/_maintlock-unverified-${java.util.UUID.randomUUID().toString.take(8)}")
+                try { if (fs.rename(lock, aside)) fs.delete(aside, true) }
+                catch { case _: java.io.IOException => () }
+                false
+            }
+          }
         } catch {
           case _: java.io.IOException => fs.delete(staging, true); false
         }
@@ -893,7 +958,9 @@ private[ext] object IndexIO {
       if (!fs.rename(lock, rel)) { warn("lock vanished in release — skipped"); return }
       if (readLine1(fs, new org.apache.hadoop.fs.Path(rel, "CLAIM")).contains(nonce))
         fs.delete(rel, true)
-      else if (fs.rename(rel, lock))
+      // restore EXCLUSIVELY: a plain rename onto a successor's newer
+      // lock would nest the stolen dir inside it and "succeed"
+      else if (renameExclusive(spark, fs, rel, lock))
         warn("lock was re-acquired by a successor during release — restored")
       else
         warn(s"took a successor's lock during release and could not " +

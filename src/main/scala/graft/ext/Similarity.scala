@@ -89,7 +89,8 @@ object Similarity {
     * candidate id. Same broadcast-queries shape as [[bruteForceTopK]]
     * — the corpus never shuffles, and the recall join is per-query
     * top-k vs top-k (tiny). */
-  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             includeExact: Boolean = true): DataFrame = {
     val q = broadcast(withSq8(queries, "embedding")
       .select(col("vec_id").as("query_id"), col("sq").as("q_sq")))
     val c = withSq8(corpus, "embedding")
@@ -102,11 +103,16 @@ object Similarity {
         Window.partitionBy("query_id")
           .orderBy(col("dot").desc, col("cand_id").asc)))
       .filter(col("rank") <= k)
-    val exact = bruteForceTopK(queries, corpus, k)
-      .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
-    sq.join(exact, Seq("query_id", "cand_id"), "left")
-      .select(col("query_id"), col("rank"), col("cand_id"), col("dot"),
-        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+    // includeExact = false skips the recall-accounting brute-force leg
+    // (and the in_exact column) — see [[pqTopK]]
+    if (!includeExact) sq.select("query_id", "rank", "cand_id", "dot")
+    else {
+      val exact = bruteForceTopK(queries, corpus, k)
+        .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
+      sq.join(exact, Seq("query_id", "cand_id"), "left")
+        .select(col("query_id"), col("rank"), col("cand_id"), col("dot"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+    }
   }
 
   /** 1-bit binary quantization: the sign bits of the quantized
@@ -371,9 +377,14 @@ object Similarity {
     * subvectors, the same seeding convention as [[ivfTopK]]); a
     * Lloyd-refined codebook drops in the same way [[trainIvfCentroids]]
     * feeds [[ivfTopK]]. Argmin ties break to the lowest code id.
-    * Returns (query_id, rank, cand_id, adist). */
+    * Returns (query_id, rank, cand_id, adist, in_exact); with
+    * `includeExact = false` the recall-accounting brute-force leg is
+    * skipped and the `in_exact` column is absent — for callers (the
+    * recall AUDITS) that compute their own truth once and would
+    * otherwise pay a redundant whole-corpus exact pass per tier. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int, ks: Int, dim: Int): DataFrame = {
+             m: Int, ks: Int, dim: Int,
+             includeExact: Boolean = true): DataFrame = {
     require(dim % m == 0, s"pqTopK needs m | dim, got $m / $dim")
     val sub = dim / m
     def subspaces(q: Column) = array((0 until m).map(s =>
@@ -418,14 +429,18 @@ object Similarity {
         Window.partitionBy("query_id")
           .orderBy(col("adist").asc, col("cand_id").asc)))
       .filter(col("rank") <= k)
-    // recall accounting vs the full-precision top-k (the [[sqTopK]] /
-    // [[bqTopK]] acceptance measurement): the compression-vs-recall
-    // trade is reported per hit, not asserted. Sampled at corpus scale.
-    val exact = bruteForceTopK(queries, corpus, k)
-      .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
-    ranked.join(exact, Seq("query_id", "cand_id"), "left")
-      .select(col("query_id"), col("rank"), col("cand_id"), col("adist"),
-        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+    if (!includeExact)
+      ranked.select("query_id", "rank", "cand_id", "adist")
+    else {
+      // recall accounting vs the full-precision top-k (the [[sqTopK]] /
+      // [[bqTopK]] acceptance measurement): the compression-vs-recall
+      // trade is reported per hit, not asserted. Sampled at corpus scale.
+      val exact = bruteForceTopK(queries, corpus, k)
+        .select(col("query_id"), col("cand_id"), lit(true).as("in_exact"))
+      ranked.join(exact, Seq("query_id", "cand_id"), "left")
+        .select(col("query_id"), col("rank"), col("cand_id"), col("adist"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH — the

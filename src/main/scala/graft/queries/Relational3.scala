@@ -146,9 +146,13 @@ object Relational3 {
     * low-cardinality columns to shrink the Expand — measured 3× WORSE
     * (mixing an object aggregate into an Expand plan forces the whole
     * aggregate down to SortAggregate). This Expand shape is the plan
-    * to run at 100 TB. */
+    * to run at 100 TB. Shuffle width deliberately NOT pinned here:
+    * the conf is read at ACTION time, so a build-only wrapper would be
+    * a no-op for the bench's deferred count (round-13 review), and the
+    * probe's width sweep showed no width sensitivity at this size
+    * anyway. */
   val r29Profile = Q("r29_profile",
-    (s, dir) => Q.withShuffleWidth(s, 8) {
+    (s, dir) => {
       val o = orders(s, dir)
       def nn(c: String) = count(col(c)).as(s"nn_$c")
       def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")

@@ -542,20 +542,13 @@ object SimilarityQueries {
   private val PqM = 8   // subspaces (64-dim → 8×8)
   private val PqKs = 16 // codewords per subspace
 
-  /** Product-quantization ANN (ADC): vectors compressed to 8 codes of
-    * 16 codewords each; candidates ranked by summed per-subspace lookup
-    * distances — the compression scale path ([[Similarity.pqTopK]]).
-    * Everything is INT64 squared-L2 over quantized components, so the
-    * oracle reproduces codes, distance tables, and ranking bit-exactly
-    * (the one approximation — PQ itself — is deterministic). */
-  val annPq = Q("ann_pq_topk",
-    (s, dir) => Similarity.pqTopK(
-      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
-      k = 5, m = PqM, ks = PqKs, dim = Dim)
-      .select("query_id", "rank", "cand_id", "adist", "in_exact")
-      .orderBy("query_id", "rank"),
-    Some(s"""WITH qv AS (${qvSql()}),
-               seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs),
+  /** Shared oracle CTE fragments — each tier's ranking chain has ONE
+    * SQL body, composed into both its own query's oracle and the
+    * recall audit's (independent copies of a 20-line CTE chain drift;
+    * the [[qvSql]] / `mhSigSqlOf` precedent). All assume `qv` (and for
+    * [[exactRankedCtes]], `norms`) CTEs in scope. */
+  private def pqCtes: String =
+    s"""seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs),
                cw AS (
                  SELECT vec_id AS code, (i - 1) // ${Dim / PqM} AS s, i, v AS w
                  FROM qv WHERE vec_id IN (SELECT vec_id FROM seeds)),
@@ -576,14 +569,38 @@ object SimilarityQueries {
                adc AS (
                  SELECT t.query_id, c.cand_id, CAST(sum(t.d2) AS BIGINT) AS adist
                  FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.code
-                 GROUP BY 1, 2),
-               ranked AS (
-                 SELECT query_id, cand_id, adist,
-                        row_number() OVER (PARTITION BY query_id
-                          ORDER BY adist ASC, cand_id ASC) AS rank
-                 FROM adc WHERE query_id <> cand_id),
-               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
-               edots AS (
+                 GROUP BY 1, 2)"""
+
+  private def sqCtes: String =
+    s"""mxs AS (
+               SELECT vec_id,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS mx
+               FROM embeddings),
+             sqv AS (
+               SELECT e.vec_id, i,
+                      CASE WHEN m.mx = 0 THEN 0
+                           ELSE CAST(round((CAST(embedding[i] AS DOUBLE) * 127.0) / m.mx)
+                                     AS BIGINT) END AS v
+               FROM embeddings e JOIN mxs m USING (vec_id), range(1, ${Dim + 1}) t(i)),
+             sdots AS (
+               SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      CAST(sum(q.v * c.v) AS BIGINT) AS dot
+               FROM sqv q JOIN sqv c ON q.i = c.i AND q.vec_id <> c.vec_id
+               WHERE q.vec_id < 5
+               GROUP BY 1, 2)"""
+
+  private def bqBitsCtes: String =
+    s"""bits AS (
+                 SELECT vec_id,
+                        sum(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS b0,
+                        sum(CASE WHEN v > 0 AND i > 32 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS b1
+                 FROM qv GROUP BY 1)"""
+
+  /** Full-precision exact ranking (edots → eranked) — the truth leg
+    * shared by the per-hit `in_exact` flags and the recall audits. */
+  private def exactRankedCtes: String =
+    s"""edots AS (
                  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
                  FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
                  WHERE q.vec_id < 5 GROUP BY 1, 2),
@@ -594,7 +611,29 @@ object SimilarityQueries {
                                    cand_id ASC) AS rank
                  FROM edots
                  JOIN norms qn ON query_id = qn.vec_id
-                 JOIN norms cn ON cand_id = cn.vec_id)
+                 JOIN norms cn ON cand_id = cn.vec_id)"""
+
+  /** Product-quantization ANN (ADC): vectors compressed to 8 codes of
+    * 16 codewords each; candidates ranked by summed per-subspace lookup
+    * distances — the compression scale path ([[Similarity.pqTopK]]).
+    * Everything is INT64 squared-L2 over quantized components, so the
+    * oracle reproduces codes, distance tables, and ranking bit-exactly
+    * (the one approximation — PQ itself — is deterministic). */
+  val annPq = Q("ann_pq_topk",
+    (s, dir) => Similarity.pqTopK(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 5, m = PqM, ks = PqKs, dim = Dim)
+      .select("query_id", "rank", "cand_id", "adist", "in_exact")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH qv AS (${qvSql()}),
+               $pqCtes,
+               ranked AS (
+                 SELECT query_id, cand_id, adist,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist ASC, cand_id ASC) AS rank
+                 FROM adc WHERE query_id <> cand_id),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               $exactRankedCtes
              SELECT r.query_id, r.rank, r.cand_id, r.adist,
                     (e.cand_id IS NOT NULL) AS in_exact
              FROM ranked r
@@ -621,11 +660,7 @@ object SimilarityQueries {
       .select("query_id", "rank", "cand_id", "cosine", "in_exact")
       .orderBy("query_id", "rank"),
     Some(s"""WITH qv AS (${qvSql()}),
-               bits AS (
-                 SELECT vec_id,
-                        sum(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS b0,
-                        sum(CASE WHEN v > 0 AND i > 32 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS b1
-                 FROM qv GROUP BY 1),
+               $bqBitsCtes,
                pre AS (
                  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                         bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) AS ham
@@ -655,18 +690,7 @@ object SimilarityQueries {
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, cand_id ASC) AS rank
                  FROM scored),
-               edots AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
-                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < 5 GROUP BY 1, 2),
-               eranked AS (
-                 SELECT query_id, cand_id,
-                        row_number() OVER (PARTITION BY query_id
-                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
-                                   cand_id ASC) AS rank
-                 FROM edots
-                 JOIN norms qn ON query_id = qn.vec_id
-                 JOIN norms cn ON cand_id = cn.vec_id)
+               $exactRankedCtes
              SELECT r.query_id, r.rank, r.cand_id, r.cosine,
                     (e.cand_id IS NOT NULL) AS in_exact
              FROM ranked r
@@ -678,23 +702,7 @@ object SimilarityQueries {
     (s, dir) => Similarity.sqTopK(
       emb(s, dir).filter(col("vec_id") < 5), emb(s, dir), k = 10)
       .orderBy("query_id", "rank"),
-    Some(s"""WITH mxs AS (
-               SELECT vec_id,
-                      list_max(list_transform(embedding,
-                        x -> abs(CAST(x AS DOUBLE)))) AS mx
-               FROM embeddings),
-             sqv AS (
-               SELECT e.vec_id, i,
-                      CASE WHEN m.mx = 0 THEN 0
-                           ELSE CAST(round((CAST(embedding[i] AS DOUBLE) * 127.0) / m.mx)
-                                     AS BIGINT) END AS v
-               FROM embeddings e JOIN mxs m USING (vec_id), range(1, ${Dim + 1}) t(i)),
-             sdots AS (
-               SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                      CAST(sum(q.v * c.v) AS BIGINT) AS dot
-               FROM sqv q JOIN sqv c ON q.i = c.i AND q.vec_id <> c.vec_id
-               WHERE q.vec_id < 5
-               GROUP BY 1, 2),
+    Some(s"""WITH $sqCtes,
              sranked AS (
                SELECT query_id, cand_id, dot,
                       row_number() OVER (PARTITION BY query_id
@@ -762,18 +770,7 @@ object SimilarityQueries {
     },
     Some(s"""WITH qv AS (${qvSql()}),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
-               edots AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
-                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < 5 GROUP BY 1, 2),
-               eranked AS (
-                 SELECT query_id, cand_id,
-                        row_number() OVER (PARTITION BY query_id
-                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
-                                   cand_id ASC) AS rank
-                 FROM edots
-                 JOIN norms qn ON query_id = qn.vec_id
-                 JOIN norms cn ON cand_id = cn.vec_id),
+               $exactRankedCtes,
                truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
                cent AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $NCent),
                cdots AS (
@@ -858,11 +855,15 @@ object SimilarityQueries {
       val truth = Similarity.bruteForceTopK(q, c, k = 5)
         .select(col("query_id"), col("cand_id"))
       // PQ/SQ: one ranked call each at the max bound; membership at C is
-      // rank ≤ C (ranks are deterministic: adist/dot with cand_id ties)
-      val pq = Similarity.pqTopK(q, c, k = maxC, m = PqM, ks = PqKs, dim = Dim)
+      // rank ≤ C (ranks are deterministic: adist/dot with cand_id ties).
+      // includeExact = false: the audit computes its OWN truth once —
+      // the tiers' per-hit recall legs would be two redundant
+      // whole-corpus exact passes
+      val pq = Similarity.pqTopK(q, c, k = maxC, m = PqM, ks = PqKs, dim = Dim,
+          includeExact = false)
         .select(lit("pq").as("tier"), col("query_id"), col("cand_id"),
           col("rank").as("arank"))
-      val sq = Similarity.sqTopK(q, c, k = maxC)
+      val sq = Similarity.sqTopK(q, c, k = maxC, includeExact = false)
         .select(lit("sq").as("tier"), col("query_id"), col("cand_id"),
           col("rank").as("arank"))
       val csDf = Cs.toDF("c")
@@ -904,73 +905,21 @@ object SimilarityQueries {
     },
     Some(s"""WITH qv AS (${qvSql()}),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
-               edots AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.v * c.v) AS dot
-                 FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < 5 GROUP BY 1, 2),
-               eranked AS (
-                 SELECT query_id, cand_id,
-                        row_number() OVER (PARTITION BY query_id
-                          ORDER BY round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) DESC,
-                                   cand_id ASC) AS rank
-                 FROM edots
-                 JOIN norms qn ON query_id = qn.vec_id
-                 JOIN norms cn ON cand_id = cn.vec_id),
+               $exactRankedCtes,
                truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
-               seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs),
-               cw AS (
-                 SELECT vec_id AS code, (i - 1) // ${Dim / PqM} AS s, i, v AS w
-                 FROM qv WHERE vec_id IN (SELECT vec_id FROM seeds)),
-               cdist AS (
-                 SELECT a.vec_id AS vid, c.s, c.code,
-                        CAST(sum((a.v - c.w) * (a.v - c.w)) AS BIGINT) AS d2
-                 FROM qv a JOIN cw c ON c.i = a.i
-                 GROUP BY 1, 2, 3),
-               codes AS (
-                 SELECT vid AS cand_id, s, code FROM (
-                   SELECT vid, s, code,
-                          row_number() OVER (PARTITION BY vid, s
-                            ORDER BY d2 ASC, code ASC) AS rn
-                   FROM cdist)
-                 WHERE rn = 1),
-               qtab AS (
-                 SELECT vid AS query_id, s, code, d2 FROM cdist WHERE vid < 5),
-               adc AS (
-                 SELECT t.query_id, c.cand_id, CAST(sum(t.d2) AS BIGINT) AS adist
-                 FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.code
-                 GROUP BY 1, 2),
+               $pqCtes,
                pqranked AS (
                  SELECT query_id, cand_id,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY adist ASC, cand_id ASC) AS rank
                  FROM adc WHERE query_id <> cand_id),
-               mxs AS (
-                 SELECT vec_id,
-                        list_max(list_transform(embedding,
-                          x -> abs(CAST(x AS DOUBLE)))) AS mx
-                 FROM embeddings),
-               sqv AS (
-                 SELECT e.vec_id, i,
-                        CASE WHEN m.mx = 0 THEN 0
-                             ELSE CAST(round((CAST(embedding[i] AS DOUBLE) * 127.0) / m.mx)
-                                       AS BIGINT) END AS v
-                 FROM embeddings e JOIN mxs m USING (vec_id), range(1, ${Dim + 1}) t(i)),
-               sdots AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                        CAST(sum(q.v * c.v) AS BIGINT) AS dot
-                 FROM sqv q JOIN sqv c ON q.i = c.i AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < 5
-                 GROUP BY 1, 2),
+               $sqCtes,
                sranked AS (
                  SELECT query_id, cand_id,
                         row_number() OVER (PARTITION BY query_id
                           ORDER BY dot DESC, cand_id ASC) AS rank
                  FROM sdots),
-               bits AS (
-                 SELECT vec_id,
-                        sum(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS b0,
-                        sum(CASE WHEN v > 0 AND i > 32 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS b1
-                 FROM qv GROUP BY 1),
+               $bqBitsCtes,
                bqranked AS (
                  SELECT query_id, cand_id,
                         row_number() OVER (PARTITION BY query_id
