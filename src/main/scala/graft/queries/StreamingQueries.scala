@@ -298,14 +298,19 @@ object StreamingQueries {
       // their pinned file listings differ — the round-13 first attempt
       // (two lazy reads bracketing the append) silently served BOTH
       // generations from one snapshot. A checkpointed 400-row relation
-      // cannot be confused with the fresh post-append scan. Each
-      // snapshot is a handful of band rows — broadcast, so the joins
-      // are shuffle-free broadcast-hash (at crawl scale the incoming
-      // generation stays the small side — no repartition of the bulk).
+      // cannot be confused with the fresh post-append scan (at real
+      // crawl scale the as-of-generation snapshot is a versioned
+      // CURRENT pointer read, not a checkpoint — the fixture-scale
+      // stand-in keeps the same read-at-generation-start semantics).
+      // The BROADCAST side is the generation's bands: that side is
+      // bounded by the crawl window, while the stored bucket table
+      // accretes without bound as the crawl runs — force-broadcasting
+      // the index would hit the broadcast-relation ceiling exactly when
+      // the index has grown enough to matter (round-13 review).
       def genJoin(lo: Int, hi: Int,
                   buckets: org.apache.spark.sql.DataFrame) =
-        allBands.filter(col("id") >= lo && col("id") < hi)
-          .join(broadcast(buckets), Seq("band", "bucket"))
+        broadcast(allBands.filter(col("id") >= lo && col("id") < hi))
+          .join(buckets, Seq("band", "bucket"))
           .groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_hits"))
       def bucketsNow() = s.read.parquet(s"$idxPath/buckets")
@@ -338,6 +343,92 @@ object StreamingQueries {
             UNION ALL
             SELECT q.id AS doc_id, count(*) AS n_hits FROM b_q2 q
             JOIN b_idx2 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
+          ) ORDER BY doc_id"""))
+
+  /** The crawl loop as ONE LONG-LIVED streaming query
+    * ([[StreamOps.nearDupLoop]]) — the deployment shape that AMORTIZES
+    * the per-generation lifecycle floor the drain queries pay. Where
+    * [[stNearDupRefresh]] pins the between-generation refresh protocol
+    * at drain granularity (a fresh bounded replay per window), this
+    * query keeps a single started streaming query alive across THREE
+    * crawl generations: each generation arrives as a micro-batch
+    * (MemoryStream here — the in-process stand-in for the Kafka/file
+    * tail the same code serves in production; the transforms never see
+    * the source type), its per-row signature bands join the bucket
+    * table AS OF that batch (`bucketsNow` re-reads inside
+    * `foreachBatch`, so the shard appended between generations is
+    * visible WITHOUT a query restart), and planning + state-store +
+    * checkpoint setup are paid ONCE for the whole crawl. Generations 2
+    * and 3 must collide with every previously appended half — the hash
+    * match pins mid-query index freshness. The driver-side generation
+    * feed and per-batch hit collect are bounded by the crawl WINDOW
+    * (≤34 docs here), never the corpus. */
+  val stCrawlLoop = Q("st_crawl_loop",
+    (s, dir) => {
+      def toksOf(pred: org.apache.spark.sql.Column) = graft.ext.Dedup.docTokens(
+        Tables.table(s, dir, "documents").filter(pred),
+        "doc_id", "text", distinct = false)
+      // generation 1 APPENDS onto the crawled-corpus base: private clone
+      val idxPath = Fixtures.clonedIndex(s, dir, "mhindex") { p =>
+        graft.ext.MinHashIndex.write(
+          toksOf(col("doc_id") < 100), p, MhHashes, rowsPerBand = 2)
+      }
+      val gens = Seq((100, 133), (133, 166), (166, 200))
+      // one bounded fetch of the whole crawl window, split per generation
+      val window = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val ckpt = StreamOps.volatileCheckpointDir(s)
+      val q = Q.withShuffleWidth(s, 4) {
+        StreamOps.nearDupLoop(mem.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", MhHashes, rowsPerBand = 2, checkpoint = ckpt)(
+          () => s.read.parquet(s"$idxPath/buckets")) { (_, hits) =>
+          acc ++= hits.collect().map(r => (r.getLong(0), r.getLong(1)))
+          ()
+        }
+      }
+      try {
+        gens.zipWithIndex.foreach { case ((lo, hi), i) =>
+          mem.addData(window.filter(d => d._1 >= lo && d._1 < hi).toSeq: _*)
+          q.processAllAvailable()
+          if (i < gens.size - 1) // refresh BETWEEN generations, mid-query
+            graft.ext.MinHashIndex.append(
+              toksOf(col("doc_id") >= lo && col("doc_id") < hi),
+              idxPath, MhHashes, rowsPerBand = 2, partitions = 1)
+        }
+      } finally {
+        q.stop()
+        StreamOps.dropCheckpoint(ckpt)
+      }
+      acc.toSeq.toDF("doc_id", "n_hits").orderBy("doc_id")
+    },
+    Some(
+      s"""WITH sig_idx1 AS (${mhSigSqlOf("doc_id < 100")}),
+            sig_idx2 AS (${mhSigSqlOf("doc_id < 133")}),
+            sig_idx3 AS (${mhSigSqlOf("doc_id < 166")}),
+            sig_q1 AS (${mhSigSqlOf("doc_id >= 100 AND doc_id < 133")}),
+            sig_q2 AS (${mhSigSqlOf("doc_id >= 133 AND doc_id < 166")}),
+            sig_q3 AS (${mhSigSqlOf("doc_id >= 166 AND doc_id < 200")}),
+            b_idx1 AS (${bandsSqlOver("sig_idx1")}),
+            b_idx2 AS (${bandsSqlOver("sig_idx2")}),
+            b_idx3 AS (${bandsSqlOver("sig_idx3")}),
+            b_q1 AS (${bandsSqlOver("sig_q1")}),
+            b_q2 AS (${bandsSqlOver("sig_q2")}),
+            b_q3 AS (${bandsSqlOver("sig_q3")})
+          SELECT doc_id, n_hits FROM (
+            SELECT q.id AS doc_id, count(*) AS n_hits FROM b_q1 q
+            JOIN b_idx1 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
+            UNION ALL
+            SELECT q.id AS doc_id, count(*) AS n_hits FROM b_q2 q
+            JOIN b_idx2 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
+            UNION ALL
+            SELECT q.id AS doc_id, count(*) AS n_hits FROM b_q3 q
+            JOIN b_idx3 x ON q.band = x.band AND q.bucket = x.bucket GROUP BY 1
           ) ORDER BY doc_id"""))
 
   /** Streaming ingest into the persisted BM25 text index — the
@@ -393,5 +484,5 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
     stStreamDedup, stEnrich, stNearDupFilter, stNearDupRefresh,
-    stBm25Refresh)
+    stCrawlLoop, stBm25Refresh)
 }

@@ -298,4 +298,41 @@ class StreamOpsSpec extends SparkSpec {
     q.awaitTermination()
     assert(seen.sum == 2L)
   }
+
+  test("nearDupLoop: an index appended MID-QUERY is visible to the next micro-batch") {
+    // one long-lived query, two generations, one refresh between them:
+    // docs 1/2/3 share the SAME text, so every band collides. With 8
+    // hashes × rowsPerBand 2 = 4 bands: gen-1 doc 2 sees only indexed
+    // doc 1 (4 hits); after doc 2 is appended WITHOUT restarting the
+    // query, gen-2 doc 3 must see BOTH (8 hits) — the per-batch
+    // bucketsNow() re-read is what makes the refresh visible.
+    implicit val sc = spark.sqlContext
+    import graft.ext.{Dedup, MinHashIndex}
+    val idx = graft.core.TempDirs.create("neardup-loop-spec-")
+    val text = "the quick brown fox jumps over the lazy dog"
+    def toks(ids: Long*) = Dedup.docTokens(
+      ids.map(i => (i, text)).toDF("doc_id", "text"),
+      "doc_id", "text", distinct = false)
+    MinHashIndex.write(toks(1L), idx, numHashes = 8, rowsPerBand = 2)
+    val mem = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val q = StreamOps.nearDupLoop(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 8, rowsPerBand = 2)(
+      () => spark.read.parquet(s"$idx/buckets")) { (_, hits) =>
+      val got = hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (got.nonEmpty) perBatch += got
+      ()
+    }
+    try {
+      mem.addData((2L, text))
+      q.processAllAvailable()
+      MinHashIndex.append(toks(2L), idx, numHashes = 8, rowsPerBand = 2,
+        partitions = 1)
+      mem.addData((3L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.toSeq == Seq(Set((2L, 4L)), Set((3L, 8L))),
+      s"expected gen-1 {2→4 hits} then gen-2 {3→8 hits}, got $perBatch")
+  }
 }
