@@ -119,6 +119,34 @@ object MinHashIndex {
   def pairsCurrent(spark: SparkSession, root: String, numHashes: Int): DataFrame =
     pairs(spark, IndexIO.resolveCurrent(spark, root), numHashes)
 
+  /** Path of the version CURRENT names — for callers composing their
+    * own reads over the versioned layout (e.g. a crawl loop resolving
+    * the bucket table as of each micro-batch:
+    * [[graft.streaming.StreamOps.nearDupLoop]]'s `bucketsNow` reads
+    * `currentVersion(...)/buckets`, so a [[writeVersioned]] publish
+    * that lands between micro-batches is visible to the next batch —
+    * the object-store-safe refresh, where in-place [[append]] is not
+    * the protocol). One small-file read per call. */
+  def currentVersion(spark: SparkSession, root: String): String =
+    IndexIO.resolveCurrent(spark, root)
+
+  /** The (id, band, bucket) table as the SERVING protocol sees it:
+    * commit-marker-pruned (a concurrent [[append]]'s shard is invisible
+    * until its marker lands; a crash orphan never serves) and
+    * tombstone-pruned (a [[delete]]d doc stops colliding immediately,
+    * before any compaction rewrites the files). A raw
+    * `read.parquet(path + "/buckets")` skips BOTH prunes — fine for a
+    * private fixture nothing mutates, wrong the moment another process
+    * appends or deletes. This is the `bucketsNow` a concurrent crawl
+    * loop should hand to [[graft.streaming.StreamOps.nearDupLoop]]. */
+  def buckets(spark: SparkSession, path: String): DataFrame = {
+    val committed = IndexIO.liveCommittedIds(spark, path)
+    IndexIO.requireCommittedOrLegacy(spark, path, "buckets", committed)
+    tombstones(spark, path)
+      .foldLeft(IndexIO.readCommitted(spark, path, "buckets", committed))(
+        _.join(_, Seq("id"), "left_anti"))
+  }
+
   /** MinHash width of a stored signature table (count of `mN` fields —
     * schema-derived so the check survives the `shard` partition
     * column). */

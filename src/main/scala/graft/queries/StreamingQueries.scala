@@ -214,7 +214,10 @@ object StreamingQueries {
             "doc_id", "text", distinct = false),
           p, MhHashes, rowsPerBand = 2)
       }
-      val buckets = s.read.parquet(s"$idxPath/buckets")
+      // marker- and tombstone-pruned read (the serving protocol — a raw
+      // parquet read would serve a concurrent appender's uncommitted
+      // shard and resurrect deleted docs)
+      val buckets = graft.ext.MinHashIndex.buckets(s, idxPath)
         .select(col("band"), col("bucket"), col("id").as("index_id"))
       val schema = Fixtures.tableSchema(s, dir, "documents")
       val replayed = withShufflePartitions(s, 4) {
@@ -313,7 +316,7 @@ object StreamingQueries {
           .join(buckets, Seq("band", "bucket"))
           .groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_hits"))
-      def bucketsNow() = s.read.parquet(s"$idxPath/buckets")
+      def bucketsNow() = graft.ext.MinHashIndex.buckets(s, idxPath)
         .select(col("band"), col("bucket"), col("id").as("index_id"))
       val bucketsPre = withShufflePartitions(s, 4) {
         bucketsNow().localCheckpoint(true) // materialized BEFORE the append
@@ -387,7 +390,7 @@ object StreamingQueries {
       val q = Q.withShuffleWidth(s, 4) {
         StreamOps.nearDupLoop(mem.toDF().toDF("doc_id", "text"),
           "doc_id", "text", MhHashes, rowsPerBand = 2, checkpoint = ckpt)(
-          () => s.read.parquet(s"$idxPath/buckets")) { (_, hits) =>
+          () => graft.ext.MinHashIndex.buckets(s, idxPath)) { (_, hits) =>
           acc ++= hits.collect().map(r => (r.getLong(0), r.getLong(1)))
           ()
         }

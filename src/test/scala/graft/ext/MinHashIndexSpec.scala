@@ -425,4 +425,35 @@ class MinHashIndexSpec extends SparkSpec with EagerLease {
       .orderBy("band", "bucket", "id").collect()
     assert(stored.sameElements(derived))
   }
+
+  test("buckets() serves the commit protocol: uncommitted shards and deleted docs never collide") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-mh-buckets-spec").toString + "/idx"
+    MinHashIndex.write(toks, p, NumHashes, rowsPerBand = 2)
+    // hazard 1: a tombstoned doc — its rows stay in the files until a
+    // compaction, but it must stop colliding IMMEDIATELY
+    MinHashIndex.delete(Seq(4L).toDF("id"), p)
+    // hazard 2: a crashed appender — table shard lands, the commit
+    // marker never does (the one-shot hook throws at the commit point)
+    IndexIO.preCommitHook = () => {
+      IndexIO.preCommitHook = () => ()
+      sys.error("spec: crash before the commit marker")
+    }
+    val more = Dedup.docTokens(
+      Seq((9L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", distinct = false)
+    intercept[Exception] {
+      MinHashIndex.append(more, p, NumHashes, rowsPerBand = 2, partitions = 1)
+    }
+    IndexIO.preCommitHook = () => ()
+    // the raw path really carries both hazards…
+    val raw = spark.read.parquet(s"$p/buckets")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(raw.contains(4L) && raw.contains(9L),
+      s"spec setup must leave both hazards on disk, raw ids = $raw")
+    // …and the serving accessor prunes both
+    val served = MinHashIndex.buckets(spark, p)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served == Set(1L, 2L, 3L, 5L), s"served ids = $served")
+  }
 }

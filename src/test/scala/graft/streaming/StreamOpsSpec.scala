@@ -319,7 +319,7 @@ class StreamOpsSpec extends SparkSpec {
     val q = StreamOps.nearDupLoop(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
       numHashes = 8, rowsPerBand = 2)(
-      () => spark.read.parquet(s"$idx/buckets")) { (_, hits) =>
+      () => MinHashIndex.buckets(spark, idx)) { (_, hits) =>
       val got = hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       if (got.nonEmpty) perBatch += got
       ()
@@ -329,6 +329,42 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       MinHashIndex.append(toks(2L), idx, numHashes = 8, rowsPerBand = 2,
         partitions = 1)
+      mem.addData((3L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.toSeq == Seq(Set((2L, 4L)), Set((3L, 8L))),
+      s"expected gen-1 {2→4 hits} then gen-2 {3→8 hits}, got $perBatch")
+  }
+
+  test("nearDupLoop over a VERSIONED root: a CURRENT flip between batches is visible") {
+    // the object-store-safe refresh: no in-place append — each refresh
+    // publishes a fresh immutable v{N} and flips the one-line CURRENT
+    // pointer. bucketsNow resolves the pointer per micro-batch, so the
+    // v2 publish landing between generations reaches generation 2
+    // without a query restart (and without rename-atomicity anywhere).
+    implicit val sc = spark.sqlContext
+    import graft.ext.{Dedup, MinHashIndex}
+    val root = graft.core.TempDirs.create("neardup-loop-vspec-")
+    val text = "the quick brown fox jumps over the lazy dog"
+    def toks(ids: Long*) = Dedup.docTokens(
+      ids.map(i => (i, text)).toDF("doc_id", "text"),
+      "doc_id", "text", distinct = false)
+    MinHashIndex.writeVersioned(toks(1L), root, numHashes = 8, rowsPerBand = 2)
+    val mem = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val q = StreamOps.nearDupLoop(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 8, rowsPerBand = 2)(
+      () => MinHashIndex.buckets(spark,
+        MinHashIndex.currentVersion(spark, root))) { (_, hits) =>
+      val got = hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (got.nonEmpty) perBatch += got
+      ()
+    }
+    try {
+      mem.addData((2L, text))
+      q.processAllAvailable()
+      MinHashIndex.writeVersioned(toks(1L, 2L), root, numHashes = 8, rowsPerBand = 2)
       mem.addData((3L, text))
       q.processAllAvailable()
     } finally q.stop()
