@@ -26,10 +26,17 @@ object RocksDbStreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    for (provider <- Seq("default", "rocksdb"); name <- names) {
-      if (provider == "rocksdb") spark.conf.set(key, rocks)
+    val providers = if (args.length > 2) args(2).split(",").toSeq
+                    else Seq("default", "rocksdb")
+    for (provider <- providers; name <- names) {
+      if (provider.startsWith("rocksdb")) spark.conf.set(key, rocks)
       else spark.conf.unset(key)
+      // changelog checkpointing: per-batch delta upload instead of a
+      // full RocksDB snapshot per store per batch
+      spark.conf.set(clogKey, provider.endsWith("-clog").toString)
       val q = Registry.all.find(_.name == name)
         .getOrElse(sys.error(s"unknown query $name"))
       val t0 = System.nanoTime()
