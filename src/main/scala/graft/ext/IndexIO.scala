@@ -93,9 +93,8 @@ private[ext] object IndexIO {
     * dir itself is gone. */
   private def claimTs(fs: org.apache.hadoop.fs.FileSystem,
                       claimDir: org.apache.hadoop.fs.Path): Long = {
-    def contentTs(name: String, line: Int): Option[Long] =
+    def contentTsAt(p: org.apache.hadoop.fs.Path, line: Int): Option[Long] =
       try {
-        val p = new org.apache.hadoop.fs.Path(claimDir, name)
         val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
         val in = fs.open(p)
         try in.readFully(0, buf) finally in.close()
@@ -103,7 +102,21 @@ private[ext] object IndexIO {
           .split("\n").drop(line).headOption.flatMap(_.trim.toLongOption)
       } catch { case _: java.io.IOException => None }
     val mtime = fs.getFileStatus(claimDir).getModificationTime // FNF → caller
-    val content = contentTs("HB", 0) ++ contentTs("CLAIM", 1)
+    // Heartbeats: the FileContext path replaces `HB` atomically; the
+    // no-binding fallback lands versioned `HB-*` files (new file first,
+    // older pruned after — see [[writeHb]]). Max over everything
+    // matching, so a reader never observes a heartbeat-less instant
+    // mid-replace and falls back to the stale CLAIM acquisition line.
+    val hbs =
+      try fs.listStatus(claimDir).toSeq
+        .filter(_.getPath.getName.startsWith("HB"))
+        .flatMap(st => contentTsAt(st.getPath, 0))
+      catch {
+        case e: java.io.FileNotFoundException => throw e // dir gone → caller
+        case _: java.io.IOException => Seq.empty[Long]
+      }
+    val content = hbs ++ contentTsAt(
+      new org.apache.hadoop.fs.Path(claimDir, "CLAIM"), 1)
     if (content.nonEmpty) content.max else mtime
   }
 
@@ -155,13 +168,28 @@ private[ext] object IndexIO {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
       fc.rename(tmp, hb, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      // scheme without an AbstractFileSystem binding: non-atomic
-      // delete+rename replace (the pre-FileContext behavior — a reader
-      // racing the replace falls back to the CLAIM line / mtime)
+      // scheme without an AbstractFileSystem binding: no atomic replace
+      // available, so land the fresh timestamp under a VERSIONED name
+      // first (dest never exists — plain rename suffices) and prune the
+      // older heartbeat files after. [[claimTs]] maxes over all HB*
+      // contents, so a readable heartbeat exists at every instant of
+      // the replace — the old delete+rename left a gap where a racing
+      // breaker saw only the stale CLAIM acquisition timestamp and
+      // could judge a LIVE maintainer stale, break its lock, and pass
+      // the nonce re-verify (CLAIM itself never moved).
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        fs.delete(hb, false)
-        if (!fs.rename(tmp, hb))
-          throw new java.io.IOException(s"heartbeat replace failed for $hb")
+        val versioned = new org.apache.hadoop.fs.Path(dir,
+          s"HB-${java.util.UUID.randomUUID().toString.take(8)}")
+        if (!fs.rename(tmp, versioned))
+          throw new java.io.IOException(s"heartbeat publish failed for $versioned")
+        // single-writer per claim dir, so everything else is older;
+        // a crash mid-prune just leaves extra HB* files (max still right)
+        try fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("HB") && n != versioned.getName)
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+        } catch { case _: java.io.IOException => () }
     }
   }
 
@@ -947,7 +975,14 @@ private[ext] object IndexIO {
     val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
     def warn(msg: String): Unit =
       System.err.println(s"[graft] releaseMaintLock on $root: $msg")
-    if (!holdsMaintLock(fs, lock, nonce)) {
+    // strict pre-check too: a transient read error must not skip the
+    // release (the abandoned lock would block successors until it ages
+    // out); only a persistent failure degrades to skip.
+    val held =
+      try readLine1OrThrow(fs,
+        new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
+      catch { case _: java.io.IOException => false }
+    if (!held) {
       warn("lock no longer held by this maintainer (overran maintLockMs " +
         "without heartbeating?) — skipped")
       return
@@ -956,7 +991,16 @@ private[ext] object IndexIO {
       s"$root/_maintlock-rel-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       if (!fs.rename(lock, rel)) { warn("lock vanished in release — skipped"); return }
-      if (readLine1(fs, new org.apache.hadoop.fs.Path(rel, "CLAIM")).contains(nonce))
+      // STRICT read (retry-once): the lenient readLine1 turned a
+      // transient IOException into None here, failed the nonce check,
+      // and RESTORED the lock the owner was abandoning — blocking every
+      // successor for a full maintLockMs. A persistently unreadable
+      // CLAIM is unknown state (could be a successor's live lock we
+      // just took): restore is the conservative, availability-grade arm.
+      val relNonce =
+        try readLine1OrThrow(fs, new org.apache.hadoop.fs.Path(rel, "CLAIM"))
+        catch { case _: java.io.IOException => None }
+      if (relNonce.contains(nonce))
         fs.delete(rel, true)
       // restore EXCLUSIVELY: a plain rename onto a successor's newer
       // lock would nest the stolen dir inside it and "succeed"
