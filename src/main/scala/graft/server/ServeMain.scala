@@ -17,8 +17,8 @@ object ServeMain {
       if (args.length > 2) Settings.load(args(2)) else Settings.load("config.toml")
     val path = if (args.nonEmpty) args(0) else settings.dbPath
     val port = if (args.length > 1) args(1).toInt else 8000
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    val spark = graft.Boot.master(SparkSession.builder(),
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
