@@ -357,6 +357,95 @@ object Similarity {
     exactReRank(q.join(c, Seq("bucket")), k)
   }
 
+  /** Probe masks for multi-probe sign-LSH: the identity mask plus every
+    * 1- and 2-plane flip (Hamming distance ≤ 2 from the query's own
+    * bucket). Beyond 2 flips the probe count explodes combinatorially
+    * while the per-probe recall gain keeps shrinking — ≤2 is the
+    * standard multi-probe budget. */
+  private def probeMasks(numPlanes: Int): Seq[Long] = {
+    val singles = (0 until numPlanes).map(p => 1L << p)
+    val pairs = for {
+      a <- 0 until numPlanes; b <- (a + 1) until numPlanes
+    } yield (1L << a) | (1L << b)
+    0L +: (singles ++ pairs)
+  }
+
+  /** Largest useful `probes` value at `numPlanes` (the full Hamming-≤2
+    * neighborhood: 1 + n + n(n-1)/2). */
+  def maxProbes(numPlanes: Int): Int =
+    1 + numPlanes + numPlanes * (numPlanes - 1) / 2
+
+  /** Explode `q` into its `probes` QUERY-DIRECTED probe buckets: the
+    * query's own bucket first, then Hamming-adjacent buckets (≤2
+    * flipped planes) ordered by the flipped-margin sum — flip the
+    * planes whose signed dot sits closest to zero first, since those
+    * are the boundaries a true neighbor most likely crossed. Margins
+    * are exact INT64 (quantized dots), so the probe ORDER — not just
+    * the set — is engine-portable; ties break to the lower mask.
+    * Adds (probe_rank, bucket); the per-probe buckets of one query are
+    * DISTINCT (xor with distinct masks), so a downstream bucket
+    * equality join yields each (query, candidate) pair at most once. */
+  private def withProbeBuckets(q: DataFrame, embCol: String, numPlanes: Int,
+                               dim: Int, probes: Int): DataFrame = {
+    val dots = (0 until numPlanes).map(p => dotQ(col(embCol), lit(hyperplane(p, dim))))
+    val bucket = dots.zipWithIndex.map { case (d, p) =>
+      when(d > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    // (score, mask) structs: array_sort orders by fields left-to-right,
+    // which IS the (margin sum asc, mask asc) probe order
+    val maskScores = probeMasks(numPlanes).map { m =>
+      val flipped = (0 until numPlanes).filter(p => ((m >> p) & 1L) == 1L)
+      val score = flipped.map(p => abs(dots(p))).reduceOption(_ + _).getOrElse(lit(0L))
+      struct(score.cast("long").as("score"), lit(m).as("mask"))
+    }
+    q.withColumn("_b0", bucket)
+      .select(col("*"),
+        posexplode(slice(array_sort(array(maskScores: _*)), 1, probes))
+          .as(Seq("_pos", "_probe")))
+      .withColumn("probe_rank", col("_pos") + 1)
+      .withColumn("bucket", col("_b0").bitwiseXOR(col("_probe.mask")))
+      .drop("_b0", "_pos", "_probe")
+  }
+
+  /** Multi-probe LSH ANN: [[lshTopK]] with `probes` query-directed
+    * probe buckets per query instead of one. Still an equality join on
+    * bucket (the probe explosion happens on the broadcast query side),
+    * so the 100 TB shape is unchanged — `probes` linearly scales the
+    * candidate fraction, trading compute for the recall the
+    * single-bucket probe measurably lacks (see `ann_lsh_recall`). */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        numPlanes: Int, dim: Int, probes: Int): DataFrame = {
+    val q = broadcast(withProbeBuckets(
+      queries.select(col("vec_id").as("query_id"),
+        quantize(col("embedding")).as("q_emb")),
+      "q_emb", numPlanes, dim, probes).drop("probe_rank"))
+    val c = corpus.select(
+      col("vec_id").as("cand_id"), quantize(col("embedding")).as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), numPlanes, dim))
+    exactReRank(q.join(c, Seq("bucket")), k)
+  }
+
+  /** Probe-annotated candidate set for the recall audit: one row per
+    * (query, candidate) that ANY of the full Hamming-≤2 probe
+    * neighborhood reaches, with the 1-based query-directed probe rank
+    * that first reaches it and the exact rounded cosine. Every `probes`
+    * operating point is then a `probe_rank <= P` filter over this ONE
+    * join — the audit sweeps the whole knob without re-bucketing. */
+  def lshProbeCandidates(queries: DataFrame, corpus: DataFrame,
+                         numPlanes: Int, dim: Int): DataFrame = {
+    val q = broadcast(withProbeBuckets(
+      queries.select(col("vec_id").as("query_id"),
+        quantize(col("embedding")).as("q_emb")),
+      "q_emb", numPlanes, dim, maxProbes(numPlanes)))
+    val c = corpus.select(
+      col("vec_id").as("cand_id"), quantize(col("embedding")).as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), numPlanes, dim))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("probe_rank"),
+        round(cosineQ(col("q_emb"), col("c_emb")), 6).as("cosine"))
+  }
+
   /** Product-quantization ANN with asymmetric distance computation
     * (ADC) — the COMPRESSION scale path beside LSH/IVF's pruning paths:
     * each vector is encoded as `m` small codes (nearest codeword per

@@ -130,20 +130,102 @@ object SimilarityQueries {
              SELECT query_id, rank, cand_id, cosine FROM ranked
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** Recall@5 of the sign-LSH tier vs brute-force truth, swept over the
-    * plane count — the tuning curve a deployment runs before committing
-    * a bucket width (more planes = smaller buckets = less compute and
-    * lower recall; the single-bucket probe means a query whose true
-    * neighbors hash across the boundary simply misses them). Completes
-    * the recall-audit family: [[annRecall]] covers IVF's nprobe,
-    * [[annQuantRecall]] the PQ/SQ/BQ re-rank bound, this one the LSH
-    * partition-er's width. Exact arithmetic throughout; the oracle
-    * replays all three chains. The measured curve on this corpus
-    * (mean recall 0.16 / 0.04 / 0.00 at 4 / 8 / 12 planes) is the
-    * honest verdict on SINGLE-bucket sign-LSH over near-uniform
-    * embeddings — the production operating point is the BANDED
-    * multi-table form ([[Similarity.nearDupPairs]]), and this audit is
-    * the measurement that tells a deployment so before it commits. */
+  /** One multi-probe LSH oracle chain: hyperplane dots -> sign buckets
+    * -> Hamming-(<=2) probe masks scored by flipped-margin sum (the
+    * query-directed probe order) -> probe-rank-annotated candidates ->
+    * exact rounded cosine. Suffixed so the recall audit instantiates
+    * several plane counts in ONE oracle. Assumes `qv` and `norms` CTEs
+    * in scope. Bucket sums are cast to BIGINT (DuckDB sums to HUGEINT,
+    * which xor() rejects); probe order ties break to the lower mask in
+    * both engines. */
+  private def lshProbeCtes(planes: Int, sfx: String): String =
+    s"""wv$sfx AS (
+               SELECT p, i, ((p * $Dim + (i - 1)) * 2654435761) % 2000001 - 1000000 AS w
+               FROM range(0, $planes) t1(p), range(1, ${Dim + 1}) t2(i)),
+               pdots$sfx AS (
+                 SELECT vec_id, p, sum(v * w) AS dot
+                 FROM qv JOIN wv$sfx USING (i) GROUP BY 1, 2),
+               buckets$sfx AS (
+                 SELECT vec_id,
+                        CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                 FROM pdots$sfx GROUP BY 1),
+               masks$sfx AS (
+                 SELECT CAST(0 AS BIGINT) AS mask
+                 UNION ALL SELECT 1 << p FROM range(0, $planes) t(p)
+                 UNION ALL SELECT (1 << a) | (1 << b)
+                   FROM range(0, $planes) ta(a), range(0, $planes) tb(b)
+                   WHERE a < b),
+               mscore$sfx AS (
+                 SELECT d.vec_id, m.mask,
+                        coalesce(sum(CASE WHEN ((m.mask >> d.p) & 1) = 1
+                                          THEN abs(d.dot) END), 0) AS score
+                 FROM pdots$sfx d CROSS JOIN masks$sfx m
+                 WHERE d.vec_id < 5
+                 GROUP BY 1, 2),
+               probe$sfx AS (
+                 SELECT vec_id, mask,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY score ASC, mask ASC) AS pr
+                 FROM mscore$sfx),
+               pcand$sfx AS (
+                 SELECT p.vec_id AS query_id, c.vec_id AS cand_id, p.pr AS probe_rank
+                 FROM probe$sfx p
+                 JOIN buckets$sfx qb ON qb.vec_id = p.vec_id
+                 JOIN buckets$sfx c ON xor(qb.bucket, p.mask) = c.bucket
+                                   AND c.vec_id <> p.vec_id),
+               pdotsum$sfx AS (
+                 SELECT query_id, cand_id, probe_rank, sum(a.v * b.v) AS dot
+                 FROM pcand$sfx
+                 JOIN qv a ON a.vec_id = query_id
+                 JOIN qv b ON b.vec_id = cand_id AND b.i = a.i
+                 GROUP BY 1, 2, 3),
+               pscored$sfx AS (
+                 SELECT query_id, cand_id, probe_rank,
+                        round(dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(cn.nn::DOUBLE)), 6) AS cosine
+                 FROM pdotsum$sfx
+                 JOIN norms qn ON query_id = qn.vec_id
+                 JOIN norms cn ON cand_id = cn.vec_id)"""
+
+  /** Serving form of the multi-probe tier: top-5 at (8 planes,
+    * 9 probes) = the query bucket plus its 8 best single-plane flips.
+    * See [[annLshRecall]] for the measured (planes, probes) curve that
+    * picks an operating point. */
+  val annLshMultiprobe = Q("ann_lsh_multiprobe",
+    (s, dir) => Similarity.lshTopKMultiProbe(
+      emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
+      k = 5, numPlanes = 8, dim = Dim, probes = 9)
+      .select("query_id", "rank", "cand_id", "cosine")
+      .orderBy("query_id", "rank"),
+    Some(s"""WITH qv AS (${qvSql()}),
+               norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
+               ${lshProbeCtes(8, "_mp")}
+             SELECT query_id, rank, cand_id, cosine FROM (
+               SELECT query_id, cand_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, cand_id ASC) AS rank
+               FROM pscored_mp WHERE probe_rank <= 9)
+             WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** The (planes, probes) grid the recall audit sweeps: per plane
+    * count, probes = 1 (the single-bucket probe), a mid point where
+    * the query-directed ORDER matters, the full Hamming-<=1 tier, and
+    * the full Hamming-<=2 tier ([[Similarity.maxProbes]]). */
+  private val LshGrid: Seq[(Int, Seq[Int])] =
+    Seq(4 -> Seq(1, 3, 5, 11), 8 -> Seq(1, 5, 9, 37), 12 -> Seq(1, 7, 13, 79))
+
+  /** Recall@5 AND candidate cost of the sign-LSH tier vs brute-force
+    * truth, swept over BOTH knobs: plane count (bucket width) and
+    * query-directed multi-probe count (Hamming-<=2 neighborhood in
+    * flipped-margin order). Round 13 measured the single-bucket probe
+    * at recall 0.16 / 0.04 / 0.00 for 4 / 8 / 12 planes on this
+    * near-uniform corpus — not servable; this round adds the probes
+    * axis so a deployment reads off whether multi-probe buys a usable
+    * operating point or the tier should yield to IVF / the banded
+    * [[Similarity.nearDupPairs]]. `n_cand` is the per-query candidate
+    * count the probe set examined — the cost axis recall trades
+    * against. Exact INT64 arithmetic end to end (margins, buckets,
+    * masks), so the probe ORDER — not just the set — is pinned by the
+    * DuckDB twin. */
   val annLshRecall = Q("ann_lsh_recall",
     (s, dir) => {
       import s.implicits._
@@ -151,42 +233,72 @@ object SimilarityQueries {
       val c = emb(s, dir)
       val truth = Similarity.bruteForceTopK(q, c, k = 5)
         .select(col("query_id"), col("cand_id"))
-      val retrieved = Seq(4, 8, 12).map { p =>
-        Similarity.lshTopK(q, c, k = 5, numPlanes = p, dim = Dim)
-          .select(col("query_id"), col("cand_id"), lit(p).as("planes"))
-      }.reduce(_ unionByName _)
-      truth.crossJoin(Seq(4, 8, 12).toDF("planes")).as("t")
-        .join(retrieved.as("r"),
-          col("t.query_id") === col("r.query_id") &&
-            col("t.cand_id") === col("r.cand_id") &&
-            col("t.planes") === col("r.planes"), "left")
-        .groupBy(col("t.planes").as("planes"), col("t.query_id").as("query_id"))
-        .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
-        .orderBy("planes", "query_id")
+      val perPlane = LshGrid.map { case (pl, prs) =>
+        val cands = Similarity.lshProbeCandidates(q, c, pl, Dim)
+          .crossJoin(prs.toDF("probes"))
+          .filter(col("probe_rank") <= col("probes"))
+        val retr = cands
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("probes", "query_id")
+              .orderBy(col("cosine").desc, col("cand_id").asc)))
+          .filter(col("rank") <= 5)
+          .select(col("probes"), col("query_id"), col("cand_id"))
+        val nCand = cands.groupBy("probes", "query_id")
+          .agg(count(lit(1)).as("n_cand"))
+        truth.crossJoin(prs.toDF("probes").as("g")).as("t")
+          .join(retr.as("r"),
+            col("t.probes") === col("r.probes") &&
+              col("t.query_id") === col("r.query_id") &&
+              col("t.cand_id") === col("r.cand_id"), "left")
+          .groupBy(col("t.probes").as("probes"), col("t.query_id").as("query_id"))
+          .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
+          .join(nCand, Seq("probes", "query_id"), "left")
+          .select(lit(pl).as("planes"), col("probes"), col("query_id"),
+            col("recall"), coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      }
+      perPlane.reduce(_ unionByName _).orderBy("planes", "probes", "query_id")
     },
     Some(s"""WITH qv AS (${qvSql()}),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
                $exactRankedCtes,
                truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
-               ${lshRankedCtes(4, "_p4")},
-               ${lshRankedCtes(8, "_p8")},
-               ${lshRankedCtes(12, "_p12")},
+               ${lshProbeCtes(4, "_p4")},
+               ${lshProbeCtes(8, "_p8")},
+               ${lshProbeCtes(12, "_p12")},
+               pgrid AS (SELECT * FROM (VALUES
+                 (4, 1), (4, 3), (4, 5), (4, 11),
+                 (8, 1), (8, 5), (8, 9), (8, 37),
+                 (12, 1), (12, 7), (12, 13), (12, 79)) g(planes, probes)),
+               allc AS (
+                 SELECT 4 AS planes, query_id, cand_id, probe_rank, cosine FROM pscored_p4
+                 UNION ALL
+                 SELECT 8, query_id, cand_id, probe_rank, cosine FROM pscored_p8
+                 UNION ALL
+                 SELECT 12, query_id, cand_id, probe_rank, cosine FROM pscored_p12),
+               sel AS (
+                 SELECT g.planes, g.probes, a.query_id, a.cand_id, a.cosine
+                 FROM pgrid g JOIN allc a
+                   ON a.planes = g.planes AND a.probe_rank <= g.probes),
                retr AS (
-                 SELECT 4 AS planes, query_id, cand_id FROM ranked_p4 WHERE rank <= 5
-                 UNION ALL
-                 SELECT 8, query_id, cand_id FROM ranked_p8 WHERE rank <= 5
-                 UNION ALL
-                 SELECT 12, query_id, cand_id FROM ranked_p12 WHERE rank <= 5),
-               pl AS (SELECT p FROM (VALUES (4), (8), (12)) v(p))
-             SELECT pl.p AS planes, tr.query_id,
-                    count(r.cand_id)::DOUBLE / 5 AS recall
-             FROM truth tr
-             CROSS JOIN pl
-             LEFT JOIN retr r ON r.planes = pl.p
-                             AND r.query_id = tr.query_id
-                             AND r.cand_id = tr.cand_id
-             GROUP BY 1, 2
-             ORDER BY 1, 2"""))
+                 SELECT planes, probes, query_id, cand_id,
+                        row_number() OVER (PARTITION BY planes, probes, query_id
+                          ORDER BY cosine DESC, cand_id ASC) AS rank
+                 FROM sel),
+               nc AS (SELECT planes, probes, query_id, count(*) AS n_cand
+                      FROM sel GROUP BY 1, 2, 3)
+             SELECT g.planes, g.probes, t.query_id,
+                    count(r.cand_id)::DOUBLE / 5 AS recall,
+                    coalesce(any_value(nc.n_cand), 0) AS n_cand
+             FROM truth t
+             CROSS JOIN pgrid g
+             LEFT JOIN (SELECT * FROM retr WHERE rank <= 5) r
+               ON r.planes = g.planes AND r.probes = g.probes
+              AND r.query_id = t.query_id AND r.cand_id = t.cand_id
+             LEFT JOIN nc ON nc.planes = g.planes AND nc.probes = g.probes
+                         AND nc.query_id = t.query_id
+             GROUP BY 1, 2, 3
+             ORDER BY 1, 2, 3"""))
 
   private val NCent = 8
   private val NProbe = 2
@@ -1020,5 +1132,5 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
     annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain, annRecall,
-    annQuantRecall, annLshRecall)
+    annQuantRecall, annLshRecall, annLshMultiprobe)
 }
