@@ -485,7 +485,77 @@ object StreamingQueries {
     },
     Some(TextQueries2.bm25Sql()))
 
+  /** The BM25 crawl loop as ONE LONG-LIVED streaming query
+    * ([[StreamOps.bm25Loop]]) — [[stCrawlLoop]]'s amortization shape
+    * applied to the TEXT index, closing the family: where
+    * [[stBm25Refresh]] pins the one-shot drain → append → serve
+    * lifecycle (a fresh stream per generation), this keeps a single
+    * started query alive across THREE crawl generations; each
+    * generation arrives as a micro-batch, `foreachBatch` appends it as
+    * one marker-committed shard, and the SAME batch then serves the
+    * standing BM25 probe through the committed-shard reader — so the
+    * output is the top-20 AS OF each generation, and the hash match
+    * pins mid-query index freshness (a shard committed seconds ago is
+    * served without restart, pointer flip, or cache invalidation).
+    * The oracle recomputes BM25 from scratch over each generation's
+    * cumulative corpus: nothing about the stream path, the shard
+    * count, or the append order may leak into the scores. Driver-side
+    * feed is bounded by the crawl WINDOW (≤34 docs/generation), never
+    * the corpus; `curGen` stamps results because a generation's
+    * addData may legally split into several micro-batches — the sink
+    * overwrites, keeping the as-of-END-of-generation ranking either
+    * way. */
+  val stBm25Loop = Q("st_bm25_loop",
+    (s, dir) => {
+      import graft.ext.TextIndex
+      val idxPath = Fixtures.clonedIndex(s, dir, "tindex-lt100") { p =>
+        TextIndex.write(
+          Tables.table(s, dir, "documents").filter(col("doc_id") < 100), p)
+      }
+      val gens = Seq((100, 133), (133, 166), (166, 200))
+      val window = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      @volatile var curGen = 1
+      val acc = scala.collection.mutable.LinkedHashMap[Int, Array[(Long, Long, Int)]]()
+      val ckpt = StreamOps.volatileCheckpointDir(s)
+      val q = Q.withShuffleWidth(s, 4) {
+        StreamOps.bm25Loop(mem.toDF().toDF("doc_id", "text"), idxPath,
+          TextQueries2.Bm25Terms, 20, TextQueries2.Bm25K1, TextQueries2.Bm25B,
+          checkpoint = ckpt) { (_, topk) =>
+          acc(curGen) = topk.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          ()
+        }
+      }
+      try {
+        gens.zipWithIndex.foreach { case ((lo, hi), i) =>
+          curGen = i + 1
+          mem.addData(window.filter(d => d._1 >= lo && d._1 < hi).toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        StreamOps.dropCheckpoint(ckpt)
+      }
+      acc.toSeq.flatMap { case (g, rows) =>
+        rows.map(t => (g, t._1, t._2, t._3))
+      }.toDF("gen", "doc_id", "score_micro", "rank")
+        .orderBy("gen", "rank")
+    },
+    Some(s"""SELECT gen, doc_id, score_micro, rank FROM (
+               SELECT 1 AS gen, t1.* FROM (${TextQueries2.bm25Sql("WHERE doc_id < 133")}) t1
+               UNION ALL
+               SELECT 2 AS gen, t2.* FROM (${TextQueries2.bm25Sql("WHERE doc_id < 166")}) t2
+               UNION ALL
+               SELECT 3 AS gen, t3.* FROM (${TextQueries2.bm25Sql("WHERE doc_id < 200")}) t3
+             ) ORDER BY gen, rank"""))
+
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
     stStreamDedup, stEnrich, stNearDupFilter, stNearDupRefresh,
-    stCrawlLoop, stBm25Refresh)
+    stCrawlLoop, stBm25Refresh, stBm25Loop)
 }

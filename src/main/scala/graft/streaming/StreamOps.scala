@@ -258,6 +258,36 @@ object StreamOps {
     checkpoint.fold(w)(w.option("checkpointLocation", _)).start()
   }
 
+  /** The text-retrieval crawl loop as ONE LONG-LIVED streaming query —
+    * [[nearDupLoop]]'s amortization applied to the BM25 index: each
+    * micro-batch of (doc_id, text) documents lands in the persisted
+    * index via [[graft.ext.TextIndex.append]] (one marker-committed
+    * shard per batch), and the SAME batch then serves `terms` top-k
+    * THROUGH the committed-shard reader — the as-of-this-batch ranking
+    * handed to `sink(batchId, topK)`. Planning + checkpoint setup are
+    * paid once per crawl instead of once per generation
+    * (st_bm25_refresh's fresh-drain shape), and serve-side freshness
+    * needs no restart or pointer flip: every serve re-lists commit
+    * markers ([[graft.ext.IndexIO.liveCommittedIds]] — the text index's
+    * native read path is already the `buckets()` treatment, pruning to
+    * committed shards and subtracting tombstone mass). Checkpoint
+    * contract as [[nearDupLoop]]: real ingest passes a durable
+    * location; bounded drives pass a volatile one. */
+  def bm25Loop(docs: DataFrame, idxPath: String, terms: Seq[String],
+               k: Int, k1: Double, b: Double, partitions: Int = 1,
+               checkpoint: Option[String] = None)(
+      sink: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextIndex.append(batch.select("doc_id", "text"), idxPath,
+          partitions = partitions)
+        sink(batchId, graft.ext.TextIndex.bm25TopK(
+          batch.sparkSession, idxPath, terms, k, k1, b))
+        ()
+      }
+    checkpoint.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
   /** Volatile checkpoint root for ONE-SHOT drains: a RAM-backed tmpfs
     * dir when the platform has one (Linux `/dev/shm`), else None (Spark
     * then uses its normal temp-dir checkpoint). A drain's checkpoint +
