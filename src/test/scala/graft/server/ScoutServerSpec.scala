@@ -295,6 +295,89 @@ class ScoutServerSpec extends SparkSpec {
     } finally { soak.stop(); eng.close() }
   }
 
+  test("chaos soak: maintainer KILLED mid-fold under the request storm; retry converges") {
+    // composes the soak with the crash-fuzz model (VERDICT r13 task 6):
+    // the maintenance pass dies at a protocol-level kill point while
+    // HTTP requests are in flight — serving must never notice (zero
+    // non-200s, no mixed bodies), and a disarmed maintain() afterwards
+    // must converge the index to rebuild-equivalent serving.
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val rows = Seq(
+      Row(1L, "Monograph Dining", Map("amenity" -> "restaurant"),
+        "POINT(101.6869 3.139)"),
+      Row(100L, "Malaysia",
+        Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val pois = GazetteerBuilder.buildPois(raw)
+    val eng = new ScoutEngine(spark, pois, GazetteerBuilder.buildAdmin(raw),
+      Settings(),
+      nameIndex = Some(graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(pois))))
+    val srv = new ScoutServer(eng, port = 0).start()
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-chaos-tindex").toString + "/idx"
+    import spark.implicits._
+    def tdocs(ids: Seq[Long]) = ids
+      .map(i => (i, s"fox spark jugs doc$i tok${i % 5}")).toDF("doc_id", "text")
+    graft.ext.TextIndex.write(tdocs(0L until 8L), idxPath)
+    graft.ext.TextIndex.append(tdocs(8L until 12L), idxPath)
+    graft.ext.TextIndex.append(tdocs(12L until 16L), idxPath)
+    try {
+      val fwdReq = """{"candidates":[{"text":"monograph"}],"country":"malaysia","limit":5}"""
+      val revReq = """{"points":[{"lat": 3.14, "lon": 101.69}]}"""
+      val fwd1 = http("POST", "/v1/geocode/forward", fwdReq, srv.boundPort)
+      val rev1 = http("POST", "/v1/geocode/reverse", revReq, srv.boundPort)
+      assert(fwd1._1 == 200 && rev1._1 == 200)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map(t => new Thread(() => {
+        try {
+          for (i <- 0 until 200) {
+            val isFwd = (t + i) % 2 == 0
+            val (code, body, _) =
+              if (isFwd) http("POST", "/v1/geocode/forward", fwdReq, srv.boundPort)
+              else http("POST", "/v1/geocode/reverse", revReq, srv.boundPort)
+            if (code != 200) bad.add(s"$code: $body")
+            else if (isFwd && body != fwd1._2) bad.add(s"mixed fwd body: $body")
+            else if (!isFwd && body != rev1._2) bad.add(s"mixed rev body: $body")
+          }
+          done.incrementAndGet(); ()
+        } catch { case e: Throwable => bad.add(s"thread died: $e") }
+      }))
+      threads.foreach(_.start())
+      Thread.sleep(100)
+      // two maintain passes die at different protocol points (an early
+      // one inside the claim/publish chain, a later one near the
+      // commit) while the storm is in flight
+      for (k <- Seq(2, 6)) {
+        val crashed = graft.ext.CrashSeam.crashedAt(k) {
+          graft.ext.TextIndex.maintain(spark, idxPath, maxShards = 1)
+        }
+        assert(crashed, s"kill point $k was not reached — seam detached?")
+      }
+      // disarmed retry: must run to a real fold and converge
+      val report = graft.ext.TextIndex.maintain(spark, idxPath, maxShards = 1)
+      assert(report.action != "none",
+        s"post-crash maintain must still fold: $report")
+      threads.foreach(_.join(180000))
+      assert(bad.isEmpty, s"chaos violations (${bad.size}): ${bad.peek()}")
+      assert(done.get() == 8, "every storm thread must finish its 200 requests")
+      // post-recovery serving is rebuild-equivalent
+      val reb = java.nio.file.Files
+        .createTempDirectory("graft-chaos-reb").toString + "/idx"
+      graft.ext.TextIndex.write(tdocs(0L until 16L), reb)
+      def tserve(p: String) = graft.ext.TextIndex
+        .bm25TopK(spark, p, Seq("fox", "spark", "jugs"), 100, 1.2, 0.75)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(tserve(idxPath) == tserve(reb),
+        "index after crash + recovery must serve like a rebuild")
+    } finally { srv.stop(); eng.close() }
+  }
+
   test("json codec round-trips escapes") {
     val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
     val round = Json.parse(Json.write(v))
