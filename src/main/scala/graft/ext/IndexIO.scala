@@ -107,13 +107,26 @@ private[ext] object IndexIO {
     // older pruned after — see [[writeHb]]). Max over everything
     // matching, so a reader never observes a heartbeat-less instant
     // mid-replace and falls back to the stale CLAIM acquisition line.
+    def listHbs(): Seq[Long] = fs.listStatus(claimDir).toSeq
+      .filter(_.getPath.getName.startsWith("HB"))
+      .flatMap(st => contentTsAt(st.getPath, 0))
+    // strict retry-once (the readLine1OrThrow doctrine): a transient
+    // listing error must not read as "no heartbeats" — that would let
+    // a breaker fall back to the stale CLAIM acquisition line and
+    // judge a live, heartbeating maintainer stale. Persistent failure
+    // degrades to the direct legacy `HB` read (the pre-listing path),
+    // never to silence.
     val hbs =
-      try fs.listStatus(claimDir).toSeq
-        .filter(_.getPath.getName.startsWith("HB"))
-        .flatMap(st => contentTsAt(st.getPath, 0))
+      try listHbs()
       catch {
         case e: java.io.FileNotFoundException => throw e // dir gone → caller
-        case _: java.io.IOException => Seq.empty[Long]
+        case _: java.io.IOException =>
+          try listHbs()
+          catch {
+            case e: java.io.FileNotFoundException => throw e
+            case _: java.io.IOException =>
+              contentTsAt(new org.apache.hadoop.fs.Path(claimDir, "HB"), 0).toSeq
+          }
       }
     val content = hbs ++ contentTsAt(
       new org.apache.hadoop.fs.Path(claimDir, "CLAIM"), 1)
@@ -182,13 +195,24 @@ private[ext] object IndexIO {
           s"HB-${java.util.UUID.randomUUID().toString.take(8)}")
         if (!fs.rename(tmp, versioned))
           throw new java.io.IOException(s"heartbeat publish failed for $versioned")
-        // single-writer per claim dir, so everything else is older;
-        // a crash mid-prune just leaves extra HB* files (max still right)
-        try fs.listStatus(dir).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("HB") && n != versioned.getName)
+        // single-writer per claim dir, so everything else is older. KEEP
+        // the newest old heartbeat besides the fresh one: a reader that
+        // snapshotted the listing just before this publish must still
+        // be able to READ what it listed — pruning the predecessor
+        // immediately would re-open (narrowed to a list-then-read
+        // window) the exact heartbeat-less gap this fallback closes.
+        // The kept file dies at the NEXT heartbeat, so a reader only
+        // loses its snapshot by straddling two full heartbeat periods.
+        // A crash mid-prune just leaves extra HB* files (max still right).
+        try {
+          val others = fs.listStatus(dir).filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("HB") && n != versioned.getName
+          }
+          others.sortBy(-_.getModificationTime).drop(1).foreach { st =>
             try fs.delete(st.getPath, false)
             catch { case _: java.io.IOException => () }
+          }
         } catch { case _: java.io.IOException => () }
     }
   }

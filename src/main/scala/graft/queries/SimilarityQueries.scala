@@ -187,9 +187,10 @@ object SimilarityQueries {
                  JOIN norms cn ON cand_id = cn.vec_id)"""
 
   /** Serving form of the multi-probe tier: top-5 at (8 planes,
-    * 9 probes) = the query bucket plus its 8 best single-plane flips.
-    * See [[annLshRecall]] for the measured (planes, probes) curve that
-    * picks an operating point. */
+    * 9 probes) = the query bucket plus its 8 LOWEST-MARGIN flips in
+    * query-directed order (1- or 2-plane — a budget prefix, not the
+    * Hamming-1 tier). See [[annLshRecall]] for the measured
+    * (planes, probes) curve that picks an operating point. */
   val annLshMultiprobe = Q("ann_lsh_multiprobe",
     (s, dir) => Similarity.lshTopKMultiProbe(
       emb(s, dir).filter(col("vec_id") < 5), emb(s, dir),
@@ -207,9 +208,13 @@ object SimilarityQueries {
              WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** The (planes, probes) grid the recall audit sweeps: per plane
-    * count, probes = 1 (the single-bucket probe), a mid point where
-    * the query-directed ORDER matters, the full Hamming-<=1 tier, and
-    * the full Hamming-<=2 tier ([[Similarity.maxProbes]]). */
+    * count, probes = 1 (the single-bucket probe), two intermediate
+    * BUDGETS, and the full Hamming-<=2 neighborhood
+    * ([[Similarity.maxProbes]]). A budget is a PREFIX of the
+    * margin-ordered probe sequence, NOT a Hamming tier: a 2-plane flip
+    * whose two margins are near zero outranks a distant single flip,
+    * so probes = 1+n is not the Hamming-<=1 set — it is the n+1 most
+    * likely buckets, which is the point of query-directed ordering. */
   private val LshGrid: Seq[(Int, Seq[Int])] =
     Seq(4 -> Seq(1, 3, 5, 11), 8 -> Seq(1, 5, 9, 37), 12 -> Seq(1, 7, 13, 79))
 
@@ -237,25 +242,31 @@ object SimilarityQueries {
         val cands = Similarity.lshProbeCandidates(q, c, pl, Dim)
           .crossJoin(prs.toDF("probes"))
           .filter(col("probe_rank") <= col("probes"))
-        val retr = cands
+        // ONE pass over the expensive probe join: mark truth membership
+        // per candidate (truth is 5 rows/query — broadcast), rank, and
+        // aggregate recall + candidate count together (a separate
+        // retrieved/ncand pair of branches recomputed the whole
+        // bucket join twice per plane count)
+        val agg = cands
+          .join(truth.withColumn("t", lit(true)),
+            Seq("query_id", "cand_id"), "left")
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy("probes", "query_id")
               .orderBy(col("cosine").desc, col("cand_id").asc)))
-          .filter(col("rank") <= 5)
-          .select(col("probes"), col("query_id"), col("cand_id"))
-        val nCand = cands.groupBy("probes", "query_id")
-          .agg(count(lit(1)).as("n_cand"))
-        truth.crossJoin(prs.toDF("probes").as("g")).as("t")
-          .join(retr.as("r"),
-            col("t.probes") === col("r.probes") &&
-              col("t.query_id") === col("r.query_id") &&
-              col("t.cand_id") === col("r.cand_id"), "left")
-          .groupBy(col("t.probes").as("probes"), col("t.query_id").as("query_id"))
-          .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
-          .join(nCand, Seq("probes", "query_id"), "left")
+          .groupBy("probes", "query_id")
+          .agg(
+            (sum(when(col("rank") <= 5 && coalesce(col("t"), lit(false)), 1L)
+              .otherwise(0L)) / lit(5.0)).as("recall"),
+            count(lit(1)).as("n_cand"))
+        // reinstate empty groups: a (probes, query) whose probe set
+        // reached zero candidates still reports recall 0 / n_cand 0
+        truth.select("query_id").distinct()
+          .crossJoin(prs.toDF("probes"))
+          .join(agg, Seq("probes", "query_id"), "left")
           .select(lit(pl).as("planes"), col("probes"), col("query_id"),
-            col("recall"), coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+            coalesce(col("recall"), lit(0.0)).as("recall"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"))
       }
       perPlane.reduce(_ unionByName _).orderBy("planes", "probes", "query_id")
     },

@@ -43,9 +43,31 @@ object IntervalEvictionProbe {
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
     // ---- one-time: slice events into per-day files, oldest first ----
+    // cache keyed by a SOURCE fingerprint, not just the dir name: a
+    // regenerated fixture must invalidate the slices, or both "truth"
+    // and the streaming arms would silently measure stale data (and the
+    // == truth check could not catch it — truth reads the same slices)
     val slicesDir = new java.io.File(s"/tmp/graft-evict-slices-${new java.io.File(sfDir).getName}")
+    val fingerprint = {
+      val src = new java.io.File(sfDir, "events.parquet")
+      val files =
+        if (src.isDirectory) Option(src.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        else Seq(src)
+      val parts = files.filter(f => f.isFile && !f.getName.startsWith("_"))
+      s"n=${parts.size} bytes=${parts.map(_.length).sum} " +
+        s"mtime=${(0L +: parts.map(_.lastModified)).max}"
+    }
     val done = new java.io.File(slicesDir, "_DONE")
-    if (!done.exists()) {
+    val stale = done.exists() &&
+      new String(java.nio.file.Files.readAllBytes(done.toPath)) != fingerprint
+    if (stale) {
+      println(s"slice cache stale (source fingerprint changed) — re-slicing")
+      def rmAll(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+      }
+      rmAll(slicesDir)
+    }
+    if (!done.exists() || stale) {
       val t0 = System.nanoTime()
       slicesDir.mkdirs()
       val ev = Tables.table(spark, sfDir, "events")
@@ -72,7 +94,7 @@ object IntervalEvictionProbe {
         }
         rm(tmp)
       }
-      done.createNewFile()
+      java.nio.file.Files.write(done.toPath, fingerprint.getBytes)
       println(f"sliced $nSlices day files in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 

@@ -64,12 +64,28 @@ class MockMtimeRefreshFileSystem extends RawLocalFileSystem {
   * three hostile behaviors real and race the protocol against them. */
 class HostileFsSpec extends SparkSpec {
 
+  private val schemes = Seq("s3a", "mockdfs", "mockmt")
+
   private lazy val conf = {
     val c = spark.sparkContext.hadoopConfiguration
     c.set("fs.s3a.impl", classOf[MockCopyDeleteFileSystem].getName)
     c.set("fs.mockdfs.impl", classOf[MockDfsFileSystem].getName)
     c.set("fs.mockmt.impl", classOf[MockMtimeRefreshFileSystem].getName)
     c
+  }
+
+  /** The session (and Hadoop's FileSystem cache) outlive this suite:
+    * evict the mock instances and unset the impl keys so no other
+    * suite can silently resolve s3a/mockdfs/mockmt to these mocks. */
+  override def afterAll(): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    schemes.foreach { s =>
+      try org.apache.hadoop.fs.FileSystem
+        .get(java.net.URI.create(s"$s:///"), c).close()
+      catch { case _: Exception => () }
+      c.unset(s"fs.$s.impl")
+    }
+    super.afterAll()
   }
   private def freshDir(tag: String): String = {
     val d = java.nio.file.Files
@@ -154,11 +170,20 @@ class HostileFsSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("HB"))
     assert(hbs1.length == 1 && hbs1(0).startsWith("HB-"),
       s"no-FileContext heartbeat lands a VERSIONED file: ${hbs1.toSeq}")
+    Thread.sleep(5) // distinct mtimes: the keep-newest prune sorts on them
     IndexIO.heartbeatMaintLock(spark, root, nonce)
     val hbs2 = fs.listStatus(lockOf(root))
       .map(_.getPath.getName).filter(_.startsWith("HB"))
-    assert(hbs2.length == 1 && !hbs2.sameElements(hbs1),
-      s"the next heartbeat prunes the older versioned file: ${hbs2.toSeq}")
+    assert(hbs2.length == 2 && hbs2.contains(hbs1(0)),
+      s"the predecessor heartbeat survives one generation (a reader " +
+        s"that listed it can still read it): ${hbs2.toSeq}")
+    Thread.sleep(5)
+    IndexIO.heartbeatMaintLock(spark, root, nonce)
+    val hbs3 = fs.listStatus(lockOf(root))
+      .map(_.getPath.getName).filter(_.startsWith("HB"))
+    assert(hbs3.length == 2 && !hbs3.contains(hbs1(0)),
+      s"the third heartbeat prunes the oldest file — the set stays " +
+        s"bounded at two: ${hbs3.toSeq}")
     // the versioned heartbeat is the lease clock: back-date the CLAIM
     // acquisition line to stale — a breaker must still REFUSE, because
     // the fresh HB-* content keeps the lease live (the old delete+
