@@ -199,6 +199,25 @@ class PlanShapeSpec extends SparkSpec {
     assertNoProductJoin(plan, "nearDupPairs")
   }
 
+  test("multi-probe LSH stays a broadcast equality join on bucket — probe explosion never touches the corpus side") {
+    val emb = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.4f)),
+      (3L, Seq.fill(64)(0.3f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val plan = physical(Similarity.lshTopKMultiProbe(
+      emb.filter(col("vec_id") === 1L), emb, k = 2, numPlanes = 8,
+      dim = 64, probes = 9))
+    assertNoProductJoin(plan, "lshTopKMultiProbe")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"multi-probe candidates must broadcast the exploded query side:\n$plan")
+    // same shape for the audit's probe-annotated candidate set
+    val aPlan = physical(Similarity.lshProbeCandidates(
+      emb.filter(col("vec_id") === 1L), emb, numPlanes = 8, dim = 64))
+    assertNoProductJoin(aPlan, "lshProbeCandidates")
+    assert(aPlan.contains("BroadcastHashJoin"),
+      s"probe-candidate audit join must broadcast the query side:\n$aPlan")
+  }
+
   test("gopher quality and rarity are aggregate-join plans: no window, no global sort of the corpus") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString
     Seq((1L, "the quick brown fox", "en", "s", 19L))
