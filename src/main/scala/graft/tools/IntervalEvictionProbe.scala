@@ -27,12 +27,21 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object IntervalEvictionProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft-sf100")
-    val arms: Seq[(String, String)] =
+    // arm syntax: provider:watermark[:late] — `late` replays the
+    // DISORDERED copy of the slices (day 12 arrives after day 18), the
+    // case that makes the state-size vs matched-rows trade real: a
+    // tight watermark has already evicted/finalized past day 12 when
+    // it finally arrives (quantified match loss, small state); a
+    // watermark wider than the disorder keeps it (zero loss, state
+    // grows to watermark + interval of data).
+    val arms: Seq[(String, String, Boolean)] =
       if (args.length > 1) args(1).split(";").toSeq.map { a =>
-        val Array(p, w) = a.split(":"); (p, w.replace('_', ' '))
+        val parts = a.split(":")
+        (parts(0), parts(1).replace('_', ' '),
+          parts.length > 2 && parts(2) == "late")
       }
-      else Seq("default" -> "1 hour", "default" -> "1 minute",
-        "rocksdb-clog" -> "1 hour")
+      else Seq(("default", "1 hour", false), ("default", "1 minute", false),
+        ("rocksdb-clog", "1 hour", false))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -130,11 +139,35 @@ object IntervalEvictionProbe {
       }
     })
 
+    // disordered copy: same files, arrival (mod-time) order permuted so
+    // day 12 lands after day 18 — 6 days of lateness against the
+    // watermark, everything else in order
+    lazy val lateDir: java.io.File = {
+      val d = new java.io.File(slicesDir.getParentFile,
+        slicesDir.getName + "-late")
+      if (!new java.io.File(d, "_DONE").exists()) {
+        d.mkdirs()
+        val slices = slicesDir.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        require(slices.length >= 20, s"need >=20 slices, got ${slices.length}")
+        val order = slices.take(12) ++ slices.slice(13, 19) ++
+          Seq(slices(12)) ++ slices.drop(19)
+        order.zipWithIndex.foreach { case (f, i) =>
+          val dst = new java.io.File(d, f.getName)
+          java.nio.file.Files.copy(f.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000000000L + i * 1000L)
+        }
+        new java.io.File(d, "_DONE").createNewFile()
+      }
+      d
+    }
+
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val clogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    for ((provider, wm) <- arms) {
+    for ((provider, wm, late) <- arms) {
       if (provider.startsWith("rocksdb")) spark.conf.set(provKey, rocks)
       else spark.conf.unset(provKey)
       spark.conf.set(clogKey, provider.endsWith("-clog").toString)
@@ -142,9 +175,10 @@ object IntervalEvictionProbe {
       val matched = new java.util.concurrent.atomic.AtomicLong(0)
       val ckpt = StreamOps.volatileCheckpointDir(spark)
       val t0 = System.nanoTime()
+      val srcDir = if (late) lateDir else slicesDir
       val src = spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")
-        .parquet(slicesDir.getAbsolutePath)
+        .parquet(srcDir.getAbsolutePath)
       val (v, b) = sides(src)
       val joined = StreamOps.attributionJoin(v, b,
         maxDelay = "6 hours", watermark = wm)
@@ -157,8 +191,12 @@ object IntervalEvictionProbe {
       q.awaitTermination()
       StreamOps.dropCheckpoint(ckpt)
       Thread.sleep(500) // listener events are async
-      val ok = if (matched.get() == truth) "== truth" else s"!= truth($truth) DIVERGED"
-      println(f"${provider}%-13s wm=${wm}%-9s wall=${(System.nanoTime() - t0) / 1e9}%7.1f s " +
+      val ok =
+        if (matched.get() == truth) "== truth"
+        else if (late) f"lost ${truth - matched.get()}%,d of $truth%,d (late-drop trade)"
+        else s"!= truth($truth) DIVERGED"
+      val tag = if (late) s"$wm+late" else wm
+      println(f"${provider}%-13s wm=${tag}%-14s wall=${(System.nanoTime() - t0) / 1e9}%7.1f s " +
         f"batches=${nBatches.get()}%3d maxStateRows=${maxState.get()}%,12d " +
         f"matched=${matched.get()}%,d $ok")
     }
