@@ -371,4 +371,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(perBatch.toSeq == Seq(Set((2L, 4L)), Set((3L, 8L))),
       s"expected gen-1 {2→4 hits} then gen-2 {3→8 hits}, got $perBatch")
   }
+
+  test("bm25Loop with maintenance BETWEEN generations: compaction is invisible to as-of serving") {
+    // the full production crawl shape: ONE long-lived ingest query,
+    // maintain() (shard-count compaction) firing between generations —
+    // as-of rankings must equal the maintenance-free run, and the
+    // final index must serve like a from-scratch rebuild. This is the
+    // loop-composition the standalone maintain()/soak specs don't pin.
+    implicit val sc = spark.sqlContext
+    import graft.ext.TextIndex
+    def docs(ids: Range) = ids
+      .map(i => (i.toLong, s"fox spark jugs doc$i tok${i % 5}"))
+    def drive(idx: String, doMaintain: Boolean): Seq[Seq[(Long, Long, Int)]] = {
+      TextIndex.write(docs(0 until 4).toDF("doc_id", "text"), idx)
+      val mem = MemoryStream[(Long, String)]
+      val perGen = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Int)]]()
+      val q = StreamOps.bm25Loop(mem.toDF().toDF("doc_id", "text"), idx,
+        Seq("fox", "spark", "jugs"), k = 50, k1 = 1.2, b = 0.75) { (_, topk) =>
+        perGen += topk.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        ()
+      }
+      try for (g <- 0 until 3) {
+        mem.addData(docs(4 + g * 4 until 8 + g * 4): _*)
+        q.processAllAvailable()
+        if (doMaintain)
+          TextIndex.maintain(spark, idx, maxShards = 2)
+      } finally q.stop()
+      perGen.toSeq
+    }
+    val base = graft.core.TempDirs.create("bm25-loop-maint-")
+    val withMaint = drive(s"$base/m", doMaintain = true)
+    val noMaint = drive(s"$base/n", doMaintain = false)
+    assert(withMaint == noMaint,
+      s"as-of rankings must not see compaction:\n$withMaint\nvs\n$noMaint")
+    // final serve ≡ rebuild
+    TextIndex.write(docs(0 until 16).toDF("doc_id", "text"), s"$base/reb")
+    def serve(p: String) = TextIndex
+      .bm25TopK(spark, p, Seq("fox", "spark", "jugs"), 50, 1.2, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(serve(s"$base/m") == serve(s"$base/reb"),
+      "maintained crawl index must serve like a rebuild")
+  }
 }
