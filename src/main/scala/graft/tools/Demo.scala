@@ -13,8 +13,7 @@ import org.apache.spark.sql.types._
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
+    val spark = graft.Boot.master(SparkSession.builder(), "local[4]")
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

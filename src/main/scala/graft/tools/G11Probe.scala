@@ -24,8 +24,7 @@ object G11Probe {
                else Seq(Int.MaxValue, 1000, 100)
     val maxDf = if (args.length > 2) args(2).toLong else 2000L
     val skew = args.length > 3 && args(3) == "skew"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = graft.Boot.master(SparkSession.builder(), s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-g11probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

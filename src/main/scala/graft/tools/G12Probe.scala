@@ -24,8 +24,7 @@ object G12Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cityDeg = if (args.length > 1) args(1).toDouble else 0.5
     val pinned = if (args.length > 2) args(2).toDouble else 10.0
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = graft.Boot.master(SparkSession.builder(), s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-g12probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

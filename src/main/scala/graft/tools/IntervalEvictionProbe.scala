@@ -42,8 +42,7 @@ object IntervalEvictionProbe {
       }
       else Seq(("default", "1 hour", false), ("default", "1 minute", false),
         ("rocksdb-clog", "1 hour", false))
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = graft.Boot.master(SparkSession.builder(), "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

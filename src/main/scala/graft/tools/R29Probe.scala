@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
 object R29Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = graft.Boot.master(SparkSession.builder(), "local[32]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

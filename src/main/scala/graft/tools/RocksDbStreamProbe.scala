@@ -17,8 +17,7 @@ object RocksDbStreamProbe {
     val sfDir = args.headOption.getOrElse("/tmp/graft-sf100")
     val names = if (args.length > 1) args(1).split(",").toSeq
                 else Seq("st_stream_dedup", "st_interval_join")
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = graft.Boot.master(SparkSession.builder(), "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

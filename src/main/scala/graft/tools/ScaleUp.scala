@@ -61,8 +61,7 @@ object ScaleUp {
     }
     val (src, dst) = (args(0), args(1))
     val copies = if (args.length > 2) args(2).toInt else 10
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = graft.Boot.master(SparkSession.builder(), s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scaleup")
       .config("spark.sql.shuffle.partitions", "32")
       // events.ts is TIMESTAMP(NANOS): read AND write as raw nano longs

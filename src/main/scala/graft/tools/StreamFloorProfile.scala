@@ -15,8 +15,7 @@ object StreamFloorProfile {
     val names = (if (args.length > 2) args(2).split(",").toSeq
       else Seq("st_interval_join", "st_stream_dedup", "st_bm25_refresh",
         "st_neardup_refresh"))
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = graft.Boot.master(SparkSession.builder(), s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

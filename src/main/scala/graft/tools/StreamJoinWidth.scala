@@ -14,8 +14,7 @@ object StreamJoinWidth {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = if (args.length > 1) args(1).toInt else 3
     val widths = (if (args.length > 2) args(2) else "4,8,16,32").split(",").map(_.toInt).toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = graft.Boot.master(SparkSession.builder(), "local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
