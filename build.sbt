@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites must run SEQUENTIALLY in the forked JVM (the sbt default for
+// forked tests, pinned here so it can't drift): HostileFsSpec installs
+// mock fs.s3a/mockdfs/mockmt impls into the shared SparkSession's
+// Hadoop configuration for its duration — a concurrently-running suite
+// resolving those schemes mid-run would get the mocks.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

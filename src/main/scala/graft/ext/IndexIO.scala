@@ -1003,13 +1003,22 @@ private[ext] object IndexIO {
     // release (the abandoned lock would block successors until it ages
     // out); only a persistent failure degrades to skip.
     val held =
-      try readLine1OrThrow(fs,
-        new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce)
-      catch { case _: java.io.IOException => false }
-    if (!held) {
-      warn("lock no longer held by this maintainer (overran maintLockMs " +
-        "without heartbeating?) — skipped")
-      return
+      try Some(readLine1OrThrow(fs,
+        new org.apache.hadoop.fs.Path(lock, "CLAIM")).contains(nonce))
+      catch { case _: java.io.IOException => None }
+    held match {
+      case Some(false) =>
+        warn("lock no longer held by this maintainer (overran maintLockMs " +
+          "without heartbeating?) — skipped")
+        return
+      case None =>
+        // distinct diagnosis: a persistent STORE fault, not a lease
+        // overrun — the abandoned lock blocks successors until it ages
+        // out, and an operator must be able to tell the two apart
+        warn("CLAIM unreadable (persistent read failure) — skipping " +
+          "release; the lock will age out after maintLockMs")
+        return
+      case Some(true) => ()
     }
     val rel = new org.apache.hadoop.fs.Path(
       s"$root/_maintlock-rel-${java.util.UUID.randomUUID().toString.take(8)}")

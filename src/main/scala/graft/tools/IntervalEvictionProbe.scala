@@ -74,6 +74,9 @@ object IntervalEvictionProbe {
         Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
       }
       rmAll(slicesDir)
+      // the late copy is derived from the slices — drop it too, or the
+      // late arms would replay stale slices against fresh batch truth
+      rmAll(new java.io.File(slicesDir.getParentFile, slicesDir.getName + "-late"))
     }
     if (!done.exists() || stale) {
       val t0 = System.nanoTime()
@@ -96,7 +99,11 @@ object IntervalEvictionProbe {
         val dst = new java.io.File(slicesDir, f"slice-$d%02d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(t0 / 1000000L + d * 1000L) // deterministic order
+        // fixed epoch base (NOT nanoTime-derived — arbitrary origin can be
+        // negative, which setLastModified rejects) and assert the return:
+        // a silent failure would scramble the event-time replay order
+        require(dst.setLastModified(1000000000000L + d * 1000L),
+          s"setLastModified failed for $dst")
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
@@ -144,7 +151,16 @@ object IntervalEvictionProbe {
     lazy val lateDir: java.io.File = {
       val d = new java.io.File(slicesDir.getParentFile,
         slicesDir.getName + "-late")
-      if (!new java.io.File(d, "_DONE").exists()) {
+      // fingerprint-keyed like the primary slice cache: a bare _DONE
+      // check would silently replay stale slices after a fixture refresh
+      val lateDone = new java.io.File(d, "_DONE")
+      val lateFresh = lateDone.exists() &&
+        new String(java.nio.file.Files.readAllBytes(lateDone.toPath)) == fingerprint
+      if (!lateFresh) {
+        def rmAll(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(); ()
+        }
+        rmAll(d)
         d.mkdirs()
         val slices = slicesDir.listFiles()
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -155,9 +171,10 @@ object IntervalEvictionProbe {
           val dst = new java.io.File(d, f.getName)
           java.nio.file.Files.copy(f.toPath, dst.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(1000000000000L + i * 1000L)
+          require(dst.setLastModified(1000000000000L + i * 1000L),
+            s"setLastModified failed for $dst")
         }
-        new java.io.File(d, "_DONE").createNewFile()
+        java.nio.file.Files.write(lateDone.toPath, fingerprint.getBytes)
       }
       d
     }
