@@ -89,6 +89,24 @@ def main(bench_path: str, sf_dir: str, oracle_path: str = None,
     # ratio RANGE: engine total against the best and worst oracle totals
     print(f"ratio: {te/td_med:.2f}x median  (range {te/td_max:.2f}x-{te/td_min:.2f}x)")
     print(f"engine full total: {bench['value']:.1f}s over {bench.get('n_queries', len(bench['queries']))} queries")
+
+    # per-tier ratios (VERDICT r14 task 7): tier membership comes from
+    # the bench artifact (one source of truth — graft.Bench classifies);
+    # 147-query grand totals drown a scan-tier regression in VM drift on
+    # ~100 floor-bound numbers, so the tier rows are the real signal.
+    tiers = bench.get("tiers")
+    if tiers:
+        print(f"\n{'tier':10s} {'n':>4s} {'spark':>8s} {'duck-med':>9s} "
+              f"{'ratio':>7s}  (oracle-covered members only)")
+        for tname in ("floor", "lifecycle", "scan"):
+            t = tiers.get(tname)
+            if not t:
+                continue
+            members = set(t["queries"])
+            cov = [r for r in covered if r[0] in members]
+            ts, td = sum(r[1] for r in cov), sum(r[2][0] for r in cov)
+            rs = f"{ts/td:7.2f}" if td > 0 else "     --"
+            print(f"{tname:10s} {len(cov):4d} {ts:8.1f} {td:9.1f} {rs}")
     return 0
 
 
