@@ -82,9 +82,12 @@ object TextAnalysis {
     }
   }
 
-  /** A BPE-ish subword proxy: count of alnum runs + digit runs via regex
-    * split — a cheap deterministic stand-in for a real tokenizer's piece
-    * count (upper-bounds tokens per word at len/1 pieces). */
+  /** A subword proxy: count of alnum runs via regex split. Kept for
+    * continuity (ta_token_count pins it), but the REAL budget counter
+    * is [[graft.functions.bpeCount]] / [[graft.core.Bpe]] — a
+    * deterministic BPE over the committed merges fixture; this proxy
+    * counts words, which under-counts exactly the rare multi-piece
+    * words a token budget overruns on. */
   def subwordCount(text: Column): Column =
     size(filter(split(lower(coalesce(text, lit(""))), "[^a-z0-9]+"), t => t =!= ""))
 

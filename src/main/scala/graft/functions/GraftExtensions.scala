@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => Sq8Expression(children.head)))
 
     ext.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      info("bpe_count", "bpe_count(text) - true BPE token count under the " +
+        "committed merges fixture (graft/bpe/merges.txt)"),
+      (children: Seq[Expression]) => BpeCountExpression(children.head)))
+
+    ext.injectFunction((
       FunctionIdentifier("canon"),
       info("canon", "canon(s) - scout gazetteer name normalization"),
       (children: Seq[Expression]) => canonExpr(children.head)))

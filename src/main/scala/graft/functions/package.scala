@@ -21,4 +21,9 @@ package object functions {
     * native expression (the SQ compression tier's encode primitive). */
   def sq8(emb: Column): Column =
     GraftBridge.column(Sq8Expression(GraftBridge.expression(emb)))
+
+  /** True BPE token count under the committed merges fixture as a
+    * codegen'd native expression (the training-budget primitive). */
+  def bpeCount(text: Column): Column =
+    GraftBridge.column(BpeCountExpression(GraftBridge.expression(text)))
 }

@@ -197,5 +197,37 @@ object CurationQueries {
           ORDER BY qid, slot"""
     })
 
-  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks, taCmsHeavy, taNegatives)
+  /** Sequence packing re-binned on TRUE BPE token counts (VERDICT r14
+    * task 3): identical prefix-sum pack plan to [[taPack]], with the
+    * budget column swapped from the whitespace proxy to
+    * [[graft.functions.bpeCount]]. `ta_pack` is kept on the proxy so
+    * the two stay comparable — the delta between their bin manifests
+    * IS the budget error a proxy-packed deployment ships. The oracle
+    * derives per-doc counts from [[BpeSql]]'s recursive-CTE replay,
+    * then packs with the same portable hash + window as the ta_pack
+    * twin. */
+  val taBpePack = Q("ta_bpe_pack",
+    (s, dir) =>
+      Sampling.packBins(docs(s, dir), id = "doc_id",
+        tokens = graft.functions.bpeCount(col("text")),
+        shards = PackShards, capacity = PackCapacity)
+        .orderBy("shard", "bin"),
+    Some(s"""WITH RECURSIVE
+               ${BpeSql.wordTokCtes},
+             t AS (
+               SELECT doc_id, CAST(n_bpe AS BIGINT) AS ntok,
+                      ${hashSql("'pack:' || doc_id")} % $PackShards AS shard
+               FROM doc_bpe),
+             c AS (
+               SELECT doc_id, ntok, shard,
+                      sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS strt
+               FROM t)
+           SELECT shard, CAST(strt // $PackCapacity AS BIGINT) AS bin,
+                  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+                  min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))
+
+  val all: Seq[Q] = Seq(taDomainMix, taPack, taChunks, taCmsHeavy, taNegatives,
+    taBpePack)
 }

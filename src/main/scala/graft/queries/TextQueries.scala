@@ -316,7 +316,27 @@ object TextQueries {
           ORDER BY doc_id"""
     })
 
+  /** True BPE token count per document ([[graft.core.Bpe]] as a native
+    * codegen expression, VERDICT r14 task 3) next to the whitespace
+    * count — the pair a budget dashboard plots. The oracle replays the
+    * committed merges fixture through [[BpeSql]]'s recursive CTE, so
+    * the encode loop itself is cross-engine hash-checked, not just the
+    * plumbing. */
+  val taBpeCount = Q("ta_bpe_count",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.functions.bpeCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE
+             ${BpeSql.wordTokCtes}
+           SELECT d.doc_id,
+                  len(list_filter(string_split(${WRatioSql.canonOf("d.text")}, ' '), x -> x <> '')) AS n_tokens,
+                  b.n_bpe
+           FROM documents d JOIN doc_bpe b USING (doc_id)
+           ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(taTokens, taQuality, taLangId, taLangTrigram,
     taLangUnicode, taFingerprint, taCorpusReport, taTopTokens,
-    taSampleStratified, taQualityFilter)
+    taSampleStratified, taQualityFilter, taBpeCount)
 }
