@@ -498,7 +498,8 @@ private[ext] object IndexIO {
                   replaces: Seq[Int] = Nil,
                   enforceLease: Boolean = false,
                   verifyTables: Seq[String] = Nil,
-                  maintLockNonce: String = ""): Unit = {
+                  maintLockNonce: String = "",
+                  tags: Seq[String] = Nil): Unit = {
     preCommitHook()
     // APPEND commits (enforceLease=true) verify their lease before the
     // marker rename: an append that outran appendLeaseMs may have had
@@ -560,6 +561,19 @@ private[ext] object IndexIO {
     if (replaces.nonEmpty) {
       val rf = fs.create(new org.apache.hadoop.fs.Path(staging, "REPLACES"), false)
       try rf.writeBytes(replaces.sorted.mkString("\n") + "\n") finally rf.close()
+    }
+    // idempotency TAGS (exactly-once streaming ingest, VERDICT r14
+    // task 1): an append tags its marker with the caller's batch
+    // identity; a compaction unions the tags of the shards it folds.
+    // [[committedTags]] is the replay guard — an at-least-once retry
+    // (foreachBatch re-delivery after a crash between the marker rename
+    // and the checkpoint commit) sees its tag already live and SKIPS,
+    // closing the double-append window the commit protocol alone
+    // cannot see. Tags ride the marker rename, so tag visibility is
+    // exactly commit visibility — no second race.
+    if (tags.nonEmpty) {
+      val tf = fs.create(new org.apache.hadoop.fs.Path(staging, "TAGS"), false)
+      try tf.writeBytes(tags.distinct.sorted.mkString("\n") + "\n") finally tf.close()
     }
     publishShard(spark, staging.toString, s"$root/commits/shard=$k")
     // POST-commit verify (enforceLease appends): if the lease expired
@@ -630,6 +644,45 @@ private[ext] object IndexIO {
         // a compact's post-commit cleanup (single-writer) may delete a
         // superseded marker between our listing and read — re-list and
         // resolve against the post-cleanup state
+        case _: java.io.FileNotFoundException if attempts < 3 => attempts += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Idempotency tags of one committed shard's marker (empty when the
+    * shard was committed untagged — every pre-round-15 shard). */
+  def shardTags(spark: SparkSession, root: String, k: Int): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val tp = new org.apache.hadoop.fs.Path(s"$root/commits/shard=$k/TAGS")
+    if (!fs.exists(tp)) Nil
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(tp).getLen.toInt)
+      val in = fs.open(tp)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Union of idempotency tags across LIVE committed shards — the
+    * at-least-once replay guard ([[commitShard]] `tags`): a tagged
+    * append whose tag is already here has already landed (possibly
+    * folded into a compacted shard since — compaction carries tags
+    * forward) and must be skipped, not re-appended. Cost: one exists()
+    * + tiny read per live shard, bounded by the compaction policy's
+    * shard cap; a deleted marker drops its tags by design (a marker
+    * deleted by repair means the batch never served — the retry SHOULD
+    * re-append). */
+  def committedTags(spark: SparkSession, root: String): Set[String] = {
+    var attempts = 0
+    while (true) {
+      try {
+        return liveCommittedIds(spark, root)
+          .flatMap(k => shardTags(spark, root, k)).toSet
+      } catch {
+        // a compact's post-commit marker cleanup can race the per-shard
+        // TAGS reads exactly like liveCommittedIds' REPLACES reads
         case _: java.io.FileNotFoundException if attempts < 3 => attempts += 1
       }
     }

@@ -395,8 +395,10 @@ object TextIndex {
     * implementation: [[IndexIO.commitShard]], since round 8 also the
     * protocol of [[MinHashIndex]] and [[VectorIndex]].) */
   private def commitShard(spark: SparkSession, root: String, k: Int,
-                          enforceLease: Boolean = false): Unit =
-    IndexIO.commitShard(spark, root, k, enforceLease = enforceLease)
+                          enforceLease: Boolean = false,
+                          tags: Seq[String] = Nil): Unit =
+    IndexIO.commitShard(spark, root, k, enforceLease = enforceLease,
+      tags = tags)
 
   /** Drop table shards with no commit marker (crash before the marker
     * rename), markers with missing table shards (external tampering
@@ -454,9 +456,23 @@ object TextIndex {
     * some sequential order). Crash garbage (a claimed id whose marker
     * never landed) stays invisible to readers and is reclaimed by the
     * next [[compact]]/[[compactSmall]]. */
-  def append(docs: DataFrame, path: String, partitions: Int = 8): Unit = {
+  def append(docs: DataFrame, path: String, partitions: Int = 8,
+             batchTag: String = ""): Unit = {
     val spark = docs.sparkSession
     val tables = tablesOf(spark, path)
+    // idempotent replay guard (exactly-once streaming ingest): a tagged
+    // append whose tag is already live has ALREADY committed — the
+    // at-least-once retry of a foreachBatch that crashed between the
+    // marker rename and the checkpoint commit must be a no-op, or the
+    // batch double-appends. Checked BEFORE claiming a shard id so the
+    // skip leaves zero garbage. Compaction unions tags forward
+    // ([[compact]]), so the guard survives folds between crash and
+    // retry.
+    if (batchTag.nonEmpty && IndexIO.committedTags(spark, path).contains(batchTag)) {
+      System.err.println(s"[graft] append to $path: batch tag '$batchTag' " +
+        "already committed — idempotent replay skip")
+      return
+    }
     // committed-but-incomplete shards (tampering) are repaired eagerly —
     // safe under concurrency, unlike the full reconcile (compact-only)
     IndexIO.dropIncompleteCommitted(spark, path, tables)
@@ -483,7 +499,8 @@ object TextIndex {
     // verifyTables closes the check-to-rename TOCTOU (marker withdrawn
     // if the tables were reclaimed before it landed)
     IndexIO.commitShard(spark, path, next, enforceLease = true,
-      verifyTables = tables)
+      verifyTables = tables,
+      tags = if (batchTag.nonEmpty) Seq(batchTag) else Nil)
   }
 
   /** Tombstone a set of doc_ids (takedowns, re-crawls): one tiny
@@ -538,7 +555,11 @@ object TextIndex {
         .sortWithinPartitions("term", "id", "pos")
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/positions/shard=0")
     }
-    commitShard(spark, staging, 0)
+    // idempotency tags of every folded shard ride into the rebuilt
+    // root's one marker — a streaming batch's replay guard must survive
+    // the full rebuild exactly as it survives a tiered fold
+    commitShard(spark, staging, 0,
+      tags = committed.flatMap(k => IndexIO.shardTags(spark, path, k)))
     IndexIO.publish(spark, staging, path)
   }
 
@@ -669,9 +690,13 @@ object TextIndex {
     for (t <- tables)
       IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
     IndexIO.deleteDir(spark, stage)
-    // the commit point: one rename swaps the fold set for the new shard
+    // the commit point: one rename swaps the fold set for the new shard.
+    // Idempotency tags of the folded shards ride along — a streaming
+    // batch's replay guard must survive a compaction that lands between
+    // its crash and its retry ([[IndexIO.committedTags]]).
+    val foldTags = fold.flatMap(k => IndexIO.shardTags(spark, path, k))
     IndexIO.commitShard(spark, path, next, replaces = fold,
-      maintLockNonce = lockNonce)
+      maintLockNonce = lockNonce, tags = foldTags)
     for (k <- fold) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
     for (t <- tables; k <- fold) IndexIO.deleteDir(spark, s"$path/$t/shard=$k")
     // fold-all applied every observed tombstone (the fold covered every

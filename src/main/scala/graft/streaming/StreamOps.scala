@@ -277,10 +277,25 @@ object StreamOps {
                k: Int, k1: Double, b: Double, partitions: Int = 1,
                checkpoint: Option[String] = None)(
       sink: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // exactly-once ingest under at-least-once foreachBatch: tag each
+    // append with (checkpoint identity, batchId) so a batch re-delivered
+    // after a crash-restart is an idempotent skip in
+    // [[graft.ext.TextIndex.append]] — batchId alone would collide
+    // across runs (a fresh checkpoint restarts batch ids at 0 against
+    // the same index), so the tag carries the checkpoint's identity,
+    // which is exactly the thing that persists across a restart. With
+    // no checkpoint there is nothing to resume and the contract is
+    // "rerun", so appends stay untagged.
+    val ckptTag = checkpoint.map { c =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8"))
+      md.take(6).map(b0 => f"${b0 & 0xff}%02x").mkString
+    }
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.TextIndex.append(batch.select("doc_id", "text"), idxPath,
-          partitions = partitions)
+          partitions = partitions,
+          batchTag = ckptTag.map(t => s"ckpt-$t:b$batchId").getOrElse(""))
         sink(batchId, graft.ext.TextIndex.bm25TopK(
           batch.sparkSession, idxPath, terms, k, k1, b))
         ()
