@@ -1,0 +1,19 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** Read-only introspection facade over the (package-private) commit
+  * protocol for measurement tools outside `graft.ext` — probes report
+  * shard equilibria and replay-guard state without widening
+  * [[IndexIO]]'s visibility. */
+object IndexInspect {
+
+  /** Live committed shard count (post-REPLACES) — the LSM equilibrium
+    * number a soak watches. */
+  def liveShardCount(spark: SparkSession, root: String): Int =
+    IndexIO.liveCommittedIds(spark, root).size
+
+  /** Idempotency tags live on the index (the streaming replay guard). */
+  def committedTags(spark: SparkSession, root: String): Set[String] =
+    IndexIO.committedTags(spark, root)
+}
