@@ -607,8 +607,10 @@ private[ext] object IndexIO {
     * legacy pre-marker index (no `commits/` table was ever written — the
     * caller decides how to read it) or an index whose first commit never
     * landed. */
-  def committedIds(spark: SparkSession, root: String): Seq[Int] =
+  def committedIds(spark: SparkSession, root: String): Seq[Int] = {
+    requireSupportedFormat(spark, root)
     shardIds(spark, s"$root/commits")
+  }
 
   /** Committed shard ids MINUS those superseded by a compaction
     * marker's REPLACES set — the id set serving must read. One
@@ -616,6 +618,7 @@ private[ext] object IndexIO {
     * per compaction marker; ordinary appends stay pure directory
     * facts. */
   def liveCommittedIds(spark: SparkSession, root: String): Seq[Int] = {
+    requireSupportedFormat(spark, root)
     val fs = fsOf(spark, root)
     var attempts = 0
     while (true) {
@@ -705,6 +708,83 @@ private[ext] object IndexIO {
           "possibly-uncommitted shards")
     }
 
+  // ---- on-disk format version ----------------------------------------
+
+  /** Layout format version this binary WRITES and the newest it can
+    * READ. A persisted index on an object store outlives any one binary:
+    * when a future engine changes the shard/commit layout incompatibly
+    * it bumps this and stamps its builds, and THIS binary must refuse to
+    * read or mutate such an index loudly — misreading a newer layout
+    * (e.g. a commits table whose markers moved) would silently serve
+    * uncommitted shards, and appending to it would corrupt it. Bump ONLY
+    * on incompatible layout changes; additive files (TAGS, REPLACES were
+    * both added without a bump) stay at the same format. */
+  val CurrentFormat: Int = 1
+
+  private val FormatFile = "_FORMAT"
+  private val FormatKey = "graft.index.format="
+
+  /** Stamp a STAGING dir with the writer's format before it renames into
+    * place ([[publish]] / [[publishVersioned]]) — riding the atomic
+    * rename means a published index is never observable without its
+    * stamp, with no post-publish write window. Underscore-prefixed so
+    * parquet readers and shard listings never see it. Legacy roots
+    * (anything published before the stamp existed) have no `_FORMAT` and
+    * read as format 1 implied; they get stamped at their next full
+    * republish (compaction republish included) — never in place under a
+    * live reader. */
+  private def stampFormat(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$FormatFile")
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      try out.write(s"$FormatKey$CurrentFormat\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  // One tiny read per root per JVM: a root's format is fixed for its
+  // lifetime by contract — format changes land under a NEW versioned
+  // v{N} dir (new cache key via the resolved path) or a new root, never
+  // by in-place rewrite under live readers — so the cache is sound and
+  // keeps the gate off the per-serve FS-op budget.
+  private val formatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
+
+  /** Format stamped at `root`: Some(n) from its `_FORMAT` file, None for
+    * a legacy pre-stamp root. Absence is trusted only on a provable
+    * FileNotFound ([[readLine1OrThrow]]) — a transiently unreadable
+    * stamp must not downgrade the gate to "legacy, proceed". */
+  def formatOf(spark: SparkSession, root: String): Option[Int] = {
+    val cached = formatCache.get(root)
+    if (cached != null) return cached
+    val fs = fsOf(spark, root)
+    val v = readLine1OrThrow(
+      fs, new org.apache.hadoop.fs.Path(s"$root/$FormatFile")).map { line =>
+      val n = line.stripPrefix(FormatKey)
+      if (!line.startsWith(FormatKey) || n.isEmpty || !n.forall(_.isDigit))
+        throw new java.io.IOException(s"corrupt $FormatFile under $root: '$line'")
+      n.toInt
+    }
+    formatCache.put(root, v)
+    v
+  }
+
+  /** Gate on the stamped format — called by every read entry
+    * ([[committedIds]], [[liveCommittedIds]]) and every mutation entry
+    * ([[claimShardId]], [[acquireMaintLock]]) of the shard protocol, so
+    * a binary can neither serve from nor corrupt an index written by a
+    * newer engine. */
+  def requireSupportedFormat(spark: SparkSession, root: String): Unit =
+    formatOf(spark, root).foreach { v =>
+      if (v > CurrentFormat)
+        throw new java.io.IOException(
+          s"index at $root uses on-disk format $v, written by a newer " +
+            s"engine than this binary (reads <= $CurrentFormat) — upgrade " +
+            "the reader, or rebuild the index with this engine version")
+    }
+
   /** Atomically claim the next free shard id under `root` — the
     * writer-side mutual exclusion for concurrent appenders. Each claim
     * is a `claims/shard=N` directory landed by the same
@@ -730,6 +810,7 @@ private[ext] object IndexIO {
     * pre-claims crash orphan that published table shards without a
     * marker. */
   def claimShardId(spark: SparkSession, root: String, tables: Seq[String]): Int = {
+    requireSupportedFormat(spark, root)
     val fs = fsOf(spark, root)
     var attempts = 0
     while (attempts < 64) {
@@ -906,6 +987,9 @@ private[ext] object IndexIO {
           "-Dgraft.maint.lock.allowNonAtomic=1 to accept that contract, " +
           "or front the index with an atomic-rename store (HDFS, ADLS).")
     }
+    // AFTER the scheme guard (a pure string check that must fire without
+    // instantiating any filesystem) — the format gate needs a live fs
+    requireSupportedFormat(spark, root)
     val fs = fsOf(spark, root)
     val lock = new org.apache.hadoop.fs.Path(s"$root/maintlock")
     var attempts = 0
@@ -1212,6 +1296,7 @@ private[ext] object IndexIO {
   def publish(spark: SparkSession, staging: String, dest: String): Unit = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stampFormat(fs, staging)
     val aside = new org.apache.hadoop.fs.Path(
       s"$dest-old-${java.util.UUID.randomUUID().toString.take(8)}")
     val hadOld = fs.exists(destPath)
@@ -1262,6 +1347,7 @@ private[ext] object IndexIO {
     val vpath = new org.apache.hadoop.fs.Path(vdir)
     if (fs.exists(vpath))
       throw new java.io.IOException(s"versioned publish: $vdir already exists")
+    stampFormat(fs, staging)
     crashTick()
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), vpath))
       throw new java.io.IOException(s"versioned publish rename $staging -> $vdir failed")

@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Round-15 durability contract: the on-disk FORMAT VERSION gate
+  * ([[IndexIO.CurrentFormat]] / `_FORMAT`). A persisted index outlives
+  * any one binary; when a future engine bumps the layout format, THIS
+  * binary must refuse both to serve from and to mutate that index —
+  * loudly, at the protocol chokepoints (committedIds / liveCommittedIds
+  * for reads, claimShardId / acquireMaintLock for writes) — while every
+  * index this binary writes carries its stamp atomically (the `_FORMAT`
+  * file rides the publish rename, so a published index is never
+  * observable without it) and every LEGACY pre-stamp index keeps
+  * reading exactly as before (missing stamp = format 1 implied).
+  */
+class IndexFormatSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val Terms = Seq("fox", "spark")
+
+  private def fresh(tag: String) = java.nio.file.Files
+    .createTempDirectory(s"graft-fmt-$tag").toString + "/idx"
+
+  private def docs(ids: Seq[Long]) = ids
+    .map(i => (i, s"fox spark doc$i tok${i % 3}")).toDF("doc_id", "text")
+
+  private def writeFormat(root: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(root, "_FORMAT")
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    // drop the local ChecksumFileSystem's sidecar — the hand-edit
+    // simulates a DIFFERENT (newer) writer, whose own crc would be
+    // consistent with its stamp
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "._FORMAT.crc"))
+    ()
+  }
+
+  test("publish stamps _FORMAT with the current version; stamped index serves") {
+    val path = fresh("stamp")
+    TextIndex.write(docs(0L until 8L), path)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_FORMAT")))
+    assert(IndexIO.formatOf(spark, path).contains(IndexIO.CurrentFormat))
+    assert(TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count() === 5)
+  }
+
+  test("versioned publish stamps _FORMAT inside the version dir") {
+    val root = fresh("stamp-v")
+    TextIndex.writeVersioned(docs(0L until 8L), root)
+    val resolved = IndexIO.resolveCurrent(spark, root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(resolved, "_FORMAT")))
+    assert(IndexIO.formatOf(spark, resolved).contains(IndexIO.CurrentFormat))
+    assert(TextIndex.bm25TopKCurrent(spark, root, Terms, 5, K1, B).count() === 5)
+  }
+
+  test("a FUTURE-format index refuses to serve, append, or be maintained") {
+    val path = fresh("future")
+    TextIndex.write(docs(0L until 8L), path)
+    writeFormat(path, s"graft.index.format=${IndexIO.CurrentFormat + 1}\n")
+
+    val read = intercept[java.io.IOException] {
+      TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count()
+    }
+    assert(read.getMessage.contains(s"format ${IndexIO.CurrentFormat + 1}"))
+    assert(read.getMessage.contains("newer"))
+
+    val append = intercept[java.io.IOException] {
+      TextIndex.append(docs(100L until 104L), path)
+    }
+    assert(append.getMessage.contains("newer"))
+
+    val maint = intercept[java.io.IOException] {
+      IndexIO.acquireMaintLock(spark, path)
+    }
+    assert(maint.getMessage.contains("newer"))
+  }
+
+  test("a future-format VERSION behind CURRENT refuses to serve") {
+    val root = fresh("future-v")
+    TextIndex.writeVersioned(docs(0L until 8L), root)
+    val resolved = IndexIO.resolveCurrent(spark, root)
+    writeFormat(resolved, s"graft.index.format=${IndexIO.CurrentFormat + 7}\n")
+    val e = intercept[java.io.IOException] {
+      TextIndex.bm25TopKCurrent(spark, root, Terms, 5, K1, B).count()
+    }
+    assert(e.getMessage.contains(s"format ${IndexIO.CurrentFormat + 7}"))
+  }
+
+  test("a LEGACY pre-stamp index (no _FORMAT) reads and appends as before") {
+    val path = fresh("legacy")
+    TextIndex.write(docs(0L until 8L), path)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_FORMAT"))
+    assert(IndexIO.formatOf(spark, path).isEmpty)
+    assert(TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count() === 5)
+    TextIndex.append(docs(100L until 104L), path)
+    // the append mutated the root in place — by contract it does NOT
+    // retro-stamp a live legacy root
+    assert(IndexIO.formatOf(spark, path).isEmpty)
+    assert(TextIndex.bm25TopK(spark, path, Seq("doc100"), 1, K1, B).count() === 1)
+  }
+
+  test("a corrupt _FORMAT fails loudly rather than serving") {
+    val path = fresh("corrupt")
+    TextIndex.write(docs(0L until 8L), path)
+    writeFormat(path, "not a format line\n")
+    val e = intercept[java.io.IOException] {
+      TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count()
+    }
+    assert(e.getMessage.contains("corrupt"))
+  }
+
+  test("all three index kinds stamp at publish") {
+    val t = fresh("kind-text"); val m = fresh("kind-mh"); val v = fresh("kind-ivf")
+    TextIndex.write(docs(0L until 8L), t)
+    MinHashIndex.write(Dedup.docTokens(docs(0L until 8L), "doc_id", "text"),
+      m, numHashes = 8, rowsPerBand = 2)
+    VectorIndex.write(
+      (0L until 8L).map(i => (i, Array.tabulate(4)(d => (i + d).toFloat)))
+        .toDF("vec_id", "embedding"), v, nCentroids = 2)
+    for (p <- Seq(t, m, v))
+      assert(IndexIO.formatOf(spark, p).contains(IndexIO.CurrentFormat), p)
+  }
+}
