@@ -56,15 +56,19 @@ object SpillProbe {
     def ord = ScaleUp.scaled(
       graft.queries.Tables.table(spark, sfDir, "orders"), "orders", copies)
     Seq(
+      // sums run over per-row DECIMAL casts: exact, order-free
+      // aggregation — a double sum's rounding depends on add order,
+      // which phase B's different partitioning legitimately changes
       "agg_wide" -> (() => checksum(
         li.groupBy("l_orderkey").agg(
-          sum("l_quantity").as("q"),
+          sum(col("l_quantity").cast("decimal(38,6)")).as("q"),
           count(lit(1)).as("n"),
-          sum("l_extendedprice").as("p")))),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).as("p")))),
       "join_sortmerge" -> (() => checksum(
         ord.join(li, col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderpriority", "l_returnflag")
-          .agg(count(lit(1)).as("n"), sum("l_quantity").as("q")))))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(38,6)")).as("q")))))
   }
 
   def main(args: Array[String]): Unit = {
