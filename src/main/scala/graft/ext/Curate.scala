@@ -109,4 +109,25 @@ object Curate {
     Sampling.packAssign(mixed, "doc_id", col("__ntok"), packShards, packCapacity)
       .select("doc_id", "lang", "n_members", "shard", "bin")
   }
+
+  /** Materialize the curated corpus: join the [[runFull]] manifest back
+    * to the document text and land it as hive-partitioned parquet — one
+    * `shard=K` directory per pack shard, FILES SIZED toward
+    * `targetFileBytes` ([[graft.sources.SizedWrite]]). This is the
+    * journey's last mile and where 100 TB pipelines usually go wrong:
+    * the curation plan above is shaped for scale, and then a naive
+    * `.write.partitionBy("shard")` fans every final task across every
+    * shard dir — tasks × shards small files. The rebalance-on-`shard`
+    * write keeps each directory at a few full-size files and splits a
+    * skewed shard instead of serializing it into one fat task. */
+  def publish(manifest: DataFrame, docs: DataFrame, idCol: String,
+              textCol: String, path: String,
+              targetFileBytes: Long = 512L << 20,
+              shuffleToFileRatio: Double = 3.0): Unit = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    graft.sources.SizedWrite.parquetSized(
+      manifest.join(base, "doc_id"), path,
+      targetFileBytes, shuffleToFileRatio, clusterBy = Seq("shard"))
+  }
 }

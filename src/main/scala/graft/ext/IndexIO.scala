@@ -730,9 +730,11 @@ private[ext] object IndexIO {
     * stamp, with no post-publish write window. Underscore-prefixed so
     * parquet readers and shard listings never see it. Legacy roots
     * (anything published before the stamp existed) have no `_FORMAT` and
-    * read as format 1 implied; they get stamped at their next full
-    * republish (compaction republish included) — never in place under a
-    * live reader. */
+    * read as format 1 implied; they get stamped at their next
+    * publish-routed rewrite (rebuild, or the full-rewrite `compact`
+    * forms) — in-place maintenance (`maintain`/`compactSmall`/
+    * `compactAllInPlace`) folds shards without touching the stamp,
+    * because a live root is never format-mutated under readers. */
   private def stampFormat(fs: org.apache.hadoop.fs.FileSystem,
                           dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$FormatFile")

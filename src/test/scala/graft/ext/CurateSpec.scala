@@ -67,4 +67,32 @@ class CurateSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(manifest.toSeq == again.toSeq)
   }
+
+  test("curate publish: packed corpus lands hive-partitioned by shard, sized, text joined") {
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 3 == 0) "xx" else "en"
+      (i, s"document $i body w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", lang)
+    }.toDF("doc_id", "text", "lang")
+    val manifest = Curate.runFull(docs, "doc_id", "text", "lang")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-curate-pub").toString + "/corpus"
+    Curate.publish(manifest, docs, "doc_id", "text", out,
+      targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
+
+    val back = spark.read.parquet(out)
+    assert(back.columns.sorted.toSeq ===
+      Seq("bin", "doc_id", "lang", "n_members", "shard", "text"))
+    assert(back.count() === manifest.count())
+    // text joined back intact for a spot doc
+    val one = back.filter(col("doc_id") === back.agg(min("doc_id"))
+      .collect()(0).getLong(0)).collect()(0)
+    assert(one.getAs[String]("text").startsWith("document "))
+    // hive layout: every dir is a shard=K, each with a bounded file count
+    val files = graft.sources.SizedWrite.dataFiles(spark, out)
+    val dirs = files.map(f => f._1.substring(0, f._1.lastIndexOf('/')))
+      .map(d => d.substring(d.lastIndexOf('/') + 1)).distinct
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")), dirs)
+    assert(files.size <= dirs.size * 4,
+      s"${files.size} files over ${dirs.size} shard dirs — sliver fan-out")
+  }
 }
