@@ -102,9 +102,21 @@ object ScaleUp {
             regexp_replace(col("text"), lit("(\\S+)"),
               concat(lit("$1c"), copyIdx)))
         }
-      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      // Write a SCAN-PARALLEL layout. The id-shifted clone data is
+      // hyper-compressible (text identical across copies → parquet
+      // dictionaries pack 100 copies into ~1×), so without this a
+      // 150 MB-logical documents table lands as ONE ~5 MB file = ONE
+      // input split, and every downstream corpus scan runs
+      // single-task — the too-FEW-files twin of the small-files
+      // problem, observed as a uniform ~5–15× inflation across the
+      // sf10 scan tier in round 15. Row-balanced files keep task
+      // parallelism tied to LOGICAL size, which is what the probe is
+      // trying to measure.
+      val parts = if (shifts(t).isEmpty) 1 else math.max(8, copies / 4)
+      out.repartition(parts).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t x${if (shifts(t).isEmpty) 1 else copies}" +
-        (if (salt) " (salted)" else ""))
+        s" ($parts files)" + (if (salt) " (salted)" else ""))
     }
     spark.stop()
   }
