@@ -445,6 +445,12 @@ private[ext] object IndexIO {
   def publishIdShard(ids: org.apache.spark.sql.DataFrame, root: String,
                      colName: String, maxDriverIds: Int = 1 << 20): Int = {
     val spark = ids.sparkSession
+    // Tombstones are shard-protocol mutations like any other: a delete
+    // issued by this binary against a future-format index would "succeed"
+    // while the newer engine ignores or misreads the shard — the exact
+    // corruption the format gate exists to refuse. Append paths are gated
+    // in claimShardId; this is the one mutation entry that doesn't claim.
+    requireSupportedFormat(spark, root)
     val next = shardIds(spark, s"$root/deletes").lastOption.getOrElse(-1) + 1
     val staging = shardStagingFor(s"$root/deletes")
     // normalize to INT64 up front: the driver-side writer emits a
@@ -746,11 +752,12 @@ private[ext] object IndexIO {
     }
   }
 
-  // One tiny read per root per JVM: a root's format is fixed for its
-  // lifetime by contract — format changes land under a NEW versioned
-  // v{N} dir (new cache key via the resolved path) or a new root, never
-  // by in-place rewrite under live readers — so the cache is sound and
-  // keeps the gate off the per-serve FS-op budget.
+  // One tiny read per root per JVM: versioned publishes land under a NEW
+  // v{N} dir (new cache key via the resolved path), so those entries are
+  // immutable. The one in-place rewrite path — [[publish]] over an
+  // existing dest — invalidates its dest entry itself, so the cache
+  // never outlives the stamp it mirrors while staying off the per-serve
+  // FS-op budget.
   private val formatCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
 
@@ -765,9 +772,14 @@ private[ext] object IndexIO {
     val v = readLine1OrThrow(
       fs, new org.apache.hadoop.fs.Path(s"$root/$FormatFile")).map { line =>
       val n = line.stripPrefix(FormatKey)
-      if (!line.startsWith(FormatKey) || n.isEmpty || !n.forall(_.isDigit))
-        throw new java.io.IOException(s"corrupt $FormatFile under $root: '$line'")
-      n.toInt
+      // toIntOption (not forall(isDigit) + toInt): a digits-only value
+      // over Int.MaxValue — a plausible corruption shape — must land in
+      // the same loud "corrupt stamp" contract, not a bare
+      // NumberFormatException from an unvalidated parse.
+      val parsed =
+        if (line.startsWith(FormatKey)) n.toIntOption else None
+      parsed.getOrElse(throw new java.io.IOException(
+        s"corrupt $FormatFile under $root: '$line'"))
     }
     formatCache.put(root, v)
     v
@@ -1313,6 +1325,13 @@ private[ext] object IndexIO {
     }
     crashTick()
     if (hadOld) fs.delete(aside, true)
+    // publish() overwrites dest IN PLACE (aside + rename) — the one path
+    // where a root's format can legitimately change under a path a
+    // long-lived JVM already cached. Drop the entry so the next gate
+    // check re-reads the fresh stamp instead of serving a permanently
+    // disarmed (or permanently refusing) cached verdict.
+    formatCache.remove(dest)
+    formatCache.remove(destPath.toString)
   }
 
   // ---- versioned-pointer layout: root/v{N}/<tables>, root/CURRENT ----

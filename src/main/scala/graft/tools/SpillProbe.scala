@@ -119,11 +119,15 @@ object SpillProbe {
     var allSpilled = true
     for ((name, _) <- expect) {
       val run = queries(b, sfDir, copies).toMap.apply(name)
+      // deterministic per-query attribution: drain the async listener
+      // bus at BOTH window edges (baseline and delta) — a wall-clock
+      // sleep can attribute query N's late task-end events to query
+      // N+1's baseline, or miss them entirely under load
+      org.apache.spark.sql.GraftBridge.drainListenerBus(b.sparkContext)
       val (d0, m0) = (spilledDisk.get(), spilledMem.get())
       val t0 = System.nanoTime()
       val cs = run()
-      // listener events drain asynchronously after the job ends
-      Thread.sleep(2000)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(b.sparkContext)
       val (dd, dm) = (spilledDisk.get() - d0, spilledMem.get() - m0)
       val exp = expect.toMap.apply(name)
       println(f"B $name%-16s rows=${cs._1}%9d checksum=${cs._2}%14d " +

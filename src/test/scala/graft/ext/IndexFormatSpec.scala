@@ -76,6 +76,48 @@ class IndexFormatSpec extends SparkSpec {
     assert(maint.getMessage.contains("newer"))
   }
 
+  test("a FUTURE-format index refuses tombstone deletes (all three kinds)") {
+    // delete() publishes an id shard WITHOUT claiming a shard id, so it
+    // needs its own gate (publishIdShard): a takedown against a newer
+    // layout would appear to succeed while the newer engine ignores or
+    // misreads the tombstone shard
+    val t = fresh("del-text"); val m = fresh("del-mh"); val v = fresh("del-ivf")
+    TextIndex.write(docs(0L until 8L), t)
+    MinHashIndex.write(Dedup.docTokens(docs(0L until 8L), "doc_id", "text"),
+      m, numHashes = 8, rowsPerBand = 2)
+    VectorIndex.write(
+      (0L until 8L).map(i => (i, Array.tabulate(4)(d => (i + d).toFloat)))
+        .toDF("vec_id", "embedding"), v, nCentroids = 2)
+    for (p <- Seq(t, m, v))
+      writeFormat(p, s"graft.index.format=${IndexIO.CurrentFormat + 1}\n")
+
+    val et = intercept[java.io.IOException] {
+      TextIndex.delete(Seq(1L).toDF("doc_id"), t)
+    }
+    assert(et.getMessage.contains("newer"))
+    val em = intercept[java.io.IOException] {
+      MinHashIndex.delete(Seq(1L).toDF("id"), m)
+    }
+    assert(em.getMessage.contains("newer"))
+    val ev = intercept[java.io.IOException] {
+      VectorIndex.delete(Seq(1L).toDF("vec_id"), v)
+    }
+    assert(ev.getMessage.contains("newer"))
+    // and no tombstone shard landed anywhere
+    for (p <- Seq(t, m, v))
+      assert(IndexIO.shardIds(spark, s"$p/deletes").isEmpty, p)
+  }
+
+  test("overflow-sized digits in _FORMAT land in the corrupt contract") {
+    val path = fresh("overflow")
+    TextIndex.write(docs(0L until 8L), path)
+    writeFormat(path, "graft.index.format=99999999999999999999\n")
+    val e = intercept[java.io.IOException] {
+      TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count()
+    }
+    assert(e.getMessage.contains("corrupt"))
+  }
+
   test("a future-format VERSION behind CURRENT refuses to serve") {
     val root = fresh("future-v")
     TextIndex.writeVersioned(docs(0L until 8L), root)
