@@ -114,20 +114,62 @@ object Curate {
     * to the document text and land it as hive-partitioned parquet — one
     * `shard=K` directory per pack shard, FILES SIZED toward
     * `targetFileBytes` ([[graft.sources.SizedWrite]]). This is the
-    * journey's last mile and where 100 TB pipelines usually go wrong:
-    * the curation plan above is shaped for scale, and then a naive
-    * `.write.partitionBy("shard")` fans every final task across every
-    * shard dir — tasks × shards small files. The rebalance-on-`shard`
-    * write keeps each directory at a few full-size files and splits a
-    * skewed shard instead of serializing it into one fat task. */
+    * journey's last mile and where 100 TB pipelines usually go wrong
+    * twice over:
+    *
+    *   1. LAYOUT — a naive `.write.partitionBy("shard")` fans every
+    *      final task across every shard dir (tasks × shards small
+    *      files). The rebalance-on-`shard` write keeps each directory
+    *      at a few full-size files and splits a skewed shard instead of
+    *      serializing it into one fat task.
+    *   2. ATOMICITY — a plain `SaveMode.Overwrite` deletes-then-writes:
+    *      a training job's manifest resolver arriving mid-publish sees
+    *      an empty or partial corpus, and a crashed publish destroys
+    *      the previous corpus too. The corpus a trainer consumes is the
+    *      LAST artifact that should be outside the commit protocol, so
+    *      the write stages under a hidden dir and lands via the same
+    *      versioned-pointer publish the persisted indexes use
+    *      ([[IndexIO.publishVersioned]]): rename to a fresh `v{N}` no
+    *      reader resolves yet, then one atomic CURRENT flip — readers
+    *      ([[readPublished]]) always see old-or-new, never torn.
+    *
+    * Crash garbage (a staging dir or an unreferenced version from a
+    * death before the pointer flip) is invisible to readers and is
+    * reclaimed by [[gcPublished]]. Returns the published version path.
+    */
   def publish(manifest: DataFrame, docs: DataFrame, idCol: String,
-              textCol: String, path: String,
+              textCol: String, root: String,
               targetFileBytes: Long = 512L << 20,
-              shuffleToFileRatio: Double = 3.0): Unit = {
+              shuffleToFileRatio: Double = 3.0): String = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("string").as("text"))
+    val spark = manifest.sparkSession
+    val staging = IndexIO.shardStagingFor(root)
     graft.sources.SizedWrite.parquetSized(
-      manifest.join(base, "doc_id"), path,
+      manifest.join(base, "doc_id"), staging,
       targetFileBytes, shuffleToFileRatio, clusterBy = Seq("shard"))
+    IndexIO.publishVersioned(spark, staging, root)
+  }
+
+  /** The corpus the CURRENT pointer names — the trainer-side entry
+    * point. Resolves the pointer, gates on the format stamp (a corpus
+    * republished by a newer engine must refuse loudly, not misread),
+    * and reads the resolved version dir whole; `shard` comes back as a
+    * partition column. */
+  def readPublished(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame = {
+    val resolved = IndexIO.resolveCurrent(spark, root)
+    IndexIO.requireSupportedFormat(spark, resolved)
+    spark.read.parquet(resolved)
+  }
+
+  /** Reclaim rolled-past corpus versions and crash-orphaned staging
+    * dirs ([[IndexIO.pruneVersions]] + [[IndexIO.gcStaging]]) — never
+    * run as part of publish, so a reader mid-resolve can't have its
+    * version deleted out from under it by the very publish it raced. */
+  def gcPublished(spark: org.apache.spark.sql.SparkSession, root: String,
+                  keepLast: Int = 2): Unit = {
+    IndexIO.pruneVersions(spark, root, keepLast)
+    IndexIO.gcStaging(spark, root)
   }
 }

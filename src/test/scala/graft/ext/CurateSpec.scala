@@ -76,10 +76,11 @@ class CurateSpec extends SparkSpec {
     val manifest = Curate.runFull(docs, "doc_id", "text", "lang")
     val out = java.nio.file.Files
       .createTempDirectory("graft-curate-pub").toString + "/corpus"
-    Curate.publish(manifest, docs, "doc_id", "text", out,
+    val vdir = Curate.publish(manifest, docs, "doc_id", "text", out,
       targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
+    assert(vdir === IndexIO.resolveCurrent(spark, out))
 
-    val back = spark.read.parquet(out)
+    val back = Curate.readPublished(spark, out)
     assert(back.columns.sorted.toSeq ===
       Seq("bin", "doc_id", "lang", "n_members", "shard", "text"))
     assert(back.count() === manifest.count())
@@ -87,12 +88,66 @@ class CurateSpec extends SparkSpec {
     val one = back.filter(col("doc_id") === back.agg(min("doc_id"))
       .collect()(0).getLong(0)).collect()(0)
     assert(one.getAs[String]("text").startsWith("document "))
-    // hive layout: every dir is a shard=K, each with a bounded file count
-    val files = graft.sources.SizedWrite.dataFiles(spark, out)
+    // hive layout inside the version dir: every dir is a shard=K, each
+    // with a bounded file count
+    val files = graft.sources.SizedWrite.dataFiles(spark, vdir)
     val dirs = files.map(f => f._1.substring(0, f._1.lastIndexOf('/')))
       .map(d => d.substring(d.lastIndexOf('/') + 1)).distinct
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")), dirs)
     assert(files.size <= dirs.size * 4,
       s"${files.size} files over ${dirs.size} shard dirs — sliver fan-out")
+  }
+
+  test("curate publish is atomic: re-publish flips versions; readers see old-or-new") {
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 3 == 0) "xx" else "en"
+      (i, s"document $i body w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", lang)
+    }.toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-curate-atomic").toString + "/corpus"
+    val manifest = Curate.runFull(docs, "doc_id", "text", "lang")
+    Curate.publish(manifest, docs, "doc_id", "text", root,
+      targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
+    val v1Rows = Curate.readPublished(spark, root).count()
+
+    // second publish over a GROWN corpus lands as v2; v1 stays whole
+    val docs2 = docs.union(Seq((100L, "entirely new document about graph " +
+      "partitioning strategies and shuffle behavior", "en")).toDF("doc_id", "text", "lang"))
+    val manifest2 = Curate.runFull(docs2, "doc_id", "text", "lang")
+    Curate.publish(manifest2, docs2, "doc_id", "text", root,
+      targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
+    assert(IndexIO.versionIds(spark, root) === Seq(1, 2))
+    assert(Curate.readPublished(spark, root).count() === manifest2.count())
+    // the superseded version is still a complete corpus until gc
+    assert(spark.read.parquet(s"$root/v00001").count() === v1Rows)
+
+    // crash-inject each kill point of the publish path: a death at any
+    // of them must leave CURRENT resolving to the old COMPLETE corpus
+    val manifest3 = Curate.runFull(docs, "doc_id", "text", "lang")
+    var k = 0
+    var fired = true
+    while (fired && k < 16) {
+      fired = CrashSeam.crashedAt(k) {
+        Curate.publish(manifest3, docs, "doc_id", "text", root,
+          targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
+      }
+      if (fired) {
+        val resolved = IndexIO.resolveCurrent(spark, root)
+        val back = Curate.readPublished(spark, root)
+        assert(back.count() === manifest2.count(),
+          s"kill point $k: reader saw a torn corpus under $resolved")
+      }
+      k += 1
+    }
+    assert(k > 1, "crash seam never fired — kill points not exercised")
+
+    // a clean retry after the crashes publishes fine and gc reclaims
+    // orphans without touching CURRENT
+    Curate.publish(manifest3, docs, "doc_id", "text", root,
+      targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
+    val current = IndexIO.resolveCurrent(spark, root)
+    Curate.gcPublished(spark, root, keepLast = 1)
+    assert(IndexIO.resolveCurrent(spark, root) === current)
+    assert(Curate.readPublished(spark, root).count() === manifest3.count())
   }
 }
