@@ -17,18 +17,37 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
-  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` (size
-    * shuffles to the relation, not session width — index-lifecycle and
-    * streaming-replay queries move generation-sized batches), restoring
-    * the previous value after. Mutates the session conf, so it belongs
-    * in bench/verify query bodies (one query at a time), NOT in library
-    * code (see the `connectedComponents` precedent — library operators
-    * size their plans with explicit repartitions instead). */
-  def withShuffleWidth[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  /** Run `body` against a CLONED session whose
+    * `spark.sql.shuffle.partitions` is pinned to `n` (size shuffles to
+    * the relation, not session width — index-lifecycle and
+    * streaming-replay queries move generation-sized batches). The clone
+    * ([[org.apache.spark.sql.GraftBridge.cloneSession]]) shares the
+    * SparkContext but owns its conf, so the pin can't leak into — or be
+    * clobbered by — a concurrently running query on the shared session
+    * (the set/restore form this replaces was a documented
+    * one-at-a-time contract; this is the enforced version). DataFrames
+    * the body builds from the clone stay bound to it, so the width
+    * holds even when execution happens after the call returns. Library
+    * operators still size their plans with explicit repartitions (the
+    * `connectedComponents` precedent) — this belongs in bench/verify
+    * query bodies and probes. */
+  def withShuffleWidth[T](s: SparkSession, n: Int)(body: SparkSession => T): T =
+    body(pinnedSession(s, n))
+
+  /** The clone [[withShuffleWidth]] hands its body — exposed for call
+    * sites that need to build inputs (memory streams, staged tables)
+    * directly on the pinned session before composing the query. */
+  def pinnedSession(s: SparkSession, n: Int): SparkSession = {
+    val c = org.apache.spark.sql.GraftBridge.cloneSession(s)
+    c.conf.set("spark.sql.shuffle.partitions", n.toString)
+    c
   }
+
+  /** Re-bind `df` to `session` ([[org.apache.spark.sql.GraftBridge
+    * .withSession]]) — how a DataFrame built on the shared session
+    * enters a pinned clone's scope. */
+  def rebind(df: DataFrame, session: SparkSession): DataFrame =
+    org.apache.spark.sql.GraftBridge.withSession(df, session)
 }
 
 object Registry {

@@ -382,19 +382,22 @@ object StreamingQueries {
         .filter(col("doc_id") >= 100 && col("doc_id") < 200)
         .select(col("doc_id").cast("long"), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1)))
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
+      // generation batches are tiny — pin their shuffles narrow on a
+      // CLONED session (the stream, its source, and the per-batch index
+      // reads all live on the clone; the shared session is untouched)
+      val cs = Q.pinnedSession(s, 4)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = cs.sqlContext
+      import cs.implicits._
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      val ckpt = StreamOps.volatileCheckpointDir(s)
-      val q = Q.withShuffleWidth(s, 4) {
+      val ckpt = StreamOps.volatileCheckpointDir(cs)
+      val q =
         StreamOps.nearDupLoop(mem.toDF().toDF("doc_id", "text"),
           "doc_id", "text", MhHashes, rowsPerBand = 2, checkpoint = ckpt)(
-          () => graft.ext.MinHashIndex.buckets(s, idxPath)) { (_, hits) =>
+          () => graft.ext.MinHashIndex.buckets(cs, idxPath)) { (_, hits) =>
           acc ++= hits.collect().map(r => (r.getLong(0), r.getLong(1)))
           ()
         }
-      }
       try {
         gens.zipWithIndex.foreach { case ((lo, hi), i) =>
           mem.addData(window.filter(d => d._1 >= lo && d._1 < hi).toSeq: _*)
@@ -517,13 +520,15 @@ object StreamingQueries {
         .filter(col("doc_id") >= 100 && col("doc_id") < 200)
         .select(col("doc_id").cast("long"), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1)))
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
+      // pinned CLONE, not a session-conf mutation (see st_crawl_loop)
+      val cs = Q.pinnedSession(s, 4)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = cs.sqlContext
+      import cs.implicits._
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       @volatile var curGen = 1
       val acc = scala.collection.mutable.LinkedHashMap[Int, Array[(Long, Long, Int)]]()
-      val ckpt = StreamOps.volatileCheckpointDir(s)
-      val q = Q.withShuffleWidth(s, 4) {
+      val ckpt = StreamOps.volatileCheckpointDir(cs)
+      val q =
         StreamOps.bm25Loop(mem.toDF().toDF("doc_id", "text"), idxPath,
           TextQueries2.Bm25Terms, 20, TextQueries2.Bm25K1, TextQueries2.Bm25B,
           checkpoint = ckpt) { (_, topk) =>
@@ -531,7 +536,6 @@ object StreamingQueries {
             .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
           ()
         }
-      }
       try {
         gens.zipWithIndex.foreach { case ((lo, hi), i) =>
           curGen = i + 1

@@ -346,12 +346,13 @@ object TextQueries2 {
       // driver-side write ([[graft.ext.IndexIO.publishIdShard]]), and
       // the journey's shuffles (append's posting groupBy, the serve's
       // df aggregate) run at generation width, not session width
-      Q.withShuffleWidth(s, 4) {
-        graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), path,
+      Q.withShuffleWidth(s, 4) { cs =>
+        val dc = Q.rebind(d, cs)
+        graft.ext.TextIndex.append(dc.filter(col("doc_id") % 2 === 1), path,
           partitions = 1)
         graft.ext.TextIndex.delete(
-          d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
-        graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+          dc.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
+        graft.ext.TextIndex.bm25TopK(cs, path, Bm25Terms, 20, Bm25K1, Bm25B)
           .localCheckpoint(true) // materialize inside the width scope
       }
     },
@@ -594,11 +595,11 @@ object TextQueries2 {
         graft.ext.TextIndex.append(d.filter(col("doc_id") % 2 === 1), p,
           partitions = 1)
       }
-      Q.withShuffleWidth(s, 4) {
+      Q.withShuffleWidth(s, 4) { cs =>
         graft.ext.TextIndex.delete(
-          d.filter(col("doc_id") % 7 === 3).select("doc_id"), path)
-        graft.ext.TextIndex.maintain(s, path, maxShards = 1, partitions = 1)
-        graft.ext.TextIndex.bm25TopK(s, path, Bm25Terms, 20, Bm25K1, Bm25B)
+          Q.rebind(d, cs).filter(col("doc_id") % 7 === 3).select("doc_id"), path)
+        graft.ext.TextIndex.maintain(cs, path, maxShards = 1, partitions = 1)
+        graft.ext.TextIndex.bm25TopK(cs, path, Bm25Terms, 20, Bm25K1, Bm25B)
           .localCheckpoint(true)
       }
     },

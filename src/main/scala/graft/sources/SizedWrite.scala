@@ -49,35 +49,33 @@ object SizedWrite {
 
   /** Write `df` as parquet at `path`, output files sized toward
     * `targetFileBytes`. `clusterBy` both hive-partitions the layout and
-    * clusters the rebalance on those columns. Session AQE settings are
-    * restored after the write. */
+    * clusters the rebalance on those columns. The AQE sizing overrides
+    * live on a CLONED session the plan is re-bound to
+    * ([[org.apache.spark.sql.GraftBridge]]), so a query (or a second
+    * sized write with a different target) running concurrently on the
+    * shared session never observes them — there is no set/restore
+    * window to race. */
   def parquetSized(df: DataFrame, path: String,
                    targetFileBytes: Long = 512L << 20,
                    shuffleToFileRatio: Double = 3.0,
                    clusterBy: Seq[String] = Nil): Unit = {
     require(targetFileBytes > 0 && shuffleToFileRatio > 0)
-    val spark = df.sparkSession
     val advisory = math.max(64L << 10, (targetFileBytes * shuffleToFileRatio).toLong)
-    val overrides = Seq(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
-      // the 1 MB default floor would override sub-MB advisory sizes
-      // (test scale); at production targets it is a no-op
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
-        math.min(1L << 20, math.max(1L, advisory / 4)).toString)
-    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val balanced =
-        if (clusterBy.isEmpty) df.hint("rebalance")
-        else df.hint("rebalance", clusterBy.map(org.apache.spark.sql.functions.col): _*)
-      val w = balanced.write.mode(SaveMode.Overwrite)
-      (if (clusterBy.isEmpty) w else w.partitionBy(clusterBy: _*)).parquet(path)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    val writer = org.apache.spark.sql.GraftBridge.cloneSession(df.sparkSession)
+    writer.conf.set("spark.sql.adaptive.enabled", "true")
+    writer.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    writer.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      advisory.toString)
+    // the 1 MB default floor would override sub-MB advisory sizes
+    // (test scale); at production targets it is a no-op
+    writer.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      math.min(1L << 20, math.max(1L, advisory / 4)).toString)
+    val bound = org.apache.spark.sql.GraftBridge.withSession(df, writer)
+    val balanced =
+      if (clusterBy.isEmpty) bound.hint("rebalance")
+      else bound.hint("rebalance", clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    val w = balanced.write.mode(SaveMode.Overwrite)
+    (if (clusterBy.isEmpty) w else w.partitionBy(clusterBy: _*)).parquet(path)
   }
 
   /** Data-file inventory of a written dataset: (path, bytes) for every

@@ -41,20 +41,20 @@ object Bm25LoopProbe {
 
     def longLived(tag: String): Unit = {
       val idxPath = baseIndex()
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val cs = graft.queries.Q.pinnedSession(s, 4)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = cs.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       var rows = 0L
-      val ckpt = StreamOps.volatileCheckpointDir(s)
+      val ckpt = StreamOps.volatileCheckpointDir(cs)
       val t0 = System.nanoTime()
-      val q = graft.queries.Q.withShuffleWidth(s, 4) {
+      val q =
         StreamOps.bm25Loop(mem.toDF().toDF("doc_id", "text"), idxPath,
           TextQueries2.Bm25Terms, 20, TextQueries2.Bm25K1,
           TextQueries2.Bm25B, checkpoint = ckpt) { (_, topk) =>
           rows += topk.count()
           ()
         }
-      }
       println(f"$tag start        ${secs(t0)}%6.3f s")
       try {
         gens.zipWithIndex.foreach { case ((lo, hi), i) =>
@@ -77,10 +77,10 @@ object Bm25LoopProbe {
       val t0 = System.nanoTime()
       gens.zipWithIndex.foreach { case ((lo, hi), i) =>
         val tg = System.nanoTime()
-        graft.queries.Q.withShuffleWidth(s, 4) {
-          val stream = StreamOps.readStreamOf(s, sfDir, "documents", schema)
+        graft.queries.Q.withShuffleWidth(s, 4) { cs =>
+          val stream = StreamOps.readStreamOf(cs, sfDir, "documents", schema)
             .filter(col("doc_id") >= lo && col("doc_id") < hi)
-          val ckpt = StreamOps.volatileCheckpointDir(s)
+          val ckpt = StreamOps.volatileCheckpointDir(cs)
           try {
             val w = stream.writeStream
               .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -91,7 +91,7 @@ object Bm25LoopProbe {
             val dq = ckpt.fold(w)(w.option("checkpointLocation", _)).start()
             dq.awaitTermination()
           } finally StreamOps.dropCheckpoint(ckpt)
-          rows += graft.ext.TextIndex.bm25TopK(s, idxPath,
+          rows += graft.ext.TextIndex.bm25TopK(cs, idxPath,
             TextQueries2.Bm25Terms, 20, TextQueries2.Bm25K1,
             TextQueries2.Bm25B).count()
         }

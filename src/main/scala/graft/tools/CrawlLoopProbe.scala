@@ -45,20 +45,20 @@ object CrawlLoopProbe {
         graft.ext.MinHashIndex.write(
           toksOf(col("doc_id") < 100), p, MhHashes, rowsPerBand = 2)
       }
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val cs = graft.queries.Q.pinnedSession(s, 4)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = cs.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       var rows = 0L
-      val ckpt = StreamOps.volatileCheckpointDir(s)
+      val ckpt = StreamOps.volatileCheckpointDir(cs)
       val t0 = System.nanoTime()
-      val q = graft.queries.Q.withShuffleWidth(s, 4) {
+      val q =
         StreamOps.nearDupLoop(mem.toDF().toDF("doc_id", "text"),
           "doc_id", "text", MhHashes, rowsPerBand = 2, checkpoint = ckpt)(
-          () => s.read.parquet(s"$idxPath/buckets")) { (_, hits) =>
+          () => cs.read.parquet(s"$idxPath/buckets")) { (_, hits) =>
           rows += hits.count()
           ()
         }
-      }
       println(f"$tag start        ${secs(t0)}%6.3f s")
       try {
         gens.zipWithIndex.foreach { case ((lo, hi), i) =>
@@ -90,15 +90,15 @@ object CrawlLoopProbe {
       val t0 = System.nanoTime()
       gens.zipWithIndex.foreach { case ((lo, hi), i) =>
         val tg = System.nanoTime()
-        graft.queries.Q.withShuffleWidth(s, 4) {
-          val stream = StreamOps.readStreamOf(s, sfDir, "documents", schema)
+        graft.queries.Q.withShuffleWidth(s, 4) { cs =>
+          val stream = StreamOps.readStreamOf(cs, sfDir, "documents", schema)
             .filter(col("doc_id") >= lo && col("doc_id") < hi)
           val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
-            .join(s.read.parquet(s"$idxPath/buckets")
+            .join(cs.read.parquet(s"$idxPath/buckets")
               .select(col("band"), col("bucket")), Seq("band", "bucket"))
             .groupBy(col("id").as("doc_id"))
             .agg(count(lit(1)).as("n_hits"))
-          rows += StreamOps.replayToTable(s, hits,
+          rows += StreamOps.replayToTable(cs, hits,
             s"clp_fresh_${System.nanoTime()}", "complete").count()
         }
         val dGen = secs(tg)

@@ -56,15 +56,16 @@ object IntervalLoopProbe {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
 
     def longLived(tag: String): Unit = {
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val cs = graft.queries.Q.pinnedSession(s, 4)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = cs.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Long, Long)]
       val src = mem.toDF().toDF("ts", "event_type", "user_id", "event_id")
       val (views, buys) = sides(src)
-      val ckpt = StreamOps.volatileCheckpointDir(s)
+      val ckpt = StreamOps.volatileCheckpointDir(cs)
       val name = s"ilp_loop_${System.nanoTime()}"
       val t0 = System.nanoTime()
-      val q = graft.queries.Q.withShuffleWidth(s, 4) {
+      val q = {
         val w = StreamOps.attributionJoin(views, buys, "6 hours", "1 hour")
           .writeStream.format("memory").queryName(name).outputMode("append")
         ckpt.fold(w)(w.option("checkpointLocation", _)).start()
@@ -81,30 +82,29 @@ object IntervalLoopProbe {
         q.stop()
         StreamOps.dropCheckpoint(ckpt)
       }
-      println(f"$tag TOTAL        ${secs(t0)}%6.3f s  (${s.table(name).count()} matches)")
+      // the memory sink registers its table on the pinned clone
+      println(f"$tag TOTAL        ${secs(t0)}%6.3f s  (${cs.table(name).count()} matches)")
     }
 
     def freshDrains(tag: String): Unit = {
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
-      val prevNoData = s.conf.get(noDataKey)
-      s.conf.set(noDataKey, "false") // the st_interval_join drain shape
+      // one pinned clone for the whole drain sequence: width 4 AND the
+      // no-data-microbatch override both live on the clone only
+      val cs = graft.queries.Q.pinnedSession(s, 4)
+      cs.conf.set(noDataKey, "false") // the st_interval_join drain shape
+      implicit val sqlc: org.apache.spark.sql.SQLContext = cs.sqlContext
       var matches = 0L
       val t0 = System.nanoTime()
-      try {
-        slices.zipWithIndex.foreach { case (slice, i) =>
-          val tg = System.nanoTime()
-          val mem = org.apache.spark.sql.execution.streaming.runtime
-            .MemoryStream[(java.sql.Timestamp, String, Long, Long)]
-          mem.addData(slice.toSeq: _*)
-          val (views, buys) = sides(mem.toDF().toDF("ts", "event_type", "user_id", "event_id"))
-          matches += graft.queries.Q.withShuffleWidth(s, 4) {
-            StreamOps.replayToTable(s,
-              StreamOps.attributionJoin(views, buys, "6 hours", "1 hour"),
-              s"ilp_fresh_${System.nanoTime()}", "append").count()
-          }
-          println(f"$tag gen$i (${slice.length} ev)  drain ${secs(tg)}%6.3f s")
-        }
-      } finally s.conf.set(noDataKey, prevNoData)
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val tg = System.nanoTime()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, String, Long, Long)]
+        mem.addData(slice.toSeq: _*)
+        val (views, buys) = sides(mem.toDF().toDF("ts", "event_type", "user_id", "event_id"))
+        matches += StreamOps.replayToTable(cs,
+          StreamOps.attributionJoin(views, buys, "6 hours", "1 hour"),
+          s"ilp_fresh_${System.nanoTime()}", "append").count()
+        println(f"$tag gen$i (${slice.length} ev)  drain ${secs(tg)}%6.3f s")
+      }
       println(f"$tag TOTAL        ${secs(t0)}%6.3f s  ($matches matches)")
     }
 

@@ -36,28 +36,29 @@ object NeardupPhases {
       }
       lap("clone")
       val schema = Fixtures.tableSchema(s, sfDir, "documents")
-      val staged = graft.queries.Q.withShuffleWidth(s, 4) {
-        val stream = StreamOps.readStreamOf(s, sfDir, "documents", schema)
+      // one pinned clone for all generation-width phases
+      val cs = graft.queries.Q.pinnedSession(s, 4)
+      val staged = {
+        val stream = StreamOps.readStreamOf(cs, sfDir, "documents", schema)
           .filter(col("doc_id") >= 100 && col("doc_id") < 200)
           .select("doc_id", "text")
-        StreamOps.replayToTable(s, stream,
+        StreamOps.replayToTable(cs, stream,
           s"ndp_stage_${System.nanoTime()}", "append")
       }
       lap("drain")
-      val allBands = graft.queries.Q.withShuffleWidth(s, 4) {
+      val allBands =
         StreamOps.nearDupBands(staged, "doc_id", "text", MhHashes, 2)
           .localCheckpoint(true)
-      }
       lap("bands")
       def generation(lo: Int, hi: Int) = {
-        val buckets = broadcast(s.read.parquet(s"$idxPath/buckets")
+        val buckets = broadcast(cs.read.parquet(s"$idxPath/buckets")
           .select(col("band"), col("bucket"), col("id").as("index_id")))
         allBands.filter(col("id") >= lo && col("id") < hi)
           .join(buckets, Seq("band", "bucket"))
           .groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_hits"))
       }
-      graft.queries.Q.withShuffleWidth(s, 4) {
+      {
         val gen1 = generation(100, 150).localCheckpoint(true)
         lap("gen1")
         graft.ext.MinHashIndex.append(

@@ -15,6 +15,25 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A full copy of `s`'s session state (conf, UDF registrations, temp
+    * views) over the SAME SparkContext — `SparkSession.cloneSession`,
+    * `private[sql]`. The isolation primitive for per-operation conf
+    * pinning: set what the operation needs on the clone, run on the
+    * clone, drop it — the shared session is never mutated, so
+    * concurrent queries can't observe (or race to restore) another
+    * operation's overrides. Do NOT stop() a clone — it shares the
+    * context. */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Re-bind `df`'s logical plan to session `s` (`Dataset.ofRows`,
+    * `private[sql]`): the plan executes under s's conf — the second
+    * half of the clone-session isolation idiom. */
+  def withSession(df: DataFrame, s: SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Block until the async listener bus has delivered every queued
     * event (`LiveListenerBus.waitUntilEmpty`, `private[spark]`).
     * Measurement probes that attribute task metrics to a query window
