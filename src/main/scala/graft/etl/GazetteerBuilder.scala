@@ -200,4 +200,24 @@ object GazetteerBuilder {
     TrigramIndex.write(spark.read.parquet(s"$outPath/pois"), s"$outPath/name_index")
     true
   }
+
+  /** [[write]] under the versioned-pointer commit protocol
+    * ([[graft.ext.VersionedStore]]) — the INCREMENTAL-REFRESH publish
+    * the reference lacks (it rebuilds from scratch into a fixed path; a
+    * 100 TB deployment applies an OSM change feed via
+    * [[graft.ext.Cdc.applyChanges]] and republises). The full snapshot
+    * (pois, admin, meta, name_index) stages as one dir and lands as
+    * `root/v{N}` behind one atomic CURRENT flip, so a serving engine
+    * ([[graft.query.ScoutEngine.reloadFrom]] pointed at
+    * [[graft.ext.VersionedStore.resolveCurrent]]) always loads a
+    * COMPLETE snapshot — old or new, never torn — and rollback is a
+    * pointer flip back. Returns the published version path. */
+  def writeVersioned(spark: SparkSession, raw: DataFrame, root: String,
+                     source: String = "raw_osm", bucketTarget: Int = 0,
+                     ingestArgs: String = ""): String = {
+    val staging = graft.ext.VersionedStore.stagingFor(root)
+    write(spark, raw, staging, source, bucketTarget,
+      overwrite = true, ingestArgs = ingestArgs)
+    graft.ext.VersionedStore.publish(spark, staging, root)
+  }
 }

@@ -74,12 +74,13 @@ private[ext] object IndexMaintenance {
         // left join and let the planner pick the build side
         val r = IndexIO.readIdShards(spark, s"$path/deletes", idCol) match {
           case Some(ids) =>
-            docs.agg(count(lit(1)).as("total"),
-              coalesce(sum(when(col(idCol).isInCollection(ids.toSeq), 1L)), lit(0L))
-                .as("dead"))
+            IndexIO.smallAggHint(spark, path, docTable, live, docs)
+              .agg(count(lit(1)).as("total"),
+                coalesce(sum(when(col(idCol).isInCollection(ids.toSeq), 1L)), lit(0L))
+                  .as("dead"))
               .collect()(0)
           case None =>
-            val dels = spark.read.parquet(s"$path/deletes")
+            val dels = IndexIO.readTable(spark, path, "deletes")
               .select(col(idCol)).distinct().withColumn("t", lit(1))
             docs.join(dels, Seq(idCol), "left")
               .agg(count(lit(1)).as("total"),

@@ -142,9 +142,8 @@ object MinHashIndex {
   def buckets(spark: SparkSession, path: String): DataFrame = {
     val committed = IndexIO.liveCommittedIds(spark, path)
     IndexIO.requireCommittedOrLegacy(spark, path, "buckets", committed)
-    tombstones(spark, path)
-      .foldLeft(IndexIO.readCommitted(spark, path, "buckets", committed))(
-        _.join(_, Seq("id"), "left_anti"))
+    IndexIO.subtractTombstones(spark, path,
+      IndexIO.readCommitted(spark, path, "buckets", committed), "id", "id")
   }
 
   /** MinHash width of a stored signature table (count of `mN` fields —
@@ -259,7 +258,7 @@ object MinHashIndex {
     // a numHashes that disagrees with the stored signature width would
     // silently band the new shard with different keys; fail loudly
     // against the stored schema instead (id + m0..m{n-1} + shard)
-    val stored = storedWidth(spark.read.parquet(s"$path/signatures"))
+    val stored = storedWidth(IndexIO.readTable(spark, path, "signatures"))
     require(stored == numHashes,
       s"stored index at $path has $stored minhashes, " +
         s"append called with numHashes=$numHashes")
@@ -459,7 +458,7 @@ object MinHashIndex {
     * no-deletes serving plan free of an empty-relation join. */
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
-      Some(spark.read.parquet(s"$path/deletes").select("id"))
+      Some(IndexIO.readTable(spark, path, "deletes").select("id"))
     else None
 
   /** Fold all shards of both tables back into one (`shard=0`) — the
@@ -487,19 +486,18 @@ object MinHashIndex {
     val live = IndexIO.liveCommittedIds(spark, path)
     def tbl(name: String) =
       if (live.nonEmpty) IndexIO.readCommitted(spark, path, name, live)
-      else spark.read.parquet(s"$path/$name")
+      else IndexIO.readTable(spark, path, name)
     val sig = tbl("signatures")
-    dels.foldLeft(
-        sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*))(
-        _.join(_, Seq("id"), "left_anti"))
-      .repartitionByRange(partitions, col("id"))
-      .sortWithinPartitions("id")
+    IndexIO.sortedLayout(
+        IndexIO.subtractTombstones(spark, path,
+          sig.select(sig.columns.filterNot(_ == "shard").map(col).toSeq: _*),
+          "id", "id"),
+        partitions, Seq("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/signatures/shard=0")
-    dels.foldLeft(
-        tbl("buckets").select("id", "band", "bucket"))(
-        _.join(_, Seq("id"), "left_anti"))
-      .repartitionByRange(partitions, col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket", "id")
+    IndexIO.sortedLayout(
+        IndexIO.subtractTombstones(spark, path,
+          tbl("buckets").select("id", "band", "bucket"), "id", "id"),
+        partitions, Seq("band", "bucket", "id"), Seq("band", "bucket"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets/shard=0")
     // compact is also the pre-marker → marker-layout migration (the
     // flat-layout precedent): the republished index always carries its
@@ -584,22 +582,18 @@ object MinHashIndex {
     val next = IndexIO.claimShardId(spark, path, tables)
     IndexIO.heartbeatMaintLock(spark, path, lockNonce)
     def liveRows(table: String, cols: Seq[String]) =
-      dels.foldLeft(
-          IndexIO.readCommitted(spark, path, table, fold)
-            .select(cols.map(col): _*))(
-          _.join(_, Seq("id"), "left_anti"))
-    val sigCols = spark.read.parquet(s"$path/signatures")
+      IndexIO.subtractTombstones(spark, path,
+        IndexIO.readCommitted(spark, path, table, fold)
+          .select(cols.map(col): _*), "id", "id")
+    val sigCols = IndexIO.readTable(spark, path, "signatures")
       .columns.filterNot(_ == "shard").toSeq
     val sigStaging = IndexIO.shardStagingFor(s"$path/signatures")
-    liveRows("signatures", sigCols)
-      .repartitionByRange(partitions, col("id"))
-      .sortWithinPartitions("id")
+    IndexIO.sortedLayout(liveRows("signatures", sigCols), partitions, Seq("id"))
       .write.mode(SaveMode.Overwrite).parquet(sigStaging)
     IndexIO.publishShard(spark, sigStaging, s"$path/signatures/shard=$next")
     val bktStaging = IndexIO.shardStagingFor(s"$path/buckets")
-    liveRows("buckets", Seq("id", "band", "bucket"))
-      .repartitionByRange(partitions, col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket", "id")
+    IndexIO.sortedLayout(liveRows("buckets", Seq("id", "band", "bucket")),
+        partitions, Seq("band", "bucket", "id"), Seq("band", "bucket"))
       .write.mode(SaveMode.Overwrite).parquet(bktStaging)
     IndexIO.publishShard(spark, bktStaging, s"$path/buckets/shard=$next")
     // the commit point: one rename swaps the fold set for the new shard

@@ -519,8 +519,15 @@ object TextIndex {
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
-      Some(spark.read.parquet(s"$path/deletes").select("doc_id"))
+      Some(IndexIO.readTable(spark, path, "deletes").select("doc_id"))
     else None
+
+  /** Subtract the tombstone set from `df`, routed by set size exactly
+    * like the serving path ([[probeWith]]) —
+    * [[IndexIO.subtractTombstones]], shared by all three indexes. */
+  private def antiTombstones(spark: SparkSession, path: String,
+                             df: DataFrame, idCol: String): DataFrame =
+    IndexIO.subtractTombstones(spark, path, df, idCol, "doc_id")
 
   /** Fold all committed shards back to one (`shard=0`), dropping
     * tombstoned docs for good and re-deriving stats from the compacted
@@ -534,27 +541,19 @@ object TextIndex {
     IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
     val committed = IndexIO.liveCommittedIds(spark, path)
     require(committed.nonEmpty, s"no committed shards under $path — not a TextIndex?")
-    val dels = tombstones(spark, path)
-    def live(table: String, cols: Seq[String]) =
-      dels.foldLeft(
-          IndexIO.readCommitted(spark, path, table, committed)
-            .select(cols.map(col): _*))(
-          _.join(_, Seq("doc_id"), "left_anti"))
+    def live(table: String, cols: Seq[String], idCol: String = "doc_id") =
+      antiTombstones(spark, path,
+        IndexIO.readCommitted(spark, path, table, committed)
+          .select(cols.map(col): _*), idCol)
     val staging = IndexIO.stagingFor(path)
-    live("postings", Seq("term", "doc_id", "dl", "tf"))
-      .repartitionByRange(partitions, col("term"))
-      .sortWithinPartitions("term", "doc_id")
+    sortedLayout(live("postings", Seq("term", "doc_id", "dl", "tf")),
+        partitions, Seq("term", "doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
     writeDoclensAndStats(live("doclens", Seq("doc_id", "dl")), staging, 0, partitions)
-    if (tablesOf(spark, path).contains("positions")) {
-      val pos = IndexIO.readCommitted(spark, path, "positions", committed)
-        .select("id", "pos", "term")
-      dels.foldLeft(pos)((p, d) =>
-          p.join(d.withColumnRenamed("doc_id", "id"), Seq("id"), "left_anti"))
-        .repartitionByRange(partitions, col("term"))
-        .sortWithinPartitions("term", "id", "pos")
+    if (tablesOf(spark, path).contains("positions"))
+      sortedLayout(live("positions", Seq("id", "pos", "term"), idCol = "id"),
+          partitions, Seq("term", "id", "pos"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/positions/shard=0")
-    }
     // idempotency tags of every folded shard ride into the rebuilt
     // root's one marker — a streaming batch's replay guard must survive
     // the full rebuild exactly as it survives a tiered fold
@@ -650,8 +649,9 @@ object TextIndex {
             // per-shard doc counts come from the driver-side stats read;
             // only the dead counts need a (tiny) doclens⋉deletes probe
             val perShard = statsPerShard(spark, path, live)
-            val dead = IndexIO.readCommitted(spark, path, "doclens", live)
-              .join(d, Seq("doc_id"), "left_semi")
+            val dead = IndexIO.smallAggHint(spark, path, "doclens", live,
+                IndexIO.readCommitted(spark, path, "doclens", live)
+                  .join(d, Seq("doc_id"), "left_semi"))
               .groupBy("shard").agg(count(lit(1)).as("dead"))
               .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
             live.filter { k =>
@@ -672,20 +672,17 @@ object TextIndex {
     val stage =
       s"$path/_append-staging-${java.util.UUID.randomUUID().toString.take(8)}"
     def liveRows(table: String, cols: Seq[String], idCol: String = "doc_id") =
-      dels.foldLeft(
-          IndexIO.readCommitted(spark, path, table, fold)
-            .select(cols.map(col): _*))((p, d) =>
-          p.join(d.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti"))
-    liveRows("postings", Seq("term", "doc_id", "dl", "tf"))
-      .repartitionByRange(partitions, col("term"))
-      .sortWithinPartitions("term", "doc_id")
+      antiTombstones(spark, path,
+        IndexIO.readCommitted(spark, path, table, fold)
+          .select(cols.map(col): _*), idCol)
+    sortedLayout(liveRows("postings", Seq("term", "doc_id", "dl", "tf")),
+        partitions, Seq("term", "doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$stage/postings/shard=$next")
     writeDoclensAndStats(liveRows("doclens", Seq("doc_id", "dl")),
       stage, next, partitions)
     if (tables.contains("positions"))
-      liveRows("positions", Seq("id", "pos", "term"), idCol = "id")
-        .repartitionByRange(partitions, col("term"))
-        .sortWithinPartitions("term", "id", "pos")
+      sortedLayout(liveRows("positions", Seq("id", "pos", "term"), idCol = "id"),
+          partitions, Seq("term", "id", "pos"))
         .write.mode(SaveMode.Overwrite).parquet(s"$stage/positions/shard=$next")
     for (t <- tables)
       IndexIO.publishShard(spark, s"$stage/$t/shard=$next", s"$path/$t/shard=$next")
@@ -743,6 +740,12 @@ object TextIndex {
     * collects in one bounded job and scores in microseconds. */
   private val MaxFastPostings = 1 << 16
 
+  // (path, committed ids, delete shard ids) -> (removed n, removed dl
+  // mass). Bounded in practice by index states a JVM actually serves;
+  // entries for dead states are garbage (a few tens of bytes each).
+  private val removedMassCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), (Long, Long)]()
+
   /** IN-PROCESS single-probe BM25 serve: ONE bounded Spark job (the
     * term-pruned postings collect; a second tiny one only when
     * tombstones exist) and driver-side scoring, instead of the
@@ -779,15 +782,24 @@ object TextIndex {
     if (probed.length > MaxFastPostings) return None
     val live = probed.filter(r => !delSet.contains(r.getLong(1)))
     val (nd0, sdl0) = statsTotals(spark, path, committed)
+    // the removed (tombstone) doc-count/length mass is a pure function
+    // of (live shard set, delete shard set) — memoized so a standing
+    // probe loop pays its one aggregate job per INDEX STATE, not per
+    // serve (the key changes the instant an append, fold, or delete
+    // lands, so staleness is structurally impossible)
     val (rnd, rsdl) =
       if (dels.isEmpty) (0L, 0L)
-      else {
-        val r = IndexIO.readCommitted(spark, path, "doclens", committed)
-          .filter(col("doc_id").isInCollection(dels.toSeq))
-          .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-          .collect()(0)
-        (r.getLong(0), r.getLong(1))
-      }
+      else removedMassCache.computeIfAbsent(
+        (path, committed.mkString(","),
+          IndexIO.shardIds(spark, s"$path/deletes").mkString(",")),
+        _ => {
+          val r = IndexIO.smallAggHint(spark, path, "doclens", committed,
+              IndexIO.readCommitted(spark, path, "doclens", committed)
+                .filter(col("doc_id").isInCollection(dels.toSeq)))
+            .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+            .collect()(0)
+          (r.getLong(0), r.getLong(1))
+        })
     val nd = nd0 - rnd
     val avgdl = if (nd > 0) (sdl0 - rsdl).toDouble / nd.toDouble else 0.0
     val df = new scala.collection.mutable.HashMap[String, Long]()

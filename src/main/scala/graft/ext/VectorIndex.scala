@@ -163,7 +163,8 @@ object VectorIndex {
     * Each shard is itself cid-range-laid-out, so a probe prunes row
     * groups within every shard; many tiny appends accumulate shards
     * (and per-probe file reads) — [[compact]] folds them back to one. */
-  def append(newVectors: DataFrame, path: String, partitions: Int = 8): Unit = {
+  def append(newVectors: DataFrame, path: String, partitions: Int = 8,
+             evolveMeta: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
     // an index written by the pre-shard flat layout cannot take shard
     // dirs next to its part-files (unreadable mixed depths); compact()
@@ -177,7 +178,7 @@ object VectorIndex {
     require(IndexIO.committedIds(spark, path).nonEmpty,
       s"index at $path predates the commit-marker layout; " +
         "run VectorIndex.compact(spark, path) once to migrate before appending")
-    val centStored = spark.read.parquet(s"$path/centroids")
+    val centStored = IndexIO.readTable(spark, path, "centroids")
     // a batch whose embedding dimension differs from the stored index
     // would cosine to NULL against every centroid, tiebreak the WHOLE
     // batch into the lowest cid's list, and serve null cosines — the
@@ -200,8 +201,19 @@ object VectorIndex {
     val staging = IndexIO.shardStagingFor(s"$path/postings")
     // the stored schema dictates which metadata columns the batch must
     // carry — a shard missing them would serve NULLs into candFilter
-    // predicates and silently drop (or keep) the wrong candidates
-    val meta = storedMetaCols(spark.read.parquet(s"$path/postings"))
+    // predicates and silently drop (or keep) the wrong candidates.
+    // SCHEMA EVOLUTION is additive and explicit: `evolveMeta` names NEW
+    // metadata columns this batch introduces (a training pipeline adds
+    // metadata constantly); older shards keep serving untouched, and a
+    // candFilter over an evolved column sees NULL for their rows — the
+    // pinned semantics (SchemaEvolutionSpec): a predicate on a column a
+    // shard predates drops that shard's rows, exactly as SQL
+    // three-valued logic reads absent data.
+    val stored = storedMetaCols(IndexIO.readTable(spark, path, "postings"))
+    require(evolveMeta.forall(c => !stored.contains(c) &&
+        !Seq("cid", "cand_id", "c_emb", "shard").contains(c)),
+      s"evolveMeta $evolveMeta collides with stored columns")
+    val meta = stored ++ evolveMeta
     meta.foreach(c => require(newVectors.columns.contains(c),
       s"stored index at $path carries metadata column '$c'; append batch lacks it"))
     val q = newVectors.select(
@@ -227,6 +239,13 @@ object VectorIndex {
     // the check-to-rename TOCTOU
     IndexIO.commitShard(spark, path, next, enforceLease = true,
       verifyTables = Seq("postings"))
+    // an evolved append widened the table schema: this JVM's schema
+    // memo must re-read (it now resolves the NEWEST shard's footer —
+    // the widest, since evolution is additive). Other long-lived JVMs
+    // see the new column at their next cache lifecycle; until then they
+    // serve the narrower projection, which is sound (additive columns
+    // only ever gate NEW predicates).
+    if (evolveMeta.nonEmpty) IndexIO.invalidateSchemasUnder(path)
   }
 
   /** TOMBSTONE a set of vectors ("right to be forgotten" at 100 TB:
@@ -258,7 +277,7 @@ object VectorIndex {
     * no-deletes serving plan free of an empty-relation join. */
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
     if (IndexIO.shardIds(spark, s"$path/deletes").nonEmpty)
-      Some(spark.read.parquet(s"$path/deletes").select("cand_id"))
+      Some(IndexIO.readTable(spark, path, "deletes").select("cand_id"))
     else None
 
   /** Fold all posting shards back into one (`shard=0`): the compaction
@@ -277,7 +296,7 @@ object VectorIndex {
     reconcileShards(spark, path)
     IndexIO.gcStaging(spark, path) // reclaim crashed-build staging dirs
     val staging = IndexIO.stagingFor(path)
-    spark.read.parquet(s"$path/centroids")
+    IndexIO.readTable(spark, path, "centroids")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/centroids")
     // prune to LIVE committed shards when markers exist: a young
     // uncommitted orphan survives the lease-honoring reconcile above
@@ -285,13 +304,12 @@ object VectorIndex {
     val liveIds = IndexIO.liveCommittedIds(spark, path)
     val postings =
       if (liveIds.nonEmpty) IndexIO.readCommitted(spark, path, "postings", liveIds)
-      else spark.read.parquet(s"$path/postings")
-    tombstones(spark, path)
-      .foldLeft(postings)(_.join(_, Seq("cand_id"), "left_anti"))
-      .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(postings))
-        .map(col): _*)
-      .repartitionByRange(partitions, col("cid"))
-      .sortWithinPartitions("cid", "cand_id")
+      else IndexIO.readTable(spark, path, "postings")
+    IndexIO.sortedLayout(
+        IndexIO.subtractTombstones(spark, path, postings, "cand_id", "cand_id")
+          .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(postings))
+            .map(col): _*),
+        partitions, Seq("cid", "cand_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings/shard=0")
     // compact is also the pre-marker → marker-layout migration (the
     // flat-layout precedent): the republished index always carries its
@@ -377,11 +395,11 @@ object VectorIndex {
     IndexIO.heartbeatMaintLock(spark, path, lockNonce)
     val folded = IndexIO.readCommitted(spark, path, "postings", fold)
     val staging = IndexIO.shardStagingFor(s"$path/postings")
-    dels.foldLeft(folded)(_.join(_, Seq("cand_id"), "left_anti"))
-      .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(folded))
-        .map(col): _*)
-      .repartitionByRange(partitions, col("cid"))
-      .sortWithinPartitions("cid", "cand_id")
+    IndexIO.sortedLayout(
+        IndexIO.subtractTombstones(spark, path, folded, "cand_id", "cand_id")
+          .select((Seq("cid", "cand_id", "c_emb") ++ storedMetaCols(folded))
+            .map(col): _*),
+        partitions, Seq("cid", "cand_id"))
       .write.mode(SaveMode.Overwrite).parquet(staging)
     IndexIO.publishShard(spark, staging, s"$path/postings/shard=$next")
     // the commit point: one rename swaps the fold set for the new shard
@@ -436,7 +454,7 @@ object VectorIndex {
   def topK(spark: SparkSession, path: String, queries: DataFrame,
            k: Int, nprobe: Int, maxLiteralCids: Int = 10000,
            candFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val cent = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cent = broadcast(IndexIO.readTable(spark, path, "centroids"))
     val probes = queries
       .select(col("vec_id").as("query_id"),
         Similarity.quantize(col("embedding")).as("q_emb"))
@@ -482,8 +500,8 @@ object VectorIndex {
         broadcast(probes.select("cid").distinct()), Seq("cid"), "left_semi")
     // tombstones last: only the probed (already cid- and candFilter-
     // pruned) rows pay the anti-join, and survivors back-fill the top-k
-    val alive = tombstones(spark, path)
-      .foldLeft(probed)(_.join(_, Seq("cand_id"), "left_anti"))
+    val alive = IndexIO.subtractTombstones(spark, path, probed,
+      "cand_id", "cand_id")
     Similarity.exactReRank(alive.join(probes, Seq("cid")), k)
   }
 }

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+/** Public facade over the (package-private) versioned-pointer publish
+  * for SNAPSHOT ARTIFACTS outside `graft.ext` — the gazetteer is the
+  * first client ([[graft.etl.GazetteerBuilder.writeVersioned]]): a
+  * serving engine must never observe a half-written snapshot, and the
+  * machinery that guarantees that for the persisted indexes (stage →
+  * rename to a fresh `v{N}` → one atomic CURRENT flip, format-stamped,
+  * crash garbage reclaimed out-of-band) is exactly what a snapshot
+  * needs. Kept to the five verbs a publisher uses so [[IndexIO]] stays
+  * package-private.
+  */
+object VersionedStore {
+
+  /** A sibling staging path for a build destined for `root` — write
+    * the snapshot here, then [[publish]]. Crash garbage under this
+    * name is reclaimed by [[gc]]. */
+  def stagingFor(root: String): String = IndexIO.stagingFor(root)
+
+  /** Land `staging` as the next version under `root` and flip CURRENT
+    * to it (atomic; readers see old-or-new, never torn). Returns the
+    * published version path. */
+  def publish(spark: SparkSession, staging: String, root: String): String =
+    IndexIO.publishVersioned(spark, staging, root)
+
+  /** The path CURRENT names — the read-side entry point; loud on a
+    * missing or tampered pointer, gated on the format stamp. */
+  def resolveCurrent(spark: SparkSession, root: String): String = {
+    val resolved = IndexIO.resolveCurrent(spark, root)
+    IndexIO.requireSupportedFormat(spark, resolved)
+    resolved
+  }
+
+  /** Version ids present under `root`, ascending. */
+  def versionIds(spark: SparkSession, root: String): Seq[Int] =
+    IndexIO.versionIds(spark, root)
+
+  /** Reclaim rolled-past versions (keeping `keepLast` plus CURRENT's)
+    * and crash-orphaned staging dirs — never during publish. */
+  def gc(spark: SparkSession, root: String, keepLast: Int = 2): Unit = {
+    IndexIO.pruneVersions(spark, root, keepLast)
+    IndexIO.gcStaging(spark, root)
+  }
+}

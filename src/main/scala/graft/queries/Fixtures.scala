@@ -72,7 +72,7 @@ object Fixtures {
   /** The raw relational rows (id, name, tags, wkt) both g8 and g9 feed
     * through the real ETL; g8's variant carries a wikidata tag so the
     * importance term varies across rows. */
-  private def derivedRaw(s: SparkSession, dir: String, withWikidata: Boolean): DataFrame = {
+  private[queries] def derivedRaw(s: SparkSession, dir: String, withWikidata: Boolean): DataFrame = {
     val cust = poiLatLon(Tables.table(s, dir, "customer"))
       .select("c_custkey", "lat", "lon")
     val keys =

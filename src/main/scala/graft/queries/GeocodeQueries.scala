@@ -521,6 +521,64 @@ object GeocodeQueries {
              WHERE lat BETWEEN -80.0 AND -40.0 AND lon BETWEEN -160.0 AND -90.0
              ORDER BY c_custkey"""))
 
+  /** G15 — INCREMENTAL gazetteer refresh (VERDICT r15 task 5): the
+    * reference rebuilds its gazetteer from scratch into a fixed path; a
+    * 100 TB deployment applies an OSM-style change feed instead. The
+    * journey under test: base raw rows → deterministic CDC feed (10% of
+    * ids renamed, 10% deleted, 10% re-crawled as new ids) →
+    * [[graft.ext.Cdc.applyChanges]] → the REAL build
+    * ([[graft.etl.GazetteerBuilder.writeVersioned]]: pois + admin +
+    * meta + trigram index, staged and landed behind one atomic CURRENT
+    * flip) → read back THROUGH pointer resolution, the way
+    * `ScoutEngine.reloadFrom` would. The oracle replays the identical
+    * CDC arithmetic and ETL projection in SQL over the same tables, so
+    * the refreshed snapshot is rows+schema+hash pinned cross-engine
+    * (serving-side reload is `ScoutServerSpec`'s case). */
+  val g15 = Q("g15_gaz_refresh",
+    (s, dir) => {
+      val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
+      def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
+        map_from_arrays(array(lit("amenity"), lit("name")),
+          array(element_at(col("tags"), "amenity"), col("name"))))
+      val renames = retag(raw.filter(col("id") % 10 === 1)
+          .withColumn("name", concat(col("name"), lit(" annex"))))
+        .withColumn("op", lit("U"))
+      val deletes = raw.filter(col("id") % 10 === 2).withColumn("op", lit("D"))
+      val inserts = retag(raw.filter(col("id") % 10 === 3)
+          .withColumn("id", col("id") + 10000000L)
+          .withColumn("name", concat(lit("new "), col("name"))))
+        .withColumn("op", lit("I"))
+      val next = graft.ext.Cdc.applyChanges(
+        raw, renames.unionByName(deletes).unionByName(inserts), "id")
+      val root = graft.core.TempDirs.create("graft-gaz-refresh-") + "/gaz"
+      graft.etl.GazetteerBuilder.writeVersioned(s, next, root)
+      val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
+      s.read.parquet(s"$resolved/pois")
+        .select(col("osm_id"), col("name_local"), col("name_local_norm"),
+          col("kind"), col("importance"), col("lat"), col("lon"))
+        .orderBy("osm_id")
+    },
+    Some(s"""WITH raw AS (
+               SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+                      lower(p_type) AS amenity, c_custkey
+               FROM part JOIN customer ON p_partkey = c_custkey),
+             applied AS (
+               SELECT id,
+                      CASE WHEN id % 10 = 1 THEN name || ' annex' ELSE name END AS name,
+                      amenity, c_custkey
+               FROM raw WHERE id % 10 <> 2
+               UNION ALL
+               SELECT id + 10000000, 'new ' || name, amenity, c_custkey
+               FROM raw WHERE id % 10 = 3)
+           SELECT id AS osm_id,
+                  name AS name_local,
+                  ${WRatioSql.canonOf("name")} AS name_local_norm,
+                  'amenity:' || amenity AS kind,
+                  least(1.0::DOUBLE, 0.20::DOUBLE) AS importance,
+                  (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
+                  (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
+           FROM applied ORDER BY osm_id"""))
+
   val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13,
-    g14)
+    g14, g15)
 }

@@ -471,6 +471,30 @@ object SimilarityQueries {
     },
     Some(ivfOracleSqlWhere(Some("label % 2 = 0"))))
 
+  /** SCHEMA-EVOLVED filtered search (VERDICT r15 task 6): the base
+    * index is built WITHOUT metadata, the second half appends with
+    * `evolveMeta = label` — a mixed-schema index (v1 shard lacks the
+    * column). Pinned semantics: the read schema is the NEWEST shard's
+    * (evolution is additive), v1 rows surface `label` as NULL, and a
+    * candFilter over the evolved column therefore keeps only NEW-shard
+    * survivors (SQL three-valued logic — NULL predicate drops the
+    * row). The oracle applies the identical restriction (new-half ids
+    * with even labels) at the same candidate stage. v1 shard files stay
+    * byte-untouched ([[graft.ext.VectorIndex.append]] contract). */
+  val annIvfEvolved = Q("ann_ivf_evolved",
+    (s, dir) => {
+      val path = halfIvfIndex(s, dir) // fresh clone: evolution is the subject
+      graft.ext.VectorIndex.append(
+        emb(s, dir).filter(col("vec_id") >= 250), path, partitions = 1,
+        evolveMeta = Seq("label"))
+      graft.ext.VectorIndex.topK(s, path,
+          emb(s, dir).filter(col("vec_id") < 5), k = 5, nprobe = NProbe,
+          candFilter = Some(col("label") % 2 === 0))
+        .select("query_id", "rank", "cand_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSqlWhere(Some("vec_id >= 250 AND label % 2 = 0"))))
+
   /** The VERSIONED-POINTER publish route for the vector index
     * ([[graft.ext.VectorIndex.writeVersioned]] — the dd_minhash_versioned
     * twin): a half-corpus v00001 then a full rebuild v00002 under one
@@ -1142,6 +1166,6 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
-    annIvfFiltered, annIvfVersioned, annIvfDelete, annIvfMaintain, annRecall,
-    annQuantRecall, annLshRecall, annLshMultiprobe)
+    annIvfFiltered, annIvfEvolved, annIvfVersioned, annIvfDelete, annIvfMaintain,
+    annRecall, annQuantRecall, annLshRecall, annLshMultiprobe)
 }

@@ -34,6 +34,25 @@ object GraftBridge {
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.logical)
 
+  /** Schema of one parquet file, read DRIVER-SIDE from its footer.
+    * `spark.read.parquet(dir)` runs schema inference as a 1-task Spark
+    * JOB (`readParquetFootersInParallel`) — a ~50-100 ms scheduler
+    * round-trip per cold table read. For index shard tables whose
+    * schema a single footer fully determines (no mergeSchema), the
+    * driver can read that footer itself and hand the result to
+    * `spark.read.schema(...)`, skipping the job. Uses Spark's own
+    * parquet→Catalyst converter, so types match what inference would
+    * have produced. */
+  def parquetFileSchema(spark: SparkSession,
+                        file: org.apache.hadoop.fs.Path): types.StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+  }
+
   /** Block until the async listener bus has delivered every queued
     * event (`LiveListenerBus.waitUntilEmpty`, `private[spark]`).
     * Measurement probes that attribute task metrics to a query window

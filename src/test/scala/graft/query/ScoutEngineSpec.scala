@@ -311,6 +311,60 @@ class ScoutEngineSpec extends SparkSpec {
     eng.close()
   }
 
+  test("incremental refresh: CDC feed -> versioned publish -> reload serves the delta") {
+    import org.apache.spark.sql.functions.{col, concat, lit, map_concat,
+      map_from_arrays, array}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gaz-cdc").toString + "/gaz"
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val base = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "Monograph Dining", Map("amenity" -> "restaurant"), "POINT(101.6869 3.139)"),
+      Row(2L, "Pasar Seni", Map("shop" -> "market"), "POINT(101.6958 3.1427)"),
+      Row(3L, "Old Cafe", Map("amenity" -> "cafe"), "POINT(101.71 3.15)"),
+      Row(100L, "Malaysia", Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"))), schema)
+    // v1: full build behind the pointer; engine loads through CURRENT
+    graft.etl.GazetteerBuilder.writeVersioned(spark, base, root)
+    val eng = ScoutEngine.fromPath(spark,
+      graft.ext.VersionedStore.resolveCurrent(spark, root))
+    assert(eng.forward(ForwardReq(Seq(ForwardCandidate("old cafe")), limit = 3))
+      .nonEmpty, "v1 must serve the original POI")
+
+    // OSM-style change feed: rename id 1, DELETE id 3, insert id 4
+    val changes = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "Monograph Dining Annex", Map("amenity" -> "restaurant"),
+        "POINT(101.6869 3.139)", "U"),
+      Row(3L, null, null, null, "D"),
+      Row(4L, "Brand New Bistro", Map("amenity" -> "restaurant"),
+        "POINT(101.70 3.14)", "I"))),
+      schema.add(StructField("op", StringType)))
+    val next = graft.ext.Cdc.applyChanges(base, changes, "id")
+    graft.etl.GazetteerBuilder.writeVersioned(spark, next, root)
+    assert(graft.ext.VersionedStore.versionIds(spark, root) === Seq(1, 2))
+
+    // serving reflects the delta only AFTER the reload (old snapshot
+    // keeps serving until then — the pointer is the cutover)
+    assert(eng.forward(ForwardReq(Seq(ForwardCandidate("brand new bistro")),
+      limit = 3)).isEmpty, "engine must not see v2 before reload")
+    eng.reloadFrom(graft.ext.VersionedStore.resolveCurrent(spark, root))
+    assert(eng.forward(ForwardReq(Seq(ForwardCandidate("brand new bistro")),
+      limit = 3)).nonEmpty, "insert must serve after reload")
+    assert(eng.forward(ForwardReq(Seq(ForwardCandidate("old cafe")), limit = 3))
+      .isEmpty, "deleted POI must stop serving after reload")
+    val renamed = eng.forward(ForwardReq(Seq(ForwardCandidate("monograph annex")),
+      limit = 3))
+    assert(renamed.exists(_.osmId == 1L), s"rename must serve: $renamed")
+    // rollback is a pointer flip: resolve v1 explicitly and reload
+    eng.reloadFrom(s"$root/v00001")
+    assert(eng.forward(ForwardReq(Seq(ForwardCandidate("old cafe")), limit = 3))
+      .nonEmpty, "v1 rollback must serve the pre-delta corpus")
+    eng.close()
+  }
+
   test("forwardDS: typed Dataset[Hit] surface composes with typed transforms") {
     val ds = engine.forwardDS(ForwardReq(Seq(ForwardCandidate("dining")), limit = 5))
     val names = ds.filter(_.score > 0.0).map(_.name)(

@@ -31,6 +31,12 @@ def main(bench_path: str, sf_dir: str, oracle_path: str = None,
          runs: str = "3") -> int:
     runs = max(1, int(runs))
     bench = json.loads(Path(bench_path).read_text())
+    if "queries" not in bench and "per_query_file" in bench:
+        # round-16 Bench emits the (driver-size-capped) summary line with
+        # the full per-query map in a sidecar file
+        bench["queries"] = json.loads(Path(bench["per_query_file"]).read_text())
+        if isinstance(bench["queries"], dict) and "queries" in bench["queries"]:
+            bench["queries"] = bench["queries"]["queries"]
     if oracle_path:
         oracle = json.loads(Path(oracle_path).read_text())
     else:
