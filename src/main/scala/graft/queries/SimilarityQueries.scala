@@ -270,7 +270,14 @@ object SimilarityQueries {
       }
       perPlane.reduce(_ unionByName _).orderBy("planes", "probes", "query_id")
     },
-    Some(s"""WITH qv AS (${qvSql()}),
+    Some(lshRecallOracle(qvSql())))
+
+  /** The ann_lsh_recall oracle over an arbitrary `qv` CTE — shared by
+    * the uniform and CLUSTERED fixtures (only the vector values
+    * differ; plane margins, probe order, and the recall arithmetic are
+    * the same exact-INT64 program). */
+  private def lshRecallOracle(qvCte: String): String =
+    s"""WITH qv AS ($qvCte),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
                $exactRankedCtes,
                truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
@@ -309,7 +316,7 @@ object SimilarityQueries {
              LEFT JOIN nc ON nc.planes = g.planes AND nc.probes = g.probes
                          AND nc.query_id = t.query_id
              GROUP BY 1, 2, 3
-             ORDER BY 1, 2, 3"""))
+             ORDER BY 1, 2, 3"""
 
   private val NCent = 8
   private val NProbe = 2
@@ -981,7 +988,13 @@ object SimilarityQueries {
         .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
         .orderBy("nprobe", "query_id")
     },
-    Some(s"""WITH qv AS (${qvSql()}),
+    Some(ivfRecallOracle(qvSql())))
+
+  /** The ann_recall oracle over an arbitrary `qv` CTE — shared by the
+    * uniform and CLUSTERED fixtures (centroid seeding picks IDS, which
+    * are fixture-independent; every similarity reads qv). */
+  private def ivfRecallOracle(qvCte: String): String =
+    s"""WITH qv AS ($qvCte),
                norms AS (SELECT vec_id, sum(v * v) AS nn FROM qv GROUP BY 1),
                $exactRankedCtes,
                truth AS (SELECT query_id, cand_id FROM eranked WHERE rank <= 5),
@@ -1040,7 +1053,105 @@ object SimilarityQueries {
              LEFT JOIN retr r ON r.np = p.np AND r.query_id = t.query_id
                              AND r.cand_id = t.cand_id
              GROUP BY 1, 2
-             ORDER BY 1, 2"""))
+             ORDER BY 1, 2"""
+
+  /** CLUSTERED fixture (VERDICT r15 task 4): the recall audits so far
+    * ran on the driver's near-uniform synthetic embeddings — the regime
+    * where every bucket/list looks alike and single-probe LSH measured
+    * unusable (round 13). Real-world embeddings cluster, so this
+    * derives a deterministic Gaussian-mixture-like corpus FROM the
+    * driver fixture: every vector is pulled 85% toward the embedding of
+    * `vec_id % 16` (16 tight clusters, cluster spread set by the
+    * residual 15% of the original vector). The blend computes in DOUBLE
+    * and rounds to FLOAT on both engines, so the quantized-INT64 pipeline
+    * downstream stays bit-identical. */
+  private val ClusterCenters = 16
+  private val ClusterPull = 0.85
+
+  private def clusteredEmb(s: SparkSession, dir: String) = {
+    val e = emb(s, dir)
+    val centers = e.filter(col("vec_id") < ClusterCenters)
+      .select(col("vec_id").as("center_id"), col("embedding").as("cemb"))
+    e.join(broadcast(centers), (col("vec_id") % ClusterCenters) === col("center_id"))
+      .select(col("vec_id"),
+        zip_with(col("cemb"), col("embedding"), (c, x) =>
+          (lit(ClusterPull) * c.cast("double") +
+            lit(1.0 - ClusterPull) * x.cast("double")).cast("float"))
+          .as("embedding"))
+  }
+
+  private def qvClusteredSql(where: String = "") =
+    s"""SELECT e.vec_id, t.i,
+               CAST(round(CAST($ClusterPull * c.embedding[t.i] +
+                               ${1.0 - ClusterPull} * e.embedding[t.i] AS FLOAT)
+                          * 32768.0) AS BIGINT) AS v
+        FROM (SELECT vec_id, embedding FROM embeddings $where) e
+        JOIN embeddings c ON c.vec_id = e.vec_id % $ClusterCenters,
+        range(1, ${Dim + 1}) t(i)"""
+
+  /** [[annRecall]] over the clustered fixture: the IVF nprobe curve a
+    * deployment actually sees on clustered data. */
+  val annRecallClustered = Q("ann_recall_clustered",
+    (s, dir) => {
+      import s.implicits._
+      val cemb = clusteredEmb(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = cemb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(q, cemb, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val retrieved = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(q, cemb, k = 5, nCentroids = NCent, nprobe = np)
+          .select(col("query_id"), col("cand_id"), lit(np).as("nprobe"))
+      }.reduce(_ unionByName _)
+      truth.crossJoin(Seq(1, 2, 4).toDF("nprobe")).as("t")
+        .join(retrieved.as("r"),
+          col("t.query_id") === col("r.query_id") &&
+            col("t.cand_id") === col("r.cand_id") &&
+            col("t.nprobe") === col("r.nprobe"), "left")
+        .groupBy(col("t.nprobe").as("nprobe"), col("t.query_id").as("query_id"))
+        .agg((count(col("r.cand_id")) / lit(5.0)).as("recall"))
+        .orderBy("nprobe", "query_id")
+    },
+    Some(ivfRecallOracle(qvClusteredSql())))
+
+  /** [[annLshRecall]] over the clustered fixture: where sign-LSH
+    * multi-probe earns (or fails to earn) its keep on data with real
+    * cluster structure — the measurement the round-13 recommendation
+    * was missing. */
+  val annLshRecallClustered = Q("ann_lsh_recall_clustered",
+    (s, dir) => {
+      import s.implicits._
+      val cemb = clusteredEmb(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = cemb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(q, cemb, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val perPlane = LshGrid.map { case (pl, prs) =>
+        val cands = Similarity.lshProbeCandidates(q, cemb, pl, Dim)
+          .crossJoin(prs.toDF("probes"))
+          .filter(col("probe_rank") <= col("probes"))
+        val agg = cands
+          .join(truth.withColumn("t", lit(true)),
+            Seq("query_id", "cand_id"), "left")
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("probes", "query_id")
+              .orderBy(col("cosine").desc, col("cand_id").asc)))
+          .groupBy("probes", "query_id")
+          .agg(
+            (sum(when(col("rank") <= 5 && coalesce(col("t"), lit(false)), 1L)
+              .otherwise(0L)) / lit(5.0)).as("recall"),
+            count(lit(1)).as("n_cand"))
+        truth.select("query_id").distinct()
+          .crossJoin(prs.toDF("probes"))
+          .join(agg, Seq("probes", "query_id"), "left")
+          .select(lit(pl).as("planes"), col("probes"), col("query_id"),
+            coalesce(col("recall"), lit(0.0)).as("recall"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      }
+      perPlane.reduce(_ unionByName _).orderBy("planes", "probes", "query_id")
+    },
+    Some(lshRecallOracle(qvClusteredSql())))
 
   /** QUANTIZED-TIER RECALL AUDIT (the [[annRecall]] pattern applied to
     * the three compression tiers — PQ-ADC, int8 SQ, binary-quantized
@@ -1167,5 +1278,6 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(simPairs, annBrute, annLsh, annIvf, annIvfTrained,
     ddSemDedup, annPq, annSq, annBq, annIvfPersisted, annIvfAppend, annIvfCompact,
     annIvfFiltered, annIvfEvolved, annIvfVersioned, annIvfDelete, annIvfMaintain,
-    annRecall, annQuantRecall, annLshRecall, annLshMultiprobe)
+    annRecall, annRecallClustered, annQuantRecall, annLshRecall,
+    annLshRecallClustered, annLshMultiprobe)
 }
