@@ -34,20 +34,21 @@ object StreamingQueries {
     Tables.normalizeTs(tableStream(s, dir, "events", schema))
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n` (one
-    * state store per shuffle partition — size to the aggregate's group
-    * count, not default width), restoring the previous value after. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  /** Run `body` against a CLONED session with
+    * `spark.sql.shuffle.partitions` pinned to `n` (one state store per
+    * shuffle partition — size to the aggregate's group count, not
+    * default width). [[Q.pinnedSession]]: the pin lives on the clone,
+    * so a concurrently running query on the shared session never
+    * observes it — the same enforcement as Q.withShuffleWidth. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(
+      body: SparkSession => T): T =
+    body(Q.pinnedSession(s, n))
 
   val stReplayHourly = Q("st_replay_hourly",
     (s, dir) => {
-      val replayed = withShufflePartitions(s, 4) {
-        val agg = StreamOps.hourlyEventCounts(eventsStream(s, dir))
-        StreamOps.replayToTable(s, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
+      val replayed = withShufflePartitions(s, 4) { cs =>
+        val agg = StreamOps.hourlyEventCounts(eventsStream(cs, dir))
+        StreamOps.replayToTable(cs, agg, s"st_replay_hourly_${System.nanoTime()}", "complete")
       }
       replayed
         .select(
@@ -93,28 +94,26 @@ object StreamingQueries {
     * sub-second fractions. */
   val stIntervalJoin = Q("st_interval_join",
     (s, dir) => {
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val prevNoData = s.conf.get(noDataKey)
-      // an inner stream-stream join emits on match; the trailing no-data
-      // batch only advances the watermark for state EVICTION, which a
-      // drain-and-stop replay never benefits from
-      s.conf.set(noDataKey, "false")
-      val replayed =
-        try withShufflePartitions(s, 4) {
-          // ONE file-source; both join sides derive from it (a second
-          // readStream would scan the parquet twice per micro-batch)
-          val src = eventsStream(s, dir)
-          val views = src.filter(col("event_type") === "view")
-            .select(col("user_id"), col("event_id").as("view_id"),
-              col("ts").as("view_ts"))
-          val buys = src.filter(col("event_type") === "purchase")
-            .select(col("user_id").as("buy_user_id"),
-              col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
-          val joined = StreamOps.attributionJoin(views, buys,
-            maxDelay = "6 hours", watermark = "1 hour")
-          StreamOps.replayToTable(s, joined,
-            s"st_interval_join_${System.nanoTime()}", "append")
-        } finally s.conf.set(noDataKey, prevNoData)
+      val replayed = withShufflePartitions(s, 4) { cs =>
+        // an inner stream-stream join emits on match; the trailing
+        // no-data batch only advances the watermark for state EVICTION,
+        // which a drain-and-stop replay never benefits from. Set on the
+        // CLONE: no restore, no leak into concurrent queries.
+        cs.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // ONE file-source; both join sides derive from it (a second
+        // readStream would scan the parquet twice per micro-batch)
+        val src = eventsStream(cs, dir)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        val buys = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("buy_ts"))
+        val joined = StreamOps.attributionJoin(views, buys,
+          maxDelay = "6 hours", watermark = "1 hour")
+        StreamOps.replayToTable(cs, joined,
+          s"st_interval_join_${System.nanoTime()}", "append")
+      }
       replayed.orderBy("view_id", "purchase_id")
     },
     Some("""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
@@ -132,11 +131,11 @@ object StreamingQueries {
     * the plain batch join + group (replay has no late data). */
   val stEnrich = Q("st_enrich",
     (s, dir) => {
-      val replayed = withShufflePartitions(s, 4) {
-        val dim = Tables.table(s, dir, "customer")
+      val replayed = withShufflePartitions(s, 4) { cs =>
+        val dim = Tables.table(cs, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
-        val agg = StreamOps.enrichedDailyCounts(eventsStream(s, dir), dim)
-        StreamOps.replayToTable(s, agg,
+        val agg = StreamOps.enrichedDailyCounts(eventsStream(cs, dir), dim)
+        StreamOps.replayToTable(cs, agg,
           s"st_enrich_${System.nanoTime()}", "complete")
       }
       replayed
@@ -158,10 +157,10 @@ object StreamingQueries {
   val stStreamDedup = Q("st_stream_dedup",
     (s, dir) => {
       val schema = Fixtures.tableSchema(s, dir, "documents")
-      val replayed = withShufflePartitions(s, 4) {
-        val stream = tableStream(s, dir, "documents", schema)
+      val replayed = withShufflePartitions(s, 4) { cs =>
+        val stream = tableStream(cs, dir, "documents", schema)
         val agg = StreamOps.streamingExactDedup(stream, "doc_id", "text")
-        StreamOps.replayToTable(s, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
+        StreamOps.replayToTable(cs, agg, s"st_stream_dedup_${System.nanoTime()}", "complete")
       }
       replayed.orderBy("keep_id")
     },
@@ -220,14 +219,14 @@ object StreamingQueries {
       val buckets = graft.ext.MinHashIndex.buckets(s, idxPath)
         .select(col("band"), col("bucket"), col("id").as("index_id"))
       val schema = Fixtures.tableSchema(s, dir, "documents")
-      val replayed = withShufflePartitions(s, 4) {
-        val stream = tableStream(s, dir, "documents", schema)
+      val replayed = withShufflePartitions(s, 4) { cs =>
+        val stream = tableStream(cs, dir, "documents", schema)
           .filter(col("doc_id") >= 100 && col("doc_id") < 200)
         val hits = StreamOps.nearDupBands(stream, "doc_id", "text", MhHashes, 2)
-          .join(buckets, Seq("band", "bucket"))
+          .join(Q.rebind(buckets, cs), Seq("band", "bucket"))
           .groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_hits"))
-        StreamOps.replayToTable(s, hits,
+        StreamOps.replayToTable(cs, hits,
           s"st_neardup_${System.nanoTime()}", "complete")
       }
       replayed.orderBy("doc_id")
@@ -275,11 +274,11 @@ object StreamingQueries {
       // in-stream stateful join + aggregate surface stays pinned by
       // st_neardup_filter); what it uniquely pins is the BETWEEN-
       // GENERATION index refresh, which is batch-side by nature.
-      val staged = withShufflePartitions(s, 4) {
-        val stream = tableStream(s, dir, "documents", schema)
+      val staged = withShufflePartitions(s, 4) { cs =>
+        val stream = tableStream(cs, dir, "documents", schema)
           .filter(col("doc_id") >= 100 && col("doc_id") < 200)
           .select("doc_id", "text")
-        StreamOps.replayToTable(s, stream,
+        StreamOps.replayToTable(cs, stream,
           s"st_refresh_stage_${System.nanoTime()}", "append")
       }
       // a doc's band keys do not depend on the generation — only the
@@ -289,8 +288,8 @@ object StreamingQueries {
       // instead of once per generation (measured: each fresh
       // nearDupBands plan cost ~0.2 s of analysis/codegen against
       // ~0.01 s of actual compute at this size)
-      val allBands = withShufflePartitions(s, 4) {
-        StreamOps.nearDupBands(staged, "doc_id", "text", MhHashes, 2)
+      val allBands = withShufflePartitions(s, 4) { cs =>
+        StreamOps.nearDupBands(Q.rebind(staged, cs), "doc_id", "text", MhHashes, 2)
           .localCheckpoint(true)
       }
       // each generation joins the bucket table AS OF its own start.
@@ -318,8 +317,8 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n_hits"))
       def bucketsNow() = graft.ext.MinHashIndex.buckets(s, idxPath)
         .select(col("band"), col("bucket"), col("id").as("index_id"))
-      val bucketsPre = withShufflePartitions(s, 4) {
-        bucketsNow().localCheckpoint(true) // materialized BEFORE the append
+      val bucketsPre = withShufflePartitions(s, 4) { cs =>
+        Q.rebind(bucketsNow(), cs).localCheckpoint(true) // materialized BEFORE the append
       }
       graft.ext.MinHashIndex.append(
         toksOf(col("doc_id") >= 100 && col("doc_id") < 150),
@@ -466,12 +465,12 @@ object StreamingQueries {
           Tables.table(s, dir, "documents").filter(col("doc_id") % 3 === 0), p)
       }
       val schema = Fixtures.tableSchema(s, dir, "documents")
-      withShufflePartitions(s, 4) {
-        val stream = tableStream(s, dir, "documents", schema)
+      withShufflePartitions(s, 4) { cs =>
+        val stream = tableStream(cs, dir, "documents", schema)
           .filter(col("doc_id") % 3 =!= 0)
         // one-shot drain: volatile checkpoint (StreamOps contract — a
         // real ingest loop would pass its durable dir here instead)
-        val ckpt = StreamOps.volatileCheckpointDir(s)
+        val ckpt = StreamOps.volatileCheckpointDir(cs)
         try {
           val w = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -26,13 +26,19 @@ object GraftBridge {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
-  /** Re-bind `df`'s logical plan to session `s` (`Dataset.ofRows`,
+  /** Re-bind `df`'s plan to session `s` (`Dataset.ofRows`,
     * `private[sql]`): the plan executes under s's conf — the second
-    * half of the clone-session isolation idiom. */
+    * half of the clone-session isolation idiom. Re-binds the ANALYZED
+    * plan, not the raw logical one: a df built over a temp view (e.g. a
+    * memory-sink drain) carries an UnresolvedRelation in its logical
+    * plan, and the view lives in the ORIGIN session's catalog — a clone
+    * re-resolving the name would fail (or worse, resolve to something
+    * else). The analyzed plan has the relation inlined, so the rebind
+    * moves data lineage, never name resolution. */
   def withSession(df: DataFrame, s: SparkSession): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      df.queryExecution.logical)
+      df.queryExecution.analyzed)
 
   /** Schema of one parquet file, read DRIVER-SIDE from its footer.
     * `spark.read.parquet(dir)` runs schema inference as a 1-task Spark
