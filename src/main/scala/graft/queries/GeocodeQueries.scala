@@ -544,8 +544,13 @@ object GeocodeQueries {
           .withColumn("name", concat(col("name"), lit(" annex"))))
         .withColumn("op", lit("U"))
       val deletes = raw.filter(col("id") % 10 === 2).withColumn("op", lit("D"))
+      // insert ids offset by max(id)+1, DERIVED from the corpus — a
+      // fixed constant collided with the id space at sf10 (the scaled
+      // fixture's ids pass 10M), silently turning "inserts" into
+      // upserts of unrelated rows: the round-16 sf10 catch
+      val insertOffset = raw.agg(max(col("id"))).head.getLong(0) + 1L
       val inserts = retag(raw.filter(col("id") % 10 === 3)
-          .withColumn("id", col("id") + 10000000L)
+          .withColumn("id", col("id") + lit(insertOffset))
           .withColumn("name", concat(lit("new "), col("name"))))
         .withColumn("op", lit("I"))
       val next = graft.ext.Cdc.applyChanges(
@@ -568,7 +573,8 @@ object GeocodeQueries {
                       amenity, c_custkey
                FROM raw WHERE id % 10 <> 2
                UNION ALL
-               SELECT id + 10000000, 'new ' || name, amenity, c_custkey
+               SELECT id + (SELECT max(id) + 1 FROM raw), 'new ' || name,
+                      amenity, c_custkey
                FROM raw WHERE id % 10 = 3)
            SELECT id AS osm_id,
                   name AS name_local,
