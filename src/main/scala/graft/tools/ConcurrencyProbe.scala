@@ -29,7 +29,14 @@ object ConcurrencyProbe {
   private val Names = Seq(
     "r2_join", "r4_agg", "r6_window_topk", "r13_percentile",
     "r22_tpch_q3", "r25_tpch_q5", "r28_tpch_q18", "ta_token_count",
-    "ta_quality", "ta_lang_id", "dd_exact", "g5_importance")
+    "ta_quality", "ta_lang_id", "dd_exact", "g5_importance",
+    // lifecycle + streaming shapes: each mutates a PRIVATE cloned index
+    // (Fixtures.clonedIndex) and pins conf on cloned sessions, so they
+    // must be safe to drive concurrently — this probe is where that
+    // claim is exercised (ConcurrentQueriesSpec covers the read-only
+    // shapes)
+    "ta_bm25_evolve", "ann_ivf_append", "dd_minhash_append",
+    "st_replay_hourly", "st_stream_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
