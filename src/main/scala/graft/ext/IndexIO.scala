@@ -340,6 +340,29 @@ private[ext] object IndexIO {
     // which is success, not an error
     if (fs.exists(p) && !fs.delete(p, true) && fs.exists(p))
       throw new java.io.IOException(s"delete $path failed")
+    // Schema-memo hygiene (round-17 advice): the memo's footer source
+    // ([[firstDataFile]]) prefers the NEWEST shard — which may be a
+    // published-but-uncommitted orphan from a crashed evolved append.
+    // If a reconcile then deletes that orphan, a cached schema would
+    // keep its phantom column and wedge later appends on this JVM
+    // (storedMetaCols requiring a column no committed shard carries).
+    // Every reconcile/fold path funnels through this delete, so drop
+    // the memo for the owning index whenever a shard dir goes away —
+    // the next read re-reads one footer driver-side, the memo's
+    // ordinary cold cost.
+    if (p.getName.startsWith("shard=")) {
+      val table = p.getParent
+      if (table != null && table.getParent != null)
+        invalidateSchemasUnder(table.getParent.toString)
+      // the memo key is the caller's root STRING, which may differ from
+      // the Path's normalized form (e.g. a relative or file:-prefixed
+      // root) — invalidate by the raw string's grandparent too
+      val idx = path.lastIndexOf("/shard=")
+      if (idx > 0) {
+        val tIdx = path.lastIndexOf('/', idx - 1)
+        if (tIdx > 0) invalidateSchemasUnder(path.substring(0, tIdx))
+      }
+    }
   }
 
   /** Hidden staging dir for a single-shard append: lives UNDER the
@@ -386,7 +409,17 @@ private[ext] object IndexIO {
     * too big for the literal route — callers then fall back to the
     * distributed anti-join, which is the right plan at that size. */
   def readIdShards(spark: SparkSession, root: String, colName: String,
-                   maxIds: Int = 4096): Option[Array[Long]] = {
+                   maxIds: Int = 4096): Option[Array[Long]] =
+    readIdShardsListed(spark, root, colName, maxIds).map(_._2)
+
+  /** [[readIdShards]] plus the shard-id LISTING the read was taken
+    * from. Callers that key a cache on the delete-shard state (e.g.
+    * TextIndex's removedMassCache) must derive the key and the ids from
+    * ONE listing — re-listing for the key lets a delete landing between
+    * the two listings cache the old tombstone set's mass under the new
+    * state's key (a TOCTOU the round-16 advice flagged). */
+  def readIdShardsListed(spark: SparkSession, root: String, colName: String,
+                         maxIds: Int = 4096): Option[(Seq[Int], Array[Long])] = {
     // a shard dir can legitimately vanish mid-read: the fold-all
     // compaction clears applied tombstone shards while serving runs
     // (round-11 concurrency). Retry from a FRESH listing — the second
@@ -405,9 +438,9 @@ private[ext] object IndexIO {
 
   private def readIdShardsOnce(spark: SparkSession, root: String,
                                colName: String,
-                               maxIds: Int): Option[Array[Long]] = {
+                               maxIds: Int): Option[(Seq[Int], Array[Long])] = {
     val ids = shardIds(spark, root)
-    if (ids.isEmpty) return Some(Array.empty)
+    if (ids.isEmpty) return Some((ids, Array.empty))
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new java.util.HashSet[java.lang.Long]()
     for (k <- ids) {
@@ -434,7 +467,7 @@ private[ext] object IndexIO {
     val it = out.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    Some(arr)
+    Some((ids, arr))
   }
 
   /** Stage + publish a tombstone id shard under `root/deletes/`:
@@ -1540,7 +1573,12 @@ private[ext] object IndexIO {
     readIdShards(spark, s"$root/deletes", delCol) match {
       case Some(arr) if arr.isEmpty => df
       case Some(arr) if arr.length <= maxLiteralIds =>
-        df.filter(!col(idCol).isInCollection(arr.toSeq))
+        // NULL parity with the anti-join routes: `NOT id IN (...)` is
+        // NULL (not true) for a NULL id, so the bare literal predicate
+        // would silently DROP NULL-id rows the anti-join keeps. Index
+        // id columns are required int64 today, but the routing must not
+        // change semantics with set size.
+        df.filter(col(idCol).isNull || !col(idCol).isInCollection(arr.toSeq))
       case Some(arr) =>
         import spark.implicits._
         df.join(broadcast(arr.toSeq.toDF(idCol)), Seq(idCol), "left_anti")

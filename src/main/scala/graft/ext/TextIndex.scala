@@ -767,9 +767,14 @@ object TextIndex {
     if (sys.props.get("graft.bm25.fast").contains("0")) return None
     val committed = IndexIO.liveCommittedIds(spark, path)
     if (committed.isEmpty) return None
-    val smallDels = IndexIO.readIdShards(spark, s"$path/deletes", "doc_id")
+    // ONE listing drives both the tombstone read and the cache key: a
+    // delete landing between a read and a separate re-listing would
+    // cache the OLD tombstone set's mass under the NEW state's key
+    // (round-16 advice), poisoning every later fast-path serve on this
+    // JVM for that state.
+    val smallDels = IndexIO.readIdShardsListed(spark, s"$path/deletes", "doc_id")
     if (smallDels.isEmpty) return None // tombstones past the driver bound
-    val dels = smallDels.get
+    val (delShardIds, dels) = smallDels.get
     val delSet = dels.toSet
     // defensive casts: an index built from an int-typed doc_id column
     // (the Spark write preserves source types) must serve through this
@@ -790,8 +795,7 @@ object TextIndex {
     val (rnd, rsdl) =
       if (dels.isEmpty) (0L, 0L)
       else removedMassCache.computeIfAbsent(
-        (path, committed.mkString(","),
-          IndexIO.shardIds(spark, s"$path/deletes").mkString(",")),
+        (path, committed.mkString(","), delShardIds.mkString(",")),
         _ => {
           val r = IndexIO.smallAggHint(spark, path, "doclens", committed,
               IndexIO.readCommitted(spark, path, "doclens", committed)

@@ -737,8 +737,7 @@ object DedupQueries {
     (s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 200)
       val manifest = graft.ext.Curate.runFull(d, "doc_id", "text", "lang")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-curate-pub").toString + "/corpus"
+      val root = graft.core.TempDirs.create("graft-curate-pub-") + "/corpus"
       graft.ext.Curate.publish(manifest, d, "doc_id", "text", root,
         targetFileBytes = 1L << 20, shuffleToFileRatio = 1.0)
       graft.ext.Curate.readPublished(s, root)

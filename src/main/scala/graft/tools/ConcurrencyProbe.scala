@@ -98,9 +98,16 @@ object ConcurrencyProbe {
     println(f"${"query"}%-18s ${"seq_s"}%8s ${"conc_s"}%8s  rows")
     var rowsMatch = true
     seqTimes.foreach { case (name, st, n) =>
-      val (ct, cn) = results.get(name)
-      if (cn != n) rowsMatch = false
-      println(f"$name%-18s $st%8.3f $ct%8.3f  $n${if (cn != n) s" != $cn ROWS DIVERGED" else ""}")
+      // a query that FAILED in the concurrent pass has no map entry —
+      // print a placeholder row instead of crashing the report loop
+      // (the require below still fails the probe on its count)
+      Option(results.get(name)) match {
+        case Some((ct, cn)) =>
+          if (cn != n) rowsMatch = false
+          println(f"$name%-18s $st%8.3f $ct%8.3f  $n${if (cn != n) s" != $cn ROWS DIVERGED" else ""}")
+        case None =>
+          println(f"$name%-18s $st%8.3f ${"FAILED"}%8s  $n")
+      }
     }
     println(f"sequential total $seqTotal%7.2f s")
     println(f"concurrent total $concTotal%7.2f s  (${threads} workers, FAIR pools)")
