@@ -82,7 +82,7 @@ object Bench {
     // fixture-scale artifact, not plan cost); `scan` = the rest — the
     // tier where a real plan regression would show.
     val lifecycleRe =
-      "(^st_)|maintain|compact|append|versioned|durable|evolve|refresh|loop".r
+      "(^st_)|maintain|compact|append|versioned|durable|evolve|refresh|loop|gaz_delta".r
     def tierOf(name: String, sec: Double): String =
       if (lifecycleRe.findFirstIn(name).isDefined) "lifecycle"
       else if (sec < 0.3) "floor"

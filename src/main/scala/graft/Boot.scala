@@ -24,7 +24,7 @@ object Boot {
   /** JavaModuleOptions.defaultModuleOptions() equivalent — executor
     * JVMs are launched by the worker, not spark-submit, so nothing
     * injects these for us on JDK 17. */
-  private val addOpens: String = Seq(
+  val addOpens: String = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",

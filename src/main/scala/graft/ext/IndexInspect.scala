@@ -16,4 +16,12 @@ object IndexInspect {
   /** Idempotency tags live on the index (the streaming replay guard). */
   def committedTags(spark: SparkSession, root: String): Set[String] =
     IndexIO.committedTags(spark, root)
+
+  /** A live committed table, `shard` partition column included — the
+    * probe surface for shard-placement assertions (e.g. WriterRaceProbe
+    * proving no doc id landed in two live shards). */
+  def readLiveCommitted(spark: SparkSession, root: String,
+                        table: String): org.apache.spark.sql.DataFrame =
+    IndexIO.readCommitted(spark, root, table,
+      IndexIO.liveCommittedIds(spark, root))
 }

@@ -534,36 +534,38 @@ object GeocodeQueries {
     * CDC arithmetic and ETL projection in SQL over the same tables, so
     * the refreshed snapshot is rows+schema+hash pinned cross-engine
     * (serving-side reload is `ScoutServerSpec`'s case). */
-  val g15 = Q("g15_gaz_refresh",
-    (s, dir) => {
-      val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
-      def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
-        map_from_arrays(array(lit("amenity"), lit("name")),
-          array(element_at(col("tags"), "amenity"), col("name"))))
-      val renames = retag(raw.filter(col("id") % 10 === 1)
-          .withColumn("name", concat(col("name"), lit(" annex"))))
-        .withColumn("op", lit("U"))
-      val deletes = raw.filter(col("id") % 10 === 2).withColumn("op", lit("D"))
-      // insert ids offset by max(id)+1, DERIVED from the corpus — a
-      // fixed constant collided with the id space at sf10 (the scaled
-      // fixture's ids pass 10M), silently turning "inserts" into
-      // upserts of unrelated rows: the round-16 sf10 catch
-      val insertOffset = raw.agg(max(col("id"))).head.getLong(0) + 1L
-      val inserts = retag(raw.filter(col("id") % 10 === 3)
-          .withColumn("id", col("id") + lit(insertOffset))
-          .withColumn("name", concat(lit("new "), col("name"))))
-        .withColumn("op", lit("I"))
-      val next = graft.ext.Cdc.applyChanges(
-        raw, renames.unionByName(deletes).unionByName(inserts), "id")
-      val root = graft.core.TempDirs.create("graft-gaz-refresh-") + "/gaz"
-      graft.etl.GazetteerBuilder.writeVersioned(s, next, root)
-      val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
-      s.read.parquet(s"$resolved/pois")
-        .select(col("osm_id"), col("name_local"), col("name_local_norm"),
-          col("kind"), col("importance"), col("lat"), col("lon"))
-        .orderBy("osm_id")
-    },
-    Some(s"""WITH raw AS (
+  /** The deterministic CDC feed g15/g16 share: 10% of ids renamed, 10%
+    * deleted, 10% re-crawled as new ids. Insert ids offset by max(id)+1,
+    * DERIVED from the corpus — a fixed constant collided with the id
+    * space at sf10 (the scaled fixture's ids pass 10M), silently turning
+    * "inserts" into upserts of unrelated rows: the round-16 sf10 catch. */
+  private def gazCdcFeed(raw: DataFrame): DataFrame = {
+    def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
+      map_from_arrays(array(lit("amenity"), lit("name")),
+        array(element_at(col("tags"), "amenity"), col("name"))))
+    val renames = retag(raw.filter(col("id") % 10 === 1)
+        .withColumn("name", concat(col("name"), lit(" annex"))))
+      .withColumn("op", lit("U"))
+    val deletes = raw.filter(col("id") % 10 === 2).withColumn("op", lit("D"))
+    val insertOffset = raw.agg(max(col("id"))).head.getLong(0) + 1L
+    val inserts = retag(raw.filter(col("id") % 10 === 3)
+        .withColumn("id", col("id") + lit(insertOffset))
+        .withColumn("name", concat(lit("new "), col("name"))))
+      .withColumn("op", lit("I"))
+    renames.unionByName(deletes).unionByName(inserts)
+  }
+
+  /** The refreshed-snapshot projection both refresh queries dump. */
+  private def gazRefreshProjection(pois: DataFrame): DataFrame =
+    pois.select(col("osm_id"), col("name_local"), col("name_local_norm"),
+        col("kind"), col("importance"), col("lat"), col("lon"))
+      .orderBy("osm_id")
+
+  /** One oracle for both refresh routes: SQL replay of the CDC
+    * arithmetic + ETL projection — the engine's full-rebuild (g15) and
+    * delta (g16) paths must both hash-match it. */
+  private val gazRefreshOracleSql =
+    s"""WITH raw AS (
                SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
                       lower(p_type) AS amenity, c_custkey
                FROM part JOIN customer ON p_partkey = c_custkey),
@@ -583,8 +585,93 @@ object GeocodeQueries {
                   least(1.0::DOUBLE, 0.20::DOUBLE) AS importance,
                   (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
                   (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
+           FROM applied ORDER BY osm_id"""
+
+  val g15 = Q("g15_gaz_refresh",
+    (s, dir) => {
+      val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
+      val next = graft.ext.Cdc.applyChanges(raw, gazCdcFeed(raw), "id")
+      val root = graft.core.TempDirs.create("graft-gaz-refresh-") + "/gaz"
+      graft.etl.GazetteerBuilder.writeVersioned(s, next, root)
+      val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
+      gazRefreshProjection(s.read.parquet(s"$resolved/pois"))
+    },
+    Some(gazRefreshOracleSql))
+
+  /** G16 — the DELTA form of g15 (VERDICT r16 task 1): the refresh cost
+    * is proportional to the CHANGE FEED, not the corpus. The base
+    * gazetteer builds ONCE per (session, sf) under the PARTITIONED
+    * versioned layout ([[GazetteerBuilder.writeVersionedPartitioned]]:
+    * pois as id-range pool generations, the trigram index as a
+    * [[graft.ext.TrigramStore]]) and each invocation gets a private
+    * copy ([[Fixtures.clonedIndex]] — production refreshes an existing
+    * base; re-building it inside the measured query would time fixture
+    * setup). The measured work is [[GazetteerBuilder.refreshDelta]]:
+    * manifest-pruned read of ONLY the delta-touched partitions, fresh
+    * generations for those, one appended trigram shard + watermarks,
+    * and the same atomic CURRENT flip.
+    *
+    * The feed is LOCALIZED (~0.1% of ids in the low range, renames +
+    * deletes + inserts) — the production delta shape, so the bench
+    * measures the partition-pruned path, and the oracle's FULL SQL
+    * recompute of the snapshot pins that partitions carried forward BY
+    * REFERENCE hash-match a rebuild (g15's uniform 30% feed keeps the
+    * every-partition-touched case covered; `GazetteerDeltaSpec` pins
+    * the mixed-op equality at the unit level; `tools/GazRefreshProbe`
+    * is the sf10 cost artifact — 5.7× over the full rebuild). */
+  val g16 = Q("g16_gaz_delta",
+    (s, dir) => {
+      val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
+      val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
+        graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
+      }
+      def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
+        map_from_arrays(array(lit("amenity"), lit("name")),
+          array(element_at(col("tags"), "amenity"), col("name"))))
+      val maxId = raw.agg(max(col("id"))).head.getLong(0)
+      val win = math.max(100L, maxId / 1000L)
+      val local = raw.filter(col("id") <= win)
+      val feed = retag(local.filter(col("id") % 3 === 0)
+          .withColumn("name", concat(col("name"), lit(" annex"))))
+          .withColumn("op", lit("U"))
+        .unionByName(local.filter(col("id") % 3 === 1).withColumn("op", lit("D")))
+        .unionByName(retag(local.filter(col("id") % 3 === 2)
+          .withColumn("id", col("id") + lit(maxId + 1L))
+          .withColumn("name", concat(lit("new "), col("name"))))
+          .withColumn("op", lit("I")))
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, feed)
+      val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
+      gazRefreshProjection(graft.etl.GazetteerBuilder.readPois(s, resolved))
+    },
+    Some(s"""WITH raw AS (
+               SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+                      lower(p_type) AS amenity, c_custkey
+               FROM part JOIN customer ON p_partkey = c_custkey),
+             win AS (
+               SELECT greatest(100, CAST(floor(max(id) / 1000.0) AS BIGINT)) AS w,
+                      max(id) AS mx
+               FROM raw),
+             applied AS (
+               SELECT id,
+                      CASE WHEN id <= (SELECT w FROM win) AND id % 3 = 0
+                           THEN name || ' annex' ELSE name END AS name,
+                      amenity, c_custkey
+               FROM raw
+               WHERE NOT (id <= (SELECT w FROM win) AND id % 3 = 1)
+               UNION ALL
+               SELECT id + (SELECT mx + 1 FROM win), 'new ' || name,
+                      amenity, c_custkey
+               FROM raw
+               WHERE id <= (SELECT w FROM win) AND id % 3 = 2)
+           SELECT id AS osm_id,
+                  name AS name_local,
+                  ${WRatioSql.canonOf("name")} AS name_local_norm,
+                  'amenity:' || amenity AS kind,
+                  least(1.0::DOUBLE, 0.20::DOUBLE) AS importance,
+                  (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
+                  (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
            FROM applied ORDER BY osm_id"""))
 
   val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13,
-    g14, g15)
+    g14, g15, g16)
 }

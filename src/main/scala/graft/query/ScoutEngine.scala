@@ -600,6 +600,17 @@ object ScoutEngine {
     * directory — shared by [[fromPath]] and the engine's `reloadFrom`. */
   private[query] def readGazetteer(spark: SparkSession, path: String)
       : (DataFrame, DataFrame, Option[DataFrame]) = {
+    // a PARTITIONED snapshot (GazetteerBuilder.writeVersionedPartitioned
+    // / refreshDelta) carries a manifest: pois resolve through its
+    // pk→generation map and the name index is the pinned trigram-store
+    // state — so a CURRENT rollback binds the older index too
+    graft.etl.GazetteerBuilder.readManifest(spark, path) match {
+      case Some(_) =>
+        return (graft.etl.GazetteerBuilder.readPois(spark, path),
+          spark.read.parquet(s"$path/admin"),
+          graft.etl.GazetteerBuilder.readNameIndex(spark, path))
+      case None => ()
+    }
     // Hadoop FS probe, not java.io.File — the gazetteer may live on
     // hdfs:///s3a:// where a local-file check is silently always false
     val indexPath = new org.apache.hadoop.fs.Path(s"$path/name_index")

@@ -1,0 +1,128 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta-proportional gazetteer refresh (round 17): the partitioned
+  * versioned layout ([[GazetteerBuilder.writeVersionedPartitioned]] /
+  * [[GazetteerBuilder.refreshDelta]]) must (1) equal a full rebuild,
+  * (2) leave untouched pool generations physically untouched — the
+  * cost ∝ |delta| claim, (3) roll back by pointer flip including the
+  * pinned trigram state, and (4) reclaim unreferenced generations. */
+class GazetteerDeltaSpec extends SparkSpec {
+
+  private val rawSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("wkt", StringType)))
+
+  private def raw(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, name) =>
+        Row(id, name, Map("amenity" -> "cafe", "name" -> name),
+          s"POINT(${id % 50} ${id % 30})")
+      }), rawSchema)
+
+  private def feed(rows: (Long, String, String)*): DataFrame =
+    raw(rows.map(r => (r._1, r._2)): _*)
+      .withColumn("op",
+        element_at(typedLit(rows.map(r => r._1 -> r._3).toMap), col("id")))
+
+  private def poiSet(df: DataFrame): Set[(Long, String)] =
+    df.select("osm_id", "name_local").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  // ids spread across several pk ranges (targetParts=4 over max id 40)
+  private val baseRows: Seq[(Long, String)] =
+    (1L to 40L).map(i => i -> s"cafe number $i")
+
+  test("refreshDelta equals a full rebuild over the CDC-applied corpus") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val changes = feed((3L, "renamed three", "U"), (7L, "", "D"),
+      (41L, "new fortyone", "I"))
+    GazetteerBuilder.refreshDelta(spark, root, changes)
+    val resolved = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val delta = poiSet(GazetteerBuilder.readPois(spark, resolved))
+
+    val applied = graft.ext.Cdc.applyChanges(raw(baseRows: _*), changes, "id")
+    assert(delta == poiSet(GazetteerBuilder.buildPois(applied)))
+    assert(delta.contains((3L, "renamed three")))
+    assert(delta.contains((41L, "new fortyone")))
+    assert(!delta.exists(_._1 == 7L))
+  }
+
+  test("untouched partitions carry forward by reference — not rewritten") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val v1 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val m1 = GazetteerBuilder.readManifest(spark, v1).get
+    // delta confined to one id range
+    GazetteerBuilder.refreshDelta(spark, root, feed((3L, "renamed three", "U")))
+    val v2 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val m2 = GazetteerBuilder.readManifest(spark, v2).get
+    assert(m1.pkWidth == m2.pkWidth)
+    val touchedPk = 3L / m1.pkWidth
+    assert(m2.parts(touchedPk) != m1.parts(touchedPk),
+      "the touched partition must get a fresh generation")
+    val untouched = m1.parts.keySet - touchedPk
+    assert(untouched.nonEmpty, "fixture must span several partitions")
+    for (k <- untouched)
+      assert(m2.parts(k) == m1.parts(k),
+        s"untouched pk=$k must keep its generation (cost ∝ delta)")
+  }
+
+  test("rollback is a pointer flip — pois AND the pinned trigram state") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val v1 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    GazetteerBuilder.refreshDelta(spark, root,
+      feed((3L, "renamed three", "U"), (7L, "", "D")))
+    val v2 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(v2 != v1)
+    // the serving engine reloads the OLD version dir: old pois, old pins
+    val eng = graft.query.ScoutEngine.fromPath(spark, v1)
+    val req = graft.query.ForwardReq(
+      Seq(graft.query.ForwardCandidate("cafe number 3")), limit = 3)
+    val hits = eng.forwardDF(req).collect()
+    assert(hits.exists(_.getAs[String]("name") == "cafe number 3"),
+      "v1 must serve the pre-delta name through its pinned index")
+    val eng2 = graft.query.ScoutEngine.fromPath(spark, v2)
+    val hits2 = eng2.forwardDF(graft.query.ForwardReq(
+      Seq(graft.query.ForwardCandidate("renamed three")), limit = 3)).collect()
+    assert(hits2.exists(_.getAs[String]("name") == "renamed three"),
+      "v2 must serve the renamed poi through the appended index shard")
+    assert(eng2.forwardDF(graft.query.ForwardReq(
+      Seq(graft.query.ForwardCandidate("cafe number 7")), limit = 3))
+      .collect().forall(_.getAs[Long]("osm_id") != 7L),
+      "v2 must not serve the deleted poi")
+  }
+
+  test("gcPool reclaims generations no live manifest references") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val v1 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val m1 = GazetteerBuilder.readManifest(spark, v1).get
+    GazetteerBuilder.refreshDelta(spark, root, feed((3L, "renamed three", "U")))
+    // drop v1 from retention, then gc with zero grace: v1's superseded
+    // generation of the touched pk is now unreferenced
+    graft.ext.VersionedStore.gc(spark, root, keepLast = 1)
+    GazetteerBuilder.gcPool(spark, root, graceMs = 0L)
+    val touchedPk = 3L / m1.pkWidth
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/pool/pk=$touchedPk/${m1.parts(touchedPk)}")),
+      "superseded generation must be reclaimed")
+    // current version still reads whole
+    val v2 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(GazetteerBuilder.readPois(spark, v2).count() == 40L)
+  }
+}

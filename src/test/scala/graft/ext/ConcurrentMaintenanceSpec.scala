@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   *
   * Crash garbage is still reclaimed — just not before the lease
   * expires: pinned by the expiry tests (lease zeroed → the same
-  * orphan/staging reclaim behavior every pre-round-11 spec asserts). */
+  * orphan/staging reclaim behavior every pre-round-11 spec asserts).
+  *
+  * CROSS-PROCESS evidence (round 17): these in-process races exercise
+  * the interleavings deterministically; the same protocol racing two
+  * REAL JVMs (separate drivers, shared root only) is executed by
+  * `graft.tools.WriterRaceProbe` — 2×6 batches + mid-race maintains
+  * from both processes, serve hash-equal to a sequential reference, no
+  * shard-id collisions (`bench_artifacts/writer_race_r17.txt`). The
+  * seam-driven specs pin WHICH interleavings are safe; the probe pins
+  * that nothing about the arbitration (rename-claims, leases, the
+  * maintlock) silently depended on a shared JVM. */
 class ConcurrentMaintenanceSpec extends SparkSpec {
 
   import spark.implicits._

@@ -152,81 +152,120 @@ class IndexFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt"))
   }
 
-  test("format bump rehearsal: a v2 engine migrates a v1 root; this binary then refuses") {
-    // VERDICT r15 task 3 — the path an operator executes under
-    // pressure, not just the refusal. The "v2 engine" is this binary
-    // with the format seam set (writes AND reads format 2).
-    val path = fresh("bump")
-    TextIndex.write(docs(0L until 8L), path) // a v1 root
-    assert(IndexIO.formatOf(spark, path).contains(1))
-    IndexIO.formatOverride = Some(2)
-    try {
-      // forward-compatible read: the newer engine serves the v1 root as-is
-      assert(TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count() === 5)
-      // MIGRATION = full compact: rewrite + republish stamps the new
-      // format behind the same aside-protected rename
-      TextIndex.compact(spark, path, partitions = 1)
-      assert(IndexIO.formatOf(spark, path).contains(2),
-        "migration must restamp the root at the writer's format")
-      assert(TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count() === 5)
-    } finally IndexIO.formatOverride = None
-    // the v1 binary now refuses the migrated root, loudly, on read AND mutate
-    IndexIO.resetCachesForTest() // a different binary = a different process
-    val read = intercept[java.io.IOException] {
-      TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count()
-    }
-    assert(read.getMessage.contains("format 2") && read.getMessage.contains("newer"))
-    val append = intercept[java.io.IOException] {
-      TextIndex.append(docs(100L until 104L), path)
-    }
-    assert(append.getMessage.contains("newer"))
-  }
+  // ---- migration rehearsal, parameterized over ALL THREE families
+  // (VERDICT r16 task 2: the runbook told the operator to run "the
+  // MinHash/Vector twin" of TextIndex.compact — now a test executes it)
 
-  test("crash mid-migration never leaves a torn root: some binary serves it whole") {
-    var k = 0
-    var fired = true
-    while (fired && k < 12) {
-      val path = fresh(s"bump-crash-$k")
-      TextIndex.write(docs(0L until 8L), path)
+  private def emb(ids: Seq[Long]) = ids
+    .map(i => (i, Array.tabulate(4)(d => (i + d).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  private case class Family(
+      name: String,
+      write: String => Unit,
+      serve: String => Long,
+      append: String => Unit,
+      migrate: String => Unit)
+
+  private lazy val families = Seq(
+    Family("TextIndex",
+      p => TextIndex.write(docs(0L until 8L), p),
+      p => TextIndex.bm25TopK(spark, p, Terms, 5, K1, B).count(),
+      p => TextIndex.append(docs(100L until 104L), p),
+      p => TextIndex.compact(spark, p, partitions = 1)),
+    Family("MinHashIndex",
+      p => MinHashIndex.write(
+        Dedup.docTokens(docs(0L until 8L), "doc_id", "text"), p,
+        numHashes = 8, rowsPerBand = 2),
+      p => MinHashIndex.pairs(spark, p, numHashes = 8).count(),
+      p => MinHashIndex.append(
+        Dedup.docTokens(docs(100L until 104L), "doc_id", "text"), p,
+        numHashes = 8, rowsPerBand = 2),
+      p => MinHashIndex.compact(spark, p, partitions = 1)),
+    Family("VectorIndex",
+      p => VectorIndex.write(emb(0L until 8L), p, nCentroids = 2),
+      p => VectorIndex.topK(spark, p, emb(0L until 2L), k = 3, nprobe = 2).count(),
+      p => VectorIndex.append(emb(100L until 104L), p),
+      p => VectorIndex.compact(spark, p, partitions = 1)))
+
+  for (f <- families)
+    test(s"format bump rehearsal [${f.name}]: a v2 engine migrates a v1 root; this binary then refuses") {
+      // VERDICT r15 task 3 — the path an operator executes under
+      // pressure, not just the refusal. The "v2 engine" is this binary
+      // with the format seam set (writes AND reads format 2).
+      val path = fresh(s"bump-${f.name}")
+      f.write(path) // a v1 root
+      assert(IndexIO.formatOf(spark, path).contains(1))
+      val n0 = f.serve(path)
+      assert(n0 > 0, s"${f.name} fixture must serve rows")
       IndexIO.formatOverride = Some(2)
-      fired =
-        try CrashSeam.crashedAt(k) { TextIndex.compact(spark, path, partitions = 1) }
-        finally IndexIO.formatOverride = None
-      if (fired) {
-        IndexIO.resetCachesForTest() // crash = process death: caches gone
-        val fmt =
-          try IndexIO.formatOf(spark, path)
-          catch { case _: java.io.IOException => None }
-        fmt match {
-          case Some(1) => // not yet swapped: the v1 binary serves it whole
-            assert(TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count() === 5,
-              s"kill point $k: v1 root no longer serves")
-          case Some(2) => // swapped: the v2 binary serves it whole
-            IndexIO.formatOverride = Some(2)
-            try assert(
-              TextIndex.bm25TopK(spark, path, Terms, 5, K1, B).count() === 5,
-              s"kill point $k: migrated root no longer serves")
-            finally IndexIO.formatOverride = None
-          case other =>
-            // the publish died between its two renames: the root is
-            // ABSENT (loud, not torn) and the previous index is intact
-            // under the dest-old-* recovery aside
-            val parent = java.nio.file.Paths.get(path).getParent
-            val name = java.nio.file.Paths.get(path).getFileName.toString
-            val aside = java.nio.file.Files.list(parent).iterator()
-            var found = false
-            while (aside.hasNext) {
-              val p = aside.next()
-              if (p.getFileName.toString.startsWith(s"$name-old-")) found = true
-            }
-            assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) && found,
-              s"kill point $k: torn state — format=$other, recovery aside present=$found")
-        }
-      }
-      k += 1
+      try {
+        // forward-compatible read: the newer engine serves the v1 root as-is
+        assert(f.serve(path) === n0)
+        // MIGRATION = full compact: rewrite + republish stamps the new
+        // format behind the same aside-protected rename
+        f.migrate(path)
+        assert(IndexIO.formatOf(spark, path).contains(2),
+          "migration must restamp the root at the writer's format")
+        assert(f.serve(path) === n0)
+      } finally IndexIO.formatOverride = None
+      // the v1 binary now refuses the migrated root, loudly, on read AND mutate
+      IndexIO.resetCachesForTest() // a different binary = a different process
+      val read = intercept[java.io.IOException] { f.serve(path) }
+      assert(read.getMessage.contains("format 2") && read.getMessage.contains("newer"))
+      val append = intercept[java.io.IOException] { f.append(path) }
+      assert(append.getMessage.contains("newer"))
     }
-    assert(k > 2, "crash seam never fired across the migration path")
-  }
+
+  for (f <- families)
+    test(s"crash mid-migration [${f.name}] never leaves a torn root: some binary serves it whole") {
+      val expected = { // the family's steady serve count (crash-free root)
+        val p = fresh(s"bump-crash-ref-${f.name}")
+        f.write(p); f.serve(p)
+      }
+      var k = 0
+      var fired = true
+      while (fired && k < 12) {
+        val path = fresh(s"bump-crash-${f.name}-$k")
+        f.write(path)
+        IndexIO.formatOverride = Some(2)
+        fired =
+          try CrashSeam.crashedAt(k) { f.migrate(path) }
+          finally IndexIO.formatOverride = None
+        if (fired) {
+          IndexIO.resetCachesForTest() // crash = process death: caches gone
+          val fmt =
+            try IndexIO.formatOf(spark, path)
+            catch { case _: java.io.IOException => None }
+          fmt match {
+            case Some(1) => // not yet swapped: the v1 binary serves it whole
+              assert(f.serve(path) === expected,
+                s"kill point $k: v1 root no longer serves")
+            case Some(2) => // swapped: the v2 binary serves it whole
+              IndexIO.formatOverride = Some(2)
+              try assert(f.serve(path) === expected,
+                s"kill point $k: migrated root no longer serves")
+              finally IndexIO.formatOverride = None
+            case other =>
+              // the publish died between its two renames: the root is
+              // ABSENT (loud, not torn) and the previous index is intact
+              // under the dest-old-* recovery aside
+              val parent = java.nio.file.Paths.get(path).getParent
+              val name = java.nio.file.Paths.get(path).getFileName.toString
+              val aside = java.nio.file.Files.list(parent).iterator()
+              var found = false
+              while (aside.hasNext) {
+                val p = aside.next()
+                if (p.getFileName.toString.startsWith(s"$name-old-")) found = true
+              }
+              assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) && found,
+                s"kill point $k: torn state — format=$other, recovery aside present=$found")
+          }
+        }
+        k += 1
+      }
+      assert(k > 2, s"crash seam never fired across the ${f.name} migration path")
+    }
 
   test("all three index kinds stamp at publish") {
     val t = fresh("kind-text"); val m = fresh("kind-mh"); val v = fresh("kind-ivf")

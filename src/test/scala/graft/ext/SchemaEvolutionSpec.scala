@@ -127,4 +127,45 @@ class SchemaEvolutionSpec extends SparkSpec {
         .withColumn("label", lit(0L)), path, partitions = 1, evolveMeta = Seq("cid"))
     }
   }
+
+  test("text/minhash index schemas are CLOSED BY DESIGN: appends project declared inputs, stored tables never widen") {
+    // VERDICT r16 task 5 — the contract, stated and executed: the
+    // text/minhash stored tables (postings/doclens/stats,
+    // signatures/buckets) are DERIVED representations whose columns are
+    // fixed by the scoring algebra — there is no metaCols-style seam,
+    // by design. Per-doc metadata (quality scores, language, labels)
+    // rides the CORPUS table and joins on doc_id at serve time (or
+    // VectorIndex metaCols for vector-keyed data). An append whose
+    // input carries extra columns must therefore PROJECT them away,
+    // leaving every stored schema byte-for-byte invariant — silently
+    // widening an index that old binaries fold and serve would be an
+    // undeclared format change, exactly what the _FORMAT gate exists
+    // to prevent.
+    val tpath = fresh("closed-text") + "/idx"
+    TextIndex.write(Seq((1L, "fox spark")).toDF("doc_id", "text"), tpath)
+    val tBefore = IndexIO.readTable(spark, tpath, "postings").schema
+    TextIndex.append(
+      Seq((2L, "fox jumps", "en", 0.9)).toDF("doc_id", "text", "lang", "quality"),
+      tpath)
+    IndexIO.resetCachesForTest() // re-read footers, not the schema memo
+    assert(IndexIO.readTable(spark, tpath, "postings").schema === tBefore,
+      "a text append with extra input columns must not widen postings")
+    assert(TextIndex.bm25TopK(spark, tpath, Seq("fox"), 5, 1.2, 0.75).count() === 2)
+
+    val mpath = fresh("closed-mh") + "/idx"
+    val toks = Dedup.docTokens(
+      Seq((1L, "fox spark doc")).toDF("doc_id", "text"), "doc_id", "text")
+    MinHashIndex.write(toks, mpath, numHashes = 8, rowsPerBand = 2)
+    val mBefore = IndexIO.readTable(spark, mpath, "signatures").schema
+    // a token feed carrying extra columns (provenance, weights) projects
+    val toks2 = Dedup.docTokens(
+        Seq((2L, "fox spark doc")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("weight", lit(1.0))
+    MinHashIndex.append(toks2, mpath, numHashes = 8, rowsPerBand = 2)
+    IndexIO.resetCachesForTest()
+    assert(IndexIO.readTable(spark, mpath, "signatures").schema === mBefore,
+      "a minhash append with extra input columns must not widen signatures")
+    assert(MinHashIndex.pairs(spark, mpath, numHashes = 8).count() >= 1,
+      "the identical re-texted doc must collide with the original")
+  }
 }

@@ -31,12 +31,19 @@ def main(bench_path: str, sf_dir: str, oracle_path: str = None,
          runs: str = "3") -> int:
     runs = max(1, int(runs))
     bench = json.loads(Path(bench_path).read_text())
-    if "queries" not in bench and "per_query_file" in bench:
+    if "per_query_file" in bench and Path(bench["per_query_file"]).exists():
         # round-16 Bench emits the (driver-size-capped) summary line with
-        # the full per-query map in a sidecar file
-        bench["queries"] = json.loads(Path(bench["per_query_file"]).read_text())
-        if isinstance(bench["queries"], dict) and "queries" in bench["queries"]:
-            bench["queries"] = bench["queries"]["queries"]
+        # the full per-query map — and the tier membership — in a sidecar
+        # file. Fall back to the sidecar for WHATEVER the compact line
+        # lacks: the round-16 compare artifacts silently lost their
+        # per-tier rows because only `queries` was backfilled here.
+        side = json.loads(Path(bench["per_query_file"]).read_text())
+        if isinstance(side, dict) and "queries" in side:
+            bench.setdefault("queries", side["queries"])
+            if "tiers" in side:
+                bench.setdefault("tiers", side["tiers"])
+        elif "queries" not in bench:
+            bench["queries"] = side
     if oracle_path:
         oracle = json.loads(Path(oracle_path).read_text())
     else:
