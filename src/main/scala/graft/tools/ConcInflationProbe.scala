@@ -103,12 +103,16 @@ object ConcInflationProbe {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     @volatile var sampling = true
-    val cpuSamples = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    // java.lang.Double elements: a scala.Double instantiation makes
+    // poll() unbox (null -> 0.0) BEFORE any null check can see it
+    val cpuSamples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     def startSampler(): Thread = {
       sampling = true
       val t = new Thread(() => {
         while (sampling) {
-          cpuSamples.add(osBean.getProcessCpuLoad * Runtime.getRuntime.availableProcessors())
+          cpuSamples.add(java.lang.Double.valueOf(
+            osBean.getProcessCpuLoad * Runtime.getRuntime.availableProcessors()))
           Thread.sleep(200)
         }
       })
@@ -116,9 +120,12 @@ object ConcInflationProbe {
     }
     def drainCpu(): (Double, Double) = {
       var n = 0; var sum = 0.0; var mx = 0.0
-      var v = cpuSamples.poll()
+      // boxed handle: a scala.Double var would unbox poll()'s null to
+      // 0.0 and the != null test to constant-true — an infinite spin
+      var v: java.lang.Double = cpuSamples.poll()
       while (v != null) {
-        if (v >= 0) { n += 1; sum += v; mx = math.max(mx, v) }
+        val d = v.doubleValue
+        if (d >= 0) { n += 1; sum += d; mx = math.max(mx, d) }
         v = cpuSamples.poll()
       }
       (if (n > 0) sum / n else 0.0, mx)
