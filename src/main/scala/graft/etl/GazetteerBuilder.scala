@@ -489,6 +489,61 @@ object GazetteerBuilder {
         graft.ext.TrigramStore.Pin(m.ixCommits, m.ixDeletes))
     }
 
+  /** Pin-safe maintenance for a PARTITIONED gazetteer root — the
+    * operator's one periodic call after a run of [[refreshDelta]]
+    * batches (single-writer, like the refreshes themselves):
+    *
+    *   1. fold the trigram store to one shard with DEFERRED deletes
+    *      ([[graft.ext.TrigramStore.compactAll]](deferDeletes = true)) —
+    *      live reads swap atomically, and every already-published
+    *      manifest's PINNED read keeps resolving (folded shards stay on
+    *      disk, merely REPLACES-hidden);
+    *   2. republish: a new version whose manifest carries the SAME
+    *      pk→generation map but pins the POST-FOLD index state (the
+    *      admin/meta tables are copied forward) — without this, the
+    *      current snapshot would forever pin the pre-fold shards;
+    *   3. retention: [[graft.ext.VersionedStore.gc]] prunes rolled-past
+    *      versions, [[gcPool]] reclaims unreferenced pois generations;
+    *   4. [[graft.ext.TrigramStore.gcUnpinned]] reclaims the folded
+    *      shards and applied watermarks that no SURVIVING manifest pins.
+    *
+    * Cost: the fold is index-linear (it is the hygiene op — run it at
+    * maintenance cadence, not per batch); everything else is
+    * driver-side listings and two tiny table copies. Returns the
+    * republished version path. */
+  def maintainSnapshots(spark: SparkSession, root: String,
+                        keepLast: Int = 2, partitions: Int = 8): String = {
+    val store = storeDir(root)
+    graft.ext.TrigramStore.compactAll(spark, store, partitions,
+      deferDeletes = true)
+    val base = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val m = readManifest(spark, base).getOrElse(throw new java.io.IOException(
+      s"$base has no $ManifestFile — maintainSnapshots needs the partitioned layout"))
+    // post-fold pin: the folded shard has every observed watermark
+    // APPLIED, so the new snapshot pins zero delete shards — pinning
+    // the deferred (still-on-disk) watermarks would keep them alive
+    // forever. Single-writer contract: no delete() lands between the
+    // fold and this pin (same contract the refreshes already carry).
+    val pin = graft.ext.TrigramStore.Pin(
+      graft.ext.TrigramStore.pinNow(spark, store).commits, Nil)
+    val staging = graft.ext.VersionedStore.stagingFor(root)
+    spark.read.parquet(s"$base/admin").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
+    spark.read.parquet(s"$base/meta").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    writeManifest(spark, staging,
+      PoisManifest(m.pkWidth, m.parts, pin.commits, pin.deletes))
+    val published = graft.ext.VersionedStore.publish(spark, staging, root)
+    graft.ext.VersionedStore.gc(spark, root, keepLast)
+    gcPool(spark, root, graceMs = 0L) // single-writer: no in-flight gens
+    val keptPins = graft.ext.VersionedStore.versionIds(spark, root).flatMap { n =>
+      readManifest(spark, f"$root/v$n%05d").map(mm =>
+        graft.ext.TrigramStore.Pin(mm.ixCommits, mm.ixDeletes))
+    }
+    graft.ext.TrigramStore.gcUnpinned(spark, store, keptPins)
+    published
+  }
+
   /** Reclaim pool generations no live manifest references (crash
     * orphans, rolled-past history after [[graft.ext.VersionedStore.gc]]).
     * `graceMs` shields a concurrent refresh's just-written generations

@@ -208,14 +208,23 @@ object TrigramStore {
     Pin(IndexIO.liveCommittedIds(spark, path),
       IndexIO.shardIds(spark, s"$path/deletes"))
 
-  /** Fold every live shard into one, applying and clearing all
-    * watermarks — the hygiene op that physically drops superseded
-    * postings (a long-running refresh loop otherwise accretes one shard
-    * and one watermark file per batch). Maintainer-locked; REPLACES
-    * marker makes the swap atomic to live readers. Pins recorded by
-    * snapshots published BEFORE this fold stop resolving — run after
-    * retention has pruned them (see class doc). Returns folded ids. */
-  def compactAll(spark: SparkSession, path: String, partitions: Int = 8): Seq[Int] = {
+  /** Fold every live shard into one, applying all watermarks — the
+    * hygiene op that physically drops superseded postings (a
+    * long-running refresh loop otherwise accretes one shard and one
+    * watermark file per batch). Maintainer-locked; REPLACES marker
+    * makes the swap atomic to live readers. Returns folded ids.
+    *
+    * `deferDeletes = false` reclaims the folded shards and applied
+    * watermarks immediately — pins recorded by snapshots published
+    * BEFORE this fold stop resolving, so run it only after retention
+    * pruned them. `deferDeletes = true` is the PIN-SAFE route
+    * ([[graft.etl.GazetteerBuilder.maintainSnapshots]]): the folded
+    * shards' markers, files, and watermarks stay on disk (invisible to
+    * live reads — the REPLACES marker already hides them — but still
+    * resolvable by older manifests' pinned reads); [[gcUnpinned]]
+    * reclaims them once no kept manifest pins them. */
+  def compactAll(spark: SparkSession, path: String, partitions: Int = 8,
+                 deferDeletes: Boolean = false): Seq[Int] = {
     val nonce = IndexIO.acquireMaintLock(spark, path)
     try {
       IndexIO.gcStaging(spark, path)
@@ -233,11 +242,40 @@ object TrigramStore {
       IndexIO.publishShard(spark, stage, s"$path/postings/shard=$next")
       IndexIO.commitShard(spark, path, next, replaces = live,
         maintLockNonce = nonce)
-      for (k <- live) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
-      for (k <- live) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
-      // the fold applied every observed watermark; clear exactly those
-      for (k <- obsDels) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
+      if (!deferDeletes) {
+        for (k <- live) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+        for (k <- live) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+        // the fold applied every observed watermark; clear exactly those
+        for (k <- obsDels) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
+      }
       live
     } finally IndexIO.releaseMaintLock(spark, path, nonce)
+  }
+
+  /** Reclaim REPLACES-hidden (folded-away) shards and applied
+    * watermark shards that no surviving snapshot pins — the deferred
+    * half of a pin-safe [[compactAll]]. `pins` is the union of every
+    * KEPT manifest's pinned state (the caller lists them after version
+    * retention ran); live shards are never touched. */
+  def gcUnpinned(spark: SparkSession, path: String, pins: Seq[Pin]): Unit = {
+    val live = IndexIO.liveCommittedIds(spark, path).toSet
+    val pinnedCommits = pins.flatMap(_.commits).toSet ++ live
+    val pinnedDels = pins.flatMap(_.deletes).toSet
+    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    for (k <- committed if !pinnedCommits(k)) {
+      IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+      IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+    }
+    // a watermark shard is reclaimable when no kept pin references it
+    // AND the live fold already applied it (every fold applies all
+    // watermarks it observes; watermarks published after the fold are
+    // still pending and must stay). Conservative cut: only shards
+    // older than the newest live commit's fold can be proven applied —
+    // the fold observed exactly the delete shards present at its
+    // start, which the caller's pins capture; anything unpinned AND
+    // not referenced by the CURRENT pin is reclaimable.
+    val dels = IndexIO.shardIds(spark, s"$path/deletes")
+    for (k <- dels if !pinnedDels(k))
+      IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
   }
 }

@@ -104,6 +104,44 @@ class GazetteerDeltaSpec extends SparkSpec {
       "v2 must not serve the deleted poi")
   }
 
+  test("maintainSnapshots: pin-safe fold — serving never breaks, history reclaimed after retention") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    GazetteerBuilder.refreshDelta(spark, root, feed((3L, "renamed three", "U")))
+    GazetteerBuilder.refreshDelta(spark, root, feed((7L, "", "D")))
+    val preMaint = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val preSet = poiSet(GazetteerBuilder.readPois(spark, preMaint))
+    val preIx = GazetteerBuilder.readNameIndex(spark, preMaint).get.count()
+
+    val published = GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 2)
+    // the republished snapshot serves identically (pois untouched, the
+    // folded index pinned fresh)
+    assert(poiSet(GazetteerBuilder.readPois(spark, published)) == preSet)
+    assert(GazetteerBuilder.readNameIndex(spark, published).get.count() == preIx,
+      "post-fold pinned index must serve the same live postings")
+    // the PRE-MAINTENANCE snapshot still resolves through its pins —
+    // the fold deferred its deletes (pin-safe), and keepLast=2 retains it
+    assert(poiSet(GazetteerBuilder.readPois(spark, preMaint)) == preSet)
+    assert(GazetteerBuilder.readNameIndex(spark, preMaint).get.count() == preIx,
+      "deferred-delete fold must keep the retained snapshot's pins resolvable")
+    // a second maintenance pass rolls retention past preMaint: its
+    // version dir is pruned and the folded-away shards + applied
+    // watermarks are reclaimed (gcUnpinned)
+    GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(preMaint)),
+      "retention must prune the rolled-past version")
+    val store = GazetteerBuilder.storeDir(root)
+    val delShards = fs.exists(new org.apache.hadoop.fs.Path(s"$store/deletes")) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/deletes"))
+        .exists(_.getPath.getName.startsWith("shard="))
+    assert(!delShards, "applied watermarks must be reclaimed once unpinned")
+    val current = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(poiSet(GazetteerBuilder.readPois(spark, current)) == preSet)
+  }
+
   test("gcPool reclaims generations no live manifest references") {
     val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
     GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
