@@ -357,7 +357,17 @@ object GazetteerBuilder {
   def writeVersionedPartitioned(spark: SparkSession, raw: DataFrame,
                                 root: String, source: String = "raw_osm",
                                 targetParts: Int = 32,
-                                ingestArgs: String = ""): String = {
+                                ingestArgs: String = ""): String =
+    graft.ext.VersionedStore.withWriterLock(spark, root) {
+      writeVersionedPartitionedLocked(spark, raw, root, source, targetParts,
+        ingestArgs)
+    }
+
+  private def writeVersionedPartitionedLocked(spark: SparkSession,
+                                              raw: DataFrame, root: String,
+                                              source: String,
+                                              targetParts: Int,
+                                              ingestArgs: String): String = {
     val pois = buildPois(raw)
     val maxId = Option(pois.agg(max(col("osm_id"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -401,6 +411,19 @@ object GazetteerBuilder {
                    deleteOp: String = "D"): String = {
     require(changes.columns.contains("id"),
       "refreshDelta needs explicit ids in the change feed")
+    // single-writer, MECHANICALLY (round 17): two refreshes racing one
+    // root could interleave pool generations with each other's manifest
+    // or collide on the version-number allocation — the maintainer-lock
+    // protocol fails the second writer loudly instead (retry next
+    // batch), the same contract every index maintenance op carries.
+    graft.ext.VersionedStore.withWriterLock(spark, root) {
+      refreshDeltaLockHeld(spark, root, changes, source, opCol, deleteOp)
+    }
+  }
+
+  private def refreshDeltaLockHeld(spark: SparkSession, root: String,
+                                   changes: DataFrame, source: String,
+                                   opCol: String, deleteOp: String): String = {
     val base = graft.ext.VersionedStore.resolveCurrent(spark, root)
     val m = readManifest(spark, base).getOrElse(throw new java.io.IOException(
       s"$base has no $ManifestFile — built by writeVersioned? " +
@@ -512,7 +535,13 @@ object GazetteerBuilder {
     * driver-side listings and two tiny table copies. Returns the
     * republished version path. */
   def maintainSnapshots(spark: SparkSession, root: String,
-                        keepLast: Int = 2, partitions: Int = 8): String = {
+                        keepLast: Int = 2, partitions: Int = 8): String =
+    graft.ext.VersionedStore.withWriterLock(spark, root) {
+      maintainSnapshotsLocked(spark, root, keepLast, partitions)
+    }
+
+  private def maintainSnapshotsLocked(spark: SparkSession, root: String,
+                                      keepLast: Int, partitions: Int): String = {
     val store = storeDir(root)
     graft.ext.TrigramStore.compactAll(spark, store, partitions,
       deferDeletes = true)

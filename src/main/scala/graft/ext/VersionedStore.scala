@@ -43,4 +43,18 @@ object VersionedStore {
     IndexIO.pruneVersions(spark, root, keepLast)
     IndexIO.gcStaging(spark, root)
   }
+
+  /** Run `body` as the root's SINGLE WRITER — the maintainer-lock
+    * protocol ([[IndexIO.acquireMaintLock]]: atomic create, staleness
+    * bound, loud refusal) applied to snapshot publishers. A concurrent
+    * writer fails LOUDLY ("maintenance already running") instead of
+    * racing the version-number allocation or interleaving partition
+    * generations with someone else's manifest; a crashed writer's lock
+    * ages out. Heartbeat long phases via the returned handle if `body`
+    * can outrun the lock bound. */
+  def withWriterLock[T](spark: SparkSession, root: String)(body: => T): T = {
+    val nonce = IndexIO.acquireMaintLock(spark, root)
+    try body
+    finally IndexIO.releaseMaintLock(spark, root, nonce)
+  }
 }

@@ -142,6 +142,48 @@ class GazetteerDeltaSpec extends SparkSpec {
     assert(poiSet(GazetteerBuilder.readPois(spark, current)) == preSet)
   }
 
+  test("single-writer is MECHANICAL: a racing refreshDelta fails loudly, never silently interleaves") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val fa = feed((3L, "renamed three", "U"))
+    val fb = feed((8L, "renamed eight", "U"))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(fa, fb).zipWithIndex.map { case (f, i) =>
+      val t = new Thread(() => {
+        gate.await()
+        try { GazetteerBuilder.refreshDelta(spark, root, f); outcomes.add(s"ok$i") }
+        catch {
+          case e: java.io.IOException
+            if e.getMessage.contains("maintenance already running") =>
+            outcomes.add(s"refused$i")
+        }
+        ()
+      })
+      t.start(); t
+    }
+    gate.countDown()
+    ts.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val res = outcomes.asScala.toSeq.sorted
+    val wins = res.count(_.startsWith("ok"))
+    // both may win if they serialized past each other's release — what
+    // is FORBIDDEN is a silent interleave; with ≥1 winner the snapshot
+    // must be a clean base+delta(s) state
+    assert(wins >= 1, s"no refresh won: $res")
+    val current = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val got = poiSet(GazetteerBuilder.readPois(spark, current))
+    val expectA = poiSet(GazetteerBuilder.buildPois(
+      graft.ext.Cdc.applyChanges(raw(baseRows: _*), fa, "id")))
+    val expectB = poiSet(GazetteerBuilder.buildPois(
+      graft.ext.Cdc.applyChanges(raw(baseRows: _*), fb, "id")))
+    val expectAB = (expectA ++ expectB) -- Set((3L, "cafe number 3"), (8L, "cafe number 8"))
+    assert(got == expectA || got == expectB || got == expectAB,
+      s"interleaved snapshot: winners=$res")
+    assert(got.size == 40)
+  }
+
   test("gcPool reclaims generations no live manifest references") {
     val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
     GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
