@@ -368,6 +368,18 @@ object GazetteerBuilder {
                                               source: String,
                                               targetParts: Int,
                                               ingestArgs: String): String = {
+    // A FULL build is the chain's base, never an in-place refresh:
+    // TrigramStore.write would swap the live store under every
+    // published manifest while their pinned shard IDS keep resolving
+    // against the NEW store's content — an old snapshot would silently
+    // serve old pois with a new index. Evolve a live root with
+    // refreshDelta; rebuild into a fresh root.
+    require(graft.ext.VersionedStore.versionIds(spark, root).isEmpty &&
+        !fsOf(spark, root).exists(
+          new org.apache.hadoop.fs.Path(storeDir(root))),
+      s"$root already holds a partitioned gazetteer — writeVersionedPartitioned " +
+        "is the chain base only; use refreshDelta to evolve it, or build " +
+        "into a fresh root")
     val pois = buildPois(raw)
     val maxId = Option(pois.agg(max(col("osm_id"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -535,26 +547,34 @@ object GazetteerBuilder {
     * driver-side listings and two tiny table copies. Returns the
     * republished version path. */
   def maintainSnapshots(spark: SparkSession, root: String,
-                        keepLast: Int = 2, partitions: Int = 8): String =
+                        keepLast: Int = 2, partitions: Int = 8,
+                        maxShards: Int = 8,
+                        tombstoneFrac: Double = 0.3): String =
     graft.ext.VersionedStore.withWriterLock(spark, root) {
-      maintainSnapshotsLocked(spark, root, keepLast, partitions)
+      maintainSnapshotsLocked(spark, root, keepLast, partitions, maxShards,
+        tombstoneFrac)
     }
 
   private def maintainSnapshotsLocked(spark: SparkSession, root: String,
-                                      keepLast: Int, partitions: Int): String = {
+                                      keepLast: Int, partitions: Int,
+                                      maxShards: Int,
+                                      tombstoneFrac: Double): String = {
     val store = storeDir(root)
-    graft.ext.TrigramStore.compactAll(spark, store, partitions,
-      deferDeletes = true)
+    // MEASURED trigger, not an unconditional fold (round 18): the
+    // policy folds all (dead-posting fraction) or size-tiered (shard
+    // count), in the pin-safe deferred mode either way — a cheap "none"
+    // decision still runs the retention/gc tail below.
+    val report = graft.ext.TrigramStore.maintain(spark, store, maxShards,
+      tombstoneFrac, partitions, deferDeletes = true)
     val base = graft.ext.VersionedStore.resolveCurrent(spark, root)
     val m = readManifest(spark, base).getOrElse(throw new java.io.IOException(
       s"$base has no $ManifestFile — maintainSnapshots needs the partitioned layout"))
-    // post-fold pin: the folded shard has every observed watermark
-    // APPLIED, so the new snapshot pins zero delete shards — pinning
-    // the deferred (still-on-disk) watermarks would keep them alive
-    // forever. Single-writer contract: no delete() lands between the
-    // fold and this pin (same contract the refreshes already carry).
-    val pin = graft.ext.TrigramStore.Pin(
-      graft.ext.TrigramStore.pinNow(spark, store).commits, Nil)
+    // post-maintenance pin: [[graft.ext.TrigramStore.pinNow]] already
+    // subtracts fold-applied watermark shards (the `_APPLIED` mark), so
+    // after a fold-all the new snapshot pins zero delete shards and
+    // after a partial fold it carries exactly the still-load-bearing
+    // ones — which is what lets the gcUnpinned tail retire the rest.
+    val pin = graft.ext.TrigramStore.pinNow(spark, store)
     val staging = graft.ext.VersionedStore.stagingFor(root)
     spark.read.parquet(s"$base/admin").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
@@ -587,9 +607,11 @@ object GazetteerBuilder {
         readManifest(spark, f"$root/v$n%05d").toSeq.flatMap(_.parts.toSeq)
       }.toSet
     val now = System.currentTimeMillis()
+    // toLongOption: a stray non-numeric dir under pool/ must not abort
+    // the whole reclamation sweep (it is skipped, not reclaimed)
     for (pkDir <- fs.listStatus(pool).toSeq if pkDir.isDirectory;
          name = pkDir.getPath.getName if name.startsWith("pk=");
-         pk = name.stripPrefix("pk=").toLong;
+         pk <- name.stripPrefix("pk=").toLongOption;
          genDir <- fs.listStatus(pkDir.getPath).toSeq if genDir.isDirectory;
          gen = genDir.getPath.getName
          if !referenced((pk, gen)) &&

@@ -1269,7 +1269,26 @@ private[ext] object IndexIO {
     if (committed.isEmpty) return
     val perTable = tables.map(t => shardIds(spark, s"$root/$t").toSet)
     val complete = perTable.reduce(_ intersect _)
-    val bad = committed diff complete
+    // a REPLACES-hidden marker is folded history, never a crashed
+    // append (a compaction folds only fully-committed shards; a crashed
+    // append has no marker to fold) — a maintainer may retain one past
+    // its table data on purpose ([[TrigramStore.compactSmall]] keeps
+    // folded markers because watermark validity is keyed on marker
+    // existence); repairing it away here would flip those watermarks
+    // inert and resurrect the rows they supersede
+    val fs = fsOf(spark, root)
+    val hidden = committed.flatMap { k =>
+      val rp = new org.apache.hadoop.fs.Path(s"$root/commits/shard=$k/REPLACES")
+      if (!fs.exists(rp)) Set.empty[Int]
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(rp).getLen.toInt)
+        val in = fs.open(rp)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\\s+").filter(_.nonEmpty).map(_.toInt).toSet
+      }
+    }
+    val bad = committed diff complete diff hidden
     // markers delete first (publish order mirrored: marker last in,
     // first out) so a crash mid-repair cannot re-manufacture a
     // committed-but-tableless shard

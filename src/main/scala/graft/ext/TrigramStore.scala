@@ -151,7 +151,13 @@ object TrigramStore {
     * silently-partial index would be the worse failure). */
   def postingsPinned(spark: SparkSession, path: String, pin: Pin): DataFrame = {
     IndexIO.requireSupportedFormat(spark, path)
+    // marker AND data: [[gcUnpinned]] may retain a folded shard's commit
+    // marker (kept while a surviving watermark references it — the
+    // marker is what keeps that watermark VALID) after reclaiming its
+    // postings data, so a marker-only check could pass for a pin whose
+    // rows are gone and fail later, unhelpfully, inside the scan
     val have = IndexIO.shardIds(spark, s"$path/commits").toSet
+      .intersect(IndexIO.shardIds(spark, s"$path/postings").toSet)
     val missing = pin.commits.filterNot(have)
     if (missing.nonEmpty)
       throw new java.io.IOException(
@@ -178,19 +184,29 @@ object TrigramStore {
     val posts = IndexIO.readCommitted(spark, path, "postings", committed)
     if (delShards.isEmpty)
       return posts.select("gram", "col_id", "osm_id")
-    val committedSet = committed.map(_.toLong).toSet
     // LATEST watermark per id wins (delete-shard order is publish
     // order): a delete then a re-append leaves (id, MaxValue) then
     // (id, K) — recency resurrects the id, a max over `below` would
     // keep it dead forever. Inert entries (watermarks naming an
     // uncommitted postings shard — the append-crash window) filter out
     // FIRST, so a crashed re-append falls back to the older watermark
-    // instead of resurrecting rows that never committed.
+    // instead of resurrecting rows that never committed. "Committed"
+    // here is commit-MARKER existence on disk, NOT membership in the
+    // serving set: after a deferred fold ([[compactAll]](deferDeletes =
+    // true)) the folded shards are REPLACES-hidden from the serving set
+    // but their markers remain, and a re-append watermark (id, K) with
+    // K folded away must stay VALID — treating it inert would let an
+    // older (id, MaxValue) delete win the recency max and silently drop
+    // the id's (fold-kept) postings: a false negative for any id
+    // deleted then re-inserted before maintenance (round-18 fix; spec:
+    // `TrigramStoreSpec` delete→re-append→deferred-fold).
+    val markerSet = IndexIO.shardIds(spark, s"$path/commits")
+      .map(_.toLong).toSet
     val wm = spark.read.schema(WmSchema)
       .option("basePath", s"$path/deletes")
       .parquet(delShards.map(k => s"$path/deletes/shard=$k"): _*)
       .filter(col("below") === Long.MaxValue ||
-        col("below").isInCollection(committedSet))
+        col("below").isInCollection(markerSet))
       .groupBy(col(DeleteCol))
       .agg(max(struct(col("shard").cast("long").as("s"), col("below")))
         .as("w"))
@@ -203,10 +219,20 @@ object TrigramStore {
       .select("gram", "col_id", "osm_id")
   }
 
-  /** The current pin — what a snapshot publish records. */
-  def pinNow(spark: SparkSession, path: String): Pin =
+  /** The current pin — what a snapshot publish records. Watermark
+    * shards at or below the `_APPLIED` high-mark are omitted: every
+    * live commit postdates the fold that materialized them, so
+    * re-applying them against this pin's commits is a no-op row-wise —
+    * and any delete/re-append PAIR straddling the mark stays coherent
+    * (both sides of a recency race land on the same side of a fold's
+    * observation). Omitting them is what lets [[gcUnpinned]] retire
+    * applied watermarks instead of every new snapshot re-pinning them
+    * forever. */
+  def pinNow(spark: SparkSession, path: String): Pin = {
+    val applied = readApplied(spark, path)
     Pin(IndexIO.liveCommittedIds(spark, path),
-      IndexIO.shardIds(spark, s"$path/deletes"))
+      IndexIO.shardIds(spark, s"$path/deletes").filter(_ > applied))
+  }
 
   /** Fold every live shard into one, applying all watermarks — the
     * hygiene op that physically drops superseded postings (a
@@ -230,6 +256,14 @@ object TrigramStore {
       IndexIO.gcStaging(spark, path)
       IndexIO.gcClaims(spark, path)
       val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
+      // ALL markers at entry, not just the serving set: immediate-mode
+      // cleanup must also clear REPLACES-hidden markers a prior
+      // [[compactSmall]] retained — deleting only the live carriers
+      // would RESURRECT the hidden ids once their carrier marker goes
+      // (liveCommittedIds derives hidden-ness from the carrier's
+      // REPLACES file). A shard committing after this listing (a racing
+      // append) is absent from it and stays untouched.
+      val obsMarkers = IndexIO.shardIds(spark, s"$path/commits")
       val live = IndexIO.liveCommittedIds(spark, path)
       require(live.nonEmpty, s"no committed shards under $path — not a TrigramStore?")
       val folded = postingsOf(spark, path, live, obsDels)
@@ -242,9 +276,15 @@ object TrigramStore {
       IndexIO.publishShard(spark, stage, s"$path/postings/shard=$next")
       IndexIO.commitShard(spark, path, next, replaces = live,
         maintLockNonce = nonce)
+      // the fold applied every observed watermark — record the
+      // high-mark so [[gcUnpinned]] can PROVE a watermark shard is
+      // reclaimable (crash before the write: the mark stays old and gc
+      // keeps more, never less). Written before the immediate-delete
+      // branch so both modes carry it.
+      writeApplied(spark, path, obsDels.maxOption.getOrElse(-1))
       if (!deferDeletes) {
-        for (k <- live) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
-        for (k <- live) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+        for (k <- obsMarkers) IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+        for (k <- obsMarkers) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
         // the fold applied every observed watermark; clear exactly those
         for (k <- obsDels) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
       }
@@ -252,30 +292,223 @@ object TrigramStore {
     } finally IndexIO.releaseMaintLock(spark, path, nonce)
   }
 
-  /** Reclaim REPLACES-hidden (folded-away) shards and applied
-    * watermark shards that no surviving snapshot pins — the deferred
-    * half of a pin-safe [[compactAll]]. `pins` is the union of every
-    * KEPT manifest's pinned state (the caller lists them after version
-    * retention ran); live shards are never touched. */
+  /** Fold the live shards whose postings dir is ≤ `maxShardBytes` into
+    * one — the size-tiered hygiene op ([[TextIndex.compactSmall]]'s
+    * shape) that bounds shard count under a long refresh loop WITHOUT
+    * rewriting the whole index. Watermark-EXACT: the folded rows pass
+    * through the same latest-wins subtraction live reads use
+    * ([[postingsOf]] restricted to the fold set), and the fold output
+    * lands at a FRESH shard id greater than every existing one, so
+    * every surviving watermark `(id, K)` keeps meaning exactly what it
+    * meant (the moved rows sit at `next ≥ K` and stay visible; rows it
+    * superseded were dropped in the fold). Watermark shards are NEVER
+    * cleared here — `(id, K)` may still suppress rows in un-folded
+    * shards — and the folded shards' commit MARKERS are never deleted
+    * either (a marker's existence is what keeps a watermark naming it
+    * valid; only [[compactAll]], which clears the watermarks too, may
+    * drop markers). `deferDeletes = true` additionally keeps the folded
+    * postings data for older manifests' pins ([[gcUnpinned]] reclaims).
+    * Returns the folded ids (empty when fewer than 2 qualify). */
+  def compactSmall(spark: SparkSession, path: String, maxShardBytes: Long,
+                   partitions: Int = 8,
+                   deferDeletes: Boolean = false): Seq[Int] = {
+    val nonce = IndexIO.acquireMaintLock(spark, path)
+    try {
+      IndexIO.gcStaging(spark, path)
+      IndexIO.gcClaims(spark, path)
+      val obsDels = IndexIO.shardIds(spark, s"$path/deletes")
+      val live = IndexIO.liveCommittedIds(spark, path)
+      require(live.nonEmpty, s"no committed shards under $path — not a TrigramStore?")
+      val fold = live.filter(k =>
+        IndexIO.dirBytes(spark, s"$path/postings/shard=$k") <= maxShardBytes)
+      if (fold.length < 2) return Nil
+      val folded = postingsOf(spark, path, fold, obsDels)
+      val next = IndexIO.claimShardId(spark, path, Tables)
+      IndexIO.heartbeatMaintLock(spark, path, nonce)
+      val stage = IndexIO.shardStagingFor(s"$path/postings")
+      IndexIO.sortedLayout(folded, partitions,
+          Seq("gram", "col_id", "osm_id"), rangeCols = Seq("gram"))
+        .write.mode(SaveMode.Overwrite).parquet(stage)
+      IndexIO.publishShard(spark, stage, s"$path/postings/shard=$next")
+      IndexIO.commitShard(spark, path, next, replaces = fold,
+        maintLockNonce = nonce)
+      // a size cut that happened to select EVERY live shard is a
+      // fold-all: all observed watermarks are fully materialized, so
+      // advance the high-mark exactly as [[compactAll]] does
+      if (fold.toSet == live.toSet)
+        writeApplied(spark, path, obsDels.maxOption.getOrElse(-1))
+      if (!deferDeletes)
+        for (k <- fold) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+      fold
+    } finally IndexIO.releaseMaintLock(spark, path, nonce)
+  }
+
+  /** WHEN-to-compact policy — [[IndexMaintenance.run]]'s decision order
+    * for this family ([[IndexMaintenance]] itself computes dead mass
+    * from plain id-tombstones, which over-counts under watermarks: a
+    * re-append watermark `(id, K)` kills only the id's PRE-`K` rows, so
+    * the dead fraction here comes from the store's own exact
+    * subtraction — one bounded two-count aggregate over the postings):
+    *
+    *   1. dead (watermark-superseded) posting fraction ≥ `tombstoneFrac`
+    *      → [[compactAll]] (reclaims the dead mass index-wide and, via
+    *      the `_APPLIED` mark, lets [[gcUnpinned]] retire the watermark
+    *      shards);
+    *   2. live shards > `maxShards` → [[compactSmall]] at the
+    *      (n−maxShards+1)-th smallest shard's size, so the count lands
+    *      back ≤ `maxShards` at cost proportional to the small tail;
+    *   3. otherwise nothing.
+    *
+    * `deferDeletes` threads through both routes — `true` is the
+    * pin-safe mode [[graft.etl.GazetteerBuilder.maintainSnapshots]]
+    * runs under. */
+  def maintain(spark: SparkSession, path: String, maxShards: Int = 8,
+               tombstoneFrac: Double = 0.3, partitions: Int = 8,
+               deferDeletes: Boolean = false): MaintainReport = {
+    require(maxShards >= 1, s"maxShards must be >= 1, got $maxShards")
+    val live = IndexIO.liveCommittedIds(spark, path)
+    require(live.nonEmpty, s"no committed shards under $path")
+    val deadFrac =
+      if (IndexIO.shardIds(spark, s"$path/deletes").isEmpty) 0.0
+      else {
+        val total = IndexIO.readCommitted(spark, path, "postings", live).count()
+        val kept = postings(spark, path).count()
+        if (total == 0L) 0.0 else (total - kept).toDouble / total.toDouble
+      }
+    if (deadFrac >= tombstoneFrac) {
+      val folded = compactAll(spark, path, partitions, deferDeletes)
+      MaintainReport(1, deadFrac, "compact", folded)
+    } else if (live.size > maxShards) {
+      val sizes = live.map(k =>
+        IndexIO.dirBytes(spark, s"$path/postings/shard=$k")).sorted
+      val folded = compactSmall(spark, path, sizes(live.size - maxShards),
+        partitions, deferDeletes)
+      MaintainReport(live.size - folded.size + (if (folded.nonEmpty) 1 else 0),
+        deadFrac, "compactSmall", folded)
+    } else MaintainReport(live.size, deadFrac, "none", Nil)
+  }
+
+  // ---- the applied-watermark high-mark --------------------------------
+  //
+  // `deletes/_APPLIED` holds the greatest delete-shard id a fold-ALL has
+  // fully applied (every watermark in shards ≤ the mark is materialized
+  // in the folded output — re-reading them is a no-op). It is the
+  // MECHANICAL proof [[gcUnpinned]] needs that a watermark shard is
+  // retirable: watermarks published after the last fold are still
+  // load-bearing for live reads, and reclaiming one would resurrect the
+  // postings it supersedes. Underscore-prefixed: invisible to the
+  // `shard=` listings and to Spark's directory reads. Missing or
+  // half-written (crash window — the write is delete + rename of a
+  // staged file) reads as -1: gc keeps everything, never the reverse.
+
+  private def appliedMarkPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/deletes/_APPLIED")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeApplied(spark: SparkSession, path: String, mark: Int): Unit = {
+    if (mark < 0) return
+    val fs = fsOf(spark, path)
+    val dest = appliedMarkPath(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/deletes/._APPLIED-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(mark.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"applied-mark publish failed under $path")
+  }
+
+  private def readApplied(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val p = appliedMarkPath(path)
+    if (!fs.exists(p)) return -1
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+      .getOrElse(throw new java.io.IOException(
+        s"corrupt applied-mark under $path/deletes — delete _APPLIED to " +
+          "reset (gc then conservatively keeps all watermark shards)"))
+  }
+
+  /** Reclaim REPLACES-hidden (folded-away) shards and APPLIED watermark
+    * shards that no surviving snapshot pins — the deferred half of a
+    * pin-safe [[compactAll]]/[[compactSmall]]. `pins` is the union of
+    * every KEPT manifest's pinned state (the caller lists them after
+    * version retention ran); live shards are never touched.
+    *
+    * Two mechanical guards make this safe to call at any point in the
+    * maintenance cadence (not just "immediately after a fold with no
+    * deletes since", which used to be contractual):
+    *   - a watermark shard is reclaimed only when it is unpinned AND
+    *     ≤ the `_APPLIED` high-mark — watermarks published after the
+    *     last fold-all are still load-bearing and stay;
+    *   - a folded shard's commit MARKER is kept while any surviving
+    *     watermark still references it (`below = K` is valid only while
+    *     K's marker exists — dropping the marker would flip the
+    *     watermark inert and let an older full-delete win the recency
+    *     max); its postings DATA is reclaimed once unpinned, and
+    *     [[postingsPinned]] checks data presence, not just markers. */
   def gcUnpinned(spark: SparkSession, path: String, pins: Seq[Pin]): Unit = {
     val live = IndexIO.liveCommittedIds(spark, path).toSet
     val pinnedCommits = pins.flatMap(_.commits).toSet ++ live
     val pinnedDels = pins.flatMap(_.deletes).toSet
-    val committed = IndexIO.shardIds(spark, s"$path/commits")
-    for (k <- committed if !pinnedCommits(k)) {
-      IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
-      IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
-    }
-    // a watermark shard is reclaimable when no kept pin references it
-    // AND the live fold already applied it (every fold applies all
-    // watermarks it observes; watermarks published after the fold are
-    // still pending and must stay). Conservative cut: only shards
-    // older than the newest live commit's fold can be proven applied —
-    // the fold observed exactly the delete shards present at its
-    // start, which the caller's pins capture; anything unpinned AND
-    // not referenced by the CURRENT pin is reclaimable.
+    val applied = readApplied(spark, path)
     val dels = IndexIO.shardIds(spark, s"$path/deletes")
-    for (k <- dels if !pinnedDels(k))
-      IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
+    val (retired, keptDels) =
+      dels.partition(k => !pinnedDels(k) && k <= applied)
+    for (k <- retired) IndexIO.deleteDir(spark, s"$path/deletes/shard=$k")
+    // `below` values surviving watermarks still reference: a tiny set
+    // (each is a shard id), read with one bounded collect
+    val referenced: Set[Long] =
+      if (keptDels.isEmpty) Set.empty
+      else spark.read.schema(WmSchema)
+        .option("basePath", s"$path/deletes")
+        .parquet(keptDels.map(k => s"$path/deletes/shard=$k"): _*)
+        .filter(col("below") =!= Long.MaxValue)
+        .select(col("below")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val committed = IndexIO.shardIds(spark, s"$path/commits")
+    // CARRIER guard: a compaction marker's REPLACES file is what hides
+    // the markers it folded ([[IndexIO.liveCommittedIds]]) — deleting a
+    // carrier while any marker it hides survives (pinned, or retained
+    // because a watermark references it) would RESURRECT those shards
+    // as "live" with their data gone. Close the keep-set upward: a
+    // marker stays while anything it replaces stays.
+    val keepSeed = committed.filter(k =>
+      pinnedCommits(k) || referenced(k.toLong)).toSet
+    val replacesOf: Map[Int, Set[Int]] = committed.map { k =>
+      k -> readReplaces(spark, path, k)
+    }.toMap
+    var keep = keepSeed
+    var grown = true
+    while (grown) {
+      val next = committed.filter(k =>
+        keep(k) || replacesOf(k).exists(keep)).toSet
+      grown = next.size > keep.size
+      keep = next
+    }
+    for (k <- committed if !keep(k))
+      IndexIO.deleteDir(spark, s"$path/commits/shard=$k")
+    // postings data goes for everything unpinned — marker retention
+    // (watermark validity / carrier hiding) never needs the rows
+    for (k <- committed if !pinnedCommits(k))
+      IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
+  }
+
+  private def readReplaces(spark: SparkSession, path: String, k: Int): Set[Int] = {
+    val fs = fsOf(spark, path)
+    val rp = new org.apache.hadoop.fs.Path(s"$path/commits/shard=$k/REPLACES")
+    if (!fs.exists(rp)) return Set.empty
+    val buf = new Array[Byte](fs.getFileStatus(rp).getLen.toInt)
+    val in = fs.open(rp)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\\s+").filter(_.nonEmpty).map(_.toInt).toSet
   }
 }

@@ -70,15 +70,28 @@ class ScoutEngine(
     // than state.set, which is already after the old entry's eviction.
     lazy val adminCached: DataFrame = admin.cache()
 
-    // in-process posting cache over a PACKED name index: warm requests
+    // bind-time PACKING (round 18): a ROW-layout name index — what a
+    // monolithic snapshot's `name_index` dir and a partitioned
+    // snapshot's pinned TrigramStore read ([[graft.etl.GazetteerBuilder
+    // .readNameIndex]]) both carry — packs here into the per-gram
+    // posting-array serving layout, so the in-process fast path works
+    // on EVERY bound snapshot, including the refreshDelta journey
+    // (whose warm requests used to silently pay the distributed job).
+    // The pack is a lazy plan: nothing runs at bind; a PostingCache
+    // miss pays one gram-pushdown aggregate, once per cold gram.
+    val packedIx: Option[DataFrame] = nameIndex.map { ix =>
+      if (ix.columns.contains("ids")) ix else graft.etl.TrigramIndex.packed(ix)
+    }
+
+    // in-process posting cache over the packed layout: warm requests
     // probe entirely on the driver — no auxiliary job before the ranking
     // job ([[graft.etl.TrigramIndex.PostingCache]]; bounded LRU)
     val packedCache: Option[graft.etl.TrigramIndex.PostingCache] =
-      nameIndex.filter(_.columns.contains("ids"))
-        .map(new graft.etl.TrigramIndex.PostingCache(_))
+      packedIx.map(new graft.etl.TrigramIndex.PostingCache(_))
 
     // ROW-layout posting view for the bulk join ([[GeocodeJoin.topKIndexed]]
-    // wants (gram, col_id, osm_id) rows): a packed serving index derives it
+    // wants (gram, col_id, osm_id) rows): a row-layout bind serves
+    // as-is (no round-trip through the pack); a packed bind derives it
     // by exploding the posting arrays — EXACT when no gram is
     // ubiquity-marked (pack-time `ids = NULL`, whose postings are gone; a
     // derived row view would silently turn "skip constraint" into "token
@@ -191,19 +204,21 @@ class ScoutEngine(
     val bbox = b.resolveBboxCached(req.cityHint, req.country)
     // trigram-index path when one is attached and every token is
     // indexable; identical results (TrigramIndexSpec) — falls back to
-    // the scan path otherwise. A PACKED index (per-gram posting arrays,
-    // `ids` column — [[graft.etl.TrigramIndex.packed]]) probes
-    // driver-side and skips the aux shuffle + broadcast the row layout
-    // pays per request.
-    val candidates = b.nameIndex
-      .flatMap { ix =>
-        if (ix.columns.contains("ids"))
-          graft.etl.TrigramIndex.fetchCandidatesPacked(
-            poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan,
-            cache = packedCache)
-        else graft.etl.TrigramIndex.fetchCandidates(
-          poiView, ix, nameTokens, bbox.map(Repo.bboxPredicate), limitScan)
-      }
+    // the scan path otherwise. Every bound index serves through the
+    // PACKED layout (row-layout binds packed at bind time): the probe
+    // runs driver-side through the posting cache, skipping the aux
+    // shuffle + broadcast the row layout pays per request. A probe the
+    // packed path declines for SELECTIVITY (wide candidate set) retries
+    // the distributed row-index join when the bind was row-layout —
+    // that was its plan for every request before round 18 — and the
+    // scan otherwise.
+    val bboxP = bbox.map(Repo.bboxPredicate)
+    val candidates = b.packedIx
+      .flatMap(ix => graft.etl.TrigramIndex.fetchCandidatesPacked(
+        poiView, ix, nameTokens, bboxP, limitScan, cache = packedCache))
+      .orElse(b.nameIndex.filterNot(_.columns.contains("ids"))
+        .flatMap(ix => graft.etl.TrigramIndex.fetchCandidates(
+          poiView, ix, nameTokens, bboxP, limitScan)))
       .getOrElse(Repo.fetchCandidates(poiView, nameTokens, bbox, limitScan))
     Ranking.rank(candidates, texts, bbox, settings, req.limit)
   }

@@ -114,7 +114,10 @@ class GazetteerDeltaSpec extends SparkSpec {
     val preSet = poiSet(GazetteerBuilder.readPois(spark, preMaint))
     val preIx = GazetteerBuilder.readNameIndex(spark, preMaint).get.count()
 
-    val published = GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 2)
+    // maxShards = 1 forces the fold this test exercises (the policy
+    // would otherwise decide "none" at 3 healthy shards — covered below)
+    val published = GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 2,
+      maxShards = 1)
     // the republished snapshot serves identically (pois untouched, the
     // folded index pinned fresh)
     assert(poiSet(GazetteerBuilder.readPois(spark, published)) == preSet)
@@ -128,7 +131,7 @@ class GazetteerDeltaSpec extends SparkSpec {
     // a second maintenance pass rolls retention past preMaint: its
     // version dir is pruned and the folded-away shards + applied
     // watermarks are reclaimed (gcUnpinned)
-    GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 1)
+    GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 1, maxShards = 1)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(preMaint)),
@@ -182,6 +185,64 @@ class GazetteerDeltaSpec extends SparkSpec {
     assert(got == expectA || got == expectB || got == expectAB,
       s"interleaved snapshot: winners=$res")
     assert(got.size == 40)
+  }
+
+  test("delete → re-append → maintainSnapshots: the id keeps serving, live and under the next refresh's pin (round-18 HIGH fix)") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    GazetteerBuilder.refreshDelta(spark, root, feed((7L, "", "D")))
+    GazetteerBuilder.refreshDelta(spark, root, feed((7L, "phoenix seven", "I")))
+    GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 2, maxShards = 1)
+    // a further refresh AFTER maintenance: its manifest pins the folded
+    // shard plus its own append — the re-appended id must serve through
+    // both the live view and this pin (pre-fix, the stale full-delete
+    // watermark won the recency max once the fold hid the re-append's
+    // shard from the serving set)
+    GazetteerBuilder.refreshDelta(spark, root, feed((8L, "renamed eight", "U")))
+    val current = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(poiSet(GazetteerBuilder.readPois(spark, current))
+      .contains((7L, "phoenix seven")))
+    val eng = graft.query.ScoutEngine.fromPath(spark, current)
+    val hits = eng.forwardDF(graft.query.ForwardReq(
+      Seq(graft.query.ForwardCandidate("phoenix seven")), limit = 3)).collect()
+    assert(hits.exists(_.getAs[Long]("osm_id") == 7L),
+      "re-appended id lost from the pinned trigram index after maintenance")
+    eng.close()
+    // and the raw live store agrees
+    val store = GazetteerBuilder.storeDir(root)
+    val live = graft.ext.TrigramStore.postings(spark, store)
+      .filter(col("osm_id") === 7L).count()
+    assert(live > 0, "re-appended id lost from the LIVE trigram view")
+  }
+
+  test("a full partitioned build refuses a root that already holds one (round-18 MEDIUM fix)") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val e = intercept[IllegalArgumentException] {
+      GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+        targetParts = 4)
+    }
+    assert(e.getMessage.contains("refreshDelta"),
+      s"refusal must route the caller to the delta path: ${e.getMessage}")
+    // the existing chain is untouched and still serves
+    val current = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(GazetteerBuilder.readPois(spark, current).count() == 40L)
+  }
+
+  test("gcPool survives a stray non-partition directory under pool/") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/pool/pk=notanumber/junk"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/pool/foreign-dir"))
+    GazetteerBuilder.gcPool(spark, root, graceMs = 0L) // must not throw
+    val current = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(GazetteerBuilder.readPois(spark, current).count() == 40L,
+      "referenced generations must survive the sweep")
   }
 
   test("gcPool reclaims generations no live manifest references") {

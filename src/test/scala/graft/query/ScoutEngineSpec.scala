@@ -177,6 +177,67 @@ class ScoutEngineSpec extends SparkSpec {
       "wild coordinates answer None via the grid join")
   }
 
+  test("forwardFast engages on a PARTITIONED (CDC-refreshed) snapshot: Some, bit-parity, zero warm jobs") {
+    // round-18 (r17 VERDICT task 1): the refreshDelta journey's serving
+    // path — writeVersionedPartitioned → refreshDelta → fromPath — must
+    // carry the in-process fast path: the pinned row-layout trigram
+    // postings pack at bind time, so a warm request launches ZERO Spark
+    // jobs instead of silently paying the ~200-450 ms distributed job.
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val rows = Seq(
+      Row(1L, "Monograph Dining", Map("amenity" -> "restaurant"), "POINT(101.6869 3.139)"),
+      Row(2L, "Monogram Cafe", Map("amenity" -> "cafe"), "POINT(101.71 3.15)"),
+      Row(3L, "Dining Museum", Map("tourism" -> "museum"), "POINT(103.85 1.30)"),
+      Row(100L, "Malaysia", Map("boundary" -> "administrative", "admin_level" -> "2"),
+        "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))"))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val root = graft.core.TempDirs.create("graft-fastpart-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw, root, targetParts = 2)
+    val feed = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(2L, "Monogram Annex", Map("amenity" -> "cafe"), "POINT(101.71 3.15)"))),
+      schema).withColumn("op", org.apache.spark.sql.functions.lit("U"))
+    GazetteerBuilder.refreshDelta(spark, root, feed)
+    val current = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val eng = ScoutEngine.fromPath(spark, current)
+    val reqs = Seq(
+      ForwardReq(Seq(ForwardCandidate("monograph")), limit = 5),
+      ForwardReq(Seq(ForwardCandidate("annex")), limit = 5), // delta-shard rows
+      ForwardReq(Seq(ForwardCandidate("dining")),
+        country = Some("malaysia"), limit = 5))
+    import spark.implicits._
+    for (r <- reqs) {
+      val fast = eng.forwardFast(r)
+      assert(fast.isDefined, s"fast path did not engage on the partitioned snapshot for $r")
+      val job = eng.forwardDF(r).withColumnRenamed("osm_id", "osmId")
+        .as[Hit].collect().toIndexedSeq
+      assert(fast.get == job, s"fast path diverged from the job path for $r")
+    }
+    assert(eng.forwardFast(reqs(1)).get.map(_.osmId) == Seq(2L),
+      "the CDC-renamed poi must serve through the appended index shard")
+    // WARM requests: zero Spark jobs (the round-10 bar, now on the
+    // refreshDelta journey)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (r <- reqs) assert(eng.forwardFast(r).isDefined)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"warm forwardFast launched ${jobs.get()} Spark jobs on the partitioned snapshot")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    eng.close()
+  }
+
   test("forwardFast across a concurrent reload: every answer from exactly one snapshot") {
     val schema = StructType(Seq(
       StructField("id", LongType),
