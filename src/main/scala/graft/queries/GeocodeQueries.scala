@@ -672,6 +672,93 @@ object GeocodeQueries {
                   (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
            FROM applied ORDER BY osm_id"""))
 
+  /** G17 — gazetteer MAINTENANCE journey (round 18): the refresh chain's
+    * hygiene op must never change what serves. The journey: partitioned
+    * base (g16's shared fixture) → a delta batch with renames + DELETES
+    * + inserts → a second batch RE-INSERTING the deleted ids ('back '
+    * names) → [[graft.etl.GazetteerBuilder.maintainSnapshots]] (the
+    * measured-trigger fold, pin-safe deferred mode, retention keeping
+    * the pre-maintenance snapshot so the deferred watermarks stay on
+    * disk) → a token probe THROUGH the live trigram store
+    * ([[graft.ext.TrigramStore.postings]] + the exact re-verify,
+    * the serving engine's index path). The oracle recomputes the final
+    * corpus in SQL and applies the same containment predicate — which
+    * pins the round-18 HIGH fix cross-engine: before it, the re-append
+    * watermark went inert after the fold (its shard REPLACES-hidden
+    * from the serving set), the older full-delete won the recency max,
+    * and every 'back' row silently vanished from the index. */
+  val g17 = Q("g17_gaz_maintain",
+    (s, dir) => {
+      val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
+      val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
+        graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
+      }
+      def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
+        map_from_arrays(array(lit("amenity"), lit("name")),
+          array(element_at(col("tags"), "amenity"), col("name"))))
+      val maxId = raw.agg(max(col("id"))).head.getLong(0)
+      val win = math.max(100L, maxId / 1000L)
+      val local = raw.filter(col("id") <= win)
+      val feed1 = retag(local.filter(col("id") % 3 === 0)
+          .withColumn("name", concat(col("name"), lit(" annex"))))
+          .withColumn("op", lit("U"))
+        .unionByName(local.filter(col("id") % 3 === 1).withColumn("op", lit("D")))
+        .unionByName(retag(local.filter(col("id") % 3 === 2)
+          .withColumn("id", col("id") + lit(maxId + 1L))
+          .withColumn("name", concat(lit("new "), col("name"))))
+          .withColumn("op", lit("I")))
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, feed1)
+      val feed2 = retag(local.filter(col("id") % 3 === 1)
+          .withColumn("name", concat(lit("back "), col("name"))))
+        .withColumn("op", lit("I"))
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, feed2)
+      // maxShards = 1 forces the fold; keepLast = 2 retains the
+      // pre-maintenance snapshot, so the fold's deletes stay DEFERRED
+      // on disk (the pinned-history case the HIGH fix protects)
+      graft.etl.GazetteerBuilder.maintainSnapshots(s, root, keepLast = 2,
+        maxShards = 1)
+      val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
+      val poiView = graft.etl.GazetteerBuilder.readPois(s, resolved)
+        .select(col("osm_id"), col("name_local_norm"), col("name_en_norm"),
+          col("lat"), col("lon"))
+      val live = graft.ext.TrigramStore.postings(s,
+        graft.etl.GazetteerBuilder.storeDir(root))
+      graft.etl.TrigramIndex.fetchCandidates(poiView, live, Seq("back"),
+          bboxPred = None, limitScan = 1 << 20).get
+        .select(col("osm_id"), col("name_local_norm"), col("lat"), col("lon"))
+        .orderBy("osm_id")
+    },
+    Some(s"""WITH raw AS (
+               SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+                      lower(p_type) AS amenity, c_custkey
+               FROM part JOIN customer ON p_partkey = c_custkey),
+             win AS (
+               SELECT greatest(100, CAST(floor(max(id) / 1000.0) AS BIGINT)) AS w,
+                      max(id) AS mx
+               FROM raw),
+             applied AS (
+               SELECT id,
+                      CASE WHEN id <= (SELECT w FROM win) AND id % 3 = 0
+                           THEN name || ' annex' ELSE name END AS name,
+                      c_custkey
+               FROM raw
+               WHERE NOT (id <= (SELECT w FROM win) AND id % 3 = 1)
+               UNION ALL
+               SELECT id + (SELECT mx + 1 FROM win), 'new ' || name, c_custkey
+               FROM raw
+               WHERE id <= (SELECT w FROM win) AND id % 3 = 2
+               UNION ALL
+               SELECT id, 'back ' || name, c_custkey
+               FROM raw
+               WHERE id <= (SELECT w FROM win) AND id % 3 = 1)
+           SELECT id AS osm_id,
+                  ${WRatioSql.canonOf("name")} AS name_local_norm,
+                  (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
+                  (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
+           FROM applied
+           WHERE ${WRatioSql.canonOf("name")} LIKE '%back%'
+           ORDER BY osm_id"""))
+
   val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13,
-    g14, g15, g16)
+    g14, g15, g16, g17)
 }
