@@ -71,7 +71,19 @@ object TrigramStore {
     * postings of the same ids are superseded via watermarks), and
     * `deleteIds` are ids removed from the gazetteer (watermarked at
     * MaxValue). Existing shard files are never read or rewritten — the
-    * cost is the batch, not the corpus. Returns the committed shard id. */
+    * cost is the batch, not the corpus. Returns the committed shard id.
+    *
+    * Crash atomicity (swept in `CrashFuzzSpec`): the UPSERT half cuts
+    * over atomically on the commit-marker rename (uncommitted postings
+    * are invisible; their (id, shard) watermarks are inert until the
+    * marker lands). The DELETE half is watermark-only and marker-free —
+    * exactly the standalone [[delete]] op — so the one observable
+    * intermediate is "deletes applied, upserts pending", a PREFIX of
+    * the batch decomposed as delete ∘ upsert, never a torn upsert.
+    * Callers needing all-or-nothing visibility publish a PIN around the
+    * append ([[graft.etl.GazetteerBuilder.refreshDelta]] flips CURRENT
+    * only after the append returns; a crashed refresh serves the old
+    * manifest's pin, which excludes the new watermark shard entirely). */
   def append(upserts: DataFrame, path: String,
              deleteIds: Seq[Long] = Nil, partitions: Int = 1): Int = {
     val spark = upserts.sparkSession

@@ -179,6 +179,105 @@ class CrashFuzzSpec extends SparkSpec with EagerLease {
     assert(sawCrash >= 3, s"compactSmall sweep only reached $sawCrash points")
   }
 
+  private def gpois(rows: (Long, String)*) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("osm_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name_local_norm",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name_en_norm",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, null))), schema)
+  }
+  private def gset(df: org.apache.spark.sql.DataFrame) =
+    df.select("gram", "col_id", "osm_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+  private def gserve(path: String) = gset(TrigramStore.postings(spark, path))
+
+  test("TrigramStore.append: every kill point leaves a prefix state; pins exact; retry converges") {
+    val baseRows = Seq(1L -> "alpha cafe", 2L -> "beta bar", 3L -> "gamma inn")
+    val pre = gset(graft.etl.TrigramIndex.build(gpois(baseRows: _*)))
+    // the one legitimate intermediate: the batch's DELETE half applied
+    // (watermark-only, the standalone delete op), upserts still pending
+    val delApplied = gset(graft.etl.TrigramIndex.build(
+      gpois(1L -> "alpha cafe", 3L -> "gamma inn")))
+    val post = gset(graft.etl.TrigramIndex.build(
+      gpois(1L -> "alpha renamed", 3L -> "gamma inn", 4L -> "delta dock")))
+    assert(pre != post && pre != delApplied)
+    var k = 0; var sawCrash = 0; var done = false
+    while (!done) {
+      val path = fresh(s"g-app-$k")
+      TrigramStore.write(gpois(baseRows: _*), path)
+      val pin = TrigramStore.pinNow(spark, path)
+      val crashed = crashedAt(k) {
+        TrigramStore.append(gpois(1L -> "alpha renamed", 4L -> "delta dock"),
+          path, deleteIds = Seq(2L))
+      }
+      val s1 = gserve(path)
+      assert(s1 == pre || s1 == delApplied || s1 == post,
+        s"append kill point $k: torn state served")
+      // the pre-append PIN is exact at every kill point — the contract
+      // refreshDelta's old-manifest serving relies on
+      assert(gset(TrigramStore.postingsPinned(spark, path, pin)) == pre,
+        s"append kill point $k: pinned read drifted")
+      if (s1 != post) { // batch lost or partial: a retry must converge
+        TrigramStore.append(gpois(1L -> "alpha renamed", 4L -> "delta dock"),
+          path, deleteIds = Seq(2L))
+        assert(gserve(path) == post, s"append kill point $k: retry diverged")
+      }
+      if (crashed) sawCrash += 1 else done = true
+      k += 1
+    }
+    assert(sawCrash >= 5, s"sweep only reached $sawCrash kill points")
+  }
+
+  test("TrigramStore.compactAll (deferred) + compactSmall: serving and pins never change at any kill point") {
+    def build(path: String): TrigramStore.Pin = {
+      TrigramStore.write(gpois(1L -> "alpha cafe", 2L -> "beta bar",
+        3L -> "gamma inn"), path)
+      // delete → re-append before the fold: the watermark-recency path
+      // (the round-18 HIGH fix) is live at every kill point
+      TrigramStore.delete(spark, path, Seq(2L))
+      TrigramStore.append(gpois(2L -> "beta reborn"), path)
+      TrigramStore.pinNow(spark, path)
+    }
+    var k = 0; var sawCrash = 0; var done = false
+    while (!done) {
+      val path = fresh(s"g-ca-$k")
+      val pin = build(path)
+      val before = gserve(path)
+      val crashed = crashedAt(k) {
+        TrigramStore.compactAll(spark, path, deferDeletes = true)
+      }
+      assert(gserve(path) == before, s"compactAll kill point $k changed serving")
+      assert(gset(TrigramStore.postingsPinned(spark, path, pin)) == before,
+        s"compactAll kill point $k: pinned read drifted")
+      TrigramStore.compactAll(spark, path, deferDeletes = true) // repair/finish
+      assert(gserve(path) == before, s"repair pass at kill point $k changed serving")
+      assert(gset(TrigramStore.postingsPinned(spark, path, pin)) == before,
+        s"repair pass at kill point $k: pinned read drifted")
+      if (crashed) sawCrash += 1 else done = true
+      k += 1
+    }
+    assert(sawCrash >= 5, s"compactAll sweep only reached $sawCrash kill points")
+    k = 0; sawCrash = 0; done = false
+    while (!done) {
+      val path = fresh(s"g-cs-$k")
+      build(path)
+      val before = gserve(path)
+      val crashed = crashedAt(k) {
+        TrigramStore.compactSmall(spark, path, maxShardBytes = Long.MaxValue)
+      }
+      assert(gserve(path) == before, s"compactSmall kill point $k changed serving")
+      TrigramStore.compactSmall(spark, path, maxShardBytes = Long.MaxValue)
+      assert(gserve(path) == before, s"repair pass at kill point $k changed serving")
+      if (crashed) sawCrash += 1 else done = true
+      k += 1
+    }
+    assert(sawCrash >= 5, s"compactSmall sweep only reached $sawCrash kill points")
+  }
+
   test("VectorIndex append + compactSmall kill-point sweeps") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

@@ -378,6 +378,106 @@ class ScoutServerSpec extends SparkSpec {
     } finally { srv.stop(); eng.close() }
   }
 
+  test("chaos soak: gazetteer refreshDelta + reload + KILLED maintainSnapshots under the request storm") {
+    // round-18 (r17 VERDICT task 5): the partitioned-gazetteer refresh
+    // journey under the full storm — a refreshDelta publishes and the
+    // engine reloads to it mid-storm, a maintainSnapshots (with its
+    // fold) races the requests, and one maintenance pass is KILLED at a
+    // protocol point. Contract: zero non-200s, every body from exactly
+    // one snapshot, serving ≡ the CDC-applied rebuild after recovery.
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val admin = Row(100L, "Malaysia",
+      Map("boundary" -> "administrative", "admin_level" -> "2"),
+      "POLYGON((99.6 0.8, 119.3 0.8, 119.3 7.4, 99.6 7.4, 99.6 0.8))")
+    val baseRows = Seq(
+      Row(1L, "Monograph Dining", Map("amenity" -> "restaurant"), "POINT(101.6869 3.139)"),
+      Row(2L, "Monogram Cafe", Map("amenity" -> "cafe"), "POINT(101.71 3.15)"),
+      admin)
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(baseRows), schema)
+    val root = graft.core.TempDirs.create("graft-chaosgaz-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw, root, targetParts = 2)
+    val eng = ScoutEngine.fromPath(spark,
+      graft.ext.VersionedStore.resolveCurrent(spark, root))
+    val srv = new ScoutServer(eng, port = 0).start()
+    try {
+      val fwdReq = """{"candidates":[{"text":"monograph"}],"country":"malaysia","limit":5}"""
+      val revReq = """{"points":[{"lat": 3.14, "lon": 101.69}]}"""
+      val fwd1 = http("POST", "/v1/geocode/forward", fwdReq, srv.boundPort)
+      val rev1 = http("POST", "/v1/geocode/reverse", revReq, srv.boundPort)
+      assert(fwd1._1 == 200 && fwd1._2.contains("Monograph Dining"), fwd1._2)
+      assert(rev1._1 == 200 && rev1._2.contains("Monograph Dining"), rev1._2)
+      // v2 reference: throwaway engine over the CDC-applied corpus (the
+      // delta journey must serve exactly this — g16's oracle contract)
+      val feed = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row(1L, "Monograph Dining Annex", Map("amenity" -> "restaurant"),
+            "POINT(101.6869 3.139)"))), schema)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+      val applied = graft.ext.Cdc.applyChanges(raw, feed, "id")
+      val p2 = GazetteerBuilder.buildPois(applied)
+      val ref = new ScoutEngine(spark, p2, GazetteerBuilder.buildAdmin(applied),
+        Settings(),
+        nameIndex = Some(graft.etl.TrigramIndex.packed(graft.etl.TrigramIndex.build(p2))))
+      val refSrv = new ScoutServer(ref, port = 0).start()
+      val fwd2 = http("POST", "/v1/geocode/forward", fwdReq, refSrv.boundPort)
+      val rev2 = http("POST", "/v1/geocode/reverse", revReq, refSrv.boundPort)
+      assert(fwd2._2.contains("Monograph Dining Annex"), fwd2._2)
+      refSrv.stop(); ref.close()
+      val legalFwd = Set(fwd1._2, fwd2._2)
+      val legalRev = Set(rev1._2, rev2._2)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val seenFwd = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map(t => new Thread(() => {
+        try {
+          for (i <- 0 until 200) {
+            val isFwd = (t + i) % 2 == 0
+            val (code, body, _) =
+              if (isFwd) http("POST", "/v1/geocode/forward", fwdReq, srv.boundPort)
+              else http("POST", "/v1/geocode/reverse", revReq, srv.boundPort)
+            if (code != 200) bad.add(s"$code: $body")
+            else if (isFwd) {
+              seenFwd.add(body)
+              if (!legalFwd.contains(body)) bad.add(s"mixed fwd body: $body")
+            } else if (!legalRev.contains(body)) bad.add(s"mixed rev body: $body")
+          }
+          done.incrementAndGet(); ()
+        } catch { case e: Throwable => bad.add(s"thread died: $e") }
+      }))
+      threads.foreach(_.start())
+      Thread.sleep(150)
+      // 1. the CDC refresh publishes and the engine tracks it mid-storm
+      GazetteerBuilder.refreshDelta(spark, root, feed)
+      eng.reloadFrom(graft.ext.VersionedStore.resolveCurrent(spark, root))
+      // 2. a maintenance pass is KILLED at a protocol point mid-storm —
+      // serving must never notice (the writer lock releases on the way
+      // out; the fold's crash windows leave old-or-new, never torn)
+      val crashed = graft.ext.CrashSeam.crashedAt(4) {
+        GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 2, maxShards = 1)
+      }
+      assert(crashed, "kill point 4 was not reached — seam detached?")
+      // 3. the disarmed retry completes the maintenance; the engine
+      // reloads onto the republished (post-fold pin) snapshot
+      GazetteerBuilder.maintainSnapshots(spark, root, keepLast = 2, maxShards = 1)
+      eng.reloadFrom(graft.ext.VersionedStore.resolveCurrent(spark, root))
+      threads.foreach(_.join(180000))
+      assert(bad.isEmpty, s"chaos violations (${bad.size}): ${bad.peek()}")
+      assert(done.get() == 8, "every storm thread must finish its 200 requests")
+      assert(seenFwd.contains(fwd2._2), "no post-refresh forward body observed")
+      // post-recovery: the maintained snapshot serves exactly the
+      // CDC-applied rebuild's answers (both routes)
+      val fwdEnd = http("POST", "/v1/geocode/forward", fwdReq, srv.boundPort)
+      val revEnd = http("POST", "/v1/geocode/reverse", revReq, srv.boundPort)
+      assert(fwdEnd._2 == fwd2._2,
+        s"post-maintenance forward diverged from the rebuild: ${fwdEnd._2}")
+      assert(revEnd._2 == rev2._2,
+        s"post-maintenance reverse diverged from the rebuild: ${revEnd._2}")
+    } finally { srv.stop(); eng.close() }
+  }
+
   test("json codec round-trips escapes") {
     val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
     val round = Json.parse(Json.write(v))
