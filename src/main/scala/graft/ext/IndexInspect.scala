@@ -24,4 +24,11 @@ object IndexInspect {
                         table: String): org.apache.spark.sql.DataFrame =
     IndexIO.readCommitted(spark, root, table,
       IndexIO.liveCommittedIds(spark, root))
+
+  /** Per-section driver-protocol wall seconds since the last call,
+    * accumulated across threads — populated only when
+    * `SPARK_GRAFT_SECTIONS=1` ([[graft.tools.ConcInflationProbe]]'s
+    * attribution surface). Sorted descending; resets the counters. */
+  def sectionSecondsAndReset(): Seq[(String, Double)] =
+    IndexIO.sectionSecondsAndReset()
 }

@@ -99,6 +99,8 @@ object ConcInflationProbe {
 
     // warm: fixtures + JIT
     qs.foreach(q => runTagged(q, s"warm-${q.name}"))
+    // drop warm-pass section noise (SPARK_GRAFT_SECTIONS=1 runs only)
+    graft.ext.IndexInspect.sectionSecondsAndReset()
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -146,6 +148,7 @@ object ConcInflationProbe {
     sampling = false
     val (seqCpuAvg, seqCpuMax) = drainCpu()
     val seq = snapshot("seq")
+    val seqSections = graft.ext.IndexInspect.sectionSecondsAndReset()
 
     // CONCURRENT pass: every worker runs the full list, staggered start
     // order per worker so the mix overlaps (the r16 probe shape)
@@ -191,6 +194,25 @@ object ConcInflationProbe {
     println(f"concurrent wall $concTotal%7.2f s   cpu avg $concCpuAvg%5.1f / max $concCpuMax%5.1f cores " +
       f"(${threads} workers x ${qs.size} queries)")
     println(f"speedup ${seqWall.values.sum * threads / concTotal}%5.2fx of ${threads} ideal")
+    // driver-gap SECTION attribution (SPARK_GRAFT_SECTIONS=1): which
+    // protocol section's wall inflates under concurrency. Concurrent
+    // totals are over threads× the sequential work — `conc/thr` is the
+    // per-run-equivalent; a section whose per-run wall grows is where
+    // the serialization lives; if none grows, the gap is OUTSIDE the
+    // protocol (plan analysis / streaming microbatch scheduling —
+    // Spark-internal driver paths).
+    val concSections = graft.ext.IndexInspect.sectionSecondsAndReset().toMap
+    if (seqSections.nonEmpty) {
+      println(f"${"section"}%-22s ${"seq_s"}%8s ${"conc/thr"}%9s ${"infl"}%6s")
+      for ((name, sv) <- seqSections) {
+        val cv = concSections.getOrElse(name, 0.0) / threads
+        println(f"$name%-22s $sv%8.3f $cv%9.3f ${cv / math.max(sv, 1e-9)}%6.2f")
+      }
+      val sSum = seqSections.map(_._2).sum
+      val cSum = concSections.values.sum / threads
+      println(f"${"TOTAL protocol"}%-22s $sSum%8.3f $cSum%9.3f ${cSum / math.max(sSum, 1e-9)}%6.2f" +
+        f"   (driver gap outside protocol = the residual)")
+    }
     spark.stop()
   }
 }
