@@ -251,9 +251,13 @@ object GazetteerBuilder {
   private val ManifestFile = "_POIS_MANIFEST"
 
   /** Per-snapshot pois layout: the id-range width, the pk→generation
-    * map, and the pinned trigram-store state. */
+    * map, the pinned trigram-store state, and the per-source
+    * applied-transaction frontier (`txns`: tag → highest batch id this
+    * chain has applied — the exactly-once seam a streaming
+    * `foreachBatch` caller needs, see [[refreshDelta]]'s `txn`). */
   final case class PoisManifest(pkWidth: Long, parts: Map[Long, String],
-                                ixCommits: Seq[Int], ixDeletes: Seq[Int])
+                                ixCommits: Seq[Int], ixDeletes: Seq[Int],
+                                txns: Map[String, Long] = Map.empty)
 
   private def poolDir(root: String): String = s"$root/pool"
 
@@ -276,6 +280,7 @@ object GazetteerBuilder {
     body ++= s"ix_commits=${m.ixCommits.mkString(",")}\n"
     body ++= s"ix_deletes=${m.ixDeletes.mkString(",")}\n"
     for ((k, g) <- m.parts.toSeq.sortBy(_._1)) body ++= s"part.$k=$g\n"
+    for ((tag, id) <- m.txns.toSeq.sorted) body ++= s"txn.$tag=$id\n"
     try out.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -306,9 +311,16 @@ object GazetteerBuilder {
       val k = l.substring(5, eq).toLongOption.getOrElse(corrupt(versionDir, l))
       k -> l.substring(eq + 1)
     }.toMap
+    val txns = lines.filter(_.startsWith("txn.")).map { l =>
+      val eq = l.indexOf('=')
+      if (eq < 0) corrupt(versionDir, l)
+      l.substring(4, eq) ->
+        l.substring(eq + 1).toLongOption.getOrElse(corrupt(versionDir, l))
+    }.toMap
     Some(PoisManifest(width, parts,
       ints(kv("ix_commits=").getOrElse(corrupt(versionDir, "ix_commits"))),
-      ints(kv("ix_deletes=").getOrElse(corrupt(versionDir, "ix_deletes")))))
+      ints(kv("ix_deletes=").getOrElse(corrupt(versionDir, "ix_deletes"))),
+      txns))
   }
 
   private def corrupt(dir: String, what: String): Nothing =
@@ -417,29 +429,62 @@ object GazetteerBuilder {
     * build(upserts). Requires the raw schema to carry `id` (an
     * incremental feed without stable ids has no delta identity).
     * Returns the published version path; rollback is
-    * [[graft.ext.VersionedStore]]'s pointer flip, same as ever. */
+    * [[graft.ext.VersionedStore]]'s pointer flip, same as ever.
+    *
+    * `txn` — optional (tag, batchId) transaction identity for
+    * EXACTLY-ONCE application under an at-least-once caller (Structured
+    * Streaming's `foreachBatch` re-delivers the last micro-batch after
+    * a crash-restart): the manifest records the highest applied batch
+    * id per tag, carried forward across refreshes AND maintenance, and
+    * a batch at-or-below the recorded frontier is an idempotent skip —
+    * decided under the writer lock, before any job runs, so a replay
+    * costs a manifest read, not a refresh. The tag must carry the
+    * CALLER's restart identity (e.g. a checkpoint-path digest, the
+    * [[graft.streaming.StreamOps.bm25Loop]] precedent): batch ids alone
+    * restart at 0 against a fresh checkpoint and would wrongly skip. */
   def refreshDelta(spark: SparkSession, root: String, changes: DataFrame,
                    source: String = "cdc", opCol: String = "op",
-                   deleteOp: String = "D"): String = {
+                   deleteOp: String = "D",
+                   txn: Option[(String, Long)] = None): String = {
     require(changes.columns.contains("id"),
       "refreshDelta needs explicit ids in the change feed")
+    txn.foreach { case (tag, _) =>
+      require(tag.nonEmpty && !tag.exists(c => c == '=' || c == '\n'),
+        s"refreshDelta txn tag must be non-empty without '='/newline: '$tag'")
+    }
     // single-writer, MECHANICALLY (round 17): two refreshes racing one
     // root could interleave pool generations with each other's manifest
     // or collide on the version-number allocation — the maintainer-lock
     // protocol fails the second writer loudly instead (retry next
     // batch), the same contract every index maintenance op carries.
     graft.ext.VersionedStore.withWriterLock(spark, root) {
-      refreshDeltaLockHeld(spark, root, changes, source, opCol, deleteOp)
+      refreshDeltaLockHeld(spark, root, changes, source, opCol, deleteOp, txn)
     }
   }
 
   private def refreshDeltaLockHeld(spark: SparkSession, root: String,
                                    changes: DataFrame, source: String,
-                                   opCol: String, deleteOp: String): String = {
+                                   opCol: String, deleteOp: String,
+                                   txn: Option[(String, Long)]): String = {
     val base = graft.ext.VersionedStore.resolveCurrent(spark, root)
     val m = readManifest(spark, base).getOrElse(throw new java.io.IOException(
       s"$base has no $ManifestFile — built by writeVersioned? " +
         "refreshDelta needs the partitioned layout (writeVersionedPartitioned)"))
+    // exactly-once: an already-applied (tag, batchId) is a no-op under
+    // the lock — the CURRENT snapshot already contains this batch (or a
+    // later one from the same source), so the replayed feed is never
+    // even evaluated (zero jobs on the crash-restart path)
+    val alreadyApplied = txn.exists { case (tag, batchId) =>
+      m.txns.get(tag).exists(_ >= batchId)
+    }
+    if (alreadyApplied) base
+    else applyDelta(spark, root, base, m, changes, source, opCol, deleteOp, txn)
+  }
+
+  private def applyDelta(spark: SparkSession, root: String, base: String,
+                         m: PoisManifest, changes: DataFrame, source: String,
+                         opCol: String, deleteOp: String,
+                         txn: Option[(String, Long)]): String = {
     // the feed is consumed by FIVE sinks below (touched-pk collect,
     // pois anti-join keys, delta pois, delete-id collect, admin merge);
     // a caller handing a live lineage (a diff over the corpus) would
@@ -449,14 +494,16 @@ object GazetteerBuilder {
     // the cached footprint is bounded.
     val feed = changes.select("*")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try refreshDeltaPersisted(spark, root, base, m, feed, source, opCol, deleteOp)
+    try refreshDeltaPersisted(spark, root, base, m, feed, source, opCol,
+      deleteOp, txn)
     finally { feed.unpersist(false); () }
   }
 
   private def refreshDeltaPersisted(spark: SparkSession, root: String,
                                     base: String, m: PoisManifest,
                                     changes: DataFrame, source: String,
-                                    opCol: String, deleteOp: String): String = {
+                                    opCol: String, deleteOp: String,
+                                    txn: Option[(String, Long)]): String = {
     val upserts = changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol)
     val deltaPois = buildPois(upserts)
     val keys = changes.select(col("id").cast("long").as("osm_id")).distinct()
@@ -497,7 +544,8 @@ object GazetteerBuilder {
     buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
     writeManifest(spark, staging,
-      PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes))
+      PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes,
+        m.txns ++ txn))
     graft.ext.VersionedStore.publish(spark, staging, root)
   }
 
@@ -580,8 +628,10 @@ object GazetteerBuilder {
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
     spark.read.parquet(s"$base/meta").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    // carry the applied-txn frontier: losing it across maintenance
+    // would make the next crash-replay double-apply its batch
     writeManifest(spark, staging,
-      PoisManifest(m.pkWidth, m.parts, pin.commits, pin.deletes))
+      PoisManifest(m.pkWidth, m.parts, pin.commits, pin.deletes, m.txns))
     val published = graft.ext.VersionedStore.publish(spark, staging, root)
     graft.ext.VersionedStore.gc(spark, root, keepLast)
     gcPool(spark, root, graceMs = 0L) // single-writer: no in-flight gens

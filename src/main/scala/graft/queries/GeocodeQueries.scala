@@ -556,7 +556,7 @@ object GeocodeQueries {
   }
 
   /** The refreshed-snapshot projection both refresh queries dump. */
-  private def gazRefreshProjection(pois: DataFrame): DataFrame =
+  private[queries] def gazRefreshProjection(pois: DataFrame): DataFrame =
     pois.select(col("osm_id"), col("name_local"), col("name_local_norm"),
         col("kind"), col("importance"), col("lat"), col("lon"))
       .orderBy("osm_id")
@@ -619,31 +619,53 @@ object GeocodeQueries {
     * every-partition-touched case covered; `GazetteerDeltaSpec` pins
     * the mixed-op equality at the unit level; `tools/GazRefreshProbe`
     * is the sf10 cost artifact — 5.7× over the full rebuild). */
+  /** The localized CDC feed g16/g17/st_gaz_cdc share, split at its
+    * natural batch boundary (renames + deletes, then inserts — id-
+    * disjoint by construction, so applying the two batches in sequence
+    * equals applying their union once, which is what lets the streaming
+    * journey reuse [[gazDeltaOracleSql]] verbatim). The third element is
+    * g17's follow-up batch: re-INSERTS of the deleted ids ('back '
+    * names), the delete→re-append journey the maintenance fold must
+    * keep serving. */
+  private[queries] def gazDeltaBatches(
+      raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
+      map_from_arrays(array(lit("amenity"), lit("name")),
+        array(element_at(col("tags"), "amenity"), col("name"))))
+    val maxId = raw.agg(max(col("id"))).head.getLong(0)
+    val win = math.max(100L, maxId / 1000L)
+    val local = raw.filter(col("id") <= win)
+    val upsertsDeletes = retag(local.filter(col("id") % 3 === 0)
+        .withColumn("name", concat(col("name"), lit(" annex"))))
+        .withColumn("op", lit("U"))
+      .unionByName(local.filter(col("id") % 3 === 1).withColumn("op", lit("D")))
+    val inserts = retag(local.filter(col("id") % 3 === 2)
+        .withColumn("id", col("id") + lit(maxId + 1L))
+        .withColumn("name", concat(lit("new "), col("name"))))
+        .withColumn("op", lit("I"))
+    val reinserts = retag(local.filter(col("id") % 3 === 1)
+        .withColumn("name", concat(lit("back "), col("name"))))
+      .withColumn("op", lit("I"))
+    (upsertsDeletes, inserts, reinserts)
+  }
+
   val g16 = Q("g16_gaz_delta",
     (s, dir) => {
       val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
       val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
-      def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
-        map_from_arrays(array(lit("amenity"), lit("name")),
-          array(element_at(col("tags"), "amenity"), col("name"))))
-      val maxId = raw.agg(max(col("id"))).head.getLong(0)
-      val win = math.max(100L, maxId / 1000L)
-      val local = raw.filter(col("id") <= win)
-      val feed = retag(local.filter(col("id") % 3 === 0)
-          .withColumn("name", concat(col("name"), lit(" annex"))))
-          .withColumn("op", lit("U"))
-        .unionByName(local.filter(col("id") % 3 === 1).withColumn("op", lit("D")))
-        .unionByName(retag(local.filter(col("id") % 3 === 2)
-          .withColumn("id", col("id") + lit(maxId + 1L))
-          .withColumn("name", concat(lit("new "), col("name"))))
-          .withColumn("op", lit("I")))
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, feed)
+      val (ud, ins, _) = gazDeltaBatches(raw)
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, ud.unionByName(ins))
       val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
       gazRefreshProjection(graft.etl.GazetteerBuilder.readPois(s, resolved))
     },
-    Some(s"""WITH raw AS (
+    Some(gazDeltaOracleSql))
+
+  /** SQL recompute of the post-delta snapshot — shared by the one-shot
+    * delta (g16) and the streaming CDC journey (st_gaz_cdc). */
+  private[queries] lazy val gazDeltaOracleSql: String =
+    s"""WITH raw AS (
                SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
                       lower(p_type) AS amenity, c_custkey
                FROM part JOIN customer ON p_partkey = c_custkey),
@@ -670,7 +692,7 @@ object GeocodeQueries {
                   least(1.0::DOUBLE, 0.20::DOUBLE) AS importance,
                   (-85.0 + ((c_custkey * 37) % 17000) / 100.0)::DOUBLE AS lat,
                   (-180.0 + ((c_custkey * 73) % 36000) / 100.0)::DOUBLE AS lon
-           FROM applied ORDER BY osm_id"""))
+           FROM applied ORDER BY osm_id"""
 
   /** G17 — gazetteer MAINTENANCE journey (round 18): the refresh chain's
     * hygiene op must never change what serves. The journey: partitioned
@@ -693,25 +715,9 @@ object GeocodeQueries {
       val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
-      def retag(df: org.apache.spark.sql.DataFrame) = df.withColumn("tags",
-        map_from_arrays(array(lit("amenity"), lit("name")),
-          array(element_at(col("tags"), "amenity"), col("name"))))
-      val maxId = raw.agg(max(col("id"))).head.getLong(0)
-      val win = math.max(100L, maxId / 1000L)
-      val local = raw.filter(col("id") <= win)
-      val feed1 = retag(local.filter(col("id") % 3 === 0)
-          .withColumn("name", concat(col("name"), lit(" annex"))))
-          .withColumn("op", lit("U"))
-        .unionByName(local.filter(col("id") % 3 === 1).withColumn("op", lit("D")))
-        .unionByName(retag(local.filter(col("id") % 3 === 2)
-          .withColumn("id", col("id") + lit(maxId + 1L))
-          .withColumn("name", concat(lit("new "), col("name"))))
-          .withColumn("op", lit("I")))
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, feed1)
-      val feed2 = retag(local.filter(col("id") % 3 === 1)
-          .withColumn("name", concat(lit("back "), col("name"))))
-        .withColumn("op", lit("I"))
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, feed2)
+      val (ud, ins, reins) = gazDeltaBatches(raw)
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, ud.unionByName(ins))
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, reins)
       // maxShards = 1 forces the fold; keepLast = 2 retains the
       // pre-maintenance snapshot, so the fold's deletes stay DEFERRED
       // on disk (the pinned-history case the HIGH fix protects)

@@ -558,7 +558,73 @@ object StreamingQueries {
                SELECT 3 AS gen, t3.* FROM (${TextQueries2.bm25Sql("WHERE doc_id < 200")}) t3
              ) ORDER BY gen, rank"""))
 
+  /** The gazetteer CDC feed as a STREAM ([[StreamOps.gazCdcLoop]]) —
+    * the production form of the g16 journey: one long-lived query
+    * applies each micro-batch of change rows as a delta-proportional
+    * snapshot version, then a CRASH-RESTART re-delivers the last
+    * micro-batch and the manifest's (checkpoint-identity, batchId)
+    * transaction makes the replay an idempotent skip (decided before
+    * the replayed feed is evaluated — zero jobs, no junk version, no
+    * duplicate trigram shard). The journey: partitioned base (g16's
+    * shared fixture) → batch 1 (renames + deletes, one parquet file) →
+    * batch 2 (inserts) through a single running [[StreamOps.gazCdcLoop]]
+    * → drop the newest checkpoint commit (the publish landed, the
+    * commit never did — the at-least-once window) → restart the loop →
+    * final corpus projection. The oracle is g16's SQL recompute of the
+    * feed applied ONCE ([[GeocodeQueries.gazDeltaOracleSql]] — the
+    * batches are id-disjoint, so sequential application equals the
+    * union): the hash match pins that nothing about micro-batch
+    * boundaries, the restart, or the replay leaks into the snapshot.
+    * Exactly-once METADATA hygiene (version/shard counts across the
+    * replay) is pinned at the unit level in `GazCdcStreamSpec`. */
+  val stGazCdc = Q("st_gaz_cdc",
+    (s, dir) => {
+      val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)
+      val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
+        graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
+      }
+      val (ud, ins, _) = GeocodeQueries.gazDeltaBatches(raw)
+      val feedDir = graft.core.TempDirs.create("graft-gazcdc-feed-")
+      val ckpt = graft.core.TempDirs.create("graft-gazcdc-ckpt-")
+      // each CDC batch lands as ONE visible file, so file-source batch
+      // boundaries are exactly the CDC batch boundaries (the _stage dir
+      // is underscore-hidden from the source while parquet writes it)
+      def land(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+        val stage = new java.io.File(s"$feedDir/_stage$n")
+        df.coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$feedDir/batch$n.parquet").toPath)
+        Option(stage.listFiles).foreach(_.foreach(f => f.delete()))
+        stage.delete(); ()
+      }
+      val cs = Q.pinnedSession(s, 4)
+      val schema = ud.schema
+      def loop() = StreamOps.gazCdcLoop(
+        cs.readStream.schema(schema).parquet(feedDir), root,
+        checkpoint = Some(ckpt)) { (_, _) => () }
+      land(ud, 1)
+      val q1 = loop()
+      try { q1.processAllAvailable(); land(ins, 2); q1.processAllAvailable() }
+      finally q1.stop()
+      // the at-least-once window: the version published but the
+      // checkpoint commit never landed — the restarted query re-runs
+      // the newest micro-batch, which must be an idempotent skip (the
+      // hidden .crc sibling goes too: a stale ChecksumFs checksum would
+      // block the replayed commit's rename)
+      val newest = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
+      newest.delete()
+      val q2 = loop()
+      try q2.processAllAvailable() finally q2.stop()
+      val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
+      GeocodeQueries.gazRefreshProjection(
+        graft.etl.GazetteerBuilder.readPois(s, resolved))
+    },
+    Some(GeocodeQueries.gazDeltaOracleSql))
+
   val all: Seq[Q] = Seq(stReplayHourly, stSessions, stIntervalJoin,
     stStreamDedup, stEnrich, stNearDupFilter, stNearDupRefresh,
-    stCrawlLoop, stBm25Refresh, stBm25Loop)
+    stCrawlLoop, stBm25Refresh, stBm25Loop, stGazCdc)
 }

@@ -286,11 +286,7 @@ object StreamOps {
     // which is exactly the thing that persists across a restart. With
     // no checkpoint there is nothing to resume and the contract is
     // "rerun", so appends stay untagged.
-    val ckptTag = checkpoint.map { c =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(c.getBytes("UTF-8"))
-      md.take(6).map(b0 => f"${b0 & 0xff}%02x").mkString
-    }
+    val ckptTag = checkpoint.map(checkpointTag)
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.TextIndex.append(batch.select("doc_id", "text"), idxPath,
@@ -298,6 +294,57 @@ object StreamOps {
           batchTag = ckptTag.map(t => s"ckpt-$t:b$batchId").getOrElse(""))
         sink(batchId, graft.ext.TextIndex.bm25TopK(
           batch.sparkSession, idxPath, terms, k, k1, b))
+        ()
+      }
+    checkpoint.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
+  /** A checkpoint location's RESTART IDENTITY, as a short digest — the
+    * exactly-once tag ingredient shared by [[bm25Loop]] and
+    * [[gazCdcLoop]]. The checkpoint path is exactly the thing that
+    * persists across a crash-restart (batch ids alone restart at 0
+    * against a fresh checkpoint and would wrongly dedup). */
+  private def checkpointTag(c: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(c.getBytes("UTF-8"))
+      .take(6).map(b0 => f"${b0 & 0xff}%02x").mkString
+
+  /** The gazetteer CDC feed as ONE LONG-LIVED streaming query — the
+    * production form of the [[graft.etl.GazetteerBuilder.refreshDelta]]
+    * journey: each micro-batch of change rows (raw schema + `op`, the
+    * [[graft.ext.Cdc.applyChanges]] contract) is applied as one new
+    * snapshot version whose cost is proportional to that batch, behind
+    * the same atomic CURRENT flip serving engines reload against.
+    *
+    * Exactly-once under at-least-once `foreachBatch`: each refresh
+    * carries a (checkpoint-identity, batchId) transaction recorded in
+    * the published manifest, so the micro-batch Spark re-delivers after
+    * a crash-restart is an idempotent skip — decided from the manifest
+    * under the writer lock, before the replayed feed is evaluated (zero
+    * jobs, no junk version, no duplicate trigram shard per restart).
+    * With no checkpoint there is nothing to resume and the contract is
+    * "rerun", so refreshes stay untagged ([[bm25Loop]]'s contract).
+    *
+    * Empty micro-batches (triggers with no data) are skipped without a
+    * refresh — a no-op version per heartbeat would grow the chain for
+    * nothing. `sink` receives (batchId, published-version-path) per
+    * applied batch. Maintenance ([[graft.etl.GazetteerBuilder
+    * .maintainSnapshots]]) stays the operator's periodic call, OUTSIDE
+    * the loop: it serializes with refreshes on the root's writer lock
+    * and carries the applied-txn frontier forward. */
+  def gazCdcLoop(changes: DataFrame, root: String,
+                 checkpoint: Option[String] = None,
+                 source: String = "cdc-stream")(
+      sink: (Long, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = checkpoint.map(checkpointTag)
+    val w = changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val v = graft.etl.GazetteerBuilder.refreshDelta(
+            batch.sparkSession, root, batch, source = source,
+            txn = ckptTag.map(t => (s"ckpt-$t", batchId)))
+          sink(batchId, v)
+        }
         ()
       }
     checkpoint.fold(w)(w.option("checkpointLocation", _)).start()
