@@ -250,6 +250,16 @@ object GazetteerBuilder {
 
   private val ManifestFile = "_POIS_MANIFEST"
 
+  // The manifest's own format gate, the [[graft.ext.IndexIO]] stamp
+  // discipline applied to the snapshot layout: unknown lines are
+  // IGNORED by this parser (how `txn.` rode in compatibly), so without
+  // a stamp a FUTURE incompatible layout change (say, a pkWidth
+  // re-partitioning scheme) would be silently mis-served by an old
+  // binary instead of refused. Manifests without a `format=` line
+  // (pre-stamp history) read as format 1 implied.
+  private val ManifestWriteFormat = 1
+  private val ManifestMaxReadFormat = 1
+
   /** Per-snapshot pois layout: the id-range width, the pk→generation
     * map, the pinned trigram-store state, and the per-source
     * applied-transaction frontier (`txns`: tag → highest batch id this
@@ -276,6 +286,7 @@ object GazetteerBuilder {
     val fs = fsOf(spark, dir)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$ManifestFile"), true)
     val body = new StringBuilder()
+    body ++= s"format=$ManifestWriteFormat\n"
     body ++= s"pk_width=${m.pkWidth}\n"
     body ++= s"ix_commits=${m.ixCommits.mkString(",")}\n"
     body ++= s"ix_deletes=${m.ixDeletes.mkString(",")}\n"
@@ -300,6 +311,13 @@ object GazetteerBuilder {
       .split('\n').filter(_.nonEmpty)
     def kv(prefix: String): Option[String] =
       lines.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    kv("format=").foreach { f =>
+      val v = f.toIntOption.getOrElse(corrupt(versionDir, s"format=$f"))
+      if (v > ManifestMaxReadFormat) throw new java.io.IOException(
+        s"gazetteer manifest at $versionDir uses format $v, written by a " +
+          s"newer engine than this binary (reads <= $ManifestMaxReadFormat) " +
+          "— upgrade before serving or mutating this root")
+    }
     def ints(s: String): Seq[Int] =
       if (s.isEmpty) Nil else s.split(',').toSeq.map(v =>
         v.toIntOption.getOrElse(corrupt(versionDir, v)))

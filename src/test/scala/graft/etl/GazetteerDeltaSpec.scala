@@ -245,6 +245,35 @@ class GazetteerDeltaSpec extends SparkSpec {
       "referenced generations must survive the sweep")
   }
 
+  test("manifest format gate: a newer-engine manifest is refused loudly; a pre-stamp manifest reads as v1") {
+    val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val cur = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val mf = new java.io.File(s"$cur/_POIS_MANIFEST")
+    val body = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(body.startsWith("format=1\n"), "writer must stamp its format")
+
+    // a manifest written by a NEWER engine: every read/mutation entry
+    // through readManifest must refuse, not silently mis-serve
+    java.nio.file.Files.write(mf.toPath,
+      body.replace("format=1", "format=2").getBytes("UTF-8"))
+    new java.io.File(mf.getParentFile, "._POIS_MANIFEST.crc").delete()
+    val e = intercept[java.io.IOException] {
+      GazetteerBuilder.readPois(spark, cur)
+    }
+    assert(e.getMessage.contains("newer engine"), e.getMessage)
+    intercept[java.io.IOException] {
+      GazetteerBuilder.refreshDelta(spark, root, feed((3L, "x", "U")))
+    }
+
+    // pre-stamp history (no format line) reads as format 1 implied
+    java.nio.file.Files.write(mf.toPath,
+      body.replace("format=1\n", "").getBytes("UTF-8"))
+    assert(GazetteerBuilder.readPois(spark, cur).count() == 40L)
+    assert(GazetteerBuilder.readManifest(spark, cur).get.txns.isEmpty)
+  }
+
   test("gcPool reclaims generations no live manifest references") {
     val root = graft.core.TempDirs.create("graft-gazdelta-") + "/gaz"
     GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
