@@ -561,11 +561,37 @@ object GazetteerBuilder {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
     buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    // the frontier map carries ONE entry per feed restart-identity (a
+    // deployment has a handful) — a tag-per-batch caller would bloat
+    // every future manifest, so refuse loudly instead of growing
+    val txns = m.txns ++ txn
+    require(txns.size <= 1000,
+      s"refreshDelta: ${txns.size} txn tags recorded in the manifest — " +
+        "tags must carry a STABLE restart identity (e.g. the checkpoint " +
+        "path), not a fresh value per batch")
     writeManifest(spark, staging,
-      PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes,
-        m.txns ++ txn))
+      PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes, txns))
     graft.ext.VersionedStore.publish(spark, staging, root)
   }
+
+  /** The CURRENT snapshot's applied-transaction frontier for `tag`
+    * (None when the root has no versions, no manifest, or no entry) —
+    * the streaming loop's replay fast-path probe. Read OUTSIDE the
+    * writer lock: the frontier only advances, so a stale read merely
+    * falls through to [[refreshDelta]]'s locked re-check; it can never
+    * wrongly skip a batch that was not applied. */
+  def appliedTxnFrontier(spark: SparkSession, root: String,
+                         tag: String): Option[Long] =
+    try {
+      if (graft.ext.VersionedStore.versionIds(spark, root).isEmpty) None
+      else readManifest(spark,
+        graft.ext.VersionedStore.resolveCurrent(spark, root))
+        .flatMap(_.txns.get(tag))
+    } catch {
+      // a broken/unreadable root is refreshDelta's to report loudly —
+      // the probe's only job is "definitely applied already?"
+      case _: java.io.IOException => None
+    }
 
   /** The pois relation of a PARTITIONED snapshot (manifest-resolved
     * pool generations). Fails loudly on a monolithic snapshot — those

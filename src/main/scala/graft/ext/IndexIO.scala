@@ -1589,6 +1589,12 @@ private[ext] object IndexIO {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Whether `root` carries a CURRENT pointer (is a versioned root) —
+    * the quiet probe for callers deciding between "serve this dir" and
+    * "follow this root"; [[resolveCurrent]] stays loud. */
+  def currentExists(spark: SparkSession, root: String): Boolean =
+    fsOf(spark, root).exists(new org.apache.hadoop.fs.Path(s"$root/$Pointer"))
+
   /** The path of the version CURRENT names — the read-side entry point.
     * Fails loudly on a missing root/pointer (an index that was never
     * [[publishVersioned]]) or a tampered pointer value. */

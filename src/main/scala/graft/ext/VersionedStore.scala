@@ -33,6 +33,11 @@ object VersionedStore {
     resolved
   }
 
+  /** Whether `root` carries a CURRENT pointer (is a versioned root) —
+    * the quiet probe; [[resolveCurrent]] stays loud. */
+  def currentExists(spark: SparkSession, root: String): Boolean =
+    IndexIO.currentExists(spark, root)
+
   /** Version ids present under `root`, ascending. */
   def versionIds(spark: SparkSession, root: String): Seq[Int] =
     IndexIO.versionIds(spark, root)

@@ -585,7 +585,13 @@ object StreamingQueries {
       }
       val (ud, ins, _) = GeocodeQueries.gazDeltaBatches(raw)
       val feedDir = graft.core.TempDirs.create("graft-gazcdc-feed-")
-      val ckpt = graft.core.TempDirs.create("graft-gazcdc-ckpt-")
+      // the checkpoint must survive the RESTART, not the JVM — the
+      // journey's crash window is replayed in-process, so the tmpfs
+      // drain checkpoint is sound here and skips the per-batch WAL
+      // fsyncs a durable dir pays (a real deployment passes its own
+      // durable location, the gazCdcLoop contract)
+      val ckpt = StreamOps.volatileCheckpointDir(s)
+        .getOrElse(graft.core.TempDirs.create("graft-gazcdc-ckpt-"))
       // each CDC batch lands as ONE visible file, so file-source batch
       // boundaries are exactly the CDC batch boundaries (the _stage dir
       // is underscore-hidden from the source while parquet writes it)
@@ -617,7 +623,8 @@ object StreamingQueries {
       new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
       newest.delete()
       val q2 = loop()
-      try q2.processAllAvailable() finally q2.stop()
+      try q2.processAllAvailable()
+      finally { q2.stop(); StreamOps.dropCheckpoint(Some(ckpt)) }
       val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
       GeocodeQueries.gazRefreshProjection(
         graft.etl.GazetteerBuilder.readPois(s, resolved))

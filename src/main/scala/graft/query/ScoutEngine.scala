@@ -189,6 +189,40 @@ class ScoutEngine(
     reload(p, a, ix)
   }
 
+  /** Track a VERSIONED gazetteer root: a daemon poller resolves the
+    * CURRENT pointer every `intervalMs` and [[reloadFrom]]s when it
+    * names a new version — the serving half of the CDC journey
+    * ([[graft.streaming.StreamOps.gazCdcLoop]] publishes versions, this
+    * follows them; no operator /reload call, no restart). The atomic
+    * [[reload]] swap keeps every in-flight request on exactly one
+    * snapshot, so a flip mid-storm is safe (the chaos-soak-pinned
+    * property). Transient resolution/reload failures log and retry next
+    * tick — a momentarily unreadable pointer must not kill the
+    * follower. `initial` seeds the version the engine is ALREADY bound
+    * to (skips a pointless first reload); the returned handle's close()
+    * stops the poller. */
+  def followCurrent(root: String, intervalMs: Long = 2000L,
+                    initial: Option[String] = None): AutoCloseable = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      var last = initial
+      while (!stop.get()) {
+        try {
+          val cur = graft.ext.VersionedStore.resolveCurrent(spark, root)
+          if (!last.contains(cur)) { reloadFrom(cur); last = Some(cur) }
+        } catch {
+          case _: InterruptedException => () // closing
+          case e: Exception => System.err.println(
+            s"[graft] followCurrent($root): ${e.getMessage} — retrying next tick")
+        }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
+      }
+    }, "graft-follow-current")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.set(true); t.interrupt(); t.join(5000) }
+  }
+
   /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */
   def forwardDF(req: ForwardReq, limitScan: Int = 10000): DataFrame = {
     val b = state.get()

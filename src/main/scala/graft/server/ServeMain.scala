@@ -25,9 +25,19 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val engine = ScoutEngine.fromPath(spark, path, settings)
+    // a VERSIONED root (CURRENT pointer present) serves its current
+    // snapshot AND follows the pointer: a gazCdcLoop/refreshDelta
+    // publish reaches requests with no /reload call or restart
+    val isRoot = graft.ext.VersionedStore.currentExists(spark, path)
+    val bound =
+      if (isRoot) graft.ext.VersionedStore.resolveCurrent(spark, path) else path
+    val engine = ScoutEngine.fromPath(spark, bound, settings)
+    val follower =
+      if (isRoot) Some(engine.followCurrent(path, initial = Some(bound)))
+      else None
     val server = new ScoutServer(engine, port).start()
-    println(s"graft serving on :${server.boundPort} (POST /v1/geocode/forward, GET /healthz)")
+    println(s"graft serving on :${server.boundPort} (POST /v1/geocode/forward, " +
+      s"GET /healthz)${if (follower.isDefined) s" — following CURRENT of $path" else ""}")
     Thread.currentThread().join()
   }
 }

@@ -330,20 +330,50 @@ object StreamOps {
     * nothing. `sink` receives (batchId, published-version-path) per
     * applied batch. Maintenance ([[graft.etl.GazetteerBuilder
     * .maintainSnapshots]]) stays the operator's periodic call, OUTSIDE
-    * the loop: it serializes with refreshes on the root's writer lock
-    * and carries the applied-txn frontier forward. */
+    * the loop: it serializes with refreshes on the root's writer lock —
+    * and a micro-batch that lands while maintenance HOLDS that lock
+    * retries with backoff for up to `lockWaitMs` instead of killing the
+    * long-lived query (a CDC stream dying on every scheduled fold is an
+    * operational bug, and "batch serializes behind maintenance" is the
+    * semantics the lock already means). Past the budget the refresh
+    * error propagates and the query dies loudly — a lock held that long
+    * is a stuck maintainer, and the restart+replay path stays correct
+    * either way because the batch's txn makes the replay exact. */
   def gazCdcLoop(changes: DataFrame, root: String,
                  checkpoint: Option[String] = None,
-                 source: String = "cdc-stream")(
+                 source: String = "cdc-stream",
+                 lockWaitMs: Long = 10 * 60 * 1000L)(
       sink: (Long, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val ckptTag = checkpoint.map(checkpointTag)
+    val txnTag = ckptTag.map(t => s"ckpt-$t")
     val w = changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val v = graft.etl.GazetteerBuilder.refreshDelta(
-            batch.sparkSession, root, batch, source = source,
-            txn = ckptTag.map(t => (s"ckpt-$t", batchId)))
-          sink(batchId, v)
+        // replay fast-path BEFORE the emptiness probe: an already-
+        // applied batch (crash-restart re-delivery) must cost one
+        // manifest read and ZERO Spark jobs — batch.isEmpty would
+        // evaluate the re-read source. A stale frontier read only
+        // falls through to refreshDelta's locked re-check.
+        val replayed = txnTag.exists(tg =>
+          graft.etl.GazetteerBuilder.appliedTxnFrontier(
+            batch.sparkSession, root, tg).exists(_ >= batchId))
+        if (!replayed && !batch.isEmpty) {
+          val deadline = System.currentTimeMillis() + lockWaitMs
+          var backoffMs = 250L
+          var v: Option[String] = None
+          while (v.isEmpty) {
+            try v = Some(graft.etl.GazetteerBuilder.refreshDelta(
+              batch.sparkSession, root, batch, source = source,
+              txn = txnTag.map(tg => (tg, batchId))))
+            catch {
+              case e: java.io.IOException
+                if e.getMessage != null &&
+                  e.getMessage.contains("maintenance already running") &&
+                  System.currentTimeMillis() + backoffMs <= deadline =>
+                Thread.sleep(backoffMs)
+                backoffMs = math.min(backoffMs * 2, 5000L)
+            }
+          }
+          sink(batchId, v.get)
         }
         ()
       }

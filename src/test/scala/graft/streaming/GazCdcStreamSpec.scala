@@ -106,6 +106,74 @@ class GazCdcStreamSpec extends SparkSpec {
       .contains((2L, "renamed two")))
   }
 
+  test("the serving engine follows CURRENT: a published refresh reaches requests with no operator reload") {
+    val root = graft.core.TempDirs.create("graft-gazfollow-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val v1 = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    val eng = graft.query.ScoutEngine.fromPath(spark, v1)
+    val follower = eng.followCurrent(root, intervalMs = 100L,
+      initial = Some(v1))
+    try {
+      // the publish side: one CDC batch flips CURRENT (the gazCdcLoop
+      // path under the same pointer protocol — pinned above; this case
+      // pins the SERVING side of the composition)
+      GazetteerBuilder.refreshDelta(spark, root,
+        feed((3L, "followed three", "U")))
+      val req = graft.query.ForwardReq(
+        Seq(graft.query.ForwardCandidate("followed three")), limit = 3)
+      val deadline = System.currentTimeMillis() + 30000L
+      var served = false
+      while (!served && System.currentTimeMillis() < deadline) {
+        served = eng.forwardDF(req).collect()
+          .exists(_.getAs[String]("name") == "followed three")
+        if (!served) Thread.sleep(100)
+      }
+      assert(served, "the follower never served the published refresh")
+    } finally { follower.close(); eng.close() }
+  }
+
+  test("gazCdcLoop: a micro-batch landing during maintenance retries behind the writer lock instead of killing the query") {
+    val root = graft.core.TempDirs.create("graft-gazcdclock-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
+      targetParts = 4)
+    val b1 = feed((3L, "renamed three", "U"))
+    val feedDir = graft.core.TempDirs.create("graft-gazcdclock-feed-")
+    val ckpt = graft.core.TempDirs.create("graft-gazcdclock-ckpt-")
+    val stage = new java.io.File(s"$feedDir/_stage1")
+    b1.coalesce(1).write.parquet(stage.getAbsolutePath)
+    java.nio.file.Files.move(
+      stage.listFiles.find(_.getName.endsWith(".parquet")).get.toPath,
+      new java.io.File(s"$feedDir/batch1.parquet").toPath)
+
+    // a "maintainer" holds the root's writer lock across the batch's
+    // landing window: the lock is taken BEFORE the loop starts, so any
+    // successful apply proves the batch serialized behind it — and the
+    // query staying alive proves it retried instead of dying
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val locker = new Thread(() => {
+      graft.ext.VersionedStore.withWriterLock(spark, root) {
+        held.countDown()
+        Thread.sleep(4000) // outlasts stream startup + first attempt
+      }
+      ()
+    })
+    locker.start()
+    held.await()
+    val q = StreamOps.gazCdcLoop(
+      spark.readStream.schema(b1.schema).parquet(feedDir), root,
+      checkpoint = Some(ckpt), lockWaitMs = 60000L) { (_, _) => () }
+    try {
+      q.processAllAvailable() // throws if the query died on the collision
+      locker.join()
+      assert(q.isActive, "the loop must survive maintenance holding the lock")
+    } finally q.stop()
+    assert(versionsOf(root).size == 2, "the batch must apply once released")
+    val cur = graft.ext.VersionedStore.resolveCurrent(spark, root)
+    assert(poiSet(GazetteerBuilder.readPois(spark, cur))
+      .contains((3L, "renamed three")))
+  }
+
   test("gazCdcLoop: a crash between publish and checkpoint commit replays the batch as an idempotent skip") {
     val root = graft.core.TempDirs.create("graft-gazcdcloop-") + "/gaz"
     GazetteerBuilder.writeVersionedPartitioned(spark, raw(baseRows: _*), root,
@@ -144,8 +212,26 @@ class GazCdcStreamSpec extends SparkSpec {
       .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
     new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
     newest.delete()
+    // the replay drain must run ZERO Spark jobs: the loop's frontier
+    // fast-path decides from one manifest read, before the emptiness
+    // probe would evaluate the re-read source
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
     val q2 = loop()
-    try q2.processAllAvailable() finally q2.stop()
+    try q2.processAllAvailable() finally {
+      q2.stop()
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() == 0,
+      s"the crash-replay drain launched ${jobs.get()} Spark jobs")
     assert(versionsOf(root).size == 3,
       "the replayed micro-batch must not publish a duplicate version")
     assert(commitsOf(root) == shardsAfter,
