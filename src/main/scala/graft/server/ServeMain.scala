@@ -12,6 +12,26 @@ import org.apache.spark.sql.SparkSession
   * like the reference's `Settings.db_path` (`settings.py:7,36-38`).
   */
 object ServeMain {
+
+  /** Start serving `path` on `port` — a VERSIONED root (CURRENT
+    * pointer present) serves its current snapshot AND follows the
+    * pointer ([[graft.query.ScoutEngine.followCurrent]]), so a
+    * gazCdcLoop/refreshDelta publish reaches requests with no /reload
+    * call or restart; a plain snapshot dir serves as-is. Returns the
+    * server and the follower handle (None for a plain dir) so a test
+    * can drive + stop it; [[main]] joins forever. */
+  def launch(spark: SparkSession, path: String, port: Int,
+             settings: Settings = Settings()): (ScoutServer, Option[AutoCloseable]) = {
+    val isRoot = graft.ext.VersionedStore.currentExists(spark, path)
+    val bound =
+      if (isRoot) graft.ext.VersionedStore.resolveCurrent(spark, path) else path
+    val engine = ScoutEngine.fromPath(spark, bound, settings)
+    val follower =
+      if (isRoot) Some(engine.followCurrent(path, initial = Some(bound)))
+      else None
+    (new ScoutServer(engine, port).start(), follower)
+  }
+
   def main(args: Array[String]): Unit = {
     val settings =
       if (args.length > 2) Settings.load(args(2)) else Settings.load("config.toml")
@@ -25,17 +45,7 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // a VERSIONED root (CURRENT pointer present) serves its current
-    // snapshot AND follows the pointer: a gazCdcLoop/refreshDelta
-    // publish reaches requests with no /reload call or restart
-    val isRoot = graft.ext.VersionedStore.currentExists(spark, path)
-    val bound =
-      if (isRoot) graft.ext.VersionedStore.resolveCurrent(spark, path) else path
-    val engine = ScoutEngine.fromPath(spark, bound, settings)
-    val follower =
-      if (isRoot) Some(engine.followCurrent(path, initial = Some(bound)))
-      else None
-    val server = new ScoutServer(engine, port).start()
+    val (server, follower) = launch(spark, path, port, settings)
     println(s"graft serving on :${server.boundPort} (POST /v1/geocode/forward, " +
       s"GET /healthz)${if (follower.isDefined) s" — following CURRENT of $path" else ""}")
     Thread.currentThread().join()

@@ -478,6 +478,64 @@ class ScoutServerSpec extends SparkSpec {
     } finally { srv.stop(); eng.close() }
   }
 
+  test("ServeMain over a versioned root follows CURRENT: a refreshDelta publish reaches HTTP with no /reload") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    def rawOf(rows: (Long, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, name) =>
+        Row(id, name, Map("amenity" -> "cafe", "name" -> name),
+          s"POINT(${id % 50} ${id % 30})")
+      }), schema)
+    val root = graft.core.TempDirs.create("graft-servefollow-") + "/gaz"
+    GazetteerBuilder.writeVersionedPartitioned(spark,
+      rawOf((1L to 12L).map(i => i -> s"stall number $i"): _*), root,
+      targetParts = 2)
+    val (srv, follower) = ServeMain.launch(spark, root, port = 0)
+    try {
+      assert(follower.isDefined, "a versioned root must start the follower")
+      val req = """{"candidates":[{"text":"stall number 3"}],"limit":3}"""
+      val (c0, b0, _) = http("POST", "/v1/geocode/forward", req, srv.boundPort)
+      assert(c0 == 200 && b0.contains("stall number 3"))
+      // publish side: one CDC batch renames id 3 and flips CURRENT
+      GazetteerBuilder.refreshDelta(spark, root,
+        rawOf((3L, "followed stall")).withColumn(
+          "op", org.apache.spark.sql.functions.lit("U")))
+      val fReq = """{"candidates":[{"text":"followed stall"}],"limit":3}"""
+      val deadline = System.currentTimeMillis() + 30000L
+      var served = false
+      while (!served && System.currentTimeMillis() < deadline) {
+        val (c, b, _) = http("POST", "/v1/geocode/forward", fReq, srv.boundPort)
+        served = c == 200 && b.contains("followed stall")
+        if (!served) Thread.sleep(200)
+      }
+      assert(served, "the follower never surfaced the published refresh over HTTP")
+    } finally { follower.foreach(_.close()); srv.stop() }
+  }
+
+  test("ServeMain over a plain snapshot dir serves as-is, no follower") {
+    val demoDir = graft.core.TempDirs.create("graft-serveplain-")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("wkt", StringType)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "Plain Cafe", Map("amenity" -> "cafe", "name" -> "Plain Cafe"),
+          "POINT(1 1)"))), schema)
+    GazetteerBuilder.write(spark, raw, demoDir)
+    val (srv, follower) = ServeMain.launch(spark, demoDir, port = 0)
+    try {
+      assert(follower.isEmpty, "a plain dir must not start a follower")
+      val (c, b, _) = http("POST", "/v1/geocode/forward",
+        """{"candidates":[{"text":"plain cafe"}],"limit":3}""", srv.boundPort)
+      assert(c == 200 && b.contains("Plain Cafe"))
+    } finally srv.stop()
+  }
+
   test("json codec round-trips escapes") {
     val v = Json.parse("""{"a": "line\nbreak \"q\" é", "n": [1, 2.5, -3e2], "b": true, "x": null}""")
     val round = Json.parse(Json.write(v))
