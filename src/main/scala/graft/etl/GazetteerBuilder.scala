@@ -495,6 +495,13 @@ object GazetteerBuilder {
     val alreadyApplied = txn.exists { case (tag, batchId) =>
       m.txns.get(tag).exists(_ >= batchId)
     }
+    // cardinality guard BEFORE any job runs: the loud refusal must not
+    // cost a full refresh of work (and a staging orphan) per offending
+    // batch. One tag per feed restart-identity is the contract.
+    require((m.txns ++ txn).size <= 1000,
+      s"refreshDelta: ${(m.txns ++ txn).size} txn tags recorded in the " +
+        "manifest — tags must carry a STABLE restart identity (e.g. the " +
+        "checkpoint path), not a fresh value per batch")
     if (alreadyApplied) base
     else applyDelta(spark, root, base, m, changes, source, opCol, deleteOp, txn)
   }
@@ -561,16 +568,9 @@ object GazetteerBuilder {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
     buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
-    // the frontier map carries ONE entry per feed restart-identity (a
-    // deployment has a handful) — a tag-per-batch caller would bloat
-    // every future manifest, so refuse loudly instead of growing
-    val txns = m.txns ++ txn
-    require(txns.size <= 1000,
-      s"refreshDelta: ${txns.size} txn tags recorded in the manifest — " +
-        "tags must carry a STABLE restart identity (e.g. the checkpoint " +
-        "path), not a fresh value per batch")
     writeManifest(spark, staging,
-      PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes, txns))
+      PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes,
+        m.txns ++ txn)) // cardinality guarded up-front in LockHeld
     graft.ext.VersionedStore.publish(spark, staging, root)
   }
 

@@ -1104,16 +1104,16 @@ private[ext] object IndexIO {
         val staleNonce =
           try readLine1OrThrow(fs, new org.apache.hadoop.fs.Path(lock, "CLAIM"))
           catch {
-            case e: java.io.IOException => throw new java.io.IOException(
+            case e: java.io.IOException => throw new LockBusyException(
               s"acquireMaintLock on $root: the lock's CLAIM exists but is " +
                 s"unreadable (${e.getMessage}) — possibly a live maintainer; " +
-                "refusing to break an unknown lock, retry once the store recovers", e)
+                "refusing to break an unknown lock, retry once the store recovers")
           }
         val age =
           try System.currentTimeMillis() - claimTs(fs, lock)
           catch { case _: java.io.FileNotFoundException => Long.MaxValue }
         if (staleNonce.nonEmpty && age < maintLockMs)
-          throw new java.io.IOException(
+          throw new LockBusyException(
             s"maintenance already running on $root (lock ${age} ms old, " +
               s"bound $maintLockMs ms) — one maintainer at a time; retry " +
               "after it finishes or its lock goes stale")
@@ -1188,7 +1188,7 @@ private[ext] object IndexIO {
       if (won) return nonce
       attempts += 1
     }
-    throw new java.io.IOException(
+    throw new LockBusyException(
       s"acquireMaintLock under $root: lost $attempts consecutive lock races")
   }
 

@@ -2,6 +2,16 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSession
 
+/** TRANSIENT writer-lock contention — the lock is held, mid-break, or
+  * being raced; the operation is safe to retry once the holder
+  * finishes. Typed (not message-matched) so retry policies — e.g.
+  * [[graft.streaming.StreamOps.gazCdcLoop]]'s serialize-behind-
+  * maintenance backoff — can distinguish "busy, try again" from the
+  * protocol's genuine failures (corrupt CLAIM restore, format refusal),
+  * which must stay loud. Subclasses IOException, so existing loud
+  * callers are unchanged. */
+final class LockBusyException(msg: String) extends java.io.IOException(msg)
+
 /** Public facade over the (package-private) versioned-pointer publish
   * for SNAPSHOT ARTIFACTS outside `graft.ext` — the gazetteer is the
   * first client ([[graft.etl.GazetteerBuilder.writeVersioned]]): a

@@ -598,27 +598,6 @@ object GeocodeQueries {
     },
     Some(gazRefreshOracleSql))
 
-  /** G16 — the DELTA form of g15 (VERDICT r16 task 1): the refresh cost
-    * is proportional to the CHANGE FEED, not the corpus. The base
-    * gazetteer builds ONCE per (session, sf) under the PARTITIONED
-    * versioned layout ([[GazetteerBuilder.writeVersionedPartitioned]]:
-    * pois as id-range pool generations, the trigram index as a
-    * [[graft.ext.TrigramStore]]) and each invocation gets a private
-    * copy ([[Fixtures.clonedIndex]] — production refreshes an existing
-    * base; re-building it inside the measured query would time fixture
-    * setup). The measured work is [[GazetteerBuilder.refreshDelta]]:
-    * manifest-pruned read of ONLY the delta-touched partitions, fresh
-    * generations for those, one appended trigram shard + watermarks,
-    * and the same atomic CURRENT flip.
-    *
-    * The feed is LOCALIZED (~0.1% of ids in the low range, renames +
-    * deletes + inserts) — the production delta shape, so the bench
-    * measures the partition-pruned path, and the oracle's FULL SQL
-    * recompute of the snapshot pins that partitions carried forward BY
-    * REFERENCE hash-match a rebuild (g15's uniform 30% feed keeps the
-    * every-partition-touched case covered; `GazetteerDeltaSpec` pins
-    * the mixed-op equality at the unit level; `tools/GazRefreshProbe`
-    * is the sf10 cost artifact — 5.7× over the full rebuild). */
   /** The localized CDC feed g16/g17/st_gaz_cdc share, split at its
     * natural batch boundary (renames + deletes, then inserts — id-
     * disjoint by construction, so applying the two batches in sequence
@@ -649,6 +628,27 @@ object GeocodeQueries {
     (upsertsDeletes, inserts, reinserts)
   }
 
+  /** G16 — the DELTA form of g15 (VERDICT r16 task 1): the refresh cost
+    * is proportional to the CHANGE FEED, not the corpus. The base
+    * gazetteer builds ONCE per (session, sf) under the PARTITIONED
+    * versioned layout ([[GazetteerBuilder.writeVersionedPartitioned]]:
+    * pois as id-range pool generations, the trigram index as a
+    * [[graft.ext.TrigramStore]]) and each invocation gets a private
+    * copy ([[Fixtures.clonedIndex]] — production refreshes an existing
+    * base; re-building it inside the measured query would time fixture
+    * setup). The measured work is [[GazetteerBuilder.refreshDelta]]:
+    * manifest-pruned read of ONLY the delta-touched partitions, fresh
+    * generations for those, one appended trigram shard + watermarks,
+    * and the same atomic CURRENT flip.
+    *
+    * The feed is LOCALIZED (~0.1% of ids in the low range, renames +
+    * deletes + inserts) — the production delta shape, so the bench
+    * measures the partition-pruned path, and the oracle's FULL SQL
+    * recompute of the snapshot pins that partitions carried forward BY
+    * REFERENCE hash-match a rebuild (g15's uniform 30% feed keeps the
+    * every-partition-touched case covered; `GazetteerDeltaSpec` pins
+    * the mixed-op equality at the unit level; `tools/GazRefreshProbe`
+    * is the sf10 cost artifact — 5.7× over the full rebuild). */
   val g16 = Q("g16_gaz_delta",
     (s, dir) => {
       val raw = Fixtures.derivedRaw(s, dir, withWikidata = false)

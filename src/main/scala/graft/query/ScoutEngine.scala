@@ -215,12 +215,21 @@ class ScoutEngine(
           case e: Exception => System.err.println(
             s"[graft] followCurrent($root): ${e.getMessage} — retrying next tick")
         }
-        try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
+        // re-check before sleeping: an interrupt consumed mid-reload
+        // (swallowed above, or inside a Spark action) must not turn
+        // into a full-interval sleep before the stop flag is seen
+        if (!stop.get())
+          try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
       }
     }, "graft-follow-current")
     t.setDaemon(true)
     t.start()
-    () => { stop.set(true); t.interrupt(); t.join(5000) }
+    // close() joins UNBOUNDED: it must not return while a reload is
+    // still in flight — a reload landing after the caller's
+    // engine.close() would register a fresh admin cache nobody
+    // unpersists. A join of at most one tick + one reload is bounded
+    // in practice; returning early is the leak.
+    () => { stop.set(true); t.interrupt(); t.join() }
   }
 
   /** Stage 1–5 of `app.py:86-114` as a DataFrame; rows>0 iff hits. */

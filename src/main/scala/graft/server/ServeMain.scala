@@ -18,18 +18,26 @@ object ServeMain {
     * pointer ([[graft.query.ScoutEngine.followCurrent]]), so a
     * gazCdcLoop/refreshDelta publish reaches requests with no /reload
     * call or restart; a plain snapshot dir serves as-is. Returns the
-    * server and the follower handle (None for a plain dir) so a test
-    * can drive + stop it; [[main]] joins forever. */
+    * server, the follower handle (None for a plain dir), and the
+    * engine — the caller owns all three (stop the follower FIRST, then
+    * the server, then engine.close(): closing the engine releases its
+    * persisted admin cache, which a still-running follower's reload
+    * would silently re-register); [[main]] joins forever. */
   def launch(spark: SparkSession, path: String, port: Int,
-             settings: Settings = Settings()): (ScoutServer, Option[AutoCloseable]) = {
+             settings: Settings = Settings()): (ScoutServer, Option[AutoCloseable], ScoutEngine) = {
     val isRoot = graft.ext.VersionedStore.currentExists(spark, path)
     val bound =
       if (isRoot) graft.ext.VersionedStore.resolveCurrent(spark, path) else path
     val engine = ScoutEngine.fromPath(spark, bound, settings)
     val follower =
-      if (isRoot) Some(engine.followCurrent(path, initial = Some(bound)))
-      else None
-    (new ScoutServer(engine, port).start(), follower)
+      try if (isRoot) Some(engine.followCurrent(path, initial = Some(bound)))
+          else None
+      catch { case e: Throwable => engine.close(); throw e }
+    try (new ScoutServer(engine, port).start(), follower, engine)
+    catch {
+      case e: Throwable =>
+        follower.foreach(_.close()); engine.close(); throw e
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -45,7 +53,7 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (server, follower) = launch(spark, path, port, settings)
+    val (server, follower, _) = launch(spark, path, port, settings)
     println(s"graft serving on :${server.boundPort} (POST /v1/geocode/forward, " +
       s"GET /healthz)${if (follower.isDefined) s" — following CURRENT of $path" else ""}")
     Thread.currentThread().join()

@@ -327,8 +327,12 @@ object StreamOps {
     *
     * Empty micro-batches (triggers with no data) are skipped without a
     * refresh — a no-op version per heartbeat would grow the chain for
-    * nothing. `sink` receives (batchId, published-version-path) per
-    * applied batch. Maintenance ([[graft.etl.GazetteerBuilder
+    * nothing. `sink` receives (batchId, version-path CONTAINING the
+    * batch) once per micro-batch this query processes to completion —
+    * normally the freshly published version; under an exotic
+    * co-driver replay (a zombie sharing the checkpoint) it can be the
+    * pre-existing version the locked re-check resolved, so treat sink
+    * as at-least-once per publish, not exactly-once. Maintenance ([[graft.etl.GazetteerBuilder
     * .maintainSnapshots]]) stays the operator's periodic call, OUTSIDE
     * the loop: it serializes with refreshes on the root's writer lock —
     * and a micro-batch that lands while maintenance HOLDS that lock
@@ -365,10 +369,11 @@ object StreamOps {
               batch.sparkSession, root, batch, source = source,
               txn = txnTag.map(tg => (tg, batchId))))
             catch {
-              case e: java.io.IOException
-                if e.getMessage != null &&
-                  e.getMessage.contains("maintenance already running") &&
-                  System.currentTimeMillis() + backoffMs <= deadline =>
+              // TYPED busy signal (held lock, mid-break, lost races) —
+              // anything else (corrupt manifest, format refusal) stays
+              // loud and kills the query as it should
+              case _: graft.ext.LockBusyException
+                if System.currentTimeMillis() + backoffMs <= deadline =>
                 Thread.sleep(backoffMs)
                 backoffMs = math.min(backoffMs * 2, 5000L)
             }

@@ -493,7 +493,7 @@ class ScoutServerSpec extends SparkSpec {
     GazetteerBuilder.writeVersionedPartitioned(spark,
       rawOf((1L to 12L).map(i => i -> s"stall number $i"): _*), root,
       targetParts = 2)
-    val (srv, follower) = ServeMain.launch(spark, root, port = 0)
+    val (srv, follower, eng) = ServeMain.launch(spark, root, port = 0)
     try {
       assert(follower.isDefined, "a versioned root must start the follower")
       val req = """{"candidates":[{"text":"stall number 3"}],"limit":3}"""
@@ -512,7 +512,7 @@ class ScoutServerSpec extends SparkSpec {
         if (!served) Thread.sleep(200)
       }
       assert(served, "the follower never surfaced the published refresh over HTTP")
-    } finally { follower.foreach(_.close()); srv.stop() }
+    } finally { follower.foreach(_.close()); srv.stop(); eng.close() }
   }
 
   test("ServeMain over a plain snapshot dir serves as-is, no follower") {
@@ -527,13 +527,13 @@ class ScoutServerSpec extends SparkSpec {
         Row(1L, "Plain Cafe", Map("amenity" -> "cafe", "name" -> "Plain Cafe"),
           "POINT(1 1)"))), schema)
     GazetteerBuilder.write(spark, raw, demoDir)
-    val (srv, follower) = ServeMain.launch(spark, demoDir, port = 0)
+    val (srv, follower, eng) = ServeMain.launch(spark, demoDir, port = 0)
     try {
       assert(follower.isEmpty, "a plain dir must not start a follower")
       val (c, b, _) = http("POST", "/v1/geocode/forward",
         """{"candidates":[{"text":"plain cafe"}],"limit":3}""", srv.boundPort)
       assert(c == 200 && b.contains("Plain Cafe"))
-    } finally srv.stop()
+    } finally { srv.stop(); eng.close() }
   }
 
   test("json codec round-trips escapes") {
