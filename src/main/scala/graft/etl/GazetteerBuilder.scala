@@ -532,19 +532,46 @@ object GazetteerBuilder {
     val upserts = changes.filter(!(col(opCol) <=> deleteOp)).drop(opCol)
     val deltaPois = buildPois(upserts)
     val keys = changes.select(col("id").cast("long").as("osm_id")).distinct()
+    // SIZE-ROUTED key handling (the subtractTombstones discipline): the
+    // common CDC batch is small, so ONE bounded (id, isDelete) collect
+    // serves the touched-pk set, the base/admin key subtraction (as a
+    // NOT-IN literal the parquet scan can evaluate — no broadcast-build
+    // job per anti-join), and the delete ids. Past the bound, the
+    // distributed plans below take over unchanged — cost routing, never
+    // a size limit.
+    val smallBound = 1 << 17
+    val smallFeed: Option[Array[(Long, Boolean)]] = {
+      val rows = changes.select(col("id").cast("long"),
+          (col(opCol) <=> deleteOp).as("d")).distinct()
+        .limit(smallBound + 1).collect()
+      if (rows.length <= smallBound)
+        Some(rows.map(r => (r.getLong(0), r.getBoolean(1)))) else None
+    }
     // touched id-range partitions: bounded by the partition count, not
-    // the delta size — safe to hold driver-side at any corpus scale
-    val touched = keys
-      .select(floor(col("osm_id") / m.pkWidth).as("pk")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // the delta size — safe to hold driver-side at any corpus scale.
+    // The driver-side floor mirrors the SQL floor(osm_id / pkWidth)
+    // (double division) exactly — ids are bounded far below the 2^53
+    // precision edge by the raw contract.
+    val touched = smallFeed match {
+      case Some(pairs) =>
+        pairs.map(p => math.floor(p._1.toDouble / m.pkWidth).toLong).toSet
+      case None => keys
+        .select(floor(col("osm_id") / m.pkWidth).as("pk")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    def minusKeys(df: DataFrame): DataFrame = smallFeed match {
+      case Some(pairs) =>
+        if (pairs.isEmpty) df
+        else df.filter(!col("osm_id").isInCollection(pairs.map(p => p._1: java.lang.Long).toSeq))
+      case None => df.join(keys, Seq("osm_id"), "left_anti")
+    }
     val basePaths = m.parts.collect {
       case (k, g) if touched(k) => s"${poolDir(root)}/pk=$k/$g"
     }.toSeq.sorted
     val basePois =
       if (basePaths.isEmpty) deltaPois.limit(0)
       else spark.read.parquet(basePaths: _*)
-    val merged = basePois.join(keys, Seq("osm_id"), "left_anti")
-      .unionByName(deltaPois)
+    val merged = minusKeys(basePois).unionByName(deltaPois)
     val gen = newGen()
     val writtenParts = writePoolGenerations(spark, root, merged, m.pkWidth, gen)
     // untouched partitions carry forward by REFERENCE; a touched
@@ -553,17 +580,22 @@ object GazetteerBuilder {
     // one appended trigram shard for the upserts; CDC deletes become
     // watermarks. The delete-id collect is bounded loudly — a takedown
     // batch past the driver bound should arrive as several batches.
-    val delIdRows = changes.filter(col(opCol) <=> deleteOp)
-      .select(col("id").cast("long")).distinct()
-      .limit((1 << 20) + 1).collect()
-    require(delIdRows.length <= (1 << 20),
-      s"refreshDelta: delete batch exceeds ${1 << 20} ids — split the feed")
+    val delIds: Seq[Long] = smallFeed match {
+      case Some(pairs) => pairs.filter(_._2).map(_._1).toSeq
+      case None =>
+        val rows = changes.filter(col(opCol) <=> deleteOp)
+          .select(col("id").cast("long")).distinct()
+          .limit((1 << 20) + 1).collect()
+        require(rows.length <= (1 << 20),
+          s"refreshDelta: delete batch exceeds ${1 << 20} ids — split the feed")
+        rows.toSeq.map(_.getLong(0))
+    }
     graft.ext.TrigramStore.append(deltaPois, storeDir(root),
-      deleteIds = delIdRows.toSeq.map(_.getLong(0)))
+      deleteIds = delIds)
     val pin = graft.ext.TrigramStore.pinNow(spark, storeDir(root))
     val staging = graft.ext.VersionedStore.stagingFor(root)
     val oldAdmin = spark.read.parquet(s"$base/admin")
-    oldAdmin.join(keys, Seq("osm_id"), "left_anti")
+    minusKeys(oldAdmin)
       .unionByName(buildAdmin(upserts))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
     buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")

