@@ -23,6 +23,54 @@ import org.apache.spark.sql.functions._
   */
 object GazetteerBuilder {
 
+  import org.apache.spark.sql.types._
+
+  /** Static schema of [[buildPois]] output (pinned against the builder
+    * in `GazetteerBuilderSpec`). Passing it to every re-read of a
+    * written pois table skips parquet schema inference — which is a
+    * Spark JOB (a distributed footer read) per `spark.read.parquet`
+    * call, one of the scheduler round-trips the refresh journey pays
+    * per batch (optimization guide §1/§2: remove work, then shuffles);
+    * at 100 TB the same call footer-probes thousands of files. */
+  val PoisSchema: StructType = StructType(Seq(
+    StructField("osm_id", LongType),
+    StructField("name_local", StringType),
+    StructField("name_en", StringType),
+    StructField("name_local_norm", StringType),
+    StructField("name_en_norm", StringType),
+    StructField("amenity", StringType),
+    StructField("shop", StringType),
+    StructField("tourism", StringType),
+    StructField("leisure", StringType),
+    StructField("office", StringType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("country", StringType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
+    StructField("kind", StringType),
+    StructField("importance", DoubleType)))
+
+  /** Static schema of [[buildAdmin]] output — same contract and reason
+    * as [[PoisSchema]]. */
+  val AdminSchema: StructType = StructType(Seq(
+    StructField("osm_id", LongType),
+    StructField("name_local", StringType),
+    StructField("name_en", StringType),
+    StructField("name_local_norm", StringType),
+    StructField("name_en_norm", StringType),
+    StructField("admin_level", IntegerType),
+    StructField("admin_level_raw", StringType),
+    StructField("iso1", StringType),
+    StructField("iso2", StringType),
+    StructField("geom", StringType),
+    StructField("minx", DoubleType),
+    StructField("miny", DoubleType),
+    StructField("maxx", DoubleType),
+    StructField("maxy", DoubleType),
+    StructField("center_lat", DoubleType),
+    StructField("center_lon", DoubleType)))
+
   /** `gaz.name_local(n, t)` (`000_init.sql:14-19`). */
   private def nameLocal(name: Column, tags: Column): Column = {
     val t = element_at(tags, "name")
@@ -187,17 +235,28 @@ object GazetteerBuilder {
     val poisPartitions =
       if (bucketTarget > 0) bucketTarget
       else math.max(1, spark.sparkContext.defaultParallelism / 2)
-    pois
-      .repartitionByRange(poisPartitions, col("lat"), col("lon"))
-      .sortWithinPartitions("lat", "lon")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/pois")
-    buildAdmin(raw).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/admin")
+    // pois→trigram (chained: the index builds from the WRITTEN pois) and
+    // admin are independent legs — overlapped (guide §2.6); meta stays
+    // LAST because it is the idempotent-build gate (`overwrite = false`
+    // probes meta existence), so a crashed build can never look complete
+    parallel3(
+      () => {
+        pois
+          .repartitionByRange(poisPartitions, col("lat"), col("lon"))
+          .sortWithinPartitions("lat", "lon")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/pois")
+        // trigram name index: the physical design that keeps the LIKE
+        // candidate scan subquadratic at scale (see TrigramIndex).
+        // Explicit schema: inference is a footer-read JOB per call.
+        TrigramIndex.write(
+          spark.read.schema(PoisSchema).parquet(s"$outPath/pois"),
+          s"$outPath/name_index")
+      },
+      () => buildAdmin(raw).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outPath/admin"),
+      () => ())
     buildMeta(spark, source, outPath, ingestArgs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/meta")
-    // trigram name index: the physical design that keeps the LIKE
-    // candidate scan subquadratic at scale (see TrigramIndex)
-    TrigramIndex.write(spark.read.parquet(s"$outPath/pois"), s"$outPath/name_index")
     true
   }
 
@@ -420,7 +479,7 @@ object GazetteerBuilder {
     // re-execution of the ETL lineage for a second pass)
     val written =
       if (parts.isEmpty) pois.limit(0)
-      else spark.read.parquet(
+      else spark.read.schema(PoisSchema).parquet(
         parts.keys.toSeq.sorted.map(k => s"${poolDir(root)}/pk=$k/$gen"): _*)
     graft.ext.TrigramStore.write(written, storeDir(root))
     val pin = graft.ext.TrigramStore.pinNow(spark, storeDir(root))
@@ -570,13 +629,9 @@ object GazetteerBuilder {
     }.toSeq.sorted
     val basePois =
       if (basePaths.isEmpty) deltaPois.limit(0)
-      else spark.read.parquet(basePaths: _*)
+      else spark.read.schema(PoisSchema).parquet(basePaths: _*)
     val merged = minusKeys(basePois).unionByName(deltaPois)
     val gen = newGen()
-    val writtenParts = writePoolGenerations(spark, root, merged, m.pkWidth, gen)
-    // untouched partitions carry forward by REFERENCE; a touched
-    // partition absent from the rewrite lost its last row — drop it
-    val parts = m.parts.filterNot { case (k, _) => touched(k) } ++ writtenParts
     // one appended trigram shard for the upserts; CDC deletes become
     // watermarks. The delete-id collect is bounded loudly — a takedown
     // batch past the driver bound should arrive as several batches.
@@ -590,20 +645,75 @@ object GazetteerBuilder {
           s"refreshDelta: delete batch exceeds ${1 << 20} ids — split the feed")
         rows.toSeq.map(_.getLong(0))
     }
-    graft.ext.TrigramStore.append(deltaPois, storeDir(root),
-      deleteIds = delIds)
-    val pin = graft.ext.TrigramStore.pinNow(spark, storeDir(root))
+    // the bounded-feed route already holds the upsert ids driver-side:
+    // hand them to append so it skips its read-back-the-written-shard
+    // probe job (one fewer pass + scheduler round-trip per CDC batch)
+    val upsertIds: Option[Seq[Long]] =
+      smallFeed.map(_.filterNot(_._2).map(_._1).toSeq)
     val staging = graft.ext.VersionedStore.stagingFor(root)
-    val oldAdmin = spark.read.parquet(s"$base/admin")
-    minusKeys(oldAdmin)
-      .unionByName(buildAdmin(upserts))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
-    buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    // THREE independent write legs, overlapped (optimization guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially): the pool generations, the trigram shard append,
+    // and the small staging tables share no files and each is crash-
+    // atomic on its own (unpublished staging / unreferenced generations
+    // / the append's marker protocol) — the sequencing the protocol
+    // DOES need is only "all three before manifest+publish", which the
+    // joins below enforce. On a quiet 32-core driver this folds three
+    // job floors into the slowest one; at scale it overlaps three
+    // independent I/O legs of one batch.
+    val writtenParts = parallel3(
+      () => writePoolGenerations(spark, root, merged, m.pkWidth, gen),
+      () => { graft.ext.TrigramStore.append(deltaPois, storeDir(root),
+        deleteIds = delIds, upsertIds = upsertIds); () },
+      () => {
+        val oldAdmin = spark.read.schema(AdminSchema).parquet(s"$base/admin")
+        minusKeys(oldAdmin)
+          .unionByName(buildAdmin(upserts))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
+        buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+      })
+    // untouched partitions carry forward by REFERENCE; a touched
+    // partition absent from the rewrite lost its last row — drop it
+    val parts = m.parts.filterNot { case (k, _) => touched(k) } ++ writtenParts
+    // pin AFTER the append's marker landed — the manifest must pin the
+    // post-append index state
+    val pin = graft.ext.TrigramStore.pinNow(spark, storeDir(root))
     writeManifest(spark, staging,
       PoisManifest(m.pkWidth, parts, pin.commits, pin.deletes,
         m.txns ++ txn)) // cardinality guarded up-front in LockHeld
     graft.ext.VersionedStore.publish(spark, staging, root)
+  }
+
+  /** Run two side-effecting legs concurrently with `main`, propagating
+    * the FIRST failure after all three settle (so a failed leg never
+    * leaves another mid-write when the caller unwinds — staging/append
+    * crash-atomicity covers what was in flight). Spark actions are
+    * thread-safe on one session; 3 bounded threads, torn down per call. */
+  private def parallel3[T](main: () => T, b: () => Unit,
+                           c: () => Unit): T = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = b()
+    })
+    val fc = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = c()
+    })
+    try {
+      val r = main()
+      fb.get(); fc.get()
+      r
+    } catch {
+      case e: Throwable =>
+        // let the side legs settle before rethrowing; their own errors
+        // are secondary to the first one observed
+        try fb.get() catch { case _: Throwable => () }
+        try fc.get() catch { case _: Throwable => () }
+        e match {
+          case ee: java.util.concurrent.ExecutionException => throw ee.getCause
+          case _ => throw e
+        }
+    } finally pool.shutdown()
   }
 
   /** The CURRENT snapshot's applied-transaction frontier for `tag`
@@ -634,7 +744,9 @@ object GazetteerBuilder {
         s"$versionDir has no $ManifestFile — read $versionDir/pois directly"))
     val root = parentOf(versionDir)
     require(m.parts.nonEmpty, s"$versionDir references an empty gazetteer")
-    spark.read.parquet(
+    // explicit schema: inference over N generation dirs is an N-task
+    // footer-read job per bind (measured 33 tasks at the bench layout)
+    spark.read.schema(PoisSchema).parquet(
       m.parts.toSeq.sortBy(_._1)
         .map { case (k, g) => s"${poolDir(root)}/pk=$k/$g" }: _*)
   }
@@ -700,10 +812,12 @@ object GazetteerBuilder {
     // ones — which is what lets the gcUnpinned tail retire the rest.
     val pin = graft.ext.TrigramStore.pinNow(spark, store)
     val staging = graft.ext.VersionedStore.stagingFor(root)
-    spark.read.parquet(s"$base/admin").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
-    spark.read.parquet(s"$base/meta").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    // admin/meta carry forward UNCHANGED: a byte-identical file copy,
+    // not a Spark read+rewrite — the old form cost 4 scheduler
+    // round-trips (2 schema-inference jobs + 2 one-task writes) per
+    // maintenance to re-encode tables this op never modifies
+    copyTableFiles(spark, s"$base/admin", s"$staging/admin")
+    copyTableFiles(spark, s"$base/meta", s"$staging/meta")
     // carry the applied-txn frontier: losing it across maintenance
     // would make the next crash-replay double-apply its batch
     writeManifest(spark, staging,
@@ -717,6 +831,21 @@ object GazetteerBuilder {
     }
     graft.ext.TrigramStore.gcUnpinned(spark, store, keptPins)
     published
+  }
+
+  /** Recursive driver-side copy of a small immutable table dir (admin,
+    * meta — KB-scale by contract) — the no-job way to carry a table
+    * into a new snapshot verbatim. */
+  private def copyTableFiles(spark: SparkSession, src: String,
+                             dst: String): Unit = {
+    val fs = fsOf(spark, src)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(src)
+    if (!fs.exists(from))
+      throw new java.io.IOException(s"copyTableFiles: $src does not exist")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+        new org.apache.hadoop.fs.Path(dst), false, true, conf))
+      throw new java.io.IOException(s"copyTableFiles: $src -> $dst failed")
   }
 
   /** Reclaim pool generations no live manifest references (crash

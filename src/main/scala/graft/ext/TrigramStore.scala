@@ -85,7 +85,8 @@ object TrigramStore {
     * only after the append returns; a crashed refresh serves the old
     * manifest's pin, which excludes the new watermark shard entirely). */
   def append(upserts: DataFrame, path: String,
-             deleteIds: Seq[Long] = Nil, partitions: Int = 1): Int = {
+             deleteIds: Seq[Long] = Nil, partitions: Int = 1,
+             upsertIds: Option[Seq[Long]] = None): Int = {
     val spark = upserts.sparkSession
     IndexIO.dropIncompleteCommitted(spark, path, Tables)
     val next = IndexIO.claimShardId(spark, path, Tables)
@@ -100,24 +101,37 @@ object TrigramStore {
     // (below = this shard), deleted ids supersede everything. Published
     // BEFORE the marker — a watermark naming shard `next` is inert
     // until the marker lands, so the cutover for upserts is the one
-    // marker rename. Upsert ids read back from the JUST-WRITTEN shard
-    // (delta-sized); the routing mirrors publishIdShard: a bounded
-    // probe collects and writes driver-side, a giant batch stays a
-    // distributed (still delta-sized) Spark write.
+    // marker rename. Upsert ids come from the CALLER when it already
+    // holds them driver-side (`upsertIds` — refreshDelta's bounded-feed
+    // route; skips a read-back pass over the just-written shard), else
+    // they are read back from the shard (delta-sized); the routing
+    // mirrors publishIdShard: a bounded probe collects and writes
+    // driver-side, a giant batch stays a distributed (still
+    // delta-sized) Spark write. A hinted id whose upsert produced no
+    // postings (name too short / filtered by the ETL) still gets its
+    // watermark — strictly MORE exact than the read-back (its stale
+    // older postings die instead of lingering as verify-filtered
+    // index mass).
     val maxDriverIds = 1 << 20
-    val written = spark.read.parquet(s"$path/postings/shard=$next")
-      .select(col("osm_id")).distinct()
-    val probe = written.limit(maxDriverIds + 1).collect()
-    if (probe.length <= maxDriverIds) {
-      writeWatermarks(spark, path,
-        probe.toSeq.map(r => r.getLong(0) -> next.toLong) ++
-          deleteIds.map(_ -> Long.MaxValue))
-    } else {
-      import spark.implicits._
-      writeWatermarksDF(spark, path,
-        written.select(col("osm_id"), lit(next.toLong).as("below"))
-          .unionByName(deleteIds.toDF("osm_id")
-            .select(col("osm_id"), lit(Long.MaxValue).as("below"))))
+    upsertIds.filter(_.length <= maxDriverIds) match {
+      case Some(ids) =>
+        writeWatermarks(spark, path,
+          ids.map(_ -> next.toLong) ++ deleteIds.map(_ -> Long.MaxValue))
+      case None =>
+        val written = spark.read.parquet(s"$path/postings/shard=$next")
+          .select(col("osm_id")).distinct()
+        val probe = written.limit(maxDriverIds + 1).collect()
+        if (probe.length <= maxDriverIds) {
+          writeWatermarks(spark, path,
+            probe.toSeq.map(r => r.getLong(0) -> next.toLong) ++
+              deleteIds.map(_ -> Long.MaxValue))
+        } else {
+          import spark.implicits._
+          writeWatermarksDF(spark, path,
+            written.select(col("osm_id"), lit(next.toLong).as("below"))
+              .unionByName(deleteIds.toDF("osm_id")
+                .select(col("osm_id"), lit(Long.MaxValue).as("below"))))
+        }
     }
     IndexIO.commitShard(spark, path, next, enforceLease = true,
       verifyTables = Tables)
@@ -231,6 +245,31 @@ object TrigramStore {
       .select("gram", "col_id", "osm_id")
   }
 
+  /** Every committed posting row with a `_dead` flag (true = watermark-
+    * superseded) — the one-pass input [[maintain]]'s dead-fraction
+    * aggregate needs (counting total and kept separately would read the
+    * postings twice). Same watermark semantics as [[postingsOf]]. */
+  private def postingsDeadFlagged(spark: SparkSession, path: String,
+                                  committed: Seq[Int],
+                                  delShards: Seq[Int]): DataFrame = {
+    val posts = IndexIO.readCommitted(spark, path, "postings", committed)
+    val markerSet = IndexIO.shardIds(spark, s"$path/commits")
+      .map(_.toLong).toSet
+    val wm = spark.read.schema(WmSchema)
+      .option("basePath", s"$path/deletes")
+      .parquet(delShards.map(k => s"$path/deletes/shard=$k"): _*)
+      .filter(col("below") === Long.MaxValue ||
+        col("below").isInCollection(markerSet))
+      .groupBy(col(DeleteCol))
+      .agg(max(struct(col("shard").cast("long").as("s"), col("below")))
+        .as("w"))
+      .select(col(DeleteCol), col("w.below").as("below"))
+    posts.join(broadcast(wm.withColumnRenamed(DeleteCol, "_wm_id")),
+        posts("osm_id") === col("_wm_id"), "left")
+      .select(col("gram"), col("col_id"), col("osm_id"),
+        (!(col("below").isNull || col("shard") >= col("below"))).as("_dead"))
+  }
+
   /** The current pin — what a snapshot publish records. Watermark
     * shards at or below the `_APPLIED` high-mark are omitted: every
     * live commit postdates the fold that materialized them, so
@@ -282,7 +321,7 @@ object TrigramStore {
       val next = IndexIO.claimShardId(spark, path, Tables)
       IndexIO.heartbeatMaintLock(spark, path, nonce)
       val stage = IndexIO.shardStagingFor(s"$path/postings")
-      IndexIO.sortedLayout(folded, partitions,
+      IndexIO.sortedLayout(folded, foldWidth(spark, path, live, partitions),
           Seq("gram", "col_id", "osm_id"), rangeCols = Seq("gram"))
         .write.mode(SaveMode.Overwrite).parquet(stage)
       IndexIO.publishShard(spark, stage, s"$path/postings/shard=$next")
@@ -338,7 +377,7 @@ object TrigramStore {
       val next = IndexIO.claimShardId(spark, path, Tables)
       IndexIO.heartbeatMaintLock(spark, path, nonce)
       val stage = IndexIO.shardStagingFor(s"$path/postings")
-      IndexIO.sortedLayout(folded, partitions,
+      IndexIO.sortedLayout(folded, foldWidth(spark, path, fold, partitions),
           Seq("gram", "col_id", "osm_id"), rangeCols = Seq("gram"))
         .write.mode(SaveMode.Overwrite).parquet(stage)
       IndexIO.publishShard(spark, stage, s"$path/postings/shard=$next")
@@ -353,6 +392,22 @@ object TrigramStore {
         for (k <- fold) IndexIO.deleteDir(spark, s"$path/postings/shard=$k")
       fold
     } finally IndexIO.releaseMaintLock(spark, path, nonce)
+  }
+
+  /** Fold-output write width, SIZE-ROUTED (the [[IndexIO.smallAggHint]]
+    * discipline applied to the fold's layout): range-partitioning into
+    * `partitions` pays a bounds-SAMPLING job plus a shuffle, which is
+    * pure scheduler floor when the input fold set is small — one
+    * coalesced partition keeps the gram-sorted row-group pruning (the
+    * whole output is one sorted run) with zero extra jobs. Past the
+    * bound the range layout is the right one and wins back the
+    * parallelism. Driver-side byte listing only. */
+  private def foldWidth(spark: SparkSession, path: String,
+                        foldSet: Seq[Int], partitions: Int,
+                        maxBytes: Long = 256L << 20): Int = {
+    val bytes = foldSet.map(k =>
+      IndexIO.dirBytes(spark, s"$path/postings/shard=$k")).sum
+    if (bytes <= maxBytes) 1 else partitions
   }
 
   /** WHEN-to-compact policy — [[IndexMaintenance.run]]'s decision order
@@ -380,12 +435,22 @@ object TrigramStore {
     require(maxShards >= 1, s"maxShards must be >= 1, got $maxShards")
     val live = IndexIO.liveCommittedIds(spark, path)
     require(live.nonEmpty, s"no committed shards under $path")
+    val delShards = IndexIO.shardIds(spark, s"$path/deletes")
     val deadFrac =
-      if (IndexIO.shardIds(spark, s"$path/deletes").isEmpty) 0.0
+      if (delShards.isEmpty) 0.0
       else {
-        val total = IndexIO.readCommitted(spark, path, "postings", live).count()
-        val kept = postings(spark, path).count()
-        if (total == 0L) 0.0 else (total - kept).toDouble / total.toDouble
+        // ONE pass for total + dead (the old total-count-then-kept-count
+        // form read the whole postings table twice, two scheduler
+        // round-trips); coalesced to one partition while the committed
+        // bytes are provably small ([[IndexIO.smallAggHint]]) so the
+        // aggregate is a single job with no exchange
+        val flagged = postingsDeadFlagged(spark, path, live, delShards)
+        val row = IndexIO.smallAggHint(spark, path, "postings", live, flagged)
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("_dead"), 1L).otherwise(0L)).as("dead"))
+          .head()
+        val total = row.getLong(0)
+        if (total == 0L) 0.0 else row.getLong(1).toDouble / total.toDouble
       }
     if (deadFrac >= tombstoneFrac) {
       val folded = compactAll(spark, path, partitions, deferDeletes)

@@ -212,6 +212,15 @@ object Fixtures {
       }
     }
 
+  /** Memoized schema of the materialized CDC feed batches (all three
+    * share one schema by construction) — the [[tableSchema]] treatment:
+    * parquet schema inference is a footer-read Spark JOB per
+    * `spark.read.parquet` call, and the feed dirs are immutable. */
+  def gazFeedSchema(s: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    val (udP, _, _) = gazDeltaFeedPaths(s, dir) // resolved BEFORE the memo (no nesting)
+    memo(s, dir, "schema:gazfeed") { s.read.parquet(udP).schema }
+  }
+
   /** Trigram index over the (no-wikidata) gazetteer for the bulk
     * indexed geocode join (g11). */
   def gazIndex(s: SparkSession, dir: String): DataFrame = {

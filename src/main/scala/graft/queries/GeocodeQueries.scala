@@ -656,8 +656,10 @@ object GeocodeQueries {
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
       val (udP, insP, _) = Fixtures.gazDeltaFeedPaths(s, dir)
+      val fsch = Fixtures.gazFeedSchema(s, dir) // skip per-run inference jobs
       graft.etl.GazetteerBuilder.refreshDelta(s, root,
-        s.read.parquet(udP).unionByName(s.read.parquet(insP)))
+        s.read.schema(fsch).parquet(udP)
+          .unionByName(s.read.schema(fsch).parquet(insP)))
       val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
       gazRefreshProjection(graft.etl.GazetteerBuilder.readPois(s, resolved))
     },
@@ -717,9 +719,12 @@ object GeocodeQueries {
         graft.etl.GazetteerBuilder.writeVersionedPartitioned(s, raw, p)
       }
       val (udP, insP, reinsP) = Fixtures.gazDeltaFeedPaths(s, dir)
+      val fsch = Fixtures.gazFeedSchema(s, dir) // skip per-run inference jobs
       graft.etl.GazetteerBuilder.refreshDelta(s, root,
-        s.read.parquet(udP).unionByName(s.read.parquet(insP)))
-      graft.etl.GazetteerBuilder.refreshDelta(s, root, s.read.parquet(reinsP))
+        s.read.schema(fsch).parquet(udP)
+          .unionByName(s.read.schema(fsch).parquet(insP)))
+      graft.etl.GazetteerBuilder.refreshDelta(s, root,
+        s.read.schema(fsch).parquet(reinsP))
       // maxShards = 1 forces the fold; keepLast = 2 retains the
       // pre-maintenance snapshot, so the fold's deletes stay DEFERRED
       // on disk (the pinned-history case the HIGH fix protects)

@@ -603,7 +603,7 @@ object StreamingQueries {
         ()
       }
       val cs = Q.pinnedSession(s, 4)
-      val schema = s.read.parquet(udP).schema
+      val schema = Fixtures.gazFeedSchema(s, dir) // memoized: no per-run inference job
       def loop() = StreamOps.gazCdcLoop(
         cs.readStream.schema(schema).parquet(feedDir), root,
         checkpoint = Some(ckpt)) { (_, _) => () }

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Generic Spark-JOB-count decomposition for any registry query — the
@@ -30,12 +30,22 @@ object QueryJobProfile {
     val jobs = new AtomicInteger(0)
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val verbose = sys.env.get("SPARK_GRAFT_JP_VERBOSE").contains("1")
+    // wall-clock per job (start→end, driver-observed): the job-count
+    // lens alone can't tell a 30 ms footer probe from a 500 ms write
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        if (verbose) sites.add(
-          e.stageInfos.map(si => s"${si.name.takeWhile(_ != '\n')}(${si.numTasks})")
-            .mkString("; "))
+        val desc = e.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '\n')}(${si.numTasks})").mkString("; ")
+        starts.put(e.jobId, (System.nanoTime(), desc))
+        ()
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(e.jobId)).foreach { case (t0, desc) =>
+          if (verbose) sites.add(
+            f"${(System.nanoTime() - t0) / 1e6}%8.1f ms  $desc")
+        }
         ()
       }
     })

@@ -37,6 +37,17 @@ class GazetteerBuilderSpec extends SparkSpec {
     assert(pois(1L).getDouble(13) == 2.0 && pois(1L).getDouble(14) == 1.0) // lat/lon
   }
 
+  test("static PoisSchema/AdminSchema match the builders (the no-inference read contract)") {
+    val raw = df(Seq(
+      Row(1L, "Cafe", Map("amenity" -> "cafe", "boundary" -> "administrative",
+        "admin_level" -> "4"), "POINT(1 2)")))
+    def names(s: StructType) = s.fields.map(f => f.name -> f.dataType).toSeq
+    assert(names(GazetteerBuilder.buildPois(raw).schema) ==
+      names(GazetteerBuilder.PoisSchema))
+    assert(names(GazetteerBuilder.buildAdmin(raw).schema) ==
+      names(GazetteerBuilder.AdminSchema))
+  }
+
   test("pois: unparseable geometry rows are dropped (never null coords in serving)") {
     val raw = df(Seq(
       Row(1L, "Good", Map("amenity" -> "a"), "POINT(1 2)"),

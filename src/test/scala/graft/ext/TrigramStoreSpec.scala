@@ -53,6 +53,25 @@ class TrigramStoreSpec extends SparkSpec {
     assert(dups == 0L, "duplicate postings would turn the exact-count probe into false negatives")
   }
 
+  test("append with caller-held upsertIds serves identically (and kills stale gramless ids)") {
+    // the read-back-skipping hint route (refreshDelta's bounded feed)
+    val base = pois((1L, "old cafe", null), (2L, "stable name", null))
+    val path = tmp() + "/ix"
+    TrigramStore.write(base, path)
+    val delta = pois((1L, "renamed cafe", null), (3L, "fresh bakery", null))
+    TrigramStore.append(delta, path, deleteIds = Seq(2L),
+      upsertIds = Some(Seq(1L, 3L)))
+    val after = pois((1L, "renamed cafe", null), (3L, "fresh bakery", null))
+    assert(postingSet(TrigramStore.postings(spark, path)) ==
+      postingSet(graft.etl.TrigramIndex.build(after)))
+    // an id whose new name yields NO grams: the hinted watermark still
+    // supersedes the old postings (stricter than the read-back route)
+    TrigramStore.append(pois((1L, "ab", null)), path, upsertIds = Some(Seq(1L)))
+    val finallyLive = pois((1L, "ab", null), (3L, "fresh bakery", null))
+    assert(postingSet(TrigramStore.postings(spark, path)) ==
+      postingSet(graft.etl.TrigramIndex.build(finallyLive)))
+  }
+
   test("delete watermarks remove an id everywhere; a later re-append serves it again") {
     val base = pois((1L, "doomed diner", null), (2L, "survivor", null))
     val path = tmp() + "/ix"
