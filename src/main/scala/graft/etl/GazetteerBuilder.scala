@@ -208,15 +208,34 @@ object GazetteerBuilder {
   def buildMeta(spark: SparkSession, source: String, outPath: String,
                 ingestArgs: String = ""): DataFrame = {
     import spark.implicits._
-    Seq(
-      "engine_version" -> spark.version,
-      "source" -> source,
-      "ingest_args" -> ingestArgs,
-      "schema_version" -> "1",
-      "built_at" -> java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).toString,
-      "artifact_path" -> outPath
-    ).toDF("key", "value")
+    metaRows(spark, source, outPath, ingestArgs).toDF("key", "value")
   }
+
+  private def metaRows(spark: SparkSession, source: String, outPath: String,
+                       ingestArgs: String): Seq[(String, String)] = Seq(
+    "engine_version" -> spark.version,
+    "source" -> source,
+    "ingest_args" -> ingestArgs,
+    "schema_version" -> "1",
+    "built_at" -> java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).toString,
+    "artifact_path" -> outPath)
+
+  /** The meta sink written DRIVER-SIDE ([[graft.ext.IndexIO
+    * .driverParquetFile]]): six literal rows do not need a Spark job's
+    * scheduler round-trip + commit protocol per refresh. Readers see
+    * the same (key, value) parquet table `buildMeta(...).write` lands. */
+  private def writeMetaDriver(spark: SparkSession, dir: String,
+                              source: String, outPath: String,
+                              ingestArgs: String): Unit =
+    graft.ext.DriverParquet.writeFile(spark, dir,
+      "message meta { required binary key (UTF8); required binary value (UTF8); }") {
+      (schema, w) =>
+        for ((k, v) <- metaRows(spark, source, outPath, ingestArgs)) {
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+          g.add("key", k); g.add("value", v)
+          w.write(g)
+        }
+    }
 
   /** Persist the gazetteer with a layout that scales: `pois` sorted by
     * (lat, lon) so bbox BETWEEN predicates hit Parquet min/max pruning;
@@ -255,8 +274,7 @@ object GazetteerBuilder {
       () => buildAdmin(raw).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$outPath/admin"),
       () => ())
-    buildMeta(spark, source, outPath, ingestArgs).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outPath/meta")
+    writeMetaDriver(spark, s"$outPath/meta", source, outPath, ingestArgs)
     true
   }
 
@@ -486,8 +504,7 @@ object GazetteerBuilder {
     val staging = graft.ext.VersionedStore.stagingFor(root)
     buildAdmin(raw).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
-    buildMeta(spark, source, root, ingestArgs).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+    writeMetaDriver(spark, s"$staging/meta", source, root, ingestArgs)
     writeManifest(spark, staging,
       PoisManifest(pkWidth, parts, pin.commits, pin.deletes))
     graft.ext.VersionedStore.publish(spark, staging, root)
@@ -670,8 +687,8 @@ object GazetteerBuilder {
         minusKeys(oldAdmin)
           .unionByName(buildAdmin(upserts))
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/admin")
-        buildMeta(spark, source, root, ingestArgs = s"cdc:${touched.size} parts")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/meta")
+        writeMetaDriver(spark, s"$staging/meta", source, root,
+          ingestArgs = s"cdc:${touched.size} parts")
       })
     // untouched partitions carry forward by REFERENCE; a touched
     // partition absent from the rewrite lost its last row — drop it

@@ -147,8 +147,24 @@ object TrigramStore {
   private def writeWatermarks(spark: SparkSession, path: String,
                               rows: Seq[(Long, Long)]): Unit = {
     if (rows.isEmpty) return
-    import spark.implicits._
-    writeWatermarksDF(spark, path, rows.toDF(DeleteCol, "below").coalesce(1))
+    // driver-held rows (bounded by the caller's collect/hint route):
+    // written through parquet-java directly ([[IndexIO
+    // .driverParquetFile]]) — a Spark job per tiny watermark batch was
+    // pure scheduler floor. Same staging + rename publish as the DF
+    // route, so crash ordering is unchanged.
+    val next = IndexIO.shardIds(spark, s"$path/deletes")
+      .lastOption.getOrElse(-1) + 1
+    val staging = IndexIO.shardStagingFor(s"$path/deletes")
+    DriverParquet.writeFile(spark, staging,
+      s"message deletes { required int64 $DeleteCol; required int64 below; }") {
+      (schema, w) =>
+        for ((id, below) <- rows) {
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+          g.add(DeleteCol, id); g.add("below", below)
+          w.write(g)
+        }
+    }
+    IndexIO.publishShard(spark, staging, s"$path/deletes/shard=$next")
   }
 
   private def writeWatermarksDF(spark: SparkSession, path: String,

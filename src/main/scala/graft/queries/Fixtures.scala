@@ -212,6 +212,14 @@ object Fixtures {
       }
     }
 
+  /** Memoized schema of an immutable built-index dir ([[indexPath]]
+    * artifacts) — same reason as [[tableSchema]]: re-inferring per run
+    * is a footer-read job (distributed once the dir holds several
+    * files, e.g. a partition layout). Keyed on the path. */
+  def pathSchema(s: SparkSession, dir: String,
+                 path: String): org.apache.spark.sql.types.StructType =
+    memo(s, dir, s"schema:path:$path") { s.read.parquet(path).schema }
+
   /** Memoized schema of the materialized CDC feed batches (all three
     * share one schema by construction) — the [[tableSchema]] treatment:
     * parquet schema inference is a footer-read Spark JOB per

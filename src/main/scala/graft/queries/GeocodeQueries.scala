@@ -511,7 +511,10 @@ object GeocodeQueries {
       val path = Fixtures.indexPath(s, dir, "zorder") { p =>
         graft.ext.ZOrder.layout(poiLatLon(t(s, dir, "customer")), p)
       }
-      graft.ext.ZOrder.bboxFilter(s.read.parquet(path),
+      // memoized schema: the zp-partitioned layout would otherwise pay
+      // a distributed footer-inference job per run
+      graft.ext.ZOrder.bboxFilter(
+        s.read.schema(Fixtures.pathSchema(s, dir, path)).parquet(path),
           minLat = -80.0, maxLat = -40.0, minLon = -160.0, maxLon = -90.0)
         .select("c_custkey", "lat", "lon")
         .orderBy("c_custkey")
@@ -594,7 +597,10 @@ object GeocodeQueries {
       val root = graft.core.TempDirs.create("graft-gaz-refresh-") + "/gaz"
       graft.etl.GazetteerBuilder.writeVersioned(s, next, root)
       val resolved = graft.ext.VersionedStore.resolveCurrent(s, root)
-      gazRefreshProjection(s.read.parquet(s"$resolved/pois"))
+      // explicit schema: skip the per-run inference job on the read-back
+      gazRefreshProjection(s.read
+        .schema(graft.etl.GazetteerBuilder.PoisSchema)
+        .parquet(s"$resolved/pois"))
     },
     Some(gazRefreshOracleSql))
 
