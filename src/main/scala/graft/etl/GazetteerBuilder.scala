@@ -267,9 +267,15 @@ object GazetteerBuilder {
         // trigram name index: the physical design that keeps the LIKE
         // candidate scan subquadratic at scale (see TrigramIndex).
         // Explicit schema: inference is a footer-read JOB per call.
+        // Width SIZE-ROUTED off the just-written pois bytes (the
+        // TrigramStore.foldWidth discipline): a small corpus writes one
+        // gram-sorted file with no bounds-sampling job or shuffle; a
+        // large one keeps the 8-way range layout.
+        val poisBytes = dirBytes(spark, s"$outPath/pois")
         TrigramIndex.write(
           spark.read.schema(PoisSchema).parquet(s"$outPath/pois"),
-          s"$outPath/name_index")
+          s"$outPath/name_index",
+          partitions = if (poisBytes <= (64L << 20)) 1 else 8)
       },
       () => buildAdmin(raw).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$outPath/admin"),
@@ -357,6 +363,14 @@ object GazetteerBuilder {
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Total bytes under a dir (driver-side listing) — the size gate for
+    * width routing; 0 when absent. */
+  private def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
 
   private def writeManifest(spark: SparkSession, dir: String,
                             m: PoisManifest): Unit = {

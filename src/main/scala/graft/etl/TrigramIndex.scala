@@ -42,10 +42,13 @@ object TrigramIndex {
       .distinct()
   }
 
-  /** Sorted-by-gram layout so per-gram equality probes prune row groups. */
+  /** Sorted-by-gram layout so per-gram equality probes prune row groups.
+    * `partitions == 1` coalesces (one globally-sorted file, no bounds-
+    * sampling job / shuffle — the [[graft.ext.IndexIO.sortedLayout]]
+    * idiom); wider layouts range-partition. */
   def write(pois: DataFrame, outPath: String, partitions: Int = 8): Unit =
-    build(pois)
-      .repartitionByRange(partitions, col("gram"))
+    (if (partitions == 1) build(pois).coalesce(1)
+     else build(pois).repartitionByRange(partitions, col("gram")))
       .sortWithinPartitions("gram", "col_id", "osm_id")
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 

@@ -260,6 +260,12 @@ object TextIndex {
     val spine = docSpine(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // postings first: its write MATERIALIZES the spine cache (the
+      // tokenize pass runs exactly once); the doclens and positions
+      // legs below then read cached blocks only and are independent of
+      // each other — overlapped (optimization guide §2.6), which folds
+      // two write-job floors into the slower one on small batches and
+      // overlaps two independent I/O legs at scale
       sortedLayout(
           spine.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
             .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")),
@@ -269,16 +275,28 @@ object TextIndex {
       // former separate spine-scan aggregate was one whole Spark job per
       // build/append (a fixed cost that dominates small streaming-ingest
       // batches); the one-row stats table then lands as a local write
-      writeDoclensAndStats(spine.select("doc_id", "dl"), root, shard, partitions)
-      if (withPositions)
-        // the (id, pos, term) contract of TextAnalysis.positionalPostings,
-        // derived from the SAME spine tokenization (1-based positions)
-        sortedLayout(
-            spine.select(col("doc_id").as("id"), posexplode(col("toks")))
-              .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-                col("col").as("term")),
-            partitions, Seq("term", "id", "pos"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/positions/shard=$shard")
+      val positionsLeg: Option[java.util.concurrent.Future[_]] =
+        if (!withPositions) None
+        else {
+          val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          try Some(pool.submit(new java.util.concurrent.Callable[Unit] {
+            // the (id, pos, term) contract of TextAnalysis
+            // .positionalPostings, derived from the SAME spine
+            // tokenization (1-based positions)
+            def call(): Unit = sortedLayout(
+                spine.select(col("doc_id").as("id"), posexplode(col("toks")))
+                  .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+                    col("col").as("term")),
+                partitions, Seq("term", "id", "pos"))
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$root/positions/shard=$shard")
+          })) finally pool.shutdown()
+        }
+      try writeDoclensAndStats(spine.select("doc_id", "dl"), root, shard, partitions)
+      finally positionsLeg.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
     } finally spine.unpersist(false)
   }
 
