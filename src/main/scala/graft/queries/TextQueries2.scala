@@ -246,17 +246,24 @@ object TextQueries2 {
     (s, dir) => {
       // tokenization (the regex-heavy part) materialized ONCE — it feeds
       // the corpus stats aggregate AND the tf relation below; without
-      // this, both subplans re-scan and re-tokenize the corpus
+      // this, both subplans re-scan and re-tokenize the corpus.
+      // Only QUERY-TERM tokens survive into the checkpoint (dl is taken
+      // over the full array first): the stats side needs (count, dl)
+      // and the tf side only the Bm25Terms hits, so materializing every
+      // corpus token serialized orders of magnitude more array bytes
+      // than any reader consumes (guide §2.3: project before you
+      // materialize/shuffle)
       val toks = docs(s, dir)
         .withColumn("toks", TextAnalysis.tokensCol(col("text")))
-        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          filter(col("toks"), t => t.isInCollection(Bm25Terms)).as("toks"))
         .localCheckpoint(true)
       // one row per (doc, query-term): materialized once — it feeds BOTH
       // the df aggregate and the scoring join (shared-subplan re-execution
-      // would otherwise re-explode the token arrays)
+      // would otherwise re-explode the token arrays). The isin filter is
+      // already applied inside the checkpointed array above.
       val tf = toks
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(Bm25Terms: _*))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
